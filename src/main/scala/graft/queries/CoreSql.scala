@@ -6,22 +6,26 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Core SQL/OLAP surface (cnosdb inherits this from DataFusion; see
-  * reference query_server/sqllogicaltests/cases/tpch.slt and dql/).
+  * reference query_server/sqllogicaltests/cases/tpch.slt, dql/,
+  * function/common/).
   *
   * Scale notes: aggregations are partial-aggregable (map-side combine);
-  * dimension joins are explicitly broadcast; every query carries a
-  * deterministic ORDER BY only as its final (cheap, post-agg) step.
+  * dimension joins are explicitly broadcast; the deterministic ORDER BY
+  * each query carries is a cheap post-aggregation step on the (small)
+  * result, never on the fact table.
   */
 object CoreSql {
 
-  /** TPC-H Q1 analogue — pricing summary report on lineitem.
-    * Filter is pushed to the parquet scan; group-by cardinality is tiny
-    * (flag×status) so the shuffle after partial agg is negligible at
-    * any scale.
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** TPC-H Q1 analogue — pricing summary on lineitem. Filter pushed to
+    * the scan; group-by cardinality is tiny so the post-partial-agg
+    * shuffle is negligible at any scale.
     */
-  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
@@ -32,10 +36,260 @@ object CoreSql {
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 analogue — revenue of unshipped orders for one segment.
+    * customer is a dimension → broadcast; orders⋈lineitem shuffles on
+    * the order key (its natural co-partitioning key at scale).
+    */
+  def q03ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
   }
 
+  /** TPC-H Q5 analogue — revenue by nation where supplier and customer
+    * share the nation. All dims broadcast; single fact shuffle.
+    */
+  def q05LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val supp = t(spark, dir, "supplier")
+    val nat = t(spark, dir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top customers by lifetime spend — classic driving-table pattern. */
+  def qTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    ord.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 4).as("total_spent"), count(lit(1)).as("n_orders"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Semi/anti join (EXISTS / NOT EXISTS). */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val orderCust = t(spark, dir, "orders").select("o_custkey")
+    val withOrders = cust.join(orderCust, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = cust.join(orderCust, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without_orders"))
+    withOrders.crossJoin(withoutOrders)
+  }
+
+  /** Statistical aggregates (function/common/statistical_agg/). */
+  def qStatsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price"),
+        round(stddev_pop(col("l_extendedprice")), 4).as("stddev_pop_price"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(var_pop(col("l_quantity")), 6).as("var_pop_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 8).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_pop_qty_price")
+      )
+      .orderBy("l_returnflag")
+
+  /** Ranking window functions (function/window_func/). */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, o_orderpriority,
+        |  cast(row_number() OVER w AS BIGINT) AS rn,
+        |  cast(rank()       OVER w AS BIGINT) AS rnk,
+        |  cast(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 8) AS prnk,
+        |  round(cume_dist()    OVER w, 8) AS cdist
+        |FROM orders
+        |WHERE o_totalprice > 400000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin)
+  }
+
+  /** Offset/value window functions over the time-series table. */
+  def qWindowOffset(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_id, user_id,
+        |  lag(value)  OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_val,
+        |  last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+        |  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_val
+        |FROM (SELECT event_id, user_id, value, cast(ts AS TIMESTAMP) AS ts FROM events)
+        |WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
+
+  /** Scalar string-function zoo (function/string_func/). */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_partkey,
+        |  upper(p_name) AS s_upper, lower(p_brand) AS s_lower,
+        |  substr(p_name, 3, 8) AS s_substr, cast(length(p_name) AS BIGINT) AS s_len,
+        |  concat(p_brand, ':', p_type) AS s_concat,
+        |  concat_ws('-', p_brand, p_type) AS s_concat_ws,
+        |  replace(p_type, ' ', '_') AS s_replace,
+        |  split_part(p_type, ' ', 1) AS s_split_part,
+        |  lpad(p_brand, 12, '*') AS s_lpad, rpad(p_brand, 12, '*') AS s_rpad,
+        |  trim('B' FROM p_brand) AS s_trim,
+        |  ltrim(p_name) AS s_ltrim, rtrim(p_name) AS s_rtrim,
+        |  reverse(p_name) AS s_reverse,
+        |  left(p_name, 4) AS s_left, right(p_name, 4) AS s_right,
+        |  cast(ascii(p_name) AS BIGINT) AS s_ascii, chr(65 + p_partkey % 26) AS s_chr,
+        |  md5(p_name) AS s_md5,
+        |  cast(instr(p_name, 'a') AS BIGINT) AS s_strpos,
+        |  translate(p_brand, 'Bad', 'Xyz') AS s_translate,
+        |  repeat(p_brand, 2) AS s_repeat,
+        |  startswith(p_type, 'STANDARD') AS s_starts,
+        |  hex(p_partkey) AS s_to_hex,
+        |  cast(octet_length(p_name) AS BIGINT) AS s_octet,
+        |  cast(bit_length(p_name) AS BIGINT) AS s_bit
+        |FROM part ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** Scalar math-function zoo (function/common/math_function/). */
+  def qMathFuncs(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_partkey,
+        |  abs(-p_retailprice) AS m_abs,
+        |  cast(ceil(p_retailprice) AS BIGINT) AS m_ceil, cast(floor(p_retailprice) AS BIGINT) AS m_floor,
+        |  round(p_retailprice, 1) AS m_round,
+        |  round(sqrt(p_retailprice), 8) AS m_sqrt,
+        |  round(cbrt(p_retailprice), 8) AS m_cbrt,
+        |  round(exp(p_retailprice / 1000.0), 8) AS m_exp,
+        |  round(ln(p_retailprice), 8) AS m_ln,
+        |  round(log10(p_retailprice), 8) AS m_log10,
+        |  round(log2(p_retailprice), 8) AS m_log2,
+        |  round(sin(p_retailprice), 8) AS m_sin,
+        |  round(cos(p_retailprice), 8) AS m_cos,
+        |  round(tan(p_size), 8) AS m_tan,
+        |  round(atan2(p_size, 7), 8) AS m_atan2,
+        |  round(asin(p_size / 100.0), 8) AS m_asin,
+        |  round(acos(p_size / 100.0), 8) AS m_acos,
+        |  round(atan(p_size), 8) AS m_atan,
+        |  round(sinh(p_size / 10.0), 8) AS m_sinh,
+        |  round(cosh(p_size / 10.0), 8) AS m_cosh,
+        |  round(tanh(p_size / 10.0), 8) AS m_tanh,
+        |  cast(sign(p_retailprice - 1000) AS DOUBLE) AS m_sign,
+        |  round(pi(), 8) AS m_pi,
+        |  round(radians(p_size), 8) AS m_radians,
+        |  round(degrees(p_size / 10.0), 8) AS m_degrees,
+        |  pmod(p_partkey, 7) AS m_mod,
+        |  power(p_size, 2) AS m_power
+        |FROM part ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** Time scalar functions (function/common/time_functions/). */
+  def qTimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS t_month,
+        |  date_trunc('day', o_orderdate) AS t_day,
+        |  date_trunc('week', o_orderdate) AS t_week,
+        |  year(o_orderdate) AS t_year, month(o_orderdate) AS t_mon,
+        |  day(o_orderdate) AS t_dom, dayofyear(o_orderdate) AS t_doy,
+        |  dayofweek(o_orderdate) - 1 AS t_dow,
+        |  quarter(o_orderdate) AS t_quarter,
+        |  hour(o_orderdate) AS t_hour, minute(o_orderdate) AS t_min,
+        |  second(o_orderdate) AS t_sec,
+        |  cast(unix_timestamp(o_orderdate) AS BIGINT) AS t_epoch,
+        |  to_timestamp(cast(unix_timestamp(o_orderdate) AS BIGINT)) AS t_from_unix,
+        |  o_orderdate + INTERVAL 3 DAY AS t_plus3d,
+        |  o_orderdate - INTERVAL 2 HOUR AS t_minus2h
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Conditional functions: case / coalesce / nullif (conditional_function/). */
+  def qConditional(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'low' END AS price_band,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+        |  nullif(o_orderpriority, '5-LOW') AS prio_or_null,
+        |  CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 0 END AS status_code
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** DISTINCT + ORDER BY + LIMIT basics (dql/). */
+  def qSqlBasic(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** exact_count — cnosdb's exact distinct-count UDAF
+    * (aggregate_function/exact_count_agg.rs).
+    */
+  def qExactCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_count_parts"),
+        countDistinct(col("l_suppkey")).as("exact_count_supps"))
+      .orderBy("l_returnflag")
+
+  /** Approximate aggregates (function/common/approx_agg/) — sketch
+    * implementations differ across engines, so no SQL oracle; the
+    * driver's rows-only check + ScalaTest bounds cover it.
+    */
+  def qApproxAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90_price"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> q01PricingSummary
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q03_shipping_priority" -> q03ShippingPriority,
+    "q05_local_supplier" -> q05LocalSupplier,
+    "q_top_customers" -> qTopCustomers,
+    "q_semi_anti" -> qSemiAnti,
+    "q_stats_agg" -> qStatsAgg,
+    "q_window_rank" -> qWindowRank,
+    "q_window_offset" -> qWindowOffset,
+    "q_string_funcs" -> qStringFuncs,
+    "q_math_funcs" -> qMathFuncs,
+    "q_time_funcs" -> qTimeFuncs,
+    "q_conditional" -> qConditional,
+    "q_sql_basic" -> qSqlBasic,
+    "q_exact_count" -> qExactCount,
+    "q_approx_agg" -> qApproxAgg
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -50,6 +304,161 @@ object CoreSql {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "q05_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(o_totalprice), 4) AS total_spent,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+        |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+        |  round(stddev_pop(l_extendedprice), 4) AS stddev_pop_price,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(var_pop(l_quantity), 6) AS var_pop_qty,
+        |  round(corr(l_quantity, l_extendedprice), 8) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  cast(row_number() OVER w AS BIGINT) AS rn,
+        |  cast(rank()       OVER w AS BIGINT) AS rnk,
+        |  cast(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 8) AS prnk,
+        |  round(cume_dist()    OVER w, 8) AS cdist
+        |FROM orders
+        |WHERE o_totalprice > 400000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_window_offset" ->
+      """SELECT event_id, user_id,
+        |  lag(value)  OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_val,
+        |  last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+        |  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_val
+        |FROM (SELECT event_id, user_id, value, cast(ts AS TIMESTAMP) AS ts FROM events)
+        |WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS s_upper, lower(p_brand) AS s_lower,
+        |  substr(p_name, 3, 8) AS s_substr, cast(length(p_name) AS BIGINT) AS s_len,
+        |  concat(p_brand, ':', p_type) AS s_concat,
+        |  concat_ws('-', p_brand, p_type) AS s_concat_ws,
+        |  replace(p_type, ' ', '_') AS s_replace,
+        |  split_part(p_type, ' ', 1) AS s_split_part,
+        |  lpad(p_brand, 12, '*') AS s_lpad, rpad(p_brand, 12, '*') AS s_rpad,
+        |  trim('B' FROM p_brand) AS s_trim,
+        |  ltrim(p_name) AS s_ltrim, rtrim(p_name) AS s_rtrim,
+        |  reverse(p_name) AS s_reverse,
+        |  left(p_name, 4) AS s_left, right(p_name, 4) AS s_right,
+        |  cast(ascii(p_name) AS BIGINT) AS s_ascii,
+        |  chr(cast(65 + p_partkey % 26 AS INTEGER)) AS s_chr,
+        |  md5(p_name) AS s_md5,
+        |  strpos(p_name, 'a') AS s_strpos,
+        |  translate(p_brand, 'Bad', 'Xyz') AS s_translate,
+        |  repeat(p_brand, 2) AS s_repeat,
+        |  starts_with(p_type, 'STANDARD') AS s_starts,
+        |  to_hex(p_partkey) AS s_to_hex,
+        |  strlen(p_name) AS s_octet, 8 * strlen(p_name) AS s_bit
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        |  abs(-p_retailprice) AS m_abs,
+        |  cast(ceil(p_retailprice) AS BIGINT) AS m_ceil, cast(floor(p_retailprice) AS BIGINT) AS m_floor,
+        |  round(p_retailprice, 1) AS m_round,
+        |  round(sqrt(p_retailprice), 8) AS m_sqrt,
+        |  round(cbrt(p_retailprice), 8) AS m_cbrt,
+        |  round(exp(p_retailprice / 1000.0), 8) AS m_exp,
+        |  round(ln(p_retailprice), 8) AS m_ln,
+        |  round(log10(p_retailprice), 8) AS m_log10,
+        |  round(log2(p_retailprice), 8) AS m_log2,
+        |  round(sin(p_retailprice), 8) AS m_sin,
+        |  round(cos(p_retailprice), 8) AS m_cos,
+        |  round(tan(p_size), 8) AS m_tan,
+        |  round(atan2(p_size, 7), 8) AS m_atan2,
+        |  round(asin(p_size / 100.0), 8) AS m_asin,
+        |  round(acos(p_size / 100.0), 8) AS m_acos,
+        |  round(atan(p_size), 8) AS m_atan,
+        |  round((exp(p_size / 10.0) - exp(-(p_size / 10.0))) / 2, 8) AS m_sinh,
+        |  round((exp(p_size / 10.0) + exp(-(p_size / 10.0))) / 2, 8) AS m_cosh,
+        |  round((exp(p_size / 10.0) - exp(-(p_size / 10.0))) / (exp(p_size / 10.0) + exp(-(p_size / 10.0))), 8) AS m_tanh,
+        |  cast(sign(p_retailprice - 1000) AS DOUBLE) AS m_sign,
+        |  round(pi(), 8) AS m_pi,
+        |  round(radians(p_size), 8) AS m_radians,
+        |  round(degrees(p_size / 10.0), 8) AS m_degrees,
+        |  p_partkey % 7 AS m_mod,
+        |  power(p_size, 2) AS m_power
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_time_funcs" ->
+      """SELECT o_orderkey,
+        |  cast(date_trunc('month', o_orderdate) AS TIMESTAMP) AS t_month,
+        |  cast(date_trunc('day', o_orderdate) AS TIMESTAMP) AS t_day,
+        |  cast(date_trunc('week', o_orderdate) AS TIMESTAMP) AS t_week,
+        |  year(o_orderdate) AS t_year, month(o_orderdate) AS t_mon,
+        |  day(o_orderdate) AS t_dom, dayofyear(o_orderdate) AS t_doy,
+        |  dayofweek(o_orderdate) AS t_dow,
+        |  quarter(o_orderdate) AS t_quarter,
+        |  hour(o_orderdate) AS t_hour, minute(o_orderdate) AS t_min,
+        |  cast(second(o_orderdate) AS BIGINT) AS t_sec,
+        |  cast(epoch(o_orderdate) AS BIGINT) AS t_epoch,
+        |  epoch_ms(cast(epoch(o_orderdate) AS BIGINT) * 1000) AS t_from_unix,
+        |  o_orderdate + INTERVAL 3 DAY AS t_plus3d,
+        |  o_orderdate - INTERVAL 2 HOUR AS t_minus2h
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'low' END AS price_band,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+        |  nullif(o_orderpriority, '5-LOW') AS prio_or_null,
+        |  CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 0 END AS status_code
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "q_sql_basic" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority
+        |FROM orders ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_exact_count" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_count_parts,
+        |  count(DISTINCT l_suppkey) AS exact_count_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    // q_approx_agg: no oracle (sketches are engine-specific) → rows-only.
   )
 }

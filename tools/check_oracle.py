@@ -70,7 +70,12 @@ def main():
         if name not in oracles:
             print(f"ROWS-ONLY {name}: rows={got.num_rows}")
             continue
-        exp = con.execute(oracles[name]).arrow()
+        try:
+            exp = con.execute(oracles[name]).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
         gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
         if gcols != ecols:
             print(f"FAIL {name}: schema mismatch spark={gcols} duckdb={ecols}")
