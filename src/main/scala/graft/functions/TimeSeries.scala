@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operator library — cnosdb's extension surface re-expressed
+  * Spark-first (reference: query_server/query/src/extension/expr/).
+  *
+  * Every operator here is a declarative DataFrame transform built from
+  * codegen'd built-ins (`window`, `session_window`, window functions,
+  * `min_by`-style struct aggregates), so Catalyst keeps pushdown/pruning
+  * and all aggregations stay partial-aggregable. Nothing collects to the
+  * driver; group keys are the shuffle keys, so at 100 TB the plans are
+  * one shuffle per operator (none for the windowed aggs when the input
+  * is already bucketed by the group key).
+  */
+object TimeSeries {
+
+  /** `time_window(ts, win[, slide])` → adds `window_start`/`window_end`.
+    * Tumbling when slide == win (reference expr/window/time_window.rs;
+    * origin is the epoch, matching cnosdb's 1970-01-01 default start).
+    * Spark's `window()` expands sliding windows map-side (Expand node) —
+    * the same design as cnosdb's Expand operator, no shuffle added.
+    */
+  def timeWindow(ts: Column, win: String, slide: Option[String] = None): Column =
+    slide.map(s => window(ts, win, s)).getOrElse(window(ts, win))
+
+  /** first/last by time with deterministic (ts, tiebreak) ordering —
+    * cnosdb `first(time, value)` / `last(time, value)` UDAFs
+    * (aggregate_function/{first,last}.rs). Single-pass min/max of an
+    * ordered struct: partial-aggregable, no sort, no window.
+    */
+  def firstByTime(ts: Column, tiebreak: Column, value: Column): Column =
+    min(struct(ts, tiebreak, value)).getField(value.toString)
+
+  def lastByTime(ts: Column, tiebreak: Column, value: Column): Column =
+    max(struct(ts, tiebreak, value)).getField(value.toString)
+
+  /** Deterministic mode — most frequent value, smallest value on ties
+    * (aggregate_function/mode.rs). Two partial-aggregable aggregations;
+    * ties resolved by value ordering so results are reproducible across
+    * partitionings (cnosdb's accumulator has the same property).
+    */
+  def modeOf(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             out: String = "mode"): DataFrame = {
+    val counted = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__cnt").desc, col(valueCol))
+    counted.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((groupCols.map(col) :+ col(valueCol).as(out)): _*)
+  }
+
+  /** Prometheus-style counter increase (aggregate_function/increase.rs):
+    * Σ (v - prev) when the counter grows, and the raw value after a
+    * reset (v < prev). Verified against the reference's own test
+    * vectors: 1..8 → 7; 1,2,3,4,1,2,3,4 → 7
+    * (sqllogicaltests/cases/function/common/increase.slt).
+    */
+  def increase(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+               groupCols: Seq[String], out: String = "increase"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__prev", lag(valueCol, 1).over(w))
+      .withColumn("__inc",
+        when(col("__prev").isNull, lit(0.0))
+          .when(valueCol >= col("__prev"), valueCol - col("__prev"))
+          .otherwise(valueCol))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__inc")).as(out))
+  }
+
+  /** `gauge_agg(ts, value)` + accessors delta, time_delta, rate,
+    * first_time/val, last_time/val (scalar_function/gauge/,
+    * aggregate_function/gauge/): one partial-aggregable pass — min/max
+    * of (ts, tiebreak, value) structs.
+    */
+  def gaugeAgg(df: DataFrame, tsCol: String, tiebreakCol: String, valueCol: String,
+               groupCols: Seq[String]): DataFrame = {
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        min(struct(col(tsCol), col(tiebreakCol), col(valueCol))).as("__first"),
+        max(struct(col(tsCol), col(tiebreakCol), col(valueCol))).as("__last"))
+      .select(groupCols.map(col) ++ Seq(
+        col(s"__first.$tsCol").as("first_time"),
+        col(s"__first.$valueCol").as("first_val"),
+        col(s"__last.$tsCol").as("last_time"),
+        col(s"__last.$valueCol").as("last_val"),
+        (col(s"__last.$valueCol") - col(s"__first.$valueCol")).as("delta"),
+        (col(s"__last.$tsCol").cast("double") - col(s"__first.$tsCol").cast("double"))
+          .as("time_delta_s"),
+        when(col(s"__last.$tsCol") =!= col(s"__first.$tsCol"),
+          (col(s"__last.$valueCol") - col(s"__first.$valueCol")) /
+            (col(s"__last.$tsCol").cast("double") - col(s"__first.$tsCol").cast("double")))
+          .as("rate")): _*)
+  }
+
+  /** `idelta_left/right` — delta of the two adjacent samples at the
+    * series start/end (scalar_function/gauge/idelta_*.rs).
+    */
+  def idelta(df: DataFrame, tsCol: Column, tiebreak: Column, valueCol: Column,
+             groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(tsCol, tiebreak)
+    val n = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(n))
+      .withColumn("__next", lead(valueCol, 1).over(w))
+      .withColumn("__prev", lag(valueCol, 1).over(w))
+      .filter(col("__rn") === 1 || col("__rn") === col("__cnt"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__rn") === 1, col("__next") - valueCol)).as("idelta_left"),
+        max(when(col("__rn") === col("__cnt"), valueCol - col("__prev"))).as("idelta_right"))
+  }
+
+  /** `topk(v, k)` / `bottom(v, k)` selectors (selector_function/):
+    * per-group rank-and-filter. rank() over a per-partition TopK sort —
+    * AQE inserts partial limits; deterministic via tiebreak column.
+    */
+  def topk(df: DataFrame, valueCol: Column, tiebreak: Column, k: Int,
+           groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(valueCol.desc, tiebreak)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  def bottom(df: DataFrame, valueCol: Column, tiebreak: Column, k: Int,
+             groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(valueCol.asc, tiebreak)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** `state_agg`/`duration_in` — time spent in each state
+    * (aggregate_function/state_agg/): interval to the next sample,
+    * grouped by state; the series' last sample contributes nothing
+    * (no successor bounds its state).
+    */
+  def durationIn(df: DataFrame, tsCol: Column, stateCol: Column,
+                 seriesCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(tsCol)
+    df.withColumn("__next_ts", lead(tsCol, 1).over(w))
+      .filter(col("__next_ts").isNotNull)
+      .groupBy((seriesCols.map(col) :+ stateCol.as("state")): _*)
+      .agg(sum(col("__next_ts").cast("double") - tsCol.cast("double")).as("duration_s"))
+  }
+
+  /** `state_at(t)` — the state in effect at time t (scalar_function/
+    * state_at.rs): latest sample with ts <= t. Partial-aggregable
+    * max-of-struct, no sort.
+    */
+  def stateAt(df: DataFrame, tsCol: Column, tiebreak: Column, stateCol: Column,
+              at: Column, seriesCols: Seq[String]): DataFrame =
+    df.filter(tsCol <= at)
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(struct(tsCol.as("ts"), tiebreak.as("tb"), stateCol.as("st")))
+        .getField("st").as("state_at"))
+
+  /** Last point per series — cnosdb's latest-data cache semantics
+    * (data_tests/get_last_data.slt). At scale this is the classic
+    * "latest snapshot" query: one partial-aggregable max-of-struct.
+    */
+  def lastPoint(df: DataFrame, tsCol: Column, tiebreak: Column,
+                seriesCols: Seq[String], payload: Seq[String]): DataFrame =
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(max(struct(tsCol.as("__ts"), tiebreak.as("__tb"),
+        struct(payload.map(col): _*).as("__p"))).as("__m"))
+      .select((seriesCols.map(col) :+ col("__m.__ts").as("last_ts")) ++
+        payload.map(p => col(s"__m.__p.$p")): _*)
+
+  /** Deterministic sample(n) — cnosdb `sample` (aggregate_function/
+    * sample.rs) is a uniform reservoir; at 100 TB a reproducible sample
+    * matters more than a fresh random one, so this orders by a hash of
+    * the row key (uniform, seedable by salt) and keeps n. Returns all
+    * rows when the input is smaller than n, like the reference.
+    */
+  def sample(df: DataFrame, keyCol: Column, n: Int, salt: String = ""): DataFrame =
+    df.orderBy(md5(concat(keyCol.cast("string"), lit(salt)))).limit(n)
+
+  /** time_window_gapfill + locf + interpolate (scalar_function/
+    * {gapfill,locf,interpolate}.rs): dense per-group bucket spine from
+    * the group's observed range, missing buckets carried forward (locf)
+    * and/or linearly interpolated.
+    *
+    * Input: one row per (group, bucket) with a possibly-sparse value.
+    * The spine is generated with sequence()+explode — bounded by the
+    * group's own range — and joined back on the group key, so the only
+    * shuffle is the original aggregation's.
+    */
+  def gapfill(bucketed: DataFrame, groupCols: Seq[String], bucketCol: String,
+              valueCol: String, bucketSeconds: Long): DataFrame = {
+    val g = groupCols.map(col)
+    val spine = bucketed.groupBy(g: _*)
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+      .select(g :+ explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $bucketSeconds SECOND"))).as(bucketCol): _*)
+    val joined = spine.join(bucketed, groupCols :+ bucketCol, "left")
+    val wAll = Window.partitionBy(g: _*).orderBy(col(bucketCol))
+    val prevW = wAll.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = wAll.rowsBetween(0, Window.unboundedFollowing)
+    joined
+      .withColumn("locf", last(col(valueCol), ignoreNulls = true).over(prevW))
+      .withColumn("__pv", last(when(col(valueCol).isNotNull,
+        struct(col(bucketCol).as("t"), col(valueCol).as("v"))), ignoreNulls = true).over(prevW))
+      .withColumn("__nv", first(when(col(valueCol).isNotNull,
+        struct(col(bucketCol).as("t"), col(valueCol).as("v"))), ignoreNulls = true).over(nextW))
+      .withColumn("interpolated",
+        when(col(valueCol).isNotNull, col(valueCol))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv.v") + (col("__nv.v") - col("__pv.v")) *
+              (col(bucketCol).cast("double") - col("__pv.t").cast("double")) /
+              (col("__nv.t").cast("double") - col("__pv.t").cast("double")))
+          .otherwise(lit(null)))
+      .drop("__pv", "__nv")
+  }
+}

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TimeSeries
+
+/** Driver-facing query entries for the time-series operator wave
+  * (SURVEY.md §2.2). Every DuckDB oracle starts from the same
+  * micro-truncated view of `events` that Tables.events exposes to Spark
+  * (`cast(ts AS TIMESTAMP)` drops the parquet nanos the same way).
+  */
+object TimeSeriesQueries {
+
+  private val E = "(SELECT event_id, user_id, event_type, value, cast(ts AS TIMESTAMP) AS ts FROM events)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_window_tumbling" -> ((s, dir) => {
+      TimeSeries.timeWindow(col("ts"), "1 hour") match { case w =>
+        Tables.events(s, dir)
+          .groupBy(w.as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"),
+            round(avg("value"), 6).as("avg_value"))
+          .select(col("event_type"), col("w.start").as("w_start"),
+            col("n"), col("sum_value"), col("avg_value"))
+          .orderBy("event_type", "w_start")
+      }
+    }),
+
+    "ts_window_sliding" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(TimeSeries.timeWindow(col("ts"), "2 hours", Some("1 hour")).as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("event_type"), col("w.start").as("w_start"), col("n"), col("sum_value"))
+        .orderBy("event_type", "w_start")
+    }),
+
+    "ts_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"), col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    "ts_first_last" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("__f"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("__l"))
+        .select(col("event_type"),
+          col("__f.ts").as("first_time"), col("__f.value").as("first_val"),
+          col("__l.ts").as("last_time"), col("__l.value").as("last_val"))
+        .orderBy("event_type")
+    }),
+
+    "ts_mode" -> ((s, dir) =>
+      TimeSeries.modeOf(Tables.events(s, dir), Seq("user_id"), "event_type", "mode_event")
+        .filter(col("user_id") < 50)
+        .orderBy("user_id")),
+
+    "ts_increase" -> ((s, dir) =>
+      TimeSeries.increase(Tables.events(s, dir),
+        Seq(col("ts"), col("event_id")), col("value"), Seq("event_type"))
+        .select(col("event_type"), round(col("increase"), 4).as("increase"))
+        .orderBy("event_type")),
+
+    "ts_topk" -> ((s, dir) =>
+      TimeSeries.topk(Tables.events(s, dir).select("event_type", "event_id", "value"),
+        col("value"), col("event_id"), 5, Seq("event_type"))
+        .orderBy("event_type", "event_id")),
+
+    "ts_bottom" -> ((s, dir) =>
+      TimeSeries.bottom(Tables.events(s, dir).select("event_type", "event_id", "value"),
+        col("value"), col("event_id"), 5, Seq("event_type"))
+        .orderBy("event_type", "event_id")),
+
+    "ts_gauge_agg" -> ((s, dir) =>
+      TimeSeries.gaugeAgg(Tables.events(s, dir), "ts", "event_id", "value", Seq("event_type"))
+        .select(col("event_type"), col("first_time"), round(col("first_val"), 4).as("first_val"),
+          col("last_time"), round(col("last_val"), 4).as("last_val"),
+          round(col("delta"), 4).as("delta"),
+          round(col("time_delta_s"), 6).as("time_delta_s"),
+          round(col("rate"), 8).as("rate"))
+        .orderBy("event_type")),
+
+    "ts_idelta" -> ((s, dir) =>
+      TimeSeries.idelta(Tables.events(s, dir), col("ts"), col("event_id"), col("value"),
+        Seq("event_type"))
+        .select(col("event_type"), round(col("idelta_left"), 4).as("idelta_left"),
+          round(col("idelta_right"), 4).as("idelta_right"))
+        .orderBy("event_type")),
+
+    "ts_duration_in" -> ((s, dir) =>
+      TimeSeries.durationIn(Tables.events(s, dir).filter(col("user_id") < 30),
+        col("ts"), col("event_type"), Seq("user_id"))
+        .select(col("user_id"), col("state"), round(col("duration_s"), 6).as("duration_s"))
+        .orderBy("user_id", "state")),
+
+    "ts_state_at" -> ((s, dir) =>
+      TimeSeries.stateAt(Tables.events(s, dir), col("ts"), col("event_id"), col("event_type"),
+        lit("2024-01-15 00:00:00").cast("timestamp"), Seq("user_id"))
+        .orderBy("user_id")),
+
+    "ts_last_point" -> ((s, dir) =>
+      TimeSeries.lastPoint(Tables.events(s, dir), col("ts"), col("event_id"),
+        Seq("user_id"), Seq("event_type", "value"))
+        .orderBy("user_id")),
+
+    "ts_gapfill_locf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 30)
+      val bucketed = ev
+        .groupBy(col("event_type"), TimeSeries.timeWindow(col("ts"), "1 hour").getField("start").as("bucket"))
+        .agg(round(avg("value"), 6).as("v"))
+      TimeSeries.gapfill(bucketed, Seq("event_type"), "bucket", "v", 3600L)
+        .select(col("event_type"), col("bucket"), round(col("locf"), 6).as("locf_value"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "ts_gapfill_interpolate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 30)
+      val bucketed = ev
+        .groupBy(col("event_type"), TimeSeries.timeWindow(col("ts"), "1 hour").getField("start").as("bucket"))
+        .agg(round(avg("value"), 6).as("v"))
+      TimeSeries.gapfill(bucketed, Seq("event_type"), "bucket", "v", 3600L)
+        .select(col("event_type"), col("bucket"), round(col("interpolated"), 6).as("interp_value"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "ts_show_series" -> ((s, dir) =>
+      Tables.events(s, dir).select("event_type").distinct().orderBy("event_type")),
+
+    "ts_show_tag_values" -> ((s, dir) =>
+      Tables.events(s, dir).select("user_id").distinct().orderBy("user_id")),
+
+    "ts_sample" -> ((s, dir) =>
+      TimeSeries.sample(Tables.events(s, dir).select("event_id", "event_type", "value"),
+        col("event_id"), 100))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_window_tumbling" ->
+      s"""SELECT event_type,
+         |  epoch_ms(cast(floor(epoch(ts) / 3600) * 3600000 AS BIGINT)) AS w_start,
+         |  count(*) AS n, round(sum(value), 4) AS sum_value,
+         |  round(avg(value), 6) AS avg_value
+         |FROM $E
+         |GROUP BY event_type, w_start
+         |ORDER BY event_type, w_start""".stripMargin,
+    "ts_window_sliding" ->
+      s"""SELECT event_type, w_start, count(*) AS n, round(sum(value), 4) AS sum_value
+         |FROM (
+         |  SELECT event_type, value,
+         |    unnest([b, b - INTERVAL 1 HOUR]) AS w_start
+         |  FROM (SELECT event_type, value,
+         |    epoch_ms(cast(floor(epoch(ts) / 3600) * 3600000 AS BIGINT)) AS b
+         |    FROM $E))
+         |GROUP BY event_type, w_start
+         |ORDER BY event_type, w_start""".stripMargin,
+    "ts_session_window" ->
+      s"""WITH d AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM $E
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, ts, value,
+         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM d)
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n,
+         |  round(sum(value), 4) AS sum_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+    "ts_first_last" ->
+      s"""WITH r AS (
+         |  SELECT event_type, ts, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM $E)
+         |SELECT event_type,
+         |  min(ts) AS first_time, max(ts) AS last_time,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS first_val,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS last_val
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_mode" ->
+      s"""WITH c AS (
+         |  SELECT user_id, event_type, count(*) AS cnt FROM $E GROUP BY 1, 2),
+         |r AS (SELECT user_id, event_type,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+         |  FROM c)
+         |SELECT user_id, event_type AS mode_event FROM r
+         |WHERE rn = 1 AND user_id < 50 ORDER BY user_id""".stripMargin,
+    "ts_increase" ->
+      s"""WITH d AS (
+         |  SELECT event_type, value,
+         |    lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+         |  FROM $E)
+         |SELECT event_type, round(sum(
+         |  CASE WHEN prev IS NULL THEN 0
+         |       WHEN value >= prev THEN value - prev
+         |       ELSE value END), 4) AS increase
+         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_topk" ->
+      s"""SELECT event_type, event_id, value FROM (
+         |  SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+         |  FROM $E)
+         |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
+    "ts_bottom" ->
+      s"""SELECT event_type, event_id, value FROM (
+         |  SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id) AS rn
+         |  FROM $E)
+         |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
+    "ts_gauge_agg" ->
+      s"""WITH r AS (
+         |  SELECT event_type, ts, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM $E),
+         |g AS (SELECT event_type,
+         |  min(ts) AS first_time, max(ts) AS last_time,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS first_val,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS last_val
+         |  FROM r GROUP BY event_type)
+         |SELECT event_type, first_time, round(first_val, 4) AS first_val,
+         |  last_time, round(last_val, 4) AS last_val,
+         |  round(last_val - first_val, 4) AS delta,
+         |  round(epoch(last_time) - epoch(first_time), 6) AS time_delta_s,
+         |  CASE WHEN last_time <> first_time THEN
+         |    round((last_val - first_val) / (epoch(last_time) - epoch(first_time)), 8)
+         |  END AS rate
+         |FROM g ORDER BY event_type""".stripMargin,
+    "ts_idelta" ->
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt,
+         |    lead(value) OVER w AS nxt,
+         |    lag(value) OVER w AS prv
+         |  FROM $E
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+         |SELECT event_type,
+         |  round(max(CASE WHEN rn = 1 THEN nxt - value END), 4) AS idelta_left,
+         |  round(max(CASE WHEN rn = cnt THEN value - prv END), 4) AS idelta_right
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_duration_in" ->
+      s"""WITH d AS (
+         |  SELECT user_id, event_type AS state, ts,
+         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+         |  FROM $E WHERE user_id < 30)
+         |SELECT user_id, state,
+         |  round(sum(epoch(next_ts) - epoch(ts)), 6) AS duration_s
+         |FROM d WHERE next_ts IS NOT NULL
+         |GROUP BY user_id, state ORDER BY user_id, state""".stripMargin,
+    "ts_state_at" ->
+      s"""SELECT user_id, event_type AS state_at FROM (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM $E
+         |  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ts_last_point" ->
+      s"""SELECT user_id, ts AS last_ts, event_type, value FROM (
+         |  SELECT user_id, ts, event_type, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM $E)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ts_gapfill_locf" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    epoch_ms(cast(floor(epoch(ts) / 3600) * 3600000 AS BIGINT)) AS bucket,
+         |    round(avg(value), 6) AS v
+         |  FROM $E WHERE user_id < 30 GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+         |  FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1)),
+         |j AS (
+         |  SELECT s.event_type, s.bucket, b.v
+         |  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket)
+         |SELECT event_type, bucket,
+         |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS locf_value
+         |FROM j ORDER BY event_type, bucket""".stripMargin,
+    "ts_gapfill_interpolate" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    epoch_ms(cast(floor(epoch(ts) / 3600) * 3600000 AS BIGINT)) AS bucket,
+         |    round(avg(value), 6) AS v
+         |  FROM $E WHERE user_id < 30 GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+         |  FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1)),
+         |j AS (
+         |  SELECT s.event_type, s.bucket, b.v
+         |  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket),
+         |f AS (
+         |  SELECT event_type, bucket, v,
+         |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER pw AS pt,
+         |    last_value(v IGNORE NULLS) OVER pw AS pv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER nw AS nt,
+         |    first_value(v IGNORE NULLS) OVER nw AS nv
+         |  FROM j
+         |  WINDOW pw AS (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  nw AS (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, bucket,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |      pv + (nv - pv) * (epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))
+         |  END, 6) AS interp_value
+         |FROM f ORDER BY event_type, bucket""".stripMargin,
+    "ts_show_series" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "ts_show_tag_values" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "ts_sample" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY md5(cast(event_id AS VARCHAR)) LIMIT 100""".stripMargin
+  )
+}
