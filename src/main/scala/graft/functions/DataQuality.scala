@@ -1,0 +1,162 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IoTDB-style data-quality metrics — completeness, consistency,
+  * timeliness, validity — over a (time, value) series, matching cnosdb's
+  * data_quality UDAFs (reference
+  * query_server/query/src/extension/expr/aggregate_function/data_quality/
+  * common.rs:40-215; validated against
+  * sqllogicaltests/cases/function/data_quality.slt).
+  *
+  * The algorithm needs the whole (sorted) series — median/MAD outlier
+  * counts and a windowed timestamp-anomaly scan — so it cannot be a
+  * streaming aggregate. Distributed shape: one `collect_list` per series
+  * group (a series fits an executor by definition in the reference too,
+  * whose accumulator gathers the same arrays), then a scalar pass.
+  */
+object DataQuality {
+
+  final case class Metrics(completeness: Double, consistency: Double,
+                           timeliness: Double, validity: Double)
+
+  private def median(xs: Seq[Double]): Double = {
+    if (xs.length == 1) return xs.head
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 0) (s(n / 2 - 1) + s(n / 2)) / 2.0 else s(n / 2)
+  }
+
+  private def mad(xs: Seq[Double]): Double = {
+    val mid = median(xs)
+    1.4826 * median(xs.map(v => math.abs(v - mid)))
+  }
+
+  private def outliers(xs: Seq[Double], k: Double): Int = {
+    if (xs.isEmpty) return 0
+    val mid = median(xs)
+    val sigma = mad(xs)
+    xs.count(v => math.abs(v - mid) > k * sigma)
+  }
+
+  /** Returns None when fewer than two finite values exist (the reference
+    * raises "At least two non-NaN values are needed").
+    */
+  def compute(times: Array[Double], values0: Array[Double]): Option[Metrics] = {
+    val n = times.length
+    if (n == 0) return None
+    val values = new Array[Double](n)
+    var specialcnt = 0
+    var i = 0
+    while (i < n) {
+      if (java.lang.Double.isFinite(values0(i))) values(i) = values0(i)
+      else { values(i) = Double.NaN; specialcnt += 1 }
+      i += 1
+    }
+
+    // NaN repair: linear interpolation between finite neighbours,
+    // extrapolation from the last finite pair at the edges.
+    var index1 = 0
+    while (index1 < n && values(index1).isNaN) index1 += 1
+    var index2 = index1 + 1
+    while (index2 < n && values(index2).isNaN) index2 += 1
+    if (index2 >= n) return None
+    def interp(i: Int, a: Int, b: Int): Double =
+      values(a) + (values(b) - values(a)) * ((times(i) - times(a)) / (times(b) - times(a)))
+    i = 0
+    while (i < index2) { values(i) = interp(i, index1, index2); i += 1 }
+    i = index2 + 1
+    while (i < n) {
+      if (!values(i).isNaN) {
+        index1 = index2; index2 = i
+        var j = index1 + 1
+        while (j < index2) { values(j) = interp(j, index1, index2); j += 1 }
+      }
+      i += 1
+    }
+    i = index2 + 1
+    while (i < n) { values(i) = interp(i, index1, index2); i += 1 }
+
+    // Timestamp anomaly scan (miss / late / redundancy) over a sliding
+    // 10-wide window against the median interval.
+    val WindowSize = 10
+    var misscnt = 0; var latecnt = 0; var redundancycnt = 0
+    if (n >= 2) {
+      val intervals = Array.tabulate(n - 1)(k => times(k + 1) - times(k))
+      val base = median(intervals.toIndexedSeq)
+      val window = ArrayBuffer.empty[Double]
+      var next = 0
+      while (next < math.min(WindowSize, n)) { window += times(next); next += 1 }
+      while (window.length > 1) {
+        val ratio = (window(1) - window(0)) / base
+        if (ratio <= 0.5) {
+          window.remove(1)
+          redundancycnt += 1
+        } else if (ratio >= 2.0 && ratio <= 9.0) {
+          var temp = 0
+          var j = 2
+          var break = false
+          while (!break && j < window.length) {
+            val ratio2 = (window(j) - window(j - 1)) / base
+            if (ratio2 >= 2.0) break = true
+            else {
+              if (ratio2 <= 0.5) {
+                temp += 1
+                window.remove(j)
+                j -= 1
+                if (temp == math.round(ratio - 1.0).toInt) break = true
+              }
+              j += 1
+            }
+          }
+          latecnt += temp
+          misscnt += math.round(ratio - 1.0).toInt - temp
+        }
+        window.remove(0)
+        while (window.length < WindowSize && next < n) { window += times(next); next += 1 }
+      }
+    }
+
+    // Value anomaly counts: k=3 median/MAD outliers on values, first
+    // differences, speeds and speed changes.
+    val k = 3.0
+    val valuecnt = outliers(values.toIndexedSeq, k)
+    val variation = Array.tabulate(n - 1)(j => values(j + 1) - values(j))
+    val variationcnt = outliers(variation.toIndexedSeq, k)
+    val speed = Array.tabulate(n - 1)(j => (values(j + 1) - values(j)) / (times(j + 1) - times(j)))
+    val speedcnt = outliers(speed.toIndexedSeq, k)
+    val speedchange =
+      if (speed.length > 1) Array.tabulate(speed.length - 1)(j => speed(j + 1) - speed(j))
+      else Array.empty[Double]
+    val speedchangecnt = outliers(speedchange.toIndexedSeq, k)
+
+    val cnt = n
+    Some(Metrics(
+      completeness = 1.0 - (misscnt + specialcnt).toDouble / (cnt + misscnt),
+      consistency = 1.0 - redundancycnt.toDouble / cnt,
+      timeliness = 1.0 - latecnt.toDouble / cnt,
+      validity = 1.0 - 0.25 * (valuecnt + variationcnt + speedcnt + speedchangecnt) / cnt))
+  }
+
+  private val metricsUdf = udf { series: Seq[org.apache.spark.sql.Row] =>
+    val times = series.map(_.getDouble(0)).toArray
+    val values = series.map(_.getDouble(1)).toArray
+    compute(times, values).map(m => (m.completeness, m.consistency, m.timeliness, m.validity))
+  }
+
+  /** DataFrame form: one row per group with the four quality metrics. */
+  def dataQuality(df: DataFrame, tsCol: Column, valueCol: Column,
+                  groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(tsCol.cast("double").as("t"),
+        valueCol.cast("double").as("v")))).as("__series"))
+      .withColumn("__m", metricsUdf(col("__series")))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("__m._1"), 8).as("completeness"),
+        round(col("__m._2"), 8).as("consistency"),
+        round(col("__m._3"), 8).as("timeliness"),
+        round(col("__m._4"), 8).as("validity")): _*)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DataQuality
+
+/** Fixtures from the reference's own slt case
+  * (query_server/sqllogicaltests/cases/function/data_quality.slt):
+  * 15 samples incl. one NaN (acos(12345)), expected metric values
+  * printed by cnosdb itself.
+  */
+class DataQualitySpec extends AnyFunSuite {
+
+  private val times = Array[Double](1, 3, 4, 6, 10, 13, 14, 16, 18, 19, 22, 24, 26, 31, 33)
+  private val values = Array[Double](12.34, 34.54, 1.43, 14.03, 12.30, 11.54, 112.20,
+    14.44, 134.02, 116.34, 1234.45, 10.36, 124.21, 6.34, Double.NaN)
+
+  test("completeness matches reference") {
+    val m = DataQuality.compute(times, values).get
+    assert(math.abs(m.completeness - 0.8235294117647058) < 1e-12)
+  }
+
+  test("consistency matches reference") {
+    val m = DataQuality.compute(times, values).get
+    assert(math.abs(m.consistency - 0.8666666666666667) < 1e-12)
+  }
+
+  test("timeliness matches reference") {
+    val m = DataQuality.compute(times, values).get
+    assert(math.abs(m.timeliness - 0.9333333333333333) < 1e-12)
+  }
+
+  test("validity matches reference") {
+    val m = DataQuality.compute(times, values).get
+    assert(math.abs(m.validity - 0.8) < 1e-12)
+  }
+
+  test("fewer than two finite values → None (reference errors)") {
+    assert(DataQuality.compute(Array(1.0), Array(12.34)).isEmpty)
+    assert(DataQuality.compute(Array(1.0, 2.0, 3.0),
+      Array(12.34, Double.NaN, Double.NaN)).isEmpty)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Repair
+
+class RepairSpec extends AnyFunSuite {
+  private val NaN = Double.NaN
+
+  test("fillSeries linear interpolates and clamps edges") {
+    val got = Repair.fillSeries(Array(NaN, 2.0, NaN, NaN, 8.0, NaN), "linear")
+    assert(got.toSeq == Seq(2.0, 2.0, 4.0, 6.0, 8.0, 8.0))
+  }
+
+  test("fillSeries mean uses mean of finite values") {
+    val got = Repair.fillSeries(Array(1.0, NaN, 3.0), "mean")
+    assert(got.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("fillSeries previous carries forward") {
+    val got = Repair.fillSeries(Array(NaN, 1.0, NaN, 5.0, NaN), "previous")
+    assert(got(0).isNaN && got.drop(1).toSeq == Seq(1.0, 1.0, 5.0, 5.0))
+  }
+
+  test("screen keeps in-band series unchanged") {
+    val ts = Array(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val vs = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)
+    val got = Repair.screen(ts, vs)
+    assert(got.zip(vs).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("screen clamps a spike toward the speed band") {
+    val ts = Array(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+    val vs = Array(1.0, 2.0, 3.0, 100.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0)
+    val got = Repair.screen(ts, vs)
+    assert(math.abs(got(3) - 4.0) < 1.0, s"spike should be repaired, got ${got(3)}")
+  }
+
+  test("timestampRepair produces a regular grid covering the range") {
+    val ts = Array(0L, 10L, 21L, 30L, 39L, 50L, 60L)
+    val vs = Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val (t2, _) = Repair.timestampRepair(ts, vs)
+    val step = t2(1) - t2(0)
+    assert(step == 10L)
+    assert(t2.sliding(2).forall(p => p(1) - p(0) == step))
+    assert(t2.head <= ts.head && t2.last >= ts.last - step)
+  }
+}
