@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md
+  * §2.4): exact (hash), MinHash+LSH banding, SimHash, char-n-gram
+  * Jaccard.
+  *
+  * All hashing is md5-based so results are deterministic across engines
+  * and runs — at 100 TB a re-run must bucket identically. Every stage is
+  * relational (explode → partial agg), so dedup scales as: mapper-only
+  * signature computation, one shuffle per agg on (doc, seed/band) keys,
+  * and an LSH candidate join whose size is bands × bucket-collisions,
+  * never n².
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"), max(col(idCol)).as("dup_id"))
+      .filter(col("n") > 1)
+
+  /** Word 3-gram shingles, distinct per doc. 0-based Spark array
+    * indexing; the DuckDB oracles build the identical strings 1-based.
+    */
+  def shingles(textCol: Column): Column = {
+    val t = textCol.toString
+    array_distinct(expr(
+      s"CASE WHEN size(split($t, ' ')) >= 3 THEN " +
+        s"transform(sequence(0, size(split($t, ' ')) - 3), " +
+        s"j -> concat_ws(' ', split($t, ' ')[j], split($t, ' ')[j+1], split($t, ' ')[j+2])) " +
+        s"ELSE cast(array() AS ARRAY<STRING>) END"))
+  }
+
+  /** doc → (seed, minhash) rows: min over shingles of md5(seed|shingle).
+    * Mapper + one partial-aggregable min per (doc, seed).
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol))).as("sh"))
+      .select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("sh"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
+
+  /** LSH band hashes: group signature rows into `bands` bands and hash
+    * each band's (seed-ordered) minhashes.
+    */
+  def lshBandHashes(sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.groupBy(col(idCol), (col("seed") / rows).cast("int").as("band"))
+      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh")), "|")).as("band_hash"))
+  }
+
+  /** Candidate pairs: ids sharing any LSH band bucket. The join key is
+    * (band, band_hash), so work is proportional to real collisions.
+    */
+  def lshCandidates(bandHashes: DataFrame, idCol: String): DataFrame = {
+    val a = bandHashes.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = bandHashes.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with true-Jaccard confirmation on the
+    * candidates only.
+    */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 8, bands: Int = 2,
+                      threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes)
+    val cands = lshCandidates(lshBandHashes(sig, idCol, numHashes, bands), idCol)
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Char n-gram distinct set. */
+  def charNgrams(textCol: Column, n: Int): Column = {
+    val t = textCol.toString
+    array_distinct(expr(
+      s"CASE WHEN length($t) >= $n THEN " +
+        s"transform(sequence(1, length($t) - ${n - 1}), i -> substring($t, i, $n)) " +
+        s"ELSE cast(array() AS ARRAY<STRING>) END"))
+  }
+
+  /** Jaccard over char n-grams between paired rows (id, id+step). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val g = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("g"))
+    val a = g.select(col("id").as("doc_a"), col("g").as("g_a"))
+    val b = g.select((col("id") - 1).as("doc_a"), col("id").as("doc_b"), col("g").as("g_b"))
+    a.join(b, Seq("doc_a"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (size(col("g_a")) + size(col("g_b")) - col("inter")), 6)
+          .as("jaccard"))
+  }
+
+  /** 60-bit SimHash as a 15-hex-char string. Fully relational: tokens →
+    * md5 hex digits → per-bit votes → majority bits → hex digits. The
+    * same computation is expressible in any SQL engine, which is what
+    * pins the oracle.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = toks
+      .select(col(idCol), explode(sequence(lit(1), lit(15))).as("p"), col("h"))
+      .withColumn("dig", expr("instr('0123456789abcdef', substring(h, p, 1)) - 1"))
+      .select(col(idCol), col("p"), explode(sequence(lit(0), lit(3))).as("k"), col("dig"))
+      .withColumn("vote", expr("CASE WHEN shiftright(dig, k) % 2 = 1 THEN 1 ELSE -1 END"))
+      .groupBy(col(idCol), col("p"), col("k"))
+      .agg(sum("vote").as("v"))
+    val digits = votes
+      .withColumn("bit", when(col("v") > 0, 1).otherwise(0))
+      .groupBy(col(idCol), col("p"))
+      .agg(sum(expr("shiftleft(bit, k)")).as("dig_out"))
+      .withColumn("ch", expr("substring('0123456789abcdef', cast(dig_out AS INT) + 1, 1)"))
+    digits.groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("ch")))),
+        x => x.getField("ch")), "").as("simhash"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (SURVEY.md §2.4): language
+  * ID, quality scoring, token counting, fingerprinting. Everything is
+  * codegen'd column arithmetic/regex — these run in the 100 TB ingest
+  * path, so no UDFs.
+  */
+object TextAnalysis {
+
+  /** Stopword regexes per language (word-bounded, lowercase input). */
+  val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|a|in|is|it)\\b",
+    "de" -> "\\b(der|die|und|das|ein|ist|zu|den)\\b",
+    "es" -> "\\b(el|la|de|que|y|los|es|en)\\b",
+    "fr" -> "\\b(le|la|les|des|et|un|une|est)\\b",
+    "zh" -> "(的|了|是|在|我|有)")
+
+  /** n-gram/stopword heuristic language ID with a fixed priority order
+    * for ties (en > de > es > fr > zh). Returns score columns + the
+    * prediction.
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val scored = langPatterns.foldLeft(df) { case (d, (lang, pat)) =>
+      d.withColumn(s"s_$lang", regexp_count(lowered, lit(pat)).cast("long"))
+    }
+    val best = langPatterns.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = langPatterns.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("predicted_lang", pred)
+  }
+
+  /** Heuristic quality score in [0,1]: token count, punctuation ratio,
+    * stopword density, mean token length.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", size(split(t, " ")).cast("long"))
+      .withColumn("mean_token_len",
+        length(regexp_replace(t, " ", "")).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        regexp_count(lower(t), lit("[^a-z0-9 ]")).cast("double") / col("n_chars"))
+      .withColumn("stopword_ratio",
+        regexp_count(lower(t), lit(langPatterns.head._2)).cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        round(lit(0.25) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+          + lit(0.25) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0))
+          + lit(0.25) * least(col("mean_token_len") / 8.0, lit(1.0)), 6))
+  }
+
+  /** Whitespace + BPE-ish regex token counts. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_ws_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("n_bpe_tokens",
+        regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
+
+  /** Whitespace-normalized md5 content fingerprint (first 16 hex). */
+  def fingerprint(textCol: Column): Column =
+    substring(md5(regexp_replace(lower(textCol), "\\s+", " ")), 1, 16)
+
+  /** Karp-Rabin winnowing fingerprint over char k-grams: min rolling
+    * hash per window — robust doc signature for shift-tolerant matching
+    * (spec-tested; not SQL-expressible → rows-only when queried).
+    */
+  def winnow(text: String, k: Int = 8, window: Int = 8): Seq[Long] = {
+    if (text.length < k) return Seq.empty
+    // modulus/base sized so every intermediate product fits a Long
+    val B = 131L
+    val M = 1000000007L
+    val hashes = new Array[Long](text.length - k + 1)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < k) { h = (h * B + text.charAt(i)) % M; if (i < k - 1) pow = (pow * B) % M; i += 1 }
+    hashes(0) = h
+    i = k
+    while (i < text.length) {
+      h = ((h - text.charAt(i - k) * pow % M + M * 2) % M * B + text.charAt(i)) % M
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    hashes.sliding(window).map(_.min).toSeq.distinct
+  }
+}

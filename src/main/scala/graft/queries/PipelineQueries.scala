@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM training-data pipeline queries over documents/embeddings
+  * (SURVEY.md §2.4). The synthetic corpus has no natural duplicates, so
+  * dedup queries append deterministic exact + near copies on BOTH sides
+  * (Spark and oracle SQL) before deduplicating.
+  */
+object PipelineQueries {
+
+  /** documents + exact copies (id%10==0, +1e6) + near copies
+    * (id%17==0, +2e6, 4 words appended).
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+      .unionByName(d.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(col("text"), lit(" extra trailing words appended"))))
+  }
+
+  private val CORPUS =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text || ' extra trailing words appended'
+      |    FROM documents WHERE doc_id % 17 = 0)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDupGroups(corpus(s, dir), "doc_id", "text")
+        .orderBy("h")),
+
+    "doc_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashNearDups(corpus(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    "doc_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", 4)
+        .orderBy("doc_a")),
+
+    "doc_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "doc_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("predicted_lang"),
+          col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
+        .orderBy("doc_id")),
+
+    "doc_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          col("quality_score"))
+        .orderBy("doc_id")),
+
+    "doc_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables(s, dir, "documents"), "text")
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "emb_cosine_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "emb_cosine_dedup" -> ((s, dir) =>
+      Similarity.cosineDedupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", 0.35)
+        .orderBy("blk", "id_a", "id_b")),
+
+    "emb_lsh_ann" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 4, 10, numTables = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    "mm_binary_meta" -> ((s, dir) => {
+      val docs = Multimodal.withFakeBinary(Tables(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractMeta(docs, "doc_id").toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_bytes"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "doc_exact_dedup" ->
+      s"""WITH $CORPUS
+         |SELECT md5(text) AS h, count(*) AS n,
+         |  min(doc_id) AS keep_id, max(doc_id) AS dup_id
+         |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+         |ORDER BY h""".stripMargin,
+    "doc_minhash_pairs" ->
+      s"""WITH $CORPUS,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+         |sig AS (
+         |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
+         |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) v
+         |  GROUP BY doc_id, seed),
+         |bh AS (
+         |  SELECT doc_id, seed // 4 AS band,
+         |    md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
+         |  FROM sig GROUP BY doc_id, seed // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b,
+         |  round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
+         |FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
+         |WHERE inter / (za.sz + zb.sz - inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "doc_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+        |      i -> substr(text, i, 4))) AS g
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.g, b.g))
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "doc_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, md5(tok) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |votes AS (
+        |  SELECT doc_id, p, k,
+        |    sum(CASE WHEN (strpos('0123456789abcdef', substr(h, p, 1)) - 1) // (1 << k) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS v
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, 15)) AS p) u,
+        |    LATERAL (SELECT unnest(generate_series(0, 3)) AS k) w
+        |  GROUP BY doc_id, p, k),
+        |digits AS (
+        |  SELECT doc_id, p,
+        |    sum(CASE WHEN v > 0 THEN 1 << k ELSE 0 END) AS dig_out
+        |  FROM votes GROUP BY doc_id, p)
+        |SELECT doc_id,
+        |  string_agg(substr('0123456789abcdef', cast(dig_out AS INT) + 1, 1), '' ORDER BY p)
+        |    AS simhash
+        |FROM digits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) AND
+        |      greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+        |    WHEN s_de >= greatest(s_es, s_fr, s_zh) AND
+        |      greatest(s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+        |    WHEN s_es >= greatest(s_fr, s_zh) AND greatest(s_es, s_fr, s_zh) > 0 THEN 'es'
+        |    WHEN s_fr >= s_zh AND greatest(s_fr, s_zh) > 0 THEN 'fr'
+        |    WHEN s_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS predicted_lang,
+        |  s_en, s_de, s_es, s_fr, s_zh
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein|ist|zu|den)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|es|en)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|un|une|est)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '(的|了|是|在|我|有)')) AS s_zh
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "doc_quality_score" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(cast(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS mean_token_len,
+        |  round(cast(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text), 6) AS punct_ratio,
+        |  round(cast(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it)\b'))
+        |    AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |  round(
+        |    0.25 * least(cast(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |    + 0.25 * (1.0 - cast(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
+        |        / length(text))
+        |    + 0.25 * least(cast(len(regexp_extract_all(lower(text),
+        |        '\b(the|and|of|to|a|in|is|it)\b')) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 5.0, 1.0)
+        |    + 0.25 * least(cast(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(text, ' ')) / 8.0, 1.0), 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "emb_cosine_topk" ->
+      """SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "emb_cosine_dedup" ->
+      """SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY blk, id_a, id_b""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  doc_id % 640 + 1 AS width,
+        |  doc_id % 480 + 1 AS height,
+        |  strlen(text) + 8 AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // emb_lsh_ann: bucket recall semantics pinned by SimilaritySpec → rows-only.
+  )
+}

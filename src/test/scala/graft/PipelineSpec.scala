@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lshAnn finds a usable fraction of true neighbors (recall probe)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshAnn(emb, queries, "vec_id", "embedding", 4, 10, numTables = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    info(s"LSH recall@10 over ${truth.size} truth pairs: $recall")
+    assert(recall > 0.1, s"multi-table LSH should recover a usable fraction, got $recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("lshBucket is deterministic and partitions the corpus") {
+    val emb = Tables(spark, sf, "embeddings")
+    val b1 = Similarity.lshBucket(emb, "vec_id", "embedding", 6, 2)
+    val b2 = Similarity.lshBucket(emb, "vec_id", "embedding", 6, 2)
+    assert(b1.count() == emb.count() * 2)
+    assert(b1.exceptAll(b2).isEmpty)
+  }
+
+  test("multimodal binary round-trips width/height through the stub decoder") {
+    val bytes = Multimodal.encodeFake(320, 200, "payload".getBytes("UTF-8"))
+    assert(Multimodal.decodeMetaStub(bytes) == ((320, 200)))
+    val docs = Multimodal.withFakeBinary(Tables(spark, sf, "documents"), "doc_id", "text")
+    val meta = Multimodal.extractMeta(docs, "doc_id").collect()
+    assert(meta.forall(m => m.width == (m.doc_id % 640 + 1) && m.height == (m.doc_id % 480 + 1)))
+  }
+
+  test("frameSample yields one sampled byte per stride") {
+    val docs = Multimodal.withFakeBinary(Tables(spark, sf, "documents"), "doc_id", "text")
+    val sampled = Multimodal.frameSample(docs, "doc_id", 16)
+    assert(sampled.count() > 0)
+    assert(sampled.columns.toSeq == Seq("doc_id", "frame_idx", "frame_byte"))
+  }
+
+  test("winnow fingerprint is shift-tolerant") {
+    val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
+    val b = TextAnalysis.winnow("PREFIX the quick brown fox jumps over the lazy dog")
+    val overlap = (a.toSet & b.toSet).size.toDouble / a.size
+    assert(overlap > 0.5, s"winnow overlap after shift should be high, got $overlap")
+  }
+}
