@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.LineProtocol
+
+/** Ingest-path driver entries (SURVEY.md §2.3): line-protocol parsing
+  * is validated as a full round-trip — events rows are rendered to line
+  * protocol, parsed back by graft.sources.LineProtocol, and the oracle
+  * recomputes the original values directly.
+  */
+object IngestQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_line_protocol" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.events(s, dir)
+        .select(format_string(
+          "events,event_id=%s,user_id=%s,event_type=%s value=%s,n=%si %s",
+          col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("user_id"), expr("ts_ns div 1000")).as("line"))
+        .as[String]
+      LineProtocol.parse(lines)
+        .select(
+          col("tags")("event_id").cast("long").as("event_id"),
+          col("measurement"),
+          col("tags")("user_id").cast("long").as("user_id"),
+          col("tags")("event_type").as("event_type"),
+          col("fields")("value").cast("double").as("value"),
+          expr("cast(substring(fields['n'], 1, length(fields['n']) - 1) AS BIGINT)").as("n"),
+          col("ts").as("ts_us"))
+        .orderBy("event_id")
+    }),
+
+    "csv_roundtrip" -> ((s, dir) => {
+      // external-table surface (create_external_table.slt / COPY INTO):
+      // write nation as CSV, read it back through the CSV source.
+      val nation = Tables(s, dir, "nation")
+      val tmp = s"/tmp/graft_csv/${new java.io.File(dir).getName}/nation"
+      nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(tmp)
+        .orderBy("n_nationkey")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_line_protocol" ->
+      """SELECT event_id, 'events' AS measurement, user_id, event_type, value,
+        |  user_id AS n, epoch_us(cast(events.ts AS TIMESTAMP)) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+  )
+}
