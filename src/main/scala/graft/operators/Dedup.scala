@@ -22,36 +22,46 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"), max(col(idCol)).as("dup_id"))
       .filter(col("n") > 1)
 
-  /** Word 3-gram shingles, distinct per doc. 0-based Spark array
-    * indexing; the DuckDB oracles build the identical strings 1-based.
+  /** Word 3-gram shingles, distinct per doc, from a pre-split token
+    * array (codegen CSE keeps the split single-evaluation). Values match
+    * the DuckDB oracles' 1-based construction of the same strings.
     */
-  def shingles(textCol: Column): Column = {
-    val t = textCol.toString
-    array_distinct(expr(
-      s"CASE WHEN size(split($t, ' ')) >= 3 THEN " +
-        s"transform(sequence(0, size(split($t, ' ')) - 3), " +
-        s"j -> concat_ws(' ', split($t, ' ')[j], split($t, ' ')[j+1], split($t, ' ')[j+2])) " +
-        s"ELSE cast(array() AS ARRAY<STRING>) END"))
-  }
+  def shingles(textCol: Column): Column = shinglesOf(split(textCol, " "))
 
-  /** doc → (seed, minhash) rows: min over shingles of md5(seed|shingle).
-    * Mapper + one partial-aggregable min per (doc, seed).
+  private def shinglesOf(toks: Column): Column =
+    array_distinct(when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        j => concat_ws(" ", element_at(toks, j + 1), element_at(toks, j + 2),
+          element_at(toks, j + 3))))
+      .otherwise(array().cast("array<string>")))
+
+  /** doc → one wide row of `numHashes` minhashes (mh0..mhN): min over
+    * shingles of md5(seed|shingle), all seeds in ONE partial-aggregable
+    * pass — no seed explode, so the shuffle carries |shingles| rows, not
+    * |shingles|×numHashes. Values are identical to the row-per-seed
+    * formulation the oracle SQL uses.
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       numHashes: Int): DataFrame =
+                       numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s + "|"), col("sh")))).as(s"mh$s"))
     df.select(col(idCol), explode(shingles(col(textCol))).as("sh"))
-      .select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("sh"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH band hashes: group signature rows into `bands` bands and hash
-    * each band's (seed-ordered) minhashes.
+  /** LSH band hashes from the wide signature: hash each band's
+    * (seed-ordered) minhashes — a pure mapper, no second aggregation.
     */
   def lshBandHashes(sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    sig.groupBy(col(idCol), (col("seed") / rows).cast("int").as("band"))
-      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh")), "|")).as("band_hash"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until rows).map(i => col(s"mh${b * rows + i}")): _*))
+          .as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
   /** Candidate pairs: ids sharing any LSH band bucket. The join key is
@@ -75,10 +85,12 @@ object Dedup {
     val cands = lshCandidates(lshBandHashes(sig, idCol, numHashes, bands), idCol)
     val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // equijoin on (id, shingle) — the shingle match is a hash-join key,
+    // not a post-join filter, so the intermediate is the intersection
+    // itself rather than |sh_a|×|sh_b| per candidate pair.
     val inter = cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .filter(col("sh_a") === col("sh_b"))
+      .join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))

@@ -10,30 +10,42 @@ import org.apache.spark.sql.functions._
   * shuffle on the corpus side, so at 100 TB it is one pass; the LSH
   * variant buckets vectors by seeded random-hyperplane signs so
   * candidate generation is a bucket-equijoin instead of a cross join.
+  *
+  * Both paths precompute per-vector norms BEFORE any join: the pair
+  * loop then costs one dot product instead of three (self-norms were
+  * otherwise recomputed for every pair — 3× the flops at 100 TB).
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float/double> columns, computed in
-    * double via codegen'd higher-order functions (no UDF).
-    */
+  /** Σ xᵢyᵢ via codegen'd higher-order functions (no UDF). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** √(v·v) — precompute once per vector, never per pair. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two array<float/double> columns. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+    dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors (excluding itself). Queries are broadcast.
+    * corpus vectors (excluding itself). Queries are broadcast; the
+    * corpus side is a single narrow scan + per-query top-k.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .crossJoin(q)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec"))))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -45,51 +57,68 @@ object Similarity {
     * md5-derived uniform in [-1, 1). Reproducible across runs/engines —
     * an ANN index rebuilt on other hardware buckets identically.
     */
-  private def planeComponent(plane: Int, d: Column): Column =
-    expr(s"conv(substring(md5(concat('$plane', '_', cast(d AS STRING))), 1, 8), 16, 10)")
-      .cast("double") / lit(4294967296.0) * 2 - 1
+  private def planeComponent(plane: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${plane}_$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0 * 2 - 1
+  }
 
   /** Random-hyperplane LSH bucket ids — `numTables` independent hash
     * tables of `numPlanes` sign bits each (standard multi-table LSH:
     * each table trades precision for recall; the union of table
     * candidates recovers neighbors a single table splits away).
+    *
+    * The plane matrix is tiny (tables × planes × dims doubles) and
+    * deterministic, so it is materialized driver-side as literal
+    * arrays: bucketing is then a pure mapper — one codegen'd
+    * projection, no explode, no shuffle. That is the 100 TB shape: a
+    * signature pass over the corpus stays embarrassingly parallel.
+    *
     * Output: (id, table, bucket).
     */
   def lshBucket(df: DataFrame, idCol: String, vecCol: String,
                 numPlanes: Int, numTables: Int = 1): DataFrame = {
-    val dims = df.select(col(idCol), posexplode(col(vecCol).cast("array<double>"))
-      .as(Seq("d", "x")))
-    val planes = dims
-      .select(col(idCol), col("d"), col("x"),
-        explode(sequence(lit(0), lit(numTables * numPlanes - 1))).as("plane"))
-      .withColumn("comp", expr(
-        "cast(conv(substring(md5(concat(cast(plane AS STRING), '_', cast(d AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0 * 2 - 1"))
-    planes.groupBy(col(idCol), col("plane"))
-      .agg(sum(col("x") * col("comp")).as("dotp"))
-      .withColumn("table", (col("plane") / numPlanes).cast("int"))
-      .groupBy(col(idCol), col("table"))
-      .agg(sum(when(col("dotp") > 0,
-        expr(s"shiftleft(1L, plane % $numPlanes)")).otherwise(0L)).as("bucket"))
+    val dims = df.select(size(col(vecCol))).head.getInt(0)
+    val vec = col(vecCol).cast("array<double>")
+    val tables = (0 until numTables).map { t =>
+      val bucket = (0 until numPlanes).map { p =>
+        val plane = t * numPlanes + p
+        val comps = array((0 until dims).map(d => lit(planeComponent(plane, d))): _*)
+        when(dot(vec, comps) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    df.select(col(idCol), explode(array(tables: _*)).as("tb"))
+      .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
   /** LSH-bucketed ANN: candidates share any table's bucket with the
-    * query, ranked by exact cosine over the candidate union.
+    * query, ranked by exact cosine over the candidate union. The query
+    * set's buckets+vectors are broadcast, so candidate generation is a
+    * map-side join against the corpus bucket pass; only the (small)
+    * candidate set is shuffled for dedup and scoring.
     */
   def lshAnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              numPlanes: Int, k: Int, numTables: Int = 4): DataFrame = {
-    val buckets = lshBucket(corpus, idCol, vecCol, numPlanes, numTables)
-    val vecs = corpus.select(col(idCol), col(vecCol))
-    val qb = buckets.join(broadcast(queries.select(col(idCol))), Seq(idCol))
-      .join(vecs, Seq(idCol))
-      .select(col(idCol).as("query_id"), col("table"), col("bucket"), col(vecCol).as("q_vec"))
-    val cands = buckets
-      .join(qb, Seq("table", "bucket"))
+    val cBuckets = lshBucket(corpus, idCol, vecCol, numPlanes, numTables)
+    val qBuckets = broadcast(
+      lshBucket(queries, idCol, vecCol, numPlanes, numTables)
+        .select(col(idCol).as("query_id"), col("table"), col("bucket")))
+    val qVecs = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec"))))
+    val cVecs = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val cands = cBuckets
+      .join(qBuckets, Seq("table", "bucket"))
       .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("q_vec"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
       .distinct() // a pair can collide in several tables
-      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-        Seq("neighbor_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .join(qVecs, Seq("query_id"))
+      .join(cVecs, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -101,11 +130,16 @@ object Similarity {
     */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
