@@ -274,6 +274,22 @@ object CoreSql {
         percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90_price"))
       .orderBy("l_returnflag")
 
+  /** array_agg(x ORDER BY t) (function/common/array_agg.slt) — ordered
+    * collection per group, emitted as a joined string so the oracle hash
+    * is array-layout-independent. collect_list is partial-aggregable;
+    * the sort happens per (small) group after the shuffle.
+    */
+  def qArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .groupBy("user_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ",").as("type_seq"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q03_shipping_priority" -> q03ShippingPriority,
@@ -289,7 +305,8 @@ object CoreSql {
     "q_conditional" -> qConditional,
     "q_sql_basic" -> qSqlBasic,
     "q_exact_count" -> qExactCount,
-    "q_approx_agg" -> qApproxAgg
+    "q_approx_agg" -> qApproxAgg,
+    "q_array_agg" -> qArrayAgg
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -458,7 +475,13 @@ object CoreSql {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_count_parts,
         |  count(DISTINCT l_suppkey) AS exact_count_supps
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_array_agg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+        |  count(*) AS n
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
     // q_approx_agg: no oracle (sketches are engine-specific) → rows-only.
   )
 }

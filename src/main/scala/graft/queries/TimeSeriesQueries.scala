@@ -138,7 +138,24 @@ object TimeSeriesQueries {
 
     "ts_sample" -> ((s, dir) =>
       TimeSeries.sample(Tables.events(s, dir).select("event_id", "event_type", "value"),
-        col("event_id"), 100))
+        col("event_id"), 100)),
+
+    // TSBS-style two-level date_bin rollup (tsbench/
+    // avg_daily_driving_duration.slt): 10-min activity buckets per user,
+    // re-binned to days → active hours. Both windows derive
+    // deterministically from ts, so the only shuffle key is user_id —
+    // the day rollup reuses the partial-agg output of the first.
+    "ts_date_bin" -> ((s, dir) => {
+      val inner = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(avg("value").as("mv"))
+        .select(col("w.start").as("w10"), col("user_id"))
+      inner
+        .groupBy(window(col("w10"), "1 day").as("d"), col("user_id"))
+        .agg(round(count(lit(1)) / 6.0, 6).as("hours_active"))
+        .select(col("user_id"), col("d.start").as("day"), col("hours_active"))
+        .orderBy("user_id", "day")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -323,6 +340,16 @@ object TimeSeriesQueries {
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     "ts_sample" ->
       """SELECT event_id, event_type, value FROM events
-        |ORDER BY md5(cast(event_id AS VARCHAR)) LIMIT 100""".stripMargin
+        |ORDER BY md5(cast(event_id AS VARCHAR)) LIMIT 100""".stripMargin,
+    "ts_date_bin" ->
+      s"""WITH i AS (
+         |  SELECT epoch_ms(cast(floor(epoch(ts) / 600) * 600000 AS BIGINT)) AS w10,
+         |    user_id, avg(value) AS mv
+         |  FROM $E GROUP BY 1, 2)
+         |SELECT user_id,
+         |  epoch_ms(cast(floor(epoch(w10) / 86400) * 86400000 AS BIGINT)) AS day,
+         |  round(count(*) / 6.0, 6) AS hours_active
+         |FROM i GROUP BY user_id, day
+         |ORDER BY user_id, day""".stripMargin
   )
 }
