@@ -109,16 +109,39 @@ object Dedup {
         s"ELSE cast(array() AS ARRAY<STRING>) END"))
   }
 
-  /** Jaccard over char n-grams between paired rows (id, id+step). */
+  /** Jaccard over char n-grams between paired rows (id, id+step),
+    * computed as a codegen'd equijoin on exploded grams (doc, gram):
+    * the matched rows ARE the intersection, so no interpreted
+    * array_intersect runs per pair. The pair skeleton left-joins the
+    * intersection counts back so 0-overlap pairs survive.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val g = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("g"))
-    val a = g.select(col("id").as("doc_a"), col("g").as("g_a"))
-    val b = g.select((col("id") - 1).as("doc_a"), col("id").as("doc_b"), col("g").as("g_b"))
-    a.join(b, Seq("doc_a"))
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter") / (size(col("g_a")) + size(col("g_b")) - col("inter")), 6)
-          .as("jaccard"))
+    // Single-pass, fully codegen'd, ONE scan of the corpus: each
+    // (doc, gram) occurrence (exploded positions + substr — no
+    // lambda-based HOFs, which run interpreted) is credited to the two
+    // pairs it can participate in (pair k compares docs k and k+1).
+    // One (pair, gram) aggregation marks side presence — this also
+    // dedups repeated grams, so no per-doc distinct pass — and one
+    // (pair) aggregation produces sizes + intersection together.
+    val grams = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= n) // sequence(1,0) would DEscend
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (n - 1))).as("i"))
+      .select(col("id"), substr(col("t"), col("i"), lit(n)).as("ng"))
+    val sides = grams.select(explode(array(
+        struct(col("id").as("pk"), lit(true).as("a"), lit(false).as("b")),
+        struct((col("id") - 1).as("pk"), lit(false).as("a"), lit(true).as("b"))))
+        .as("s"), col("ng"))
+      .select(col("s.pk").as("pk"), col("ng"), col("s.a").as("a"), col("s.b").as("b"))
+    sides.groupBy("pk", "ng")
+      .agg(max("a").as("ha"), max("b").as("hb"))
+      .groupBy("pk")
+      .agg(sum(when(col("ha"), 1).otherwise(0)).as("sz_a"),
+        sum(when(col("hb"), 1).otherwise(0)).as("sz_b"),
+        sum(when(col("ha") && col("hb"), 1).otherwise(0)).as("inter"))
+      .filter(col("sz_a") > 0 && col("sz_b") > 0) // pair needs both docs
+      .select(col("pk").as("doc_a"), (col("pk") + 1).as("doc_b"),
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
   }
 
   /** 60-bit SimHash as a 15-hex-char string. Fully relational: tokens →
