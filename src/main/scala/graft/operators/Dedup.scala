@@ -35,6 +35,21 @@ object Dedup {
           element_at(toks, j + 3))))
       .otherwise(array().cast("array<string>")))
 
+  /** (id, shingle) DISTINCT rows, built without lambda-based HOFs: the
+    * token array is exploded by position and each shingle assembled with
+    * codegen'd element_at/concat_ws, then deduped by a hash aggregate.
+    * Same strings as `shingles`, but the whole pass stays inside
+    * whole-stage codegen (interpreted transform dominates otherwise).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 3)).as("j"))
+      .select(col(idCol), concat_ws(" ", element_at(col("toks"), col("j") + 1),
+        element_at(col("toks"), col("j") + 2), element_at(col("toks"), col("j") + 3)).as("sh"))
+      .distinct()
+
   /** doc → one wide row of `numHashes` minhashes (mh0..mhN): min over
     * shingles of md5(seed|shingle), all seeds in ONE partial-aggregable
     * pass — no seed explode, so the shuffle carries |shingles| rows, not
@@ -45,7 +60,7 @@ object Dedup {
                        numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(s =>
       min(md5(concat(lit(s + "|"), col("sh")))).as(s"mh$s"))
-    df.select(col(idCol), explode(shingles(col(textCol))).as("sh"))
+    shingleRows(df, idCol, textCol)
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
   }
@@ -83,7 +98,7 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val sig = minhashSignature(df, idCol, textCol, numHashes)
     val cands = lshCandidates(lshBandHashes(sig, idCol, numHashes, bands), idCol)
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
+    val sh = shingleRows(df, idCol, textCol).select(col(idCol).as("id"), col("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // equijoin on (id, shingle) — the shingle match is a hash-join key,
     // not a post-join filter, so the intermediate is the intersection
@@ -150,22 +165,25 @@ object Dedup {
     * pins the oracle.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // One explode (token rows only — never token × bit), then the 60
+    // per-bit ±1 votes are sixty codegen'd int columns partial-summed
+    // map-side: the only shuffle carries one row of 60 ints per doc per
+    // partition. At 100 TB that is a scan plus a near-free reduce.
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val votes = toks
-      .select(col(idCol), explode(sequence(lit(1), lit(15))).as("p"), col("h"))
-      .withColumn("dig", expr("instr('0123456789abcdef', substring(h, p, 1)) - 1"))
-      .select(col(idCol), col("p"), explode(sequence(lit(0), lit(3))).as("k"), col("dig"))
-      .withColumn("vote", expr("CASE WHEN shiftright(dig, k) % 2 = 1 THEN 1 ELSE -1 END"))
-      .groupBy(col(idCol), col("p"), col("k"))
-      .agg(sum("vote").as("v"))
-    val digits = votes
-      .withColumn("bit", when(col("v") > 0, 1).otherwise(0))
-      .groupBy(col(idCol), col("p"))
-      .agg(sum(expr("shiftleft(bit, k)")).as("dig_out"))
-      .withColumn("ch", expr("substring('0123456789abcdef', cast(dig_out AS INT) + 1, 1)"))
-    digits.groupBy(col(idCol))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("ch")))),
-        x => x.getField("ch")), "").as("simhash"))
+    val voteCols = for (p <- 1 to 15; k <- 0 until 4) yield
+      when((shiftright(expr(s"instr('0123456789abcdef', substring(h, $p, 1)) - 1"), k) % 2)
+        === 1, 1).otherwise(-1).as(s"v_${p}_$k")
+    val summed = toks.select((col(idCol) +: voteCols): _*)
+      .groupBy(col(idCol))
+      .agg(sum(s"v_1_0").as("s_1_0"),
+        (for (p <- 1 to 15; k <- 0 until 4; if !(p == 1 && k == 0)) yield
+          sum(s"v_${p}_$k").as(s"s_${p}_$k")): _*)
+    summed.select(col(idCol),
+      concat((1 to 15).map { p =>
+        val dig = (0 until 4).map(k =>
+          when(col(s"s_${p}_$k") > 0, lit(1 << k)).otherwise(lit(0))).reduce(_ + _)
+        substr(lit("0123456789abcdef"), dig + 1, lit(1))
+      }: _*).as("simhash"))
   }
 }
