@@ -10,14 +10,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreSql.queries ++ graft.queries.TimeSeriesQueries.queries ++
+    graft.queries.CoreSql.queries ++ graft.queries.TpchQueries.queries ++
+      graft.queries.TimeSeriesQueries.queries ++
       graft.queries.QualityGisQueries.queries ++ graft.queries.PipelineQueries.queries ++
       graft.queries.IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreSql.oracleSql ++ graft.queries.TimeSeriesQueries.oracleSql ++
+    graft.queries.CoreSql.oracleSql ++ graft.queries.TpchQueries.oracleSql ++
+      graft.queries.TimeSeriesQueries.oracleSql ++
       graft.queries.QualityGisQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql ++
       graft.queries.IngestQueries.oracleSql
 }

@@ -1,0 +1,552 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** TPC-H plan-shape coverage. The reference runs all 22 TPC-H queries
+  * (query_server/sqllogicaltests/cases/tpch.slt:103-828); the synthetic
+  * lake is a reduced star schema (no partsupp, no commit/receipt dates,
+  * no phone/address/comment), so each query here is an analogue that
+  * preserves the ORIGINAL'S PLAN SHAPE — correlated EXISTS/NOT EXISTS,
+  * scalar-subquery thresholds, min-per-group windows, outer-join
+  * distributions, OR'd multi-column join predicates — on the columns
+  * that exist.
+  *
+  * Scale notes: every dim join (nation/region/supplier/part/customer)
+  * is an explicit broadcast; fact-side shuffles are keyed on the join
+  * key Catalyst would pick at 100 TB (l_orderkey / l_partkey); scalar
+  * thresholds (avg/max/total) are 1-row broadcasts, never a shuffle of
+  * the fact table.
+  */
+object TpchQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+  private def revenueExpr = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Q2 shape: min-cost supplier per part. partsupp is gone, so the
+    * (part, supplier) cost relation is derived from lineitem; the "min
+    * per part" is a window min, which Spark evaluates after one shuffle
+    * on l_partkey shared by the aggregate and the window.
+    */
+  def q02MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = t(spark, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(round(sum(revenueExpr), 4).as("supply_cost"))
+    val best = ps.withColumn("best_cost",
+      min("supply_cost").over(Window.partitionBy("l_partkey")))
+      .filter(col("supply_cost") === col("best_cost"))
+    best
+      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "STANDARD" && col("p_size") < 10)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("supply_cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  /** Q4 shape: order-priority count gated on a correlated EXISTS with a
+    * non-equi condition (late shipment replaces commit<receipt). The
+    * EXISTS is a left-semi join on l_orderkey with the date predicate in
+    * the join condition, so it stays a hash semi-join at scale.
+    */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q6 shape: single-table forecast revenue — every predicate reaches
+    * the parquet scan as a pushed filter; the aggregate is one partial +
+    * one 1-row final.
+    */
+  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** Q7 shape: volume shipping between two nation pairs — the nation
+    * table joins twice (supplier side and customer side) under one OR'd
+    * pair predicate; both nation copies broadcast.
+    */
+  def q07VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = t(spark, dir, "nation").select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation").select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(revenueExpr), 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8 shape: market share — one nation's fraction of regional volume
+    * per year, a conditional-sum ratio over a 5-way join.
+    */
+  def q08MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = t(spark, dir, "nation")
+    val amerNations = nat.join(broadcast(t(spark, dir, "region").filter(col("r_name") === "AMERICA")),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cust_nat_key"))
+    val suppNat = nat.select(col("n_nationkey").as("supp_nat_key"), col("n_name").as("supp_nation"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(amerNations), col("c_nationkey") === col("cust_nat_key"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNat), col("s_nationkey") === col("supp_nat_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_1", revenueExpr).otherwise(lit(0.0))) /
+          sum(revenueExpr), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q9 shape: product-type profit by nation and year. Without
+    * ps_supplycost the cost leg is p_retailprice-scaled, keeping the
+    * profit = revenue − cost two-sided expression of the original.
+    */
+  def q09ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_name").contains("gear"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(revenueExpr - col("p_retailprice") * col("l_quantity") * 0.1), 4).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Q10 shape: returned-item revenue per customer, top 20. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-07-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(revenueExpr), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Q11 shape: important stock — per-part value filtered by a scalar
+    * subquery threshold (fraction of the grand total). The total is a
+    * 1-row aggregate broadcast into the filter, not a second scan
+    * shuffle.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val value = t(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice") * col("l_quantity")).as("value"))
+    val threshold = value.agg((sum("value") * 0.0006).as("thresh"))
+    value.join(broadcast(threshold))
+      .filter(col("value") > col("thresh"))
+      .select(col("l_partkey"), round(col("value"), 4).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** Q12 shape: shipping classification — conditional counts of order
+    * priorities per line class (returnflag replaces shipmode).
+    */
+  def q12ShipClassification(spark: SparkSession, dir: String): DataFrame = {
+    val highPrio = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(highPrio, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q13 shape: customer order-count distribution — LEFT OUTER join
+    * with a predicate on the inner side, then a distribution over the
+    * per-customer counts (two aggregations, second over tiny data).
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_custkey", "o_orderkey")
+    t(spark, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q14 shape: promo revenue percentage — conditional-sum ratio over a
+    * broadcast part join in a one-month slice.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-09-01") && col("l_shipdate") < ts("1997-10-01"))
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", revenueExpr).otherwise(lit(0.0))) * 100.0 /
+          sum(revenueExpr), 6).as("promo_revenue"))
+
+  /** Q15 shape: top supplier — quarterly revenue per supplier matched
+    * against the max revenue (scalar subquery → 1-row broadcast join).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(revenueExpr), 4).as("total_revenue"))
+    val maxRev = revenue.agg(max("total_revenue").as("max_revenue"))
+    revenue.join(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q16 shape: supplier count per part descriptor with NOT-IN style
+    * exclusions and a COUNT(DISTINCT) — lineitem stands in for partsupp.
+    */
+  def q16PartSupplierCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** Q17 shape: small-quantity revenue — correlated scalar subquery
+    * (0.2 × per-part average quantity) realized as a co-keyed aggregate
+    * join on l_partkey; both sides shuffle once on the same key.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val partAvg = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg("l_quantity") * 0.2).as("qty_threshold"))
+    li.join(broadcast(t(spark, dir, "part").filter(col("p_brand") === "Brand#3")),
+        col("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** Q18 shape: large-volume orders — IN-subquery on a HAVING aggregate
+    * (orders whose total quantity exceeds a threshold), then detail join.
+    * The semi join and the detail aggregation share the l_orderkey
+    * shuffle key.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+      .select("b_orderkey")
+    li.join(big, col("l_orderkey") === col("b_orderkey"), "left_semi")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(round(sum("l_quantity"), 4).as("total_qty"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 4).as("o_price"), col("total_qty"))
+      .orderBy(col("o_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q19 shape: discounted revenue under three OR'd (brand, size,
+    * quantity) predicate groups — a single broadcast-hash join whose
+    * join condition carries the disjunction, not three scans.
+    */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+      .agg(round(sum(revenueExpr), 4).as("revenue"))
+
+  /** Q20 shape: suppliers above a shipped-quantity threshold for a part
+    * class in a year — nested IN-subqueries become a HAVING aggregate
+    * plus a semi join.
+    */
+  def q20PromoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val qualified = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum("l_quantity").as("shipped_qty"))
+      .filter(col("shipped_qty") > 400)
+    t(spark, dir, "supplier")
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q21 shape: suppliers who were the sole latest shipper on
+    * multi-supplier finished orders — correlated EXISTS (another
+    * supplier on the order) + NOT EXISTS (nobody shipped later), as a
+    * non-equi left-semi then left-anti join, all keyed on l_orderkey.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val l1 = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val l2 = li.select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = li.select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
+      col("l_shipdate").as("l3_shipdate"))
+    l1.join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+        col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+        col("l_suppkey") =!= col("l3_suppkey") &&
+        col("l3_shipdate") > col("l_shipdate"), "left_anti")
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Q22 shape: customers with above-average balance and no high-value
+    * orders — scalar-subquery threshold + anti join, grouped by a
+    * derived country code.
+    */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t(spark, dir, "orders").filter(col("o_totalprice") > 350000).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 5).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 4).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q02_min_cost_supplier" -> q02MinCostSupplier,
+    "q04_order_priority" -> q04OrderPriority,
+    "q06_forecast_revenue" -> q06ForecastRevenue,
+    "q07_volume_shipping" -> q07VolumeShipping,
+    "q08_market_share" -> q08MarketShare,
+    "q09_product_profit" -> q09ProductProfit,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q11_important_stock" -> q11ImportantStock,
+    "q12_ship_classification" -> q12ShipClassification,
+    "q13_customer_distribution" -> q13CustomerDistribution,
+    "q14_promo_revenue" -> q14PromoRevenue,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_part_supplier_count" -> q16PartSupplierCount,
+    "q17_small_quantity" -> q17SmallQuantity,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_discounted_revenue" -> q19DiscountedRevenue,
+    "q20_promo_suppliers" -> q20PromoSuppliers,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
+    "q22_global_sales" -> q22GlobalSales
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q02_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS supply_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT p_partkey, p_brand, s_name, n_name, supply_cost
+        |FROM ps
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'STANDARD' AND p_size < 10
+        |  AND supply_cost = (SELECT min(supply_cost) FROM ps ps2
+        |                     WHERE ps2.l_partkey = ps.l_partkey)
+        |ORDER BY p_partkey, s_name LIMIT 100""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q08_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN n1.n_name = 'NATION_1'
+        |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
+        |        / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)
+        |            - p_retailprice * l_quantity * 0.1), 4) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_important_stock" ->
+      """WITH val AS (
+        |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, round(value, 4) AS part_value
+        |FROM val
+        |WHERE value > (SELECT sum(value) * 0.0006 FROM val)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q12_ship_classification" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
+        |  * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_part_supplier_count" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 4) AS o_price, round(sum(l_quantity), 4) AS total_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_price DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_promo_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 400)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q22_global_sales" ->
+      """SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+        |  round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
