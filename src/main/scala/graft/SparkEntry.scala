@@ -11,6 +11,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreSql.queries ++ graft.queries.TpchQueries.queries ++
+      graft.queries.EdgeSql.queries ++
       graft.queries.TimeSeriesQueries.queries ++
       graft.queries.QualityGisQueries.queries ++ graft.queries.PipelineQueries.queries ++
       graft.queries.IngestQueries.queries
@@ -19,6 +20,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreSql.oracleSql ++ graft.queries.TpchQueries.oracleSql ++
+      graft.queries.EdgeSql.oracleSql ++
       graft.queries.TimeSeriesQueries.oracleSql ++
       graft.queries.QualityGisQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql ++
       graft.queries.IngestQueries.oracleSql

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dml
+
+/** Edge-case SQL semantics the reference pins in slt tests:
+  * type coercion (data_type/type_conversion/, dql/int_float_compare),
+  * null ordering (dql/order_by.slt), empty-input aggregates
+  * (dql/empty_table.slt), and DML-as-rewrite (dml/, data_ttl.slt).
+  */
+object EdgeSql {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** Cast/coercion zoo: int↔float comparison promotes to double;
+    * string→timestamp/number casts; double→int truncation; boolean
+    * from comparisons; BETWEEN over mixed numeric types.
+    */
+  def qTypeCast(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_partkey,
+        |  cast(p_retailprice AS BIGINT) AS c_to_int,
+        |  cast(p_size AS DOUBLE) AS c_to_double,
+        |  cast(p_partkey AS STRING) AS c_to_str,
+        |  cast(cast(p_retailprice AS STRING) AS DOUBLE) AS c_str_roundtrip,
+        |  cast('2021-03-04 05:06:07' AS TIMESTAMP) AS c_str_ts,
+        |  p_size = cast(p_size AS DOUBLE) AS c_int_eq_float,
+        |  p_size < p_retailprice AS c_int_lt_float,
+        |  p_retailprice BETWEEN p_size AND p_size * 100 AS c_between_mixed,
+        |  cast(p_size >= 25 AS INT) AS c_bool_to_int,
+        |  cast(1 AS BOOLEAN) AS c_int_to_bool
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** ORDER BY with explicit NULLS FIRST / NULLS LAST on a derived
+    * nullable column (dql/order_by.slt pins both directions).
+    */
+  def qOrderByNulls(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY prio ASC NULLS FIRST, o_orderkey""".stripMargin)
+  }
+
+  /** Aggregates over an empty input: COUNT → 0 row with 0, SUM/AVG/
+    * MIN/MAX → NULL (dql/empty_table.slt semantics).
+    */
+  def qEmptyTableAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(lit(false))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"),
+        round(avg("o_totalprice"), 4).as("a"), max("o_orderdate").as("mx"))
+
+  /** DML pipeline as one oracle-checked query: DELETE low-value events,
+    * UPDATE a tag value, apply a TTL cut, then aggregate the survivors.
+    * Oracle expresses the same rewrite with WHERE + CASE.
+    */
+  def qDmlRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val afterDelete = Dml.delete(ev, col("value") < 0.05)
+    val afterUpdate = Dml.update(afterDelete, col("event_type") === "view",
+      "event_type", lit("page_view"))
+    val afterTtl = Dml.applyTtl(afterUpdate, "ts",
+      lit("2024-03-01 00:00:00").cast("timestamp"), expr("INTERVAL 45 DAY"))
+    afterTtl.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_type_cast" -> qTypeCast,
+    "q_order_by_nulls" -> qOrderByNulls,
+    "q_empty_table_agg" -> qEmptyTableAgg,
+    "q_dml_rewrite" -> qDmlRewrite
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_type_cast" ->
+      """SELECT p_partkey,
+        |  cast(trunc(p_retailprice) AS BIGINT) AS c_to_int,
+        |  cast(p_size AS DOUBLE) AS c_to_double,
+        |  cast(p_partkey AS VARCHAR) AS c_to_str,
+        |  cast(cast(p_retailprice AS VARCHAR) AS DOUBLE) AS c_str_roundtrip,
+        |  TIMESTAMP '2021-03-04 05:06:07' AS c_str_ts,
+        |  p_size = cast(p_size AS DOUBLE) AS c_int_eq_float,
+        |  p_size < p_retailprice AS c_int_lt_float,
+        |  p_retailprice BETWEEN p_size AND p_size * 100 AS c_between_mixed,
+        |  cast(p_size >= 25 AS INT) AS c_bool_to_int,
+        |  cast(1 AS BOOLEAN) AS c_int_to_bool
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+    "q_order_by_nulls" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY prio ASC NULLS FIRST, o_orderkey""".stripMargin,
+    "q_empty_table_agg" ->
+      """SELECT count(*) AS n, sum(o_totalprice) AS s,
+        |  round(avg(o_totalprice), 4) AS a, max(o_orderdate) AS mx
+        |FROM orders WHERE false""".stripMargin,
+    "q_dml_rewrite" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value FROM (
+        |  SELECT CASE WHEN event_type = 'view' THEN 'page_view' ELSE event_type END AS event_type,
+        |         value, cast(ts AS TIMESTAMP) AS tsx
+        |  FROM events WHERE NOT coalesce(value < 0.05, false))
+        |WHERE tsx >= TIMESTAMP '2024-03-01 00:00:00' - INTERVAL 45 DAY
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
