@@ -17,9 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ xᵢyᵢ via codegen'd higher-order functions (no UDF). */
+  /** Σ xᵢyᵢ — native Catalyst expression (VecDot, whole-stage codegen)
+    * when a session is active; lambda-HOF fallback otherwise. The HOF
+    * form is interpreted and allocates per row, so the native path is
+    * what runs in every query.
+    */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.VectorExpressions.register(s)
+        call_function("vec_dot", x, y)
+      case None =>
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    }
 
   /** √(v·v) — precompute once per vector, never per pair. */
   def norm(v: Column): Column = sqrt(dot(v, v))
