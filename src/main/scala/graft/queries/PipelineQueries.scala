@@ -91,6 +91,12 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "emb_ivf_ann" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "mm_binary_meta" -> ((s, dir) => {
       val docs = Multimodal.withFakeBinary(Tables(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractMeta(docs, "doc_id").toDF()
@@ -242,6 +248,7 @@ object PipelineQueries {
         |  doc_id % 480 + 1 AS height,
         |  strlen(text) + 8 AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin
-    // emb_lsh_ann: bucket recall semantics pinned by SimilaritySpec → rows-only.
+    // emb_lsh_ann, emb_ivf_ann: candidate-generation semantics pinned by
+    // PipelineSpec recall checks vs brute force → rows-only.
   )
 }

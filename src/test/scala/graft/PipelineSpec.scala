@@ -31,6 +31,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("ivfAnn beats LSH-grade recall on clustered embeddings") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfAnn(emb, queries, "vec_id", "embedding", 10,
+      numCentroids = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    info(s"IVF recall@10 over ${truth.size} truth pairs: $recall")
+    assert(recall > 0.3, s"IVF nprobe=3/8 should recover a solid fraction, got $recall")
+  }
+
+  test("kmeansCentroids is deterministic and respects k") {
+    val sample = Array.tabulate(100)(i => Array(i.toDouble, (i % 7).toDouble))
+    val c1 = Similarity.kmeansCentroids(sample, 4, 5)
+    val c2 = Similarity.kmeansCentroids(sample, 4, 5)
+    assert(c1.length == 4)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("lshBucket is deterministic and partitions the corpus") {
     val emb = Tables(spark, sf, "embeddings")
     val b1 = Similarity.lshBucket(emb, "vec_id", "embedding", 6, 2)
