@@ -63,6 +63,54 @@ object StreamIngest {
       }
   }
 
+  /** Session-window aggregation per key (reference session_function;
+    * Spark's native session_window works on batch AND streaming frames,
+    * merging gap-bounded event runs into one window).
+    */
+  def sessionStats(events: DataFrame, tsCol: String, keyCol: String,
+                   gap: String, watermark: String): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    wm.groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col(keyCol), col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("n"), col("sum_value"))
+  }
+
+  final case class CounterPoint(series: Long, ts_us: Long, value: Double)
+  final case class IncreaseState(lastTs: Long, lastVal: Double, total: Double)
+  final case class IncreaseOut(series: Long, ts_us: Long, increase: Double)
+
+  /** Streaming counter `increase` with prometheus reset semantics
+    * (reference increase.rs; function/common/increase.slt): per series,
+    * each event emits the running increase — delta when the counter
+    * rose, the raw value after a reset (counter dropped). State is one
+    * (lastTs, lastVal, total) triple per series, so memory is O(series
+    * cardinality) regardless of throughput; late rows older than the
+    * held timestamp are ignored rather than corrupting the total.
+    */
+  def streamingIncrease(points: Dataset[CounterPoint]): Dataset[IncreaseOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[IncreaseState, IncreaseOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series, rows, state: GroupState[IncreaseState]) =>
+          var st = state.getOption.getOrElse(IncreaseState(Long.MinValue, Double.NaN, 0.0))
+          val out = rows.toSeq.sortBy(_.ts_us).flatMap { p =>
+            if (p.ts_us <= st.lastTs) None
+            else {
+              val delta =
+                if (st.lastVal.isNaN) 0.0
+                else if (p.value >= st.lastVal) p.value - st.lastVal
+                else p.value // reset: counter restarted below the last sample
+              st = IncreaseState(p.ts_us, p.value, st.total + delta)
+              Some(IncreaseOut(series, p.ts_us, st.total))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Continuous ingest pipeline: stream → windowed stats → sink.
     * `memory` sink + processAllAvailable in tests; `parquet` +
     * checkpointLocation in production.

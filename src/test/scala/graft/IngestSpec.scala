@@ -94,6 +94,42 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionStats merges gap-bounded runs, matches reference session semantics") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:00:30", 2.0), // same session (gap 1 min)
+      (1L, "2024-01-01 00:05:00", 3.0), // new session
+      (2L, "2024-01-01 00:00:00", 9.0)
+    ).toDF("user_id", "s", "value")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("value"))
+    val out = StreamIngest.sessionStats(ev, "ts", "user_id", "1 minute", "0 seconds")
+      .orderBy("user_id", "w_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n") == 2 && out(0).getAs[Double]("sum_value") == 3.0)
+    assert(out(1).getAs[Long]("n") == 1)
+  }
+
+  test("streamingIncrease applies prometheus reset semantics across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.CounterPoint]
+    val q = StreamIngest.streamingIncrease(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("inc_test").start()
+    try {
+      // batch 1: rises 1→4; batch 2: reset to 1, rises to 3 (increase +=1, +=2)
+      mem.addData(StreamIngest.CounterPoint(7L, 1L, 1.0), StreamIngest.CounterPoint(7L, 2L, 4.0))
+      q.processAllAvailable()
+      mem.addData(StreamIngest.CounterPoint(7L, 3L, 1.0), StreamIngest.CounterPoint(7L, 4L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("inc_test").orderBy("ts_us")
+        .collect().map(r => (r.getAs[Long]("ts_us"), r.getAs[Double]("increase")))
+      // 1..8→7-style running totals: 0 (first), 3, 3+1(reset adds value), +2
+      assert(rows.toSeq == Seq((1L, 0.0), (2L, 3.0), (3L, 4.0), (4L, 6.0)))
+    } finally q.stop()
+  }
+
   test("streamingLastPoint keeps the max-by-time row per key") {
     import spark.implicits._
     val pts = Seq(
