@@ -42,13 +42,18 @@ object Dedup {
     * whole-stage codegen (interpreted transform dominates otherwise).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleRowsRaw(df, idCol, textCol).distinct()
+
+  /** Same rows WITHOUT the distinct — one fewer shuffle for consumers
+    * whose aggregate is duplicate-insensitive (min/max).
+    */
+  def shingleRowsRaw(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col(idCol), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - 3)).as("j"))
       .select(col(idCol), concat_ws(" ", element_at(col("toks"), col("j") + 1),
         element_at(col("toks"), col("j") + 2), element_at(col("toks"), col("j") + 3)).as("sh"))
-      .distinct()
 
   /** doc → one wide row of `numHashes` minhashes (mh0..mhN): min over
     * shingles of md5(seed|shingle), all seeds in ONE partial-aggregable
@@ -60,7 +65,11 @@ object Dedup {
                        numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(s =>
       min(md5(concat(lit(s + "|"), col("sh")))).as(s"mh$s"))
-    shingleRows(df, idCol, textCol)
+    // min() is duplicate-insensitive, so the raw (undeduped) shingle
+    // stream feeds the partial aggregate directly: one shuffle of one
+    // wide row per doc per partition instead of distinct's extra
+    // full-width (id, shingle) exchange.
+    shingleRowsRaw(df, idCol, textCol)
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
   }
