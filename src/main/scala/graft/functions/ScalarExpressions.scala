@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Scalar functions the reference exposes (DataFusion gcd.slt /
+  * lcm.slt) that Spark SQL lacks — implemented as native Catalyst
+  * expressions with codegen, per the extension preference order
+  * (Expression > UDF).
+  */
+private[functions] trait LongBinaryMath { self: BinaryExpression =>
+  override def dataType: DataType = LongType
+  def checkLongInputs(name: String): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires two bigint arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+}
+
+/** Euclid's gcd, gcd(0,0)=0, always non-negative (DataFusion
+  * semantics: math_function/gcd.slt).
+  */
+case class NumGcd(left: Expression, right: Expression)
+  extends BinaryExpression with LongBinaryMath {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkLongInputs("num_gcd")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = math.abs(a.asInstanceOf[Long])
+    var y = math.abs(b.asInstanceOf[Long])
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val t = ctx.freshName("t")
+      s"""
+         |long $x = java.lang.Math.abs($a);
+         |long $y = java.lang.Math.abs($b);
+         |while ($y != 0) { long $t = $x % $y; $x = $y; $y = $t; }
+         |${ev.value} = $x;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "num_gcd"
+}
+
+/** lcm(a,b) = |a / gcd(a,b) * b|; lcm(0,_)=0 (math_function/lcm.slt). */
+case class NumLcm(left: Expression, right: Expression)
+  extends BinaryExpression with LongBinaryMath {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkLongInputs("num_lcm")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[Long]
+    val bv = b.asInstanceOf[Long]
+    if (av == 0L || bv == 0L) 0L
+    else {
+      var x = math.abs(av)
+      var y = math.abs(bv)
+      while (y != 0) { val t = x % y; x = y; y = t }
+      math.abs(av / x * bv)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val t = ctx.freshName("t")
+      s"""
+         |if ($a == 0L || $b == 0L) { ${ev.value} = 0L; } else {
+         |  long $x = java.lang.Math.abs($a);
+         |  long $y = java.lang.Math.abs($b);
+         |  while ($y != 0) { long $t = $x % $y; $x = $y; $y = $t; }
+         |  ${ev.value} = java.lang.Math.abs($a / $x * $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "num_lcm"
+}
+
+object ScalarExpressions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("num_gcd",
+      (c: Seq[Expression]) => NumGcd(c.head, c(1)), "built-in")
+    reg.createOrReplaceTempFunction("num_lcm",
+      (c: Seq[Expression]) => NumLcm(c.head, c(1)), "built-in")
+  }
+}

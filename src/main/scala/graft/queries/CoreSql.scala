@@ -172,12 +172,18 @@ object CoreSql {
         |  startswith(p_type, 'STANDARD') AS s_starts,
         |  hex(p_partkey) AS s_to_hex,
         |  cast(octet_length(p_name) AS BIGINT) AS s_octet,
-        |  cast(bit_length(p_name) AS BIGINT) AS s_bit
+        |  cast(bit_length(p_name) AS BIGINT) AS s_bit,
+        |  initcap(p_name) AS s_initcap,
+        |  btrim(p_brand, 'B#') AS s_btrim
         |FROM part ORDER BY p_partkey""".stripMargin)
   }
 
-  /** Scalar math-function zoo (function/common/math_function/). */
+  /** Scalar math-function zoo (function/common/math_function/), incl.
+    * gcd/lcm via the native NumGcd/NumLcm expressions (Spark has no
+    * builtin) and inverse hyperbolics.
+    */
   def qMathFuncs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ScalarExpressions.register(spark)
     t(spark, dir, "part").createOrReplaceTempView("part")
     spark.sql(
       """SELECT p_partkey,
@@ -205,7 +211,13 @@ object CoreSql {
         |  round(radians(p_size), 8) AS m_radians,
         |  round(degrees(p_size / 10.0), 8) AS m_degrees,
         |  pmod(p_partkey, 7) AS m_mod,
-        |  power(p_size, 2) AS m_power
+        |  power(p_size, 2) AS m_power,
+        |  num_gcd(p_partkey, cast(p_size AS BIGINT)) AS m_gcd,
+        |  num_lcm(pmod(p_partkey, 12), cast(pmod(p_size, 8) AS BIGINT)) AS m_lcm,
+        |  round(asinh(p_size / 10.0), 8) AS m_asinh,
+        |  round(acosh(1.0 + p_size / 10.0), 8) AS m_acosh,
+        |  round(atanh(p_size / 100.0), 8) AS m_atanh,
+        |  round(log(2.0, cast(p_size AS DOUBLE)), 8) AS m_log_base
         |FROM part ORDER BY p_partkey""".stripMargin)
   }
 
@@ -226,7 +238,12 @@ object CoreSql {
         |  cast(unix_timestamp(o_orderdate) AS BIGINT) AS t_epoch,
         |  to_timestamp(cast(unix_timestamp(o_orderdate) AS BIGINT)) AS t_from_unix,
         |  o_orderdate + INTERVAL 3 DAY AS t_plus3d,
-        |  o_orderdate - INTERVAL 2 HOUR AS t_minus2h
+        |  o_orderdate - INTERVAL 2 HOUR AS t_minus2h,
+        |  cast(date_part('doy', o_orderdate) AS BIGINT) AS t_date_part_doy,
+        |  cast(extract(WEEK FROM o_orderdate) AS BIGINT) AS t_extract_week,
+        |  timestamp_seconds(o_orderkey * 86400) AS t_from_sec,
+        |  timestamp_millis(o_orderkey * 86400000) AS t_from_ms,
+        |  timestamp_micros(o_orderkey * 86400000000) AS t_from_us
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)
   }
 
@@ -413,7 +430,10 @@ object CoreSql {
         |  repeat(p_brand, 2) AS s_repeat,
         |  starts_with(p_type, 'STANDARD') AS s_starts,
         |  to_hex(p_partkey) AS s_to_hex,
-        |  strlen(p_name) AS s_octet, 8 * strlen(p_name) AS s_bit
+        |  strlen(p_name) AS s_octet, 8 * strlen(p_name) AS s_bit,
+        |  array_to_string(list_transform(string_split(p_name, ' '),
+        |    w -> upper(w[1]) || lower(w[2:])), ' ') AS s_initcap,
+        |  trim(p_brand, 'B#') AS s_btrim
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT p_partkey,
@@ -441,7 +461,14 @@ object CoreSql {
         |  round(radians(p_size), 8) AS m_radians,
         |  round(degrees(p_size / 10.0), 8) AS m_degrees,
         |  p_partkey % 7 AS m_mod,
-        |  power(p_size, 2) AS m_power
+        |  power(p_size, 2) AS m_power,
+        |  gcd(p_partkey, p_size) AS m_gcd,
+        |  lcm(p_partkey % 12, p_size % 8) AS m_lcm,
+        |  round(ln(p_size / 10.0 + sqrt((p_size / 10.0) * (p_size / 10.0) + 1.0)), 8) AS m_asinh,
+        |  round(ln(1.0 + p_size / 10.0
+        |    + sqrt((1.0 + p_size / 10.0) * (1.0 + p_size / 10.0) - 1.0)), 8) AS m_acosh,
+        |  round(0.5 * ln((1.0 + p_size / 100.0) / (1.0 - p_size / 100.0)), 8) AS m_atanh,
+        |  round(log(2.0, cast(p_size AS DOUBLE)), 8) AS m_log_base
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_time_funcs" ->
       """SELECT o_orderkey,
@@ -457,7 +484,12 @@ object CoreSql {
         |  cast(epoch(o_orderdate) AS BIGINT) AS t_epoch,
         |  epoch_ms(cast(epoch(o_orderdate) AS BIGINT) * 1000) AS t_from_unix,
         |  o_orderdate + INTERVAL 3 DAY AS t_plus3d,
-        |  o_orderdate - INTERVAL 2 HOUR AS t_minus2h
+        |  o_orderdate - INTERVAL 2 HOUR AS t_minus2h,
+        |  cast(date_part('doy', o_orderdate) AS BIGINT) AS t_date_part_doy,
+        |  cast(extract(week FROM o_orderdate) AS BIGINT) AS t_extract_week,
+        |  to_timestamp(o_orderkey * 86400)::TIMESTAMP AS t_from_sec,
+        |  epoch_ms(o_orderkey * 86400000) AS t_from_ms,
+        |  make_timestamp(o_orderkey * 86400000000) AS t_from_us
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q_conditional" ->
       """SELECT o_orderkey,
