@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{NumGcd, NumLcm, VecDot}
+
+/** SparkSessionExtensions hook: registers graft's native expressions
+  * permanently in a session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * idiomatic deployment for a cluster, where per-session temp-function
+  * registration (VectorExpressions.register / ScalarExpressions
+  * .register, used by the library's own query entry points) would have
+  * to be repeated in every job.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String) = new ExpressionInfo("graft", name)
+    ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
+      (c: Seq[Expression]) => VecDot(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("num_gcd"), info("num_gcd"),
+      (c: Seq[Expression]) => NumGcd(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("num_lcm"), info("num_lcm"),
+      (c: Seq[Expression]) => NumLcm(c.head, c(1))))
+  }
+}
