@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TimeSeries
+
+/** Degenerate-input semantics for the time-series operators, pulled
+  * from the reference slt edge rows: empty inputs, single-sample
+  * series, null values, all-equal timestamps.
+  */
+class TimeSeriesEdgeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def series(rows: (Long, Long, java.lang.Double)*) =
+    rows.toDF("sid", "ts_s", "v")
+      .select(col("sid"), timestamp_seconds(col("ts_s")).as("ts"), col("v"))
+
+  test("increase on an empty frame yields no groups") {
+    val empty = series().filter(lit(false))
+    assert(TimeSeries.increase(empty, Seq(col("ts")), col("v"), Seq("sid")).count() == 0)
+  }
+
+  test("increase on a single sample is 0 (reference increase.slt single-row case)") {
+    val out = TimeSeries.increase(series((1L, 10L, 5.0)), Seq(col("ts")), col("v"), Seq("sid"))
+      .collect()
+    assert(out.length == 1 && out.head.getDouble(1) == 0.0)
+  }
+
+  test("increase matches reference vectors 1..8→7 and reset 1,2,3,4,1,2,3,4→7") {
+    val mono = series((1 to 8).map(i => (1L, i.toLong, i.toDouble: java.lang.Double)): _*)
+    assert(TimeSeries.increase(mono, Seq(col("ts")), col("v"), Seq("sid"))
+      .head().getDouble(1) == 7.0)
+    val reset = series((1 to 8).map(i =>
+      (1L, i.toLong, (((i - 1) % 4) + 1).toDouble: java.lang.Double)): _*)
+    assert(TimeSeries.increase(reset, Seq(col("ts")), col("v"), Seq("sid"))
+      .head().getDouble(1) == 7.0)
+  }
+
+  test("gaugeAgg on a single sample: delta 0, rate null") {
+    val out = TimeSeries.gaugeAgg(series((1L, 10L, 5.0)).withColumn("tb", lit(0)),
+      "ts", "tb", "v", Seq("sid")).head()
+    assert(out.getAs[Double]("delta") == 0.0)
+    assert(out.isNullAt(out.fieldIndex("rate"))) // zero time_delta → no rate
+  }
+
+  test("durationIn ignores the last sample and handles single-sample series") {
+    val one = TimeSeries.durationIn(series((1L, 10L, 1.0)), col("ts"), col("v"), Seq("sid"))
+    assert(one.count() == 0) // no successor → no bounded interval
+    val two = TimeSeries.durationIn(series((1L, 10L, 1.0), (1L, 25L, 2.0)),
+      col("ts"), col("v"), Seq("sid")).collect()
+    assert(two.length == 1 && two.head.getAs[Double]("duration_s") == 15.0)
+  }
+
+  test("topk with k larger than the group returns the whole group") {
+    val out = TimeSeries.topk(series((1L, 1L, 1.0), (1L, 2L, 2.0)),
+      col("v"), col("ts"), 10, Seq("sid"))
+    assert(out.count() == 2)
+  }
+
+  test("modeOf breaks frequency ties toward the smaller value") {
+    val df = Seq((1L, "b"), (1L, "a"), (1L, "b"), (1L, "a")).toDF("sid", "s")
+    assert(TimeSeries.modeOf(df, Seq("sid"), "s").head().getString(1) == "a")
+  }
+
+  test("gapfill on a group with one bucket emits just that bucket") {
+    val bucketed = series((1L, 0L, 2.0)).withColumnRenamed("ts", "bucket")
+      .select(col("sid"), col("bucket"), col("v"))
+    val out = TimeSeries.gapfill(bucketed, Seq("sid"), "bucket", "v", 60L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("locf") == 2.0)
+    assert(out.head.getAs[Double]("interpolated") == 2.0)
+  }
+
+  test("gapfill interpolates across a null-valued middle bucket but not past the ends") {
+    val bucketed = Seq((1L, 0L, Some(1.0)), (1L, 120L, None: Option[Double]))
+      .toDF("sid", "b_s", "v")
+      .select(col("sid"), timestamp_seconds(col("b_s")).as("bucket"), col("v"))
+    val out = TimeSeries.gapfill(bucketed, Seq("sid"), "bucket", "v", 60L)
+      .orderBy("bucket").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Double]("locf")).toSeq == Seq(1.0, 1.0, 1.0)) // carried forward
+    assert(out(1).isNullAt(out(1).fieldIndex("interpolated"))) // no right neighbor → null
+  }
+
+  test("lastPoint with equal timestamps resolves via the tiebreak") {
+    val df = Seq((1L, 10L, 1, "x"), (1L, 10L, 2, "y")).toDF("sid", "ts_s", "tb", "payload")
+      .select(col("sid"), timestamp_seconds(col("ts_s")).as("ts"), col("tb"), col("payload"))
+    val out = TimeSeries.lastPoint(df, col("ts"), col("tb"), Seq("sid"), Seq("payload")).head()
+    assert(out.getString(2) == "y")
+  }
+}
