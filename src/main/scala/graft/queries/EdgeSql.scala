@@ -73,7 +73,29 @@ object EdgeSql {
       .orderBy("event_type")
   }
 
+  /** NULL propagation through aggregates (sqlancer-class semantics):
+    * count(*) counts rows, count(col) skips nulls, sum/avg/min/max
+    * ignore nulls and return NULL for all-null groups, count(DISTINCT)
+    * excludes NULL.
+    */
+  def qNullAggSemantics(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  count(*) AS n_rows,
+        |  count(nullif(o_orderpriority, '5-LOW')) AS n_nonnull,
+        |  count(DISTINCT nullif(o_orderpriority, '5-LOW')) AS n_distinct,
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+        |                 ELSE o_totalprice END), 4) AS sum_nonlow,
+        |  round(avg(CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+        |                 ELSE o_totalprice END), 4) AS avg_nonlow,
+        |  max(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END)
+        |    AS max_or_null
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_agg_semantics" -> qNullAggSemantics,
     "q_type_cast" -> qTypeCast,
     "q_order_by_nulls" -> qOrderByNulls,
     "q_empty_table_agg" -> qEmptyTableAgg,
@@ -81,6 +103,18 @@ object EdgeSql {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_null_agg_semantics" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_rows,
+        |  count(nullif(o_orderpriority, '5-LOW')) AS n_nonnull,
+        |  count(DISTINCT nullif(o_orderpriority, '5-LOW')) AS n_distinct,
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+        |                 ELSE o_totalprice END), 4) AS sum_nonlow,
+        |  round(avg(CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+        |                 ELSE o_totalprice END), 4) AS avg_nonlow,
+        |  max(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END)
+        |    AS max_or_null
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_type_cast" ->
       """SELECT p_partkey,
         |  cast(trunc(p_retailprice) AS BIGINT) AS c_to_int,
