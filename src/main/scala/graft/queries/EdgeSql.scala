@@ -94,8 +94,46 @@ object EdgeSql {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** LIMIT with OFFSET under a deterministic total order (dql/limit.slt). */
+  def qLimitOffset(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 25 OFFSET 100""".stripMargin)
+  }
+
+  /** Set operations: UNION (dedup), UNION ALL, INTERSECT, EXCEPT —
+    * all shuffle-on-full-row ops whose semantics sqlancer probes hard.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT 'union' AS op, count(*) AS n FROM (
+        |  SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey < 2000
+        |  UNION
+        |  SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+        |UNION ALL
+        |SELECT 'union_all', count(*) FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey < 2000
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey < 2000
+        |  INTERSECT
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey < 2000
+        |  EXCEPT
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+        |ORDER BY op""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_null_agg_semantics" -> qNullAggSemantics,
+    "q_limit_offset" -> qLimitOffset,
+    "q_set_ops" -> qSetOps,
     "q_type_cast" -> qTypeCast,
     "q_order_by_nulls" -> qOrderByNulls,
     "q_empty_table_agg" -> qEmptyTableAgg,
@@ -115,6 +153,30 @@ object EdgeSql {
         |  max(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END)
         |    AS max_or_null
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 25 OFFSET 100""".stripMargin,
+    "q_set_ops" ->
+      """SELECT 'union' AS op, count(*) AS n FROM (
+        |  SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey < 2000
+        |  UNION
+        |  SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+        |UNION ALL
+        |SELECT 'union_all', count(*) FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey < 2000
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey < 2000
+        |  INTERSECT
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey < 2000
+        |  EXCEPT
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+        |ORDER BY op""".stripMargin,
     "q_type_cast" ->
       """SELECT p_partkey,
         |  cast(trunc(p_retailprice) AS BIGINT) AS c_to_int,
