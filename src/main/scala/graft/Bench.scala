@@ -24,10 +24,17 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) => name -> run(name, fn) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds keeps the one-line JSON short enough to survive the
+    // driver's fixed-size stdout tail capture (r1's full-precision line was
+    // truncated at the front → "parsed": null).
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // File copy is the machine-credited channel; stdout is best-effort.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RESULT.json"), line + "\n")
     spark.stop()
+    println(line)
   }
 }

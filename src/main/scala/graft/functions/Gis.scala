@@ -102,16 +102,35 @@ object Gis {
   private def ringEdges(ps: Vector[Pt]): Iterator[(Pt, Pt)] =
     ps.iterator.zip(ps.iterator.drop(1))
 
-  def contains(poly: Poly, p: Pt): Boolean = {
-    // ray casting; boundary counts as inside for this predicate pair
-    var inside = false
-    ringEdges(poly.ring).foreach { case (a, b) =>
-      if ((a.y > p.y) != (b.y > p.y)) {
-        val xint = a.x + (p.y - a.y) * (b.x - a.x) / (b.y - a.y)
-        if (p.x < xint) inside = !inside
-      }
+  /** Point exactly on a ring edge (collinear + within the segment's
+    * bounding box). Makes boundary behavior deterministic — the strict
+    * ray cast below otherwise classifies vertices and right-hand /
+    * horizontal edges differently from left-hand ones.
+    */
+  private def onBoundary(poly: Poly, p: Pt): Boolean =
+    ringEdges(poly.ring).exists { case (a, b) =>
+      (b.x - a.x) * (p.y - a.y) == (b.y - a.y) * (p.x - a.x) &&
+        p.x >= math.min(a.x, b.x) && p.x <= math.max(a.x, b.x) &&
+        p.y >= math.min(a.y, b.y) && p.y <= math.max(a.y, b.y)
     }
-    inside
+
+  /** Interior-only containment — geo-crate `Contains` semantics (the
+    * reference's gis functions delegate to geo): a boundary point is NOT
+    * contained. `intersects` is the boundary-inclusive predicate.
+    * Pinned in GisSpec.
+    */
+  def contains(poly: Poly, p: Pt): Boolean = {
+    if (onBoundary(poly, p)) false
+    else {
+      var inside = false
+      ringEdges(poly.ring).foreach { case (a, b) =>
+        if ((a.y > p.y) != (b.y > p.y)) {
+          val xint = a.x + (p.y - a.y) * (b.x - a.x) / (b.y - a.y)
+          if (p.x < xint) inside = !inside
+        }
+      }
+      inside
+    }
   }
 
   def distance(g1: Geom, g2: Geom): Double = (g1, g2) match {
@@ -149,18 +168,23 @@ object Gis {
 
   def intersects(a: Geom, b: Geom): Boolean = (a, b) match {
     case (p: Pt, q: Pt) => p == q
-    case (p: Pt, poly: Poly) => contains(poly, p)
-    case (poly: Poly, p: Pt) => contains(poly, p)
+    // boundary-inclusive (geo Intersects): a point ON the ring intersects
+    case (p: Pt, poly: Poly) => contains(poly, p) || onBoundary(poly, p)
+    case (poly: Poly, p: Pt) => contains(poly, p) || onBoundary(poly, p)
     case (pa: Poly, pb: Poly) =>
-      pa.ring.exists(contains(pb, _)) || pb.ring.exists(contains(pa, _)) ||
+      pa.ring.exists(p => contains(pb, p) || onBoundary(pb, p)) ||
+        pb.ring.exists(p => contains(pa, p) || onBoundary(pa, p)) ||
         ringEdges(pa.ring).exists { case (s1, s2) =>
           ringEdges(pb.ring).exists { case (t1, t2) => segsIntersect(s1, s2, t1, t2) } }
     case _ => throw new IllegalArgumentException("unsupported intersects pair")
   }
 
   def within(inner: Geom, outer: Geom): Boolean = (inner, outer) match {
+    // point-in-polygon: interior only (geo Within of a point mirrors
+    // Contains); a polygon may touch the outer boundary (A ∩ B = A).
     case (p: Pt, poly: Poly) => contains(poly, p)
-    case (pa: Poly, pb: Poly) => pa.ring.forall(contains(pb, _))
+    case (pa: Poly, pb: Poly) =>
+      pa.ring.forall(p => contains(pb, p) || onBoundary(pb, p))
     case _ => throw new IllegalArgumentException("unsupported within pair")
   }
 

@@ -29,11 +29,17 @@ case class NumGcd(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = checkLongInputs("num_gcd")
 
+  // Euclid on the RAW signed values (Java % keeps gcd magnitude), abs
+  // only after the Long.MinValue overflow check — abs(MinValue) stays
+  // negative, so gcd(−2⁶³, 0) must error like DataFusion instead of
+  // returning a negative "non-negative" gcd.
   override def nullSafeEval(a: Any, b: Any): Any = {
-    var x = math.abs(a.asInstanceOf[Long])
-    var y = math.abs(b.asInstanceOf[Long])
+    var x = a.asInstanceOf[Long]
+    var y = b.asInstanceOf[Long]
     while (y != 0) { val t = x % y; x = y; y = t }
-    x
+    if (x == Long.MinValue)
+      throw new ArithmeticException("num_gcd: result 2^63 out of bigint range")
+    math.abs(x)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -42,10 +48,13 @@ case class NumGcd(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       val t = ctx.freshName("t")
       s"""
-         |long $x = java.lang.Math.abs($a);
-         |long $y = java.lang.Math.abs($b);
+         |long $x = $a;
+         |long $y = $b;
          |while ($y != 0) { long $t = $x % $y; $x = $y; $y = $t; }
-         |${ev.value} = $x;
+         |if ($x == Long.MIN_VALUE) {
+         |  throw new ArithmeticException("num_gcd: result 2^63 out of bigint range");
+         |}
+         |${ev.value} = java.lang.Math.abs($x);
        """.stripMargin
     })
 
@@ -60,15 +69,21 @@ case class NumLcm(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = checkLongInputs("num_lcm")
 
+  // (a/g)·b via multiplyExact so lcm(2⁶², 3) errors like DataFusion
+  // instead of silently wrapping; the MinValue check catches the one
+  // product multiplyExact can't (−2⁶³ is representable but |−2⁶³| isn't).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[Long]
     val bv = b.asInstanceOf[Long]
     if (av == 0L || bv == 0L) 0L
     else {
-      var x = math.abs(av)
-      var y = math.abs(bv)
+      var x = av
+      var y = bv
       while (y != 0) { val t = x % y; x = y; y = t }
-      math.abs(av / x * bv)
+      val m = Math.multiplyExact(av / x, bv) // x = ±gcd; throws on overflow
+      if (m == Long.MinValue)
+        throw new ArithmeticException("num_lcm: result 2^63 out of bigint range")
+      math.abs(m)
     }
   }
 
@@ -77,12 +92,17 @@ case class NumLcm(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val t = ctx.freshName("t")
+      val m = ctx.freshName("m")
       s"""
          |if ($a == 0L || $b == 0L) { ${ev.value} = 0L; } else {
-         |  long $x = java.lang.Math.abs($a);
-         |  long $y = java.lang.Math.abs($b);
+         |  long $x = $a;
+         |  long $y = $b;
          |  while ($y != 0) { long $t = $x % $y; $x = $y; $y = $t; }
-         |  ${ev.value} = java.lang.Math.abs($a / $x * $b);
+         |  long $m = java.lang.Math.multiplyExact($a / $x, $b);
+         |  if ($m == Long.MIN_VALUE) {
+         |    throw new ArithmeticException("num_lcm: result 2^63 out of bigint range");
+         |  }
+         |  ${ev.value} = java.lang.Math.abs($m);
          |}
        """.stripMargin
     })

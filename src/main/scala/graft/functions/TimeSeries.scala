@@ -17,14 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** `time_window(ts, win[, slide])` → adds `window_start`/`window_end`.
-    * Tumbling when slide == win (reference expr/window/time_window.rs;
-    * origin is the epoch, matching cnosdb's 1970-01-01 default start).
-    * Spark's `window()` expands sliding windows map-side (Expand node) —
-    * the same design as cnosdb's Expand operator, no shuffle added.
+  /** `time_window(ts, win[, slide[, start]])` → adds `window_start`/
+    * `window_end`. Tumbling when slide == win (reference
+    * expr/window/time_window.rs:101-126; the 4-arg form aligns windows
+    * to `start` — e.g. local midnight — instead of the 1970-01-01
+    * default). Spark's `window()` expands sliding windows map-side
+    * (Expand node) — the same design as cnosdb's Expand operator, no
+    * shuffle added; `origin` maps to Spark's `startTime` offset.
     */
-  def timeWindow(ts: Column, win: String, slide: Option[String] = None): Column =
-    slide.map(s => window(ts, win, s)).getOrElse(window(ts, win))
+  def timeWindow(ts: Column, win: String, slide: Option[String] = None,
+                 origin: Option[String] = None): Column =
+    (slide, origin) match {
+      case (Some(s), Some(o)) => window(ts, win, s, o)
+      case (Some(s), None)    => window(ts, win, s)
+      case (None, Some(o))    => window(ts, win, win, o)
+      case (None, None)       => window(ts, win)
+    }
 
   /** first/last by time with deterministic (ts, tiebreak) ordering —
     * cnosdb `first(time, value)` / `last(time, value)` UDAFs
@@ -176,6 +184,16 @@ object TimeSeries {
   def sample(df: DataFrame, keyCol: Column, n: Int, salt: String = ""): DataFrame =
     df.orderBy(md5(concat(keyCol.cast("string"), lit(salt)))).limit(n)
 
+  /** Random reservoir sample(n) with the reference's uniform semantics
+    * (aggregate_function/sample.rs): every row equally likely. Seeded
+    * `rand(seed)` keeps it deterministic per seed; orderBy+limit
+    * compiles to TakeOrdered (per-partition top-n, merge on driver), so
+    * this is a single bounded pass — the distributed equivalent of a
+    * reservoir. Returns all rows when the input is smaller than n.
+    */
+  def sampleReservoir(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
   /** time_window_gapfill + locf + interpolate (scalar_function/
     * {gapfill,locf,interpolate}.rs): dense per-group bucket spine from
     * the group's observed range, missing buckets carried forward (locf)
@@ -185,13 +203,30 @@ object TimeSeries {
     * The spine is generated with sequence()+explode — bounded by the
     * group's own range — and joined back on the group key, so the only
     * shuffle is the original aggregation's.
+    *
+    * `maxBucketsPerGroup` is the densification guard (SURVEY §5): a
+    * single series spanning years at 1-second buckets would explode an
+    * unbounded row buffer in one task; past the cap the query fails
+    * fast with the offending bucket count instead of OOMing an
+    * executor. The guard is fused into the spine expression (not a
+    * separate column) so column pruning can never drop it.
     */
   def gapfill(bucketed: DataFrame, groupCols: Seq[String], bucketCol: String,
-              valueCol: String, bucketSeconds: Long): DataFrame = {
+              valueCol: String, bucketSeconds: Long,
+              maxBucketsPerGroup: Long = 1000000L): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
     val g = groupCols.map(col)
+    val nBuckets = (unix_timestamp(col("__hi")) - unix_timestamp(col("__lo")))
+      ./(lit(bucketSeconds)) + 1
+    val guardedHi = when(nBuckets > maxBucketsPerGroup,
+        raise_error(concat(
+          lit("gapfill: a group would densify to "), nBuckets.cast("string"),
+          lit(s" buckets (> maxBucketsPerGroup=$maxBucketsPerGroup); widen the"),
+          lit(" bucket or raise the cap"))).cast("timestamp"))
+      .otherwise(col("__hi"))
     val spine = bucketed.groupBy(g: _*)
       .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
-      .select(g :+ explode(sequence(col("__lo"), col("__hi"),
+      .select(g :+ explode(sequence(col("__lo"), guardedHi,
         expr(s"INTERVAL $bucketSeconds SECOND"))).as(bucketCol): _*)
     val joined = spine.join(bucketed, groupCols :+ bucketCol, "left")
     val wAll = Window.partitionBy(g: _*).orderBy(col(bucketCol))

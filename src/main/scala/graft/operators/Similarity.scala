@@ -88,8 +88,8 @@ object Similarity {
     * Output: (id, table, bucket).
     */
   def lshBucket(df: DataFrame, idCol: String, vecCol: String,
-                numPlanes: Int, numTables: Int = 1): DataFrame = {
-    val dims = df.select(size(col(vecCol))).head.getInt(0)
+                numPlanes: Int, dims: Int, numTables: Int = 1): DataFrame = {
+    require(dims > 0, s"lshBucket needs a positive dimensionality, got $dims")
     val vec = col(vecCol).cast("array<double>")
     val tables = (0 until numTables).map { t =>
       val bucket = (0 until numPlanes).map { p =>
@@ -110,10 +110,10 @@ object Similarity {
     * candidate set is shuffled for dedup and scoring.
     */
   def lshAnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             numPlanes: Int, k: Int, numTables: Int = 4): DataFrame = {
-    val cBuckets = lshBucket(corpus, idCol, vecCol, numPlanes, numTables)
+             numPlanes: Int, dims: Int, k: Int, numTables: Int = 4): DataFrame = {
+    val cBuckets = lshBucket(corpus, idCol, vecCol, numPlanes, dims, numTables)
     val qBuckets = broadcast(
-      lshBucket(queries, idCol, vecCol, numPlanes, numTables)
+      lshBucket(queries, idCol, vecCol, numPlanes, dims, numTables)
         .select(col(idCol).as("query_id"), col("table"), col("bucket")))
     val qVecs = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
@@ -187,6 +187,26 @@ object Similarity {
         lit(i).as("i"))
     }: _*).getField("i")
 
+  /** Bounded vector sample for quantizer training: `limit(n)` with NO
+    * global order — a CollectLimit that stops after the first partitions
+    * it needs, never a full-corpus TakeOrdered (r1's `orderBy(id).limit`
+    * scanned the whole corpus to fetch 512 rows). On a static lake the
+    * file order is stable, so the sample is reproducible.
+    */
+  def sampleVectors(corpus: DataFrame, vecCol: String, n: Int): Array[Array[Double]] =
+    corpus.select(col(vecCol).cast("array<double>"))
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Explicit, cacheable IVF quantizer construction — ONE bounded Spark
+    * job, run once and reusable across ivfAnn calls (the 100 TB shape:
+    * train the coarse quantizer offline, pass centroids in).
+    */
+  def buildIvfQuantizer(corpus: DataFrame, vecCol: String, numCentroids: Int,
+                        sampleSize: Int = 512, iters: Int = 8): Array[Array[Double]] =
+    kmeansCentroids(sampleVectors(corpus, vecCol, sampleSize), numCentroids, iters)
+
   /** IVF ANN: k-means cells replace LSH buckets. Corpus vectors are
     * assigned to their nearest centroid (one mapper pass); each query
     * probes its `nprobe` nearest cells; candidates are the cell-equijoin
@@ -195,17 +215,14 @@ object Similarity {
     * clustered embeddings. At 100 TB the corpus side stays one scan +
     * one shuffle keyed on (small-cardinality) cell id; queries and
     * centroids are broadcast.
+    *
+    * Centroids come in as literals (from [[buildIvfQuantizer]] or an
+    * offline training job) — plan construction launches NO Spark jobs.
     */
   def ivfAnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, numCentroids: Int = 16, nprobe: Int = 4,
-             sampleSize: Int = 512): DataFrame = {
-    val sample = corpus
-      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .orderBy(col(idCol))
-      .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
-    val cents = kmeansCentroids(sample, numCentroids, iters = 8)
+             k: Int, centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "ivfAnn needs at least one centroid")
+    val cents = centroids
 
     val cCells = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("c_vec"))

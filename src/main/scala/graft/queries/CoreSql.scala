@@ -291,6 +291,22 @@ object CoreSql {
         percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90_price"))
       .orderBy("l_returnflag")
 
+  /** Weighted percentile (function/common/approx_agg/
+    * approx_percentile_cont_with_weight.slt) — exact cumulative-weight
+    * formulation so it oracle-checks; see graft.functions.Percentiles.
+    */
+  def qWeightedPercentile(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Percentiles.weightedPercentile(
+      t(spark, dir, "lineitem"), Seq("l_returnflag"),
+      col("l_extendedprice"), col("l_quantity"),
+      struct(col("l_orderkey"), col("l_linenumber")),
+      Seq("wp25" -> 0.25, "wp50" -> 0.5, "wp90" -> 0.9))
+      .select(col("l_returnflag"),
+        round(col("wp25"), 4).as("wp25"),
+        round(col("wp50"), 4).as("wp50"),
+        round(col("wp90"), 4).as("wp90"))
+      .orderBy("l_returnflag")
+
   /** array_agg(x ORDER BY t) (function/common/array_agg.slt) — ordered
     * collection per group, emitted as a joined string so the oracle hash
     * is array-layout-independent. collect_list is partial-aggregable;
@@ -323,6 +339,7 @@ object CoreSql {
     "q_sql_basic" -> qSqlBasic,
     "q_exact_count" -> qExactCount,
     "q_approx_agg" -> qApproxAgg,
+    "q_weighted_percentile" -> qWeightedPercentile,
     "q_array_agg" -> qArrayAgg
   )
 
@@ -508,6 +525,20 @@ object CoreSql {
         |  count(DISTINCT l_partkey) AS exact_count_parts,
         |  count(DISTINCT l_suppkey) AS exact_count_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_weighted_percentile" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+        |SELECT l_returnflag,
+        |  round(min(CASE WHEN cum >= 0.25 * total THEN v END), 4) AS wp25,
+        |  round(min(CASE WHEN cum >= 0.5  * total THEN v END), 4) AS wp50,
+        |  round(min(CASE WHEN cum >= 0.9  * total THEN v END), 4) AS wp90
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_array_agg" ->
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,

@@ -44,6 +44,19 @@ object IngestQueries {
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .csv(tmp)
         .orderBy("n_nationkey")
+    }),
+
+    "json_roundtrip" -> ((s, dir) => {
+      // JSON side of the external-table surface
+      // (create_external_table.slt): write nation as JSON lines, read it
+      // back through the JSON source with an explicit schema (no
+      // inference scan — the 100 TB rule: schema is metadata, not a job).
+      val nation = Tables(s, dir, "nation")
+      val tmp = s"/tmp/graft_json/${new java.io.File(dir).getName}/nation"
+      nation.coalesce(1).write.mode("overwrite").json(tmp)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(tmp)
+        .orderBy("n_nationkey")
     })
   )
 
@@ -53,6 +66,8 @@ object IngestQueries {
         |  user_id AS n, epoch_us(cast(events.ts AS TIMESTAMP)) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
     "csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )
 }

@@ -87,13 +87,17 @@ object PipelineQueries {
 
     "emb_lsh_ann" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      Similarity.lshAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 4, 10, numTables = 6)
+      Similarity.lshAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        numPlanes = 4, dims = 64, k = 10, numTables = 6)
         .orderBy("query_id", "rank")
     }),
 
     "emb_ivf_ann" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      Similarity.ivfAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+      // Quantizer training is the one explicit bounded job (cacheable /
+      // offline at scale); ivfAnn itself launches no jobs at plan time.
+      val cents = Similarity.buildIvfQuantizer(emb, "embedding", numCentroids = 16)
+      Similarity.ivfAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10, cents)
         .orderBy("query_id", "rank")
     }),
 

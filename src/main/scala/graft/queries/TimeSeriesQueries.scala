@@ -37,6 +37,18 @@ object TimeSeriesQueries {
         .orderBy("event_type", "w_start")
     }),
 
+    // 4-arg time_window: origin-aligned buckets (reference
+    // time_window.rs:101-126 start_time) — hourly windows aligned to
+    // :30 instead of the epoch default.
+    "ts_window_origin" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(TimeSeries.timeWindow(col("ts"), "1 hour", None, Some("30 minutes")).as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("event_type"), col("w.start").as("w_start"), col("n"), col("sum_value"))
+        .orderBy("event_type", "w_start")
+    }),
+
     "ts_session_window" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
@@ -175,6 +187,13 @@ object TimeSeriesQueries {
          |  FROM (SELECT event_type, value,
          |    epoch_ms(cast(floor(epoch(ts) / 3600) * 3600000 AS BIGINT)) AS b
          |    FROM $E))
+         |GROUP BY event_type, w_start
+         |ORDER BY event_type, w_start""".stripMargin,
+    "ts_window_origin" ->
+      s"""SELECT event_type,
+         |  epoch_ms((floor((epoch(ts) - 1800) / 3600) * 3600 + 1800)::BIGINT * 1000) AS w_start,
+         |  count(*) AS n, round(sum(value), 4) AS sum_value
+         |FROM $E
          |GROUP BY event_type, w_start
          |ORDER BY event_type, w_start""".stripMargin,
     "ts_session_window" ->

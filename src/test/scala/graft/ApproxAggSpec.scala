@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantifies the "approximate" in q_approx_agg (driver entry is
+  * rows-only because sketches are engine-specific): HLL distinct counts
+  * and quantile sketches are asserted against the EXACT values with
+  * explicit error bounds, on the same lineitem slice the driver query
+  * reads.
+  */
+class ApproxAggSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct is within its configured rsd of the exact count") {
+    val li = Tables(spark, sf, "lineitem")
+    val rows = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val approx = r.getAs[Long]("approx").toDouble
+      val relErr = math.abs(approx - exact) / exact
+      // rsd=0.02 is one standard deviation; 5 sigma is a safe hard bound
+      assert(relErr <= 0.10,
+        s"flag ${r.get(0)}: HLL err $relErr (exact=$exact approx=$approx) > 10%")
+    }
+  }
+
+  test("percentile_approx at high accuracy brackets the exact percentile") {
+    val li = Tables(spark, sf, "lineitem")
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
+      expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
+      percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90"),
+      min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi")).head()
+    val span = r.getAs[Double]("hi") - r.getAs[Double]("lo")
+    def check(tag: String): Unit = {
+      val exact = r.getAs[Double](s"exact_$tag")
+      val approx = r.getAs[Double](s"approx_$tag")
+      // accuracy=10000 ⇒ rank error ≤ 1/10000; 1% of the value span is a
+      // generous hard bound over this distribution
+      assert(math.abs(approx - exact) <= 0.01 * span,
+        s"$tag: |$approx - $exact| > 1% of span $span")
+    }
+    check("p50"); check("p90")
+  }
+
+  test("weightedPercentile matches a hand-computed fixture") {
+    import spark.implicits._
+    // values 10,20,30,40 with weights 1,1,6,2 (total 10):
+    // cum: 1,2,8,10 → p25→30 (first cum ≥ 2.5), p50→30, p90→40
+    val df = Seq((1, 10.0, 1.0), (2, 20.0, 1.0), (3, 30.0, 6.0), (4, 40.0, 2.0))
+      .toDF("id", "v", "w")
+    val out = graft.functions.Percentiles.weightedPercentile(
+      df.withColumn("g", lit(1)), Seq("g"), col("v"), col("w"), col("id"),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)).head()
+    assert(out.getAs[Double]("p25") == 30.0)
+    assert(out.getAs[Double]("p50") == 30.0)
+    assert(out.getAs[Double]("p90") == 40.0)
+  }
+}

@@ -42,4 +42,21 @@ class GisSpec extends AnyFunSuite {
     assert(!Gis.within(Pt(6, 6), a))
     assert(Gis.within(parseWkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))"), a))
   }
+
+  test("boundary semantics: contains is interior-only, intersects includes the ring") {
+    val box = parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))").asInstanceOf[Poly]
+    // every edge class the strict ray cast used to classify inconsistently
+    val boundary = Seq(Pt(0, 2), Pt(4, 2), Pt(2, 0), Pt(2, 4), Pt(0, 0), Pt(4, 4))
+    boundary.foreach { p =>
+      assert(!Gis.contains(box, p), s"$p is on the ring: contains must be false")
+      assert(!Gis.within(p, box), s"$p is on the ring: within must be false")
+      assert(Gis.intersects(box, p), s"$p is on the ring: intersects must be true")
+      assert(Gis.intersects(p, box), s"$p is on the ring: intersects must be true")
+      assert(distance(p, box) == 0.0, s"$p is on the ring: distance must be 0")
+    }
+    assert(Gis.contains(box, Pt(2, 2)))
+    assert(!Gis.intersects(box, Pt(5, 2)))
+    // a polygon may touch the container's boundary and still be within
+    assert(Gis.within(parseWkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"), box))
+  }
 }

@@ -22,7 +22,8 @@ class PipelineSpec extends AnyFunSuite {
     val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshAnn(emb, queries, "vec_id", "embedding", 4, 10, numTables = 6)
+    val approx = Similarity.lshAnn(emb, queries, "vec_id", "embedding",
+        numPlanes = 4, dims = 64, k = 10, numTables = 6)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & approx).size.toDouble / truth.size
@@ -37,13 +38,50 @@ class PipelineSpec extends AnyFunSuite {
     val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.buildIvfQuantizer(emb, "embedding", numCentroids = 8)
     val approx = Similarity.ivfAnn(emb, queries, "vec_id", "embedding", 10,
-      numCentroids = 8, nprobe = 3)
+      cents, nprobe = 3)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & approx).size.toDouble / truth.size
     info(s"IVF recall@10 over ${truth.size} truth pairs: $recall")
     assert(recall > 0.3, s"IVF nprobe=3/8 should recover a solid fraction, got $recall")
+  }
+
+  test("ivfAnn plan construction launches no Spark jobs (centroids are literals)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val cents = Similarity.buildIvfQuantizer(emb, "embedding", numCentroids = 8)
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val plan = Similarity.ivfAnn(emb, queries, "vec_id", "embedding", 10, cents)
+    val mid = tracker.getJobIdsForGroup(null).length
+    assert(mid == before, "building the ivfAnn plan must not run any job")
+    assert(plan.columns.contains("cos"))
+  }
+
+  test("lshBucket plan construction launches no Spark jobs (dims is a parameter)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val plan = Similarity.lshBucket(emb, "vec_id", "embedding", 6, dims = 64, numTables = 2)
+    val mid = tracker.getJobIdsForGroup(null).length
+    assert(mid == before, "building the lshBucket plan must not run any job")
+    assert(plan.columns.toSeq == Seq("vec_id", "table", "bucket"))
+  }
+
+  test("vec_dot and HOF fallback agree on length mismatch (both NULL)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    graft.functions.VectorExpressions.register(spark)
+    val native = df.select(call_function("vec_dot", col("a"), col("b"))).head.isNullAt(0)
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+      lit(0.0), (acc, v) => acc + v)).head.isNullAt(0)
+    assert(native && hof, "mismatched lengths must yield NULL on both dot() paths")
+    val eq = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(call_function("vec_dot", col("a"), col("b"))).head.getDouble(0)
+    assert(eq == 11.0)
   }
 
   test("kmeansCentroids is deterministic and respects k") {
@@ -56,8 +94,8 @@ class PipelineSpec extends AnyFunSuite {
 
   test("lshBucket is deterministic and partitions the corpus") {
     val emb = Tables(spark, sf, "embeddings")
-    val b1 = Similarity.lshBucket(emb, "vec_id", "embedding", 6, 2)
-    val b2 = Similarity.lshBucket(emb, "vec_id", "embedding", 6, 2)
+    val b1 = Similarity.lshBucket(emb, "vec_id", "embedding", 6, dims = 64, numTables = 2)
+    val b2 = Similarity.lshBucket(emb, "vec_id", "embedding", 6, dims = 64, numTables = 2)
     assert(b1.count() == emb.count() * 2)
     assert(b1.exceptAll(b2).isEmpty)
   }

@@ -92,6 +92,37 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("interpolated"))) // no right neighbor → null
   }
 
+  test("gapfill fails fast past maxBucketsPerGroup instead of densifying") {
+    // 10-year span at 1-second buckets ≈ 3.15e8 buckets — far past the
+    // 1e6 default cap; the guard must error before the explode OOMs.
+    val bucketed = Seq((1L, 0L, 1.0), (1L, 315360000L, 2.0)).toDF("sid", "b_s", "v")
+      .select(col("sid"), timestamp_seconds(col("b_s")).as("bucket"), col("v"))
+    val e = intercept[Exception] {
+      TimeSeries.gapfill(bucketed, Seq("sid"), "bucket", "v", 1L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("gapfill")), s"wanted the guard message, got $e")
+    // same span clears a raised cap
+    val ok = TimeSeries.gapfill(bucketed, Seq("sid"), "bucket", "v", 31536000L)
+    assert(ok.count() == 11)
+  }
+
+  test("sampleReservoir is seed-deterministic, uniform-ish, and bounded") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val s1 = TimeSeries.sampleReservoir(df, 200, seed = 7L).collect().map(_.getLong(0)).toSet
+    val s2 = TimeSeries.sampleReservoir(df, 200, seed = 7L).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same seed must give the same sample")
+    assert(s1.size == 200)
+    val s3 = TimeSeries.sampleReservoir(df, 200, seed = 8L).collect().map(_.getLong(0)).toSet
+    assert(s1 != s3, "different seeds should give different samples")
+    // uniformity: each half of the keyspace gets 50% ± 15pp of the draw
+    val lowHalf = s1.count(_ <= 500)
+    assert(lowHalf >= 70 && lowHalf <= 130, s"lopsided sample: $lowHalf/200 from the low half")
+    // n >= input size returns everything
+    assert(TimeSeries.sampleReservoir(df, 5000).count() == 1000)
+  }
+
   test("lastPoint with equal timestamps resolves via the tiebreak") {
     val df = Seq((1L, 10L, 1, "x"), (1L, 10L, 2, "y")).toDF("sid", "ts_s", "tb", "payload")
       .select(col("sid"), timestamp_seconds(col("ts_s")).as("ts"), col("tb"), col("payload"))

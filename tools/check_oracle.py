@@ -66,7 +66,9 @@ def main():
             print(f"FAIL {name}: no parquet written")
             n_fail += 1
             continue
-        got = pq.read_table(files[0])
+        # read the whole directory: a query written without coalesce(1)
+        # would otherwise be compared on a subset of its rows
+        got = pq.read_table(files if len(files) > 1 else files[0])
         if name not in oracles:
             print(f"ROWS-ONLY {name}: rows={got.num_rows}")
             continue
