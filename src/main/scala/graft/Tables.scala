@@ -16,7 +16,11 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS); Spark's TimestampType is micros, so
     // read nanos as raw Long and convert explicitly (see events()).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set-once: a library shouldn't rewrite session conf on every table
+    // load (the value never changes; repeated sets are just surprising
+    // to callers diffing their session state).
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(k).forall(_ != "true")) spark.conf.set(k, "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

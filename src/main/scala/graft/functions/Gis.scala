@@ -21,9 +21,41 @@ object Gis {
   sealed trait Geom
   final case class Pt(x: Double, y: Double) extends Geom
   final case class Line(pts: Vector[Pt]) extends Geom
-  final case class Poly(ring: Vector[Pt]) extends Geom // closed outer ring
+  /** Closed outer ring + optional interior hole rings. */
+  final case class Poly(ring: Vector[Pt],
+                        holes: Vector[Vector[Pt]] = Vector.empty) extends Geom
+  /** MULTIPOINT / MULTILINESTRING / MULTIPOLYGON / GEOMETRYCOLLECTION. */
+  final case class Multi(geoms: Vector[Geom]) extends Geom
 
   // ---- WKT ----
+
+  private def stripParens(s: String): String = {
+    val t = s.trim
+    require(t.startsWith("(") && t.endsWith(")"), s"bad WKT group: $s")
+    t.substring(1, t.length - 1)
+  }
+
+  /** Split at commas on the current nesting level only. */
+  private def splitTop(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.result().trim; sb.clear()
+      case c => sb += c
+    }
+    out += sb.result().trim
+    out.result()
+  }
+
+  private def pt(s: String): Pt = {
+    val xs = s.trim.split("\\s+")
+    Pt(xs(0).toDouble, xs(1).toDouble)
+  }
+
+  private def ring(s: String): Vector[Pt] = splitTop(stripParens(s)).map(pt)
 
   def parseWkt(wkt: String): Geom = {
     val s = wkt.trim
@@ -31,60 +63,113 @@ object Gis {
     require(open > 0, s"bad WKT: $wkt")
     val tag = s.substring(0, open).trim.toUpperCase
     val body = s.substring(open, s.length)
-    def coords(str: String): Vector[Pt] =
-      str.replace("(", " ").replace(")", " ").split(",").toVector.map { p =>
-        val xs = p.trim.split("\\s+")
-        Pt(xs(0).toDouble, xs(1).toDouble)
-      }
+    def poly(b: String): Poly = {
+      val rings = splitTop(stripParens(b)).map(ring)
+      Poly(rings.head, rings.tail)
+    }
     tag match {
-      case "POINT" => coords(body).head
-      case "LINESTRING" => Line(coords(body))
-      case "POLYGON" => Poly(coords(body))
+      case "POINT" => pt(stripParens(body))
+      case "LINESTRING" => Line(ring(body))
+      case "POLYGON" => poly(body)
+      case "MULTIPOINT" => Multi(splitTop(stripParens(body)).map { m =>
+        // both MULTIPOINT(1 2, 3 4) and MULTIPOINT((1 2),(3 4)) are legal
+        if (m.startsWith("(")) pt(stripParens(m)) else pt(m)
+      })
+      case "MULTILINESTRING" =>
+        Multi(splitTop(stripParens(body)).map(l => Line(ring(l))))
+      case "MULTIPOLYGON" =>
+        Multi(splitTop(stripParens(body)).map(poly))
       case other => throw new IllegalArgumentException(s"unsupported WKT type: $other")
     }
   }
 
+  private def ringWkt(ps: Vector[Pt]): String =
+    ps.map(p => s"${p.x} ${p.y}").mkString("(", ",", ")")
+
   def toWkt(g: Geom): String = g match {
     case Pt(x, y) => s"POINT($x $y)"
     case Line(ps) => ps.map(p => s"${p.x} ${p.y}").mkString("LINESTRING(", ",", ")")
-    case Poly(ps) => ps.map(p => s"${p.x} ${p.y}").mkString("POLYGON((", ",", "))")
+    case Poly(outer, holes) =>
+      (outer +: holes).map(ringWkt).mkString("POLYGON(", ",", ")")
+    case Multi(gs) if gs.forall(_.isInstanceOf[Pt]) =>
+      gs.map { case Pt(x, y) => s"($x $y)" }.mkString("MULTIPOINT(", ",", ")")
+    case Multi(gs) if gs.forall(_.isInstanceOf[Line]) =>
+      gs.map { case Line(ps) => ringWkt(ps) }.mkString("MULTILINESTRING(", ",", ")")
+    case Multi(gs) if gs.forall(_.isInstanceOf[Poly]) =>
+      gs.map { case Poly(o, hs) => (o +: hs).map(ringWkt).mkString("(", ",", ")") }
+        .mkString("MULTIPOLYGON(", ",", ")")
+    case Multi(gs) =>
+      gs.map(toWkt).mkString("GEOMETRYCOLLECTION(", ",", ")")
   }
 
   // ---- WKB (little-endian, 2D) ----
 
+  private def wkbType(g: Geom): Int = g match {
+    case _: Pt => 1
+    case _: Line => 2
+    case _: Poly => 3
+    case Multi(gs) if gs.forall(_.isInstanceOf[Pt]) => 4
+    case Multi(gs) if gs.forall(_.isInstanceOf[Line]) => 5
+    case Multi(gs) if gs.forall(_.isInstanceOf[Poly]) => 6
+    case _: Multi => 7 // GeometryCollection
+  }
+
   def toWkb(g: Geom): Array[Byte] = {
-    def buf(n: Int) = {
-      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def size(g: Geom): Int = g match {
+      case _: Pt => 21
+      case Line(ps) => 9 + 16 * ps.length
+      case Poly(o, hs) => 9 + (o +: hs).map(r => 4 + 16 * r.length).sum
+      case Multi(gs) => 9 + gs.map(size).sum
+    }
+    val b = ByteBuffer.allocate(size(g)).order(ByteOrder.LITTLE_ENDIAN)
+    def write(g: Geom): Unit = {
       b.put(1.toByte) // little endian marker
-      b
+      b.putInt(wkbType(g))
+      g match {
+        case Pt(x, y) => b.putDouble(x); b.putDouble(y)
+        case Line(ps) =>
+          b.putInt(ps.length)
+          ps.foreach { p => b.putDouble(p.x); b.putDouble(p.y) }
+        case Poly(o, hs) =>
+          val rings = o +: hs
+          b.putInt(rings.length)
+          rings.foreach { r =>
+            b.putInt(r.length)
+            r.foreach { p => b.putDouble(p.x); b.putDouble(p.y) }
+          }
+        case Multi(gs) =>
+          b.putInt(gs.length)
+          gs.foreach(write)
+      }
     }
-    g match {
-      case Pt(x, y) =>
-        val b = buf(21); b.putInt(1); b.putDouble(x); b.putDouble(y); b.array()
-      case Line(ps) =>
-        val b = buf(9 + 16 * ps.length); b.putInt(2); b.putInt(ps.length)
-        ps.foreach { p => b.putDouble(p.x); b.putDouble(p.y) }; b.array()
-      case Poly(ps) =>
-        val b = buf(13 + 16 * ps.length); b.putInt(3); b.putInt(1); b.putInt(ps.length)
-        ps.foreach { p => b.putDouble(p.x); b.putDouble(p.y) }; b.array()
-    }
+    write(g)
+    b.array()
   }
 
   def fromWkb(bytes: Array[Byte]): Geom = {
     val b = ByteBuffer.wrap(bytes)
-    b.order(if (b.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-    b.getInt match {
-      case 1 => Pt(b.getDouble, b.getDouble)
-      case 2 =>
-        val n = b.getInt
-        Line(Vector.fill(n)(Pt(b.getDouble, b.getDouble)))
-      case 3 =>
-        val rings = b.getInt
-        require(rings >= 1, "empty polygon")
-        val n = b.getInt
-        Poly(Vector.fill(n)(Pt(b.getDouble, b.getDouble)))
-      case t => throw new IllegalArgumentException(s"unsupported WKB type: $t")
+    def read(): Geom = {
+      b.order(if (b.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      b.getInt match {
+        case 1 => Pt(b.getDouble, b.getDouble)
+        case 2 =>
+          val n = b.getInt
+          Line(Vector.fill(n)(Pt(b.getDouble, b.getDouble)))
+        case 3 =>
+          val nRings = b.getInt
+          require(nRings >= 1, "empty polygon")
+          val rings = Vector.fill(nRings) {
+            val n = b.getInt
+            Vector.fill(n)(Pt(b.getDouble, b.getDouble))
+          }
+          Poly(rings.head, rings.tail)
+        case t if t >= 4 && t <= 7 =>
+          val n = b.getInt
+          Multi(Vector.fill(n)(read()))
+        case t => throw new IllegalArgumentException(s"unsupported WKB type: $t")
+      }
     }
+    read()
   }
 
   // ---- measures ----
@@ -102,44 +187,52 @@ object Gis {
   private def ringEdges(ps: Vector[Pt]): Iterator[(Pt, Pt)] =
     ps.iterator.zip(ps.iterator.drop(1))
 
-  /** Point exactly on a ring edge (collinear + within the segment's
-    * bounding box). Makes boundary behavior deterministic — the strict
-    * ray cast below otherwise classifies vertices and right-hand /
-    * horizontal edges differently from left-hand ones.
+  private def allRings(poly: Poly): Vector[Vector[Pt]] = poly.ring +: poly.holes
+
+  /** Point exactly on any ring edge, outer or hole (collinear + within
+    * the segment's bounding box). Makes boundary behavior deterministic
+    * — the strict ray cast below otherwise classifies vertices and
+    * right-hand / horizontal edges differently from left-hand ones.
     */
   private def onBoundary(poly: Poly, p: Pt): Boolean =
-    ringEdges(poly.ring).exists { case (a, b) =>
+    allRings(poly).exists(r => ringEdges(r).exists { case (a, b) =>
       (b.x - a.x) * (p.y - a.y) == (b.y - a.y) * (p.x - a.x) &&
         p.x >= math.min(a.x, b.x) && p.x <= math.max(a.x, b.x) &&
         p.y >= math.min(a.y, b.y) && p.y <= math.max(a.y, b.y)
+    })
+
+  private def rayCast(ring: Vector[Pt], p: Pt): Boolean = {
+    var inside = false
+    ringEdges(ring).foreach { case (a, b) =>
+      if ((a.y > p.y) != (b.y > p.y)) {
+        val xint = a.x + (p.y - a.y) * (b.x - a.x) / (b.y - a.y)
+        if (p.x < xint) inside = !inside
+      }
     }
+    inside
+  }
 
   /** Interior-only containment — geo-crate `Contains` semantics (the
     * reference's gis functions delegate to geo): a boundary point is NOT
-    * contained. `intersects` is the boundary-inclusive predicate.
-    * Pinned in GisSpec.
+    * contained, and a point inside an interior hole is outside.
+    * `intersects` is the boundary-inclusive predicate. Pinned in GisSpec.
     */
-  def contains(poly: Poly, p: Pt): Boolean = {
-    if (onBoundary(poly, p)) false
-    else {
-      var inside = false
-      ringEdges(poly.ring).foreach { case (a, b) =>
-        if ((a.y > p.y) != (b.y > p.y)) {
-          val xint = a.x + (p.y - a.y) * (b.x - a.x) / (b.y - a.y)
-          if (p.x < xint) inside = !inside
-        }
-      }
-      inside
-    }
-  }
+  def contains(poly: Poly, p: Pt): Boolean =
+    !onBoundary(poly, p) && rayCast(poly.ring, p) &&
+      !poly.holes.exists(h => rayCast(h, p))
 
   def distance(g1: Geom, g2: Geom): Double = (g1, g2) match {
+    case (Multi(gs), other) => gs.map(distance(_, other)).min
+    case (other, Multi(gs)) => gs.map(distance(other, _)).min
     case (a: Pt, b: Pt) => ptDist(a, b)
     case (p: Pt, Line(ps)) => ringEdges(ps).map { case (a, b) => segDist(p, a, b) }.min
     case (l: Line, p: Pt) => distance(p, l)
     case (p: Pt, poly: Poly) =>
+      // a point inside a hole is outside the polygon: its distance is
+      // to the hole's ring, which allRings includes
       if (contains(poly, p)) 0.0
-      else ringEdges(poly.ring).map { case (a, b) => segDist(p, a, b) }.min
+      else allRings(poly).iterator
+        .flatMap(r => ringEdges(r).map { case (a, b) => segDist(p, a, b) }).min
     case (poly: Poly, p: Pt) => distance(p, poly)
     case (Line(ps1), Line(ps2)) =>
       val crossing = ringEdges(ps1).exists { case (a, b) =>
@@ -149,13 +242,17 @@ object Gis {
         ps2.iterator.flatMap(p => ringEdges(ps1).map { case (a, b) => segDist(p, a, b) })).min
     case (a: Poly, b: Poly) =>
       if (intersects(a, b)) 0.0
-      else (a.ring.map(p => distance(p, b)) ++ b.ring.map(p => distance(p, a))).min
+      else (allRings(a).flatten.map(p => distance(p, b)) ++
+        allRings(b).flatten.map(p => distance(p, a))).min
     case _ => throw new IllegalArgumentException("unsupported distance pair")
   }
 
+  private def shoelace(ps: Vector[Pt]): Double =
+    math.abs(ringEdges(ps).map { case (a, b) => a.x * b.y - b.x * a.y }.sum) / 2.0
+
   def area(g: Geom): Double = g match {
-    case Poly(ps) =>
-      math.abs(ringEdges(ps).map { case (a, b) => a.x * b.y - b.x * a.y }.sum) / 2.0
+    case Poly(outer, holes) => shoelace(outer) - holes.map(shoelace).sum
+    case Multi(gs) => gs.map(area).sum
     case _ => 0.0
   }
 
@@ -167,25 +264,47 @@ object Gis {
   }
 
   def intersects(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (Multi(gs), other) => gs.exists(intersects(_, other))
+    case (other, Multi(gs)) => gs.exists(intersects(other, _))
     case (p: Pt, q: Pt) => p == q
     // boundary-inclusive (geo Intersects): a point ON the ring intersects
     case (p: Pt, poly: Poly) => contains(poly, p) || onBoundary(poly, p)
     case (poly: Poly, p: Pt) => contains(poly, p) || onBoundary(poly, p)
     case (pa: Poly, pb: Poly) =>
-      pa.ring.exists(p => contains(pb, p) || onBoundary(pb, p)) ||
-        pb.ring.exists(p => contains(pa, p) || onBoundary(pa, p)) ||
-        ringEdges(pa.ring).exists { case (s1, s2) =>
-          ringEdges(pb.ring).exists { case (t1, t2) => segsIntersect(s1, s2, t1, t2) } }
+      // hole-aware contains means a polygon fully inside the other's
+      // hole correctly reports NO intersection
+      allRings(pa).flatten.exists(p => contains(pb, p) || onBoundary(pb, p)) ||
+        allRings(pb).flatten.exists(p => contains(pa, p) || onBoundary(pa, p)) ||
+        allRings(pa).exists(ra => allRings(pb).exists(rb =>
+          ringEdges(ra).exists { case (s1, s2) =>
+            ringEdges(rb).exists { case (t1, t2) => segsIntersect(s1, s2, t1, t2) } }))
     case _ => throw new IllegalArgumentException("unsupported intersects pair")
   }
 
   def within(inner: Geom, outer: Geom): Boolean = (inner, outer) match {
+    case (Multi(gs), o) => gs.forall(within(_, o))
+    case (g, Multi(gs)) => gs.exists(within(g, _))
     // point-in-polygon: interior only (geo Within of a point mirrors
     // Contains); a polygon may touch the outer boundary (A ∩ B = A).
     case (p: Pt, poly: Poly) => contains(poly, p)
     case (pa: Poly, pb: Poly) =>
-      pa.ring.forall(p => contains(pb, p) || onBoundary(pb, p))
+      allRings(pa).flatten.forall(p => contains(pb, p) || onBoundary(pb, p)) &&
+        // no inner edge may properly cross the container's rings (a
+        // hole biting into pa between its vertices), and pa must not
+        // sit wholly inside a hole with its vertices on the hole ring
+        !allRings(pb).exists(rb => ringEdges(pa.ring).exists { case (s1, s2) =>
+          ringEdges(rb).exists { case (t1, t2) => segsIntersect(s1, s2, t1, t2) } }) &&
+        !pb.holes.exists(h => rayCast(h, centroidish(pa)))
     case _ => throw new IllegalArgumentException("unsupported within pair")
+  }
+
+  /** A representative interior-ish point (ring vertex average) — enough
+    * to reject "within" when the container's hole swallows the inner
+    * polygon while all its vertices sit on the hole's ring.
+    */
+  private def centroidish(p: Poly): Pt = {
+    val ps = p.ring.dropRight(1)
+    Pt(ps.map(_.x).sum / ps.length, ps.map(_.y).sum / ps.length)
   }
 
   // ---- Column API (st_* functions) ----

@@ -69,4 +69,142 @@ object Multimodal {
     df.select(col(idCol), posexplode(expr(
       s"transform(sequence(8, octet_length(media) - 1, $every), i -> substring(media, i + 1, 1))"))
       .as(Seq("frame_idx", "frame_byte")))
+
+  // ---- REAL codecs: BMP + WAV are plain little-endian byte layouts, so
+  // they decode with no native libraries — these replace the stub for
+  // the image/audio lanes (the fake-container stub remains only as the
+  // documented boundary for codecs that DO need libjpeg/ffmpeg).
+
+  final case class BmpMeta(doc_id: Long, width: Int, height: Int,
+                           n_bytes: Long, mean_px: Double)
+
+  /** Encode a real 24-bit uncompressed bottom-up BMP. Pixel (x, y) has
+    * all three channels equal to `rowByte(y)` — deterministic content
+    * whose statistics are SQL-recomputable for the oracle.
+    */
+  def encodeBmp(width: Int, height: Int, rowByte: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = (3 * width + 3) / 4 * 4 // rows pad to 4-byte boundaries
+    val size = 54 + rowSize * height
+    val b = ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)          // reserved, data offset
+    b.putInt(40).putInt(width).putInt(height)      // BITMAPINFOHEADER
+      .putShort(1).putShort(24)                    // planes, bpp
+      .putInt(0).putInt(rowSize * height)          // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) { // bottom-up: row 0 is stored last
+      val v = (rowByte(height - 1 - y) & 0xff).toByte
+      var x = 0
+      while (x < width) { b.put(v).put(v).put(v); x += 1 }
+      var p = 3 * width
+      while (p < rowSize) { b.put(0.toByte); p += 1 }
+      y += 1
+    }
+    b.array()
+  }
+
+  /** Decode a real BMP: validates the magic, reads the header geometry,
+    * and averages the actual pixel channel bytes (padding excluded) —
+    * proof the payload is decoded, not just the header skimmed.
+    */
+  def decodeBmp(docId: Long, bytes: Array[Byte]): BmpMeta = {
+    val b = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(b.get() == 'B' && b.get() == 'M', "not a BMP")
+    b.getInt() // file size
+    b.getInt() // reserved
+    val dataOffset = b.getInt()
+    require(b.getInt() == 40, "unsupported DIB header")
+    val width = b.getInt()
+    val height = b.getInt()
+    b.getShort() // planes
+    require(b.getShort() == 24, "only 24bpp supported")
+    val rowSize = (3 * width + 3) / 4 * 4
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      val row = dataOffset + y.toLong * rowSize
+      var x = 0
+      while (x < 3 * width) { sum += bytes(row.toInt + x) & 0xff; x += 1 }
+      y += 1
+    }
+    BmpMeta(docId, width, height, bytes.length.toLong,
+      sum.toDouble / (3.0 * width * height))
+  }
+
+  /** Attach a REAL BMP binary derived from the id column: width
+    * id%64+1, height id%48+1, row y's channels = (id + y) % 256.
+    */
+  def withBmpBinary(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 64 + 1).toInt
+        val h = (id % 48 + 1).toInt
+        (id, encodeBmp(w, h, y => ((id + y) % 256).toInt))
+      })
+      .toDF(idCol, "media")
+  }
+
+  /** Batch BMP metadata extraction — same mapPartitions shape as
+    * [[extractMeta]], but over real image bytes.
+    */
+  def extractBmpMeta(df: DataFrame, idCol: String): Dataset[BmpMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeBmp(id, bytes) })
+  }
+
+  final case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                           bits: Int, n_samples: Long, mean_abs: Double)
+
+  /** Encode real PCM16 mono WAV (RIFF/fmt/data chunks). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1)                     // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)   // byte rate
+      .putShort(2).putShort(16)                    // block align, bits
+    b.put("data".getBytes).putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** Decode a real WAV: walks RIFF chunks (tolerating extra chunks
+    * before `data`), reads the format, and averages |sample| over the
+    * PCM payload.
+    */
+  def decodeWav(docId: Long, bytes: Array[Byte]): WavMeta = {
+    val b = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
+    require(tag() == "RIFF", "not a RIFF file"); b.getInt()
+    require(tag() == "WAVE", "not a WAV file")
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var nSamples = 0L; var sumAbs = 0.0
+    while (b.remaining() >= 8) {
+      val id = tag(); val len = b.getInt()
+      id match {
+        case "fmt " =>
+          val start = b.position()
+          require(b.getShort() == 1, "only PCM supported")
+          channels = b.getShort(); sampleRate = b.getInt()
+          b.getInt(); b.getShort(); bits = b.getShort()
+          b.position(start + len)
+        case "data" =>
+          require(bits == 16, "only PCM16 supported")
+          nSamples = len / 2L
+          var i = 0L
+          while (i < nSamples) { sumAbs += math.abs(b.getShort().toInt); i += 1 }
+        case _ => b.position(b.position() + len) // skip unknown chunk
+      }
+    }
+    WavMeta(docId, sampleRate, channels, bits, nSamples,
+      if (nSamples == 0) 0.0 else sumAbs / nSamples)
+  }
 }

@@ -101,6 +101,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // REAL image decode: construct genuine 24-bit BMPs from doc_id,
+    // decode headers + average the actual pixel bytes; the oracle
+    // recomputes geometry, byte size (incl. 4-byte row padding) and the
+    // pixel mean from the same generating formula.
+    "mm_bmp_decode" -> ((s, dir) => {
+      val withBmp = Multimodal.withBmpBinary(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractBmpMeta(withBmp, "doc_id").toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_bytes"),
+          round(col("mean_px"), 6).as("mean_px"))
+        .orderBy("doc_id")
+    }),
+
     "mm_binary_meta" -> ((s, dir) => {
       val docs = Multimodal.withFakeBinary(Tables(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractMeta(docs, "doc_id").toDF()
@@ -246,6 +260,15 @@ object PipelineQueries {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         |ORDER BY blk, id_a, id_b""".stripMargin,
+    "mm_bmp_decode" ->
+      """SELECT d.doc_id,
+        |  d.doc_id % 64 + 1 AS width,
+        |  d.doc_id % 48 + 1 AS height,
+        |  54 + ((3 * (d.doc_id % 64 + 1) + 3) // 4) * 4 * (d.doc_id % 48 + 1) AS n_bytes,
+        |  round(avg((d.doc_id + u.y) % 256), 6) AS mean_px
+        |FROM documents d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.doc_id % 48)) AS y) u
+        |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  doc_id % 640 + 1 AS width,

@@ -43,6 +43,48 @@ class GisSpec extends AnyFunSuite {
     assert(Gis.within(parseWkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))"), a))
   }
 
+  test("polygon holes: parse, WKB round-trip, area, containment, distance") {
+    val donut = parseWkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0),(4 4, 6 4, 6 6, 4 6, 4 4))")
+      .asInstanceOf[Poly]
+    assert(donut.holes.length == 1)
+    assert(fromWkb(toWkb(donut)) == donut)
+    assert(parseWkt(toWkt(donut)) == donut)
+    assert(math.abs(area(donut) - (100.0 - 4.0)) < 1e-12)
+    assert(Gis.contains(donut, Pt(2, 2)))        // in the ring of dough
+    assert(!Gis.contains(donut, Pt(5, 5)))       // in the hole: outside
+    assert(!Gis.contains(donut, Pt(4, 5)))       // on the hole ring: boundary
+    assert(Gis.intersects(donut, Pt(4, 5)))      // ...but intersects
+    assert(math.abs(distance(Pt(5, 5), donut) - 1.0) < 1e-12) // to the hole ring
+    // a polygon wholly inside the hole neither intersects nor is within
+    val inHole = parseWkt("POLYGON((4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, 4.5 4.5))")
+      .asInstanceOf[Poly]
+    assert(!Gis.intersects(donut, inHole))
+    assert(!Gis.within(inHole, donut))
+    // one straddling the hole's edge intersects but is not within
+    val straddle = parseWkt("POLYGON((3 4.5, 5 4.5, 5 5.5, 3 5.5, 3 4.5))")
+      .asInstanceOf[Poly]
+    assert(Gis.intersects(donut, straddle))
+    assert(!Gis.within(straddle, donut))
+  }
+
+  test("multi-geometries: parse, WKB round-trip, measures and predicates distribute") {
+    val mp = parseWkt("MULTIPOINT((0 0),(5 5))")
+    val ml = parseWkt("MULTILINESTRING((0 0, 1 0),(10 10, 11 10))")
+    val mpoly = parseWkt("MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0)),((10 10, 12 10, 12 12, 10 12, 10 10)))")
+    Seq(mp, ml, mpoly).foreach { g =>
+      assert(fromWkb(toWkb(g)) == g, s"WKB round-trip failed for $g")
+      assert(parseWkt(toWkt(g)) == g, s"WKT round-trip failed for $g")
+    }
+    assert(math.abs(area(mpoly) - 8.0) < 1e-12)
+    val box = parseWkt("POLYGON((-1 -1, 3 -1, 3 3, -1 3, -1 1))").asInstanceOf[Poly]
+    assert(Gis.intersects(mpoly, box))           // first member overlaps
+    assert(!Gis.within(mpoly, box))              // second member escapes
+    assert(math.abs(distance(mp, Pt(6, 5)) - 1.0) < 1e-12) // min over members
+    assert(math.abs(distance(ml, Pt(0, 2)) - 2.0) < 1e-12)
+    // bare-coordinates MULTIPOINT form parses too
+    assert(parseWkt("MULTIPOINT(0 0, 5 5)") == mp)
+  }
+
   test("boundary semantics: contains is interior-only, intersects includes the ring") {
     val box = parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))").asInstanceOf[Poly]
     // every edge class the strict ray cast used to classify inconsistently

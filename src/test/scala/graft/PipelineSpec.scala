@@ -108,6 +108,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(meta.forall(m => m.width == (m.doc_id % 640 + 1) && m.height == (m.doc_id % 480 + 1)))
   }
 
+  test("BMP codec round-trips geometry and pixel statistics through real bytes") {
+    val bytes = Multimodal.encodeBmp(5, 3, y => 10 * y) // rows 0,10,20
+    // real header: magic + 54-byte offset + 24bpp, rows padded to 4 bytes
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    assert(bytes.length == 54 + ((3 * 5 + 3) / 4 * 4) * 3)
+    val m = Multimodal.decodeBmp(7L, bytes)
+    assert(m.width == 5 && m.height == 3 && m.n_bytes == bytes.length)
+    assert(math.abs(m.mean_px - 10.0) < 1e-12) // mean of 0,10,20
+    // a width that forces nonzero padding must not pollute the mean
+    val padded = Multimodal.decodeBmp(1L, Multimodal.encodeBmp(3, 2, _ => 100))
+    assert(math.abs(padded.mean_px - 100.0) < 1e-12)
+  }
+
+  test("WAV codec round-trips format and amplitude through real RIFF bytes") {
+    val samples = Array[Short](100, -200, 300, -400)
+    val bytes = Multimodal.encodeWav(16000, samples)
+    assert(new String(bytes.slice(0, 4)) == "RIFF" && new String(bytes.slice(8, 12)) == "WAVE")
+    val m = Multimodal.decodeWav(3L, bytes)
+    assert(m.sample_rate == 16000 && m.channels == 1 && m.bits == 16)
+    assert(m.n_samples == 4)
+    assert(math.abs(m.mean_abs - 250.0) < 1e-12)
+  }
+
+  test("extractBmpMeta decodes distributed real BMPs matching the generator") {
+    val docs = Tables(spark, sf, "documents").select("doc_id").limit(50)
+    val metas = Multimodal.extractBmpMeta(
+      Multimodal.withBmpBinary(docs, "doc_id"), "doc_id").collect()
+    assert(metas.length == 50)
+    metas.foreach { m =>
+      assert(m.width == (m.doc_id % 64 + 1).toInt)
+      assert(m.height == (m.doc_id % 48 + 1).toInt)
+      val expMean = (0 until m.height).map(y => ((m.doc_id + y) % 256).toDouble).sum / m.height
+      assert(math.abs(m.mean_px - expMean) < 1e-9, s"doc ${m.doc_id} mean mismatch")
+    }
+  }
+
   test("frameSample yields one sampled byte per stride") {
     val docs = Multimodal.withFakeBinary(Tables(spark, sf, "documents"), "doc_id", "text")
     val sampled = Multimodal.frameSample(docs, "doc_id", 16)
