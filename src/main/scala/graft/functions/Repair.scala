@@ -141,43 +141,117 @@ object Repair {
     ans.map(_._2)
   }
 
+  /** Interval estimate with the reference's exact indexing quirk
+    * (timestamp_repair.rs:320-332 `get_interval_median` indexes the
+    * n−1 intervals with n/2 where n = |timestamps|).
+    */
+  private def intervalMedian(times: Array[Long]): Long = {
+    val size = times.length
+    val intervals = Array.tabulate(size - 1)(k => times(k + 1) - times(k))
+    java.util.Arrays.sort(intervals)
+    if (size % 2 == 0) (intervals(size / 2 - 1) + intervals(size / 2)) / 2
+    else intervals(size / 2)
+  }
+
+  /** start_mode=mode (timestamp_repair.rs:199-226): the residue class
+    * (t mod interval) most samples share, anchored at the last sample
+    * in that class and walked back below the first timestamp. Count
+    * ties break to the smaller residue for determinism (the reference
+    * iterates a HashMap).
+    */
+  private def startMode(times: Array[Long], interval: Long): Long = {
+    val counts = scala.collection.mutable.LongMap.empty[Int]
+    val mods = times.map { t => val r = t % interval
+      counts(r) = counts.getOrElse(r, 0) + 1; r }
+    val bestMod = counts.toSeq.maxBy { case (k, c) => (c, -k) }._1
+    var result = 0L
+    var i = 0
+    while (i < times.length) { if (mods(i) == bestMod) result = times(i); i += 1 }
+    while (result > times.head) result -= interval
+    result
+  }
+
   /** timestamp_repair (data_repair/timestamp_repair.rs): realign samples
     * onto a regular grid `start + k*interval` (median interval, mode
-    * start). Greedy nearest-sample assignment stands in for the
-    * reference's DP alignment — same grid, same interval/start
-    * estimation; the DP only differs on pathological inputs.
+    * start) via the reference's DP alignment (timestamp_repair.rs:
+    * 121-188): edit distance over (grid slot, sample) with unit cost
+    * |t − slot| for assignment and a large constant for insert (empty
+    * slot → NaN) / remove (drop sample). O(grid·samples) per series —
+    * series are bounded per group; past `maxDpCells` the greedy
+    * nearest-slot assignment stands in so one pathological series can't
+    * allocate an unbounded cost matrix.
     */
   def timestampRepair(times: Array[Long], values: Array[Double],
-                      intervalOpt: Option[Long] = None): (Array[Long], Array[Double]) = {
-    val n = times.length
-    if (n <= 2) return (times.clone(), values.clone())
-    val intervals = Array.tabulate(n - 1)(k => (times(k + 1) - times(k)).toDouble)
-    val interval = intervalOpt.getOrElse(med(intervals.toIndexedSeq).toLong).max(1L)
-    // start_mode=mode: the offset class (t mod interval) most samples share
-    val start = {
-      val counts = scala.collection.mutable.Map.empty[Long, Int]
-      times.foreach { t => val r = ((t % interval) + interval) % interval
-        counts(r) = counts.getOrElse(r, 0) + 1 }
-      val bestMod = counts.maxBy(kv => (kv._2, -kv._1))._1
-      val t0 = times.head
-      t0 - (((t0 % interval) + interval) % interval) + bestMod match {
-        case s if s > t0 => s - interval
-        case s => s
+                      intervalOpt: Option[Long] = None,
+                      maxDpCells: Long = 16L * 1024 * 1024): (Array[Long], Array[Double]) = {
+    val m = times.length
+    if (m <= 2) return (times.clone(), values.clone())
+    val vals = values.map(v => if (java.lang.Double.isFinite(v)) v else Double.NaN)
+    val interval = intervalOpt.getOrElse(intervalMedian(times)).max(1L)
+    val start = startMode(times, interval)
+    val gridN = (((times.last - start).toDouble / interval) + 1.0).ceil.toInt
+    if (gridN.toLong * m > maxDpCells) greedyRepair(start, interval, gridN, times, vals)
+    else dpRepair(start, interval, gridN, times, vals)
+  }
+
+  private def dpRepair(start: Long, interval: Long, gridN: Int,
+                       times: Array[Long], vals: Array[Double]): (Array[Long], Array[Double]) = {
+    val m = times.length
+    val addCost = 100000000000L
+    val W = m + 1
+    val f = new Array[Long]((gridN + 1) * W)
+    val steps = new Array[Byte]((gridN + 1) * W) // 0 assign, 1 insert, 2 remove
+    var i = 0
+    while (i <= gridN) { f(i * W) = addCost * i; steps(i * W) = 1; i += 1 }
+    var j = 0
+    while (j <= m) { f(j) = addCost * j; steps(j) = 2; j += 1 }
+    i = 1
+    while (i <= gridN) {
+      val slot = start + interval * (i - 1)
+      j = 1
+      while (j <= m) {
+        val idx = i * W + j
+        if (times(j - 1) == slot) {
+          f(idx) = f(idx - W - 1); steps(idx) = 0
+        } else {
+          if (f(idx - W) < f(idx - 1)) { f(idx) = f(idx - W) + addCost; steps(idx) = 1 }
+          else { f(idx) = f(idx - 1) + addCost; steps(idx) = 2 }
+          val assign = f(idx - W - 1) + math.abs(times(j - 1) - slot)
+          if (assign < f(idx)) { f(idx) = assign; steps(idx) = 0 }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val outT = Array.tabulate(gridN)(k => start + k.toLong * interval)
+    val outV = Array.fill(gridN)(Double.NaN) // un-backtracked slots stay empty
+    i = gridN; j = m
+    while (i >= 1 && j >= 1) {
+      steps(i * W + j) match {
+        case 0 => outV(i - 1) = vals(j - 1); i -= 1; j -= 1
+        case 1 => i -= 1 // inserted slot: NaN already
+        case _ => j -= 1 // removed sample
       }
     }
-    val gridN = (((times.last - start).toDouble / interval) + 1.0).ceil.toInt
+    (outT, outV)
+  }
+
+  /** Greedy nearest-slot fallback for series whose DP matrix would be
+    * unreasonably large; same grid, last-sample-wins per slot.
+    */
+  private def greedyRepair(start: Long, interval: Long, gridN: Int,
+                           times: Array[Long], vals: Array[Double]): (Array[Long], Array[Double]) = {
     val outT = Array.tabulate(gridN)(k => start + k.toLong * interval)
     val outV = Array.fill(gridN)(Double.NaN)
     var src = 0
     var g = 0
-    while (g < gridN && src < n) {
-      // take the closest not-yet-used sample whose best grid slot is g
+    while (g < gridN && src < times.length) {
       var best = -1
-      while (src < n && {
-        val slot = math.round((times(src) - start).toDouble / interval).toInt
-        slot <= g
-      }) { best = src; src += 1 }
-      if (best >= 0) outV(g) = values(best)
+      while (src < times.length &&
+        math.round((times(src) - start).toDouble / interval).toInt <= g) {
+        best = src; src += 1
+      }
+      if (best >= 0) outV(g) = vals(best)
       g += 1
     }
     (outT, outV)

@@ -45,4 +45,22 @@ class RepairSpec extends AnyFunSuite {
     assert(t2.sliding(2).forall(p => p(1) - p(0) == step))
     assert(t2.head <= ts.head && t2.last >= ts.last - step)
   }
+
+  test("timestampRepair DP keeps every sample where greedy nearest-slot would drop one") {
+    // interval estimate 95 (reference's median indexing), grid 0,95,190,285:
+    // the optimal alignment assigns ALL four samples (cost 170) instead of
+    // discarding one to a shared nearest slot
+    val (t2, v2) = Repair.timestampRepair(
+      Array(0L, 100L, 110L, 200L), Array(1.0, 2.0, 3.0, 4.0))
+    assert(t2.toSeq == Seq(0L, 95L, 190L, 285L))
+    assert(v2.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("timestampRepair DP inserts NaN for a genuinely missing grid slot") {
+    val (t2, v2) = Repair.timestampRepair(
+      Array(0L, 100L, 200L, 400L, 500L), Array(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(t2.toSeq == Seq(0L, 100L, 200L, 300L, 400L, 500L))
+    assert(v2(3).isNaN)
+    assert(Seq(v2(0), v2(1), v2(2), v2(4), v2(5)) == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
 }
