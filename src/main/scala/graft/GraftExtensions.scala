@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{NumGcd, NumLcm, VecDot}
+import graft.functions.{ArrayOverlapCount, CharNgramSet, MinhashSig, NumGcd, NumLcm, SimHash60, VecDot, WordShingleSet}
 
 /** SparkSessionExtensions hook: registers graft's native expressions
   * permanently in a session built with
@@ -23,5 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c: Seq[Expression]) => NumGcd(c.head, c(1))))
     ext.injectFunction((FunctionIdentifier("num_lcm"), info("num_lcm"),
       (c: Seq[Expression]) => NumLcm(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("char_ngram_set"), info("char_ngram_set"),
+      (c: Seq[Expression]) => CharNgramSet(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("array_overlap_count"), info("array_overlap_count"),
+      (c: Seq[Expression]) => ArrayOverlapCount(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (c: Seq[Expression]) => MinhashSig(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingle_set"), info("word_shingle_set"),
+      (c: Seq[Expression]) => WordShingleSet(c.head)))
+    ext.injectFunction((FunctionIdentifier("simhash60"), info("simhash60"),
+      (c: Seq[Expression]) => SimHash60(c.head)))
   }
 }

@@ -1,0 +1,333 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document text kernels behind the native expressions below.
+  *
+  * These loops run ONCE PER DOCUMENT (not once per gram/shingle row),
+  * which is the whole point: the r1 formulations exploded every char
+  * position / (shingle × seed) into rows and paid two hash-aggregate
+  * exchanges per operator; the kernel computes the same value in one
+  * in-memory pass and the operator becomes a mapper. The expressions'
+  * `doGenCode` emits a single static call, so projections stay inside
+  * whole-stage codegen.
+  *
+  * All string positions are code-point based, matching Spark's
+  * `substring`/`length` and DuckDB's `substr`/`length` semantics.
+  */
+object TextKernels {
+
+  /** Distinct character n-grams in first-occurrence order. */
+  def ngramSet(t: UTF8String, n: Int): ArrayData = {
+    val cps = t.toString.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= cps.length - n) {
+      set.add(new String(cps, i, n))
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** |a ∩ b| for arrays whose elements are already distinct. */
+  def overlapCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var c = 0
+    var j = 0
+    while (j < nb) { if (set.contains(b.getUTF8String(j))) c += 1; j += 1 }
+    c
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Distinct word-3-gram shingles in first-occurrence order; empty
+    * when the doc has fewer than 3 tokens. Same strings as the explode
+    * formulation (split on single spaces, empties kept).
+    */
+  def wordShingleSet(t: UTF8String): ArrayData = {
+    val toks = t.toString.split(" ", -1)
+    if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j <= toks.length - 3) {
+      set.add(toks(j) + " " + toks(j + 1) + " " + toks(j + 2))
+      j += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Per-doc minhash signature: for each seed s in [0, k), the minimum
+    * of md5(s + "|" + shingle) over the doc's word-3-gram shingles —
+    * byte-for-byte the value `min(md5(concat(s|, sh)))` aggregates in
+    * the row-per-shingle formulation (and in the DuckDB oracle), but
+    * computed in one in-memory pass with NO explode and NO shuffle.
+    * Tokenization matches Spark `split(text, " ")` (trailing empties
+    * kept). Null when the doc has fewer than 3 tokens (no shingles) —
+    * callers filter, exactly as shingle-less docs dropped out of the
+    * grouped aggregation before.
+    */
+  def minhashSig(t: UTF8String, k: Int): ArrayData = {
+    val toks = t.toString.split(" ", -1)
+    if (toks.length < 3) return null
+    val md = MessageDigest.getInstance("MD5")
+    // md5(s + "|" + shingle) == digest(prefixBytes ++ shingleBytes):
+    // feeding the two byte runs avoids building k concatenated strings
+    // (and k UTF-8 encodes) per shingle. Tokens are encoded once.
+    val seedBytes = Array.tabulate(k)(s =>
+      (s + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tokBytes = toks.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val mins = new Array[Array[Byte]](k)
+    var j = 0
+    while (j <= toks.length - 3) {
+      val a = tokBytes(j); val b = tokBytes(j + 1); val c = tokBytes(j + 2)
+      val shB = new Array[Byte](a.length + b.length + c.length + 2)
+      System.arraycopy(a, 0, shB, 0, a.length)
+      shB(a.length) = ' '
+      System.arraycopy(b, 0, shB, a.length + 1, b.length)
+      shB(a.length + b.length + 1) = ' '
+      System.arraycopy(c, 0, shB, a.length + b.length + 2, c.length)
+      var s = 0
+      while (s < k) {
+        md.reset()
+        md.update(seedBytes(s))
+        md.update(shB)
+        val d = md.digest()
+        // hex order == unsigned byte order, so compare digests raw and
+        // hex-encode only the k winners at the end
+        if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
+        s += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins.map(d => UTF8String.fromString(bytesToHex(d)): Any))
+  }
+
+  /** 60-bit SimHash as 15 hex chars — identical values to the
+    * relational formulation (md5 hex digits 1..15 of EVERY token,
+    * duplicates included, ±1 votes per bit, majority → digit) and to
+    * the DuckDB oracle, in one per-doc pass with no token explode and
+    * no 60-column aggregation.
+    */
+  def simhash60(t: UTF8String): UTF8String = {
+    val toks = t.toString.split(" ", -1)
+    val md = MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    var ti = 0
+    while (ti < toks.length) {
+      md.reset()
+      val d = md.digest(toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var i = 0
+      while (i < 15) { // hex char i: even → high nibble, odd → low
+        val nib = if (i % 2 == 0) (d(i / 2) >> 4) & 0xf else d(i / 2) & 0xf
+        var k = 0
+        while (k < 4) {
+          if (((nib >> k) & 1) == 1) votes(i * 4 + k) += 1 else votes(i * 4 + k) -= 1
+          k += 1
+        }
+        i += 1
+      }
+      ti += 1
+    }
+    val out = new Array[Char](15)
+    var i = 0
+    while (i < 15) {
+      var dig = 0
+      var k = 0
+      while (k < 4) { if (votes(i * 4 + k) > 0) dig |= 1 << k; k += 1 }
+      out(i) = HEX(dig)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def bytesToHex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
+private[functions] trait StaticCallExpr { self: BinaryExpression =>
+  protected def kernel: String // fully-qualified static method
+  protected def check(name: String, want: String, ok: (DataType, DataType) => Boolean): TypeCheckResult =
+    if (ok(left.dataType, right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires $want, got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+}
+
+/** char_ngram_set(text, n) → array<string> of distinct n-grams. */
+case class CharNgramSet(left: Expression, right: Expression)
+  extends BinaryExpression with StaticCallExpr {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  protected val kernel = "graft.functions.TextKernels"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check("char_ngram_set", "(string, int)",
+      (l, r) => l == StringType && r == IntegerType)
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextKernels.ngramSet(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) => s"${ev.value} = $kernel.ngramSet($t, $n);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "char_ngram_set"
+}
+
+/** array_overlap_count(a, b) → |a ∩ b| for distinct-element arrays. */
+case class ArrayOverlapCount(left: Expression, right: Expression)
+  extends BinaryExpression with StaticCallExpr {
+
+  override def dataType: DataType = IntegerType
+  protected val kernel = "graft.functions.TextKernels"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check("array_overlap_count", "two array<string> arguments", (l, r) => (l, r) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => true
+      case _ => false
+    })
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.overlapCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $kernel.overlapCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "array_overlap_count"
+}
+
+/** minhash_sig(text, k) → array<string> of k seed-minhashes; null when
+  * the doc has no word-3-gram shingles.
+  */
+case class MinhashSig(left: Expression, right: Expression)
+  extends BinaryExpression with StaticCallExpr {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // docs with < 3 tokens
+  protected val kernel = "graft.functions.TextKernels"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check("minhash_sig", "(string, int)",
+      (l, r) => l == StringType && r == IntegerType)
+
+  override def nullSafeEval(t: Any, k: Any): Any =
+    TextKernels.minhashSig(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) => s"""
+      |${ev.value} = $kernel.minhashSig($t, $k);
+      |${ev.isNull} = ${ev.value} == null;
+    """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** simhash60(text) → 15-hex-char 60-bit SimHash. */
+case class SimHash60(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.simhash60(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      t => s"${ev.value} = graft.functions.TextKernels.simhash60($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash60"
+}
+
+/** word_shingle_set(text) → array<string> of distinct word-3-gram
+  * shingles (empty when < 3 tokens).
+  */
+case class WordShingleSet(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_set requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.wordShingleSet(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      t => s"${ev.value} = graft.functions.TextKernels.wordShingleSet($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_shingle_set"
+}
+
+object TextExpressions {
+  /** Idempotent per-session registration (same pattern as
+    * VectorExpressions.register).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("char_ngram_set",
+      (c: Seq[Expression]) => CharNgramSet(c.head, c(1)), "built-in")
+    reg.createOrReplaceTempFunction("array_overlap_count",
+      (c: Seq[Expression]) => ArrayOverlapCount(c.head, c(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      (c: Seq[Expression]) => MinhashSig(c.head, c(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingle_set",
+      (c: Seq[Expression]) => WordShingleSet(c.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash60",
+      (c: Seq[Expression]) => SimHash60(c.head), "built-in")
+  }
+}

@@ -55,23 +55,22 @@ object Dedup {
       .select(col(idCol), concat_ws(" ", element_at(col("toks"), col("j") + 1),
         element_at(col("toks"), col("j") + 2), element_at(col("toks"), col("j") + 3)).as("sh"))
 
-  /** doc → one wide row of `numHashes` minhashes (mh0..mhN): min over
-    * shingles of md5(seed|shingle), all seeds in ONE partial-aggregable
-    * pass — no seed explode, so the shuffle carries |shingles| rows, not
-    * |shingles|×numHashes. Values are identical to the row-per-seed
-    * formulation the oracle SQL uses.
+  /** doc → one wide row of `numHashes` minhashes (mh0..mhN), via the
+    * native `minhash_sig` kernel (TextExpressions.scala): the whole
+    * signature is computed inside one codegen'd projection — a pure
+    * MAPPER, no shingle explode and NO shuffle at all (r1 aggregated
+    * the raw shingle stream, which was already one exchange of a wide
+    * row per doc; this removes even that). Values are byte-identical
+    * to the row-per-seed formulation the oracle SQL uses.
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s + "|"), col("sh")))).as(s"mh$s"))
-    // min() is duplicate-insensitive, so the raw (undeduped) shingle
-    // stream feeds the partial aggregate directly: one shuffle of one
-    // wide row per doc per partition instead of distinct's extra
-    // full-width (id, shingle) exchange.
-    shingleRowsRaw(df, idCol, textCol)
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
+    graft.functions.TextExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function("minhash_sig", col(textCol), lit(numHashes)).as("__sig"))
+      .filter(col("__sig").isNotNull) // < 3 tokens → no shingles, as before
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH band hashes from the wide signature: hash each band's
@@ -88,38 +87,54 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
-  /** Candidate pairs: ids sharing any LSH band bucket. The join key is
-    * (band, band_hash), so work is proportional to real collisions.
+  /** Candidate pairs: ids sharing any LSH band bucket. One aggregation
+    * on (band, band_hash) collects each bucket's id list and expands
+    * in-bucket pairs — work stays proportional to real collisions, and
+    * unlike a self-join the signature subtree is scanned ONCE (the
+    * self-join's two branches each recomputed the full signature pass).
+    * The pair-expansion lambda runs interpreted, but only over the
+    * colliding buckets, whose size LSH keeps small by construction.
     */
-  def lshCandidates(bandHashes: DataFrame, idCol: String): DataFrame = {
-    val a = bandHashes.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = bandHashes.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  def lshCandidates(bandHashes: DataFrame, idCol: String): DataFrame =
+    bandHashes.groupBy("band", "band_hash")
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
 
   /** MinHash-LSH near-dup pairs with true-Jaccard confirmation on the
     * candidates only.
+    *
+    * 100 TB shape: the signature is a mapper (minhash_sig kernel), the
+    * candidate set is a (band, band_hash) self-join bounded by real
+    * collisions, and the confirm stage broadcasts the SMALL candidate
+    * pair list against two mapper-only `word_shingle_set` scans — the
+    * corpus is never shuffled and the candidate subtree is computed
+    * exactly once (r1 shuffled a distinct (id, shingle) explode of the
+    * whole corpus through two more joins).
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 8, bands: Int = 2,
                       threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
     val sig = minhashSignature(df, idCol, textCol, numHashes)
     val cands = lshCandidates(lshBandHashes(sig, idCol, numHashes, bands), idCol)
-    val sh = shingleRows(df, idCol, textCol).select(col(idCol).as("id"), col("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // equijoin on (id, shingle) — the shingle match is a hash-join key,
-    // not a post-join filter, so the intermediate is the intersection
-    // itself rather than |sh_a|×|sh_b| per candidate pair.
-    val inter = cands
-      .join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+    val sets = df.select(col(idCol).as("__sid"),
+      call_function("word_shingle_set", col(textCol)).as("__shs"))
+    // candidates ⋉ shingle sets, both joins mapper-side via broadcast
+    // of the (LSH-bounded) candidate side
+    val withA = sets.join(broadcast(cands), col("__sid") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("__shs").as("__sh_a"))
+    val pairs = sets.join(broadcast(withA), col("__sid") === col("id_b"))
+      .withColumn("__inter",
+        call_function("array_overlap_count", col("__sh_a"), col("__shs")))
+      .withColumn("jaccard",
+        col("__inter") / (size(col("__sh_a")) + size(col("__shs")) - col("__inter")))
+    pairs
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -133,51 +148,48 @@ object Dedup {
         s"ELSE cast(array() AS ARRAY<STRING>) END"))
   }
 
-  /** Jaccard over char n-grams between paired rows (id, id+step),
-    * computed as a codegen'd equijoin on exploded grams (doc, gram):
-    * the matched rows ARE the intersection, so no interpreted
-    * array_intersect runs per pair. The pair skeleton left-joins the
-    * intersection counts back so 0-overlap pairs survive.
+  /** Jaccard over char n-grams between paired rows (id, id+1), via the
+    * native per-doc kernels (TextExpressions.scala): `char_ngram_set`
+    * builds each doc's distinct gram set in one in-memory pass and
+    * `array_overlap_count` intersects two sets with a hash probe, so
+    * the plan is scan → mapper → one equijoin on the pair key. r1
+    * exploded every char position into (pair, gram) rows and paid two
+    * hash-aggregate exchanges over them (~2 rows per character); this
+    * shuffles one array row per doc instead — at 100 TB the exchange
+    * shrinks from ~8× corpus bytes to ~4× while the gram work moves
+    * into the scan projection.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // Single-pass, fully codegen'd, ONE scan of the corpus: each
-    // (doc, gram) occurrence (exploded positions + substr — no
-    // lambda-based HOFs, which run interpreted) is credited to the two
-    // pairs it can participate in (pair k compares docs k and k+1).
-    // One (pair, gram) aggregation marks side presence — this also
-    // dedups repeated grams, so no per-doc distinct pass — and one
-    // (pair) aggregation produces sizes + intersection together.
-    val grams = df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .filter(length(col("t")) >= n) // sequence(1,0) would DEscend
-      .select(col("id"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - (n - 1))).as("i"))
-      .select(col("id"), substr(col("t"), col("i"), lit(n)).as("ng"))
-    val sides = grams.select(explode(array(
-        struct(col("id").as("pk"), lit(true).as("a"), lit(false).as("b")),
-        struct((col("id") - 1).as("pk"), lit(false).as("a"), lit(true).as("b"))))
-        .as("s"), col("ng"))
-      .select(col("s.pk").as("pk"), col("ng"), col("s.a").as("a"), col("s.b").as("b"))
-    sides.groupBy("pk", "ng")
-      .agg(max("a").as("ha"), max("b").as("hb"))
-      .groupBy("pk")
-      .agg(sum(when(col("ha"), 1).otherwise(0)).as("sz_a"),
-        sum(when(col("hb"), 1).otherwise(0)).as("sz_b"),
-        sum(when(col("ha") && col("hb"), 1).otherwise(0)).as("inter"))
-      .filter(col("sz_a") > 0 && col("sz_b") > 0) // pair needs both docs
-      .select(col("pk").as("doc_a"), (col("pk") + 1).as("doc_b"),
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+    graft.functions.TextExpressions.register(df.sparkSession)
+    val g = df.select(col(idCol).as("id"),
+      call_function("char_ngram_set", col(textCol), lit(n)).as("g"))
+    val a = g.select(col("id").as("doc_a"), col("g").as("ga"))
+    val b = g.select((col("id") - 1).as("doc_a"), col("g").as("gb"))
+    a.join(b, Seq("doc_a"))
+      .withColumn("inter", call_function("array_overlap_count", col("ga"), col("gb")))
+      .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
+        round(col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")), 6)
+          .as("jaccard"))
   }
 
-  /** 60-bit SimHash as a 15-hex-char string. Fully relational: tokens →
-    * md5 hex digits → per-bit votes → majority bits → hex digits. The
-    * same computation is expressible in any SQL engine, which is what
-    * pins the oracle.
+  /** 60-bit SimHash as a 15-hex-char string, via the native `simhash60`
+    * kernel: one codegen'd projection per doc — a pure mapper, no token
+    * explode, no shuffle (r1's 60-vote-column aggregation exchanged one
+    * wide row per doc per partition; this exchanges nothing). Values
+    * are identical to the relational formulation below, which pins the
+    * DuckDB oracle and the equivalence spec.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // One explode (token rows only — never token × bit), then the 60
-    // per-bit ±1 votes are sixty codegen'd int columns partial-summed
-    // map-side: the only shuffle carries one row of 60 ints per doc per
-    // partition. At 100 TB that is a scan plus a near-free reduce.
+    graft.functions.TextExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("simhash60", col(textCol)).as("simhash"))
+  }
+
+  /** The SQL-expressible 60-bit SimHash formulation (tokens → md5 hex
+    * digits → per-bit votes → majority bits → hex digits) — retained to
+    * pin the kernel's values in DedupSpec-style equivalence tests.
+    */
+  def simhashRelational(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
     val voteCols = for (p <- 1 to 15; k <- 0 until 4) yield

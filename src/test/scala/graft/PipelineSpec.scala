@@ -100,6 +100,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(b1.exceptAll(b2).isEmpty)
   }
 
+  test("native minhash_sig matches the row-per-seed aggregation formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents").limit(100)
+    val native = graft.operators.Dedup.minhashSignature(docs, "doc_id", "text", 8)
+    // the r1 relational formulation: raw shingle stream, one min-agg per seed
+    val mins = (0 until 8).map(s =>
+      min(md5(concat(lit(s + "|"), col("sh")))).as(s"mh$s"))
+    val relational = graft.operators.Dedup.shingleRowsRaw(docs, "doc_id", "text")
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    assert(native.count() == relational.count())
+    assert(native.exceptAll(relational).isEmpty,
+      "kernel signature must be byte-identical to the aggregation formulation")
+  }
+
+  test("native simhash60 matches the relational 60-vote formulation") {
+    val docs = Tables(spark, sf, "documents").limit(100)
+    val native = graft.operators.Dedup.simhash(docs, "doc_id", "text")
+    val relational = graft.operators.Dedup.simhashRelational(docs, "doc_id", "text")
+    assert(native.count() == 100)
+    assert(native.exceptAll(relational).isEmpty,
+      "kernel simhash must be identical to the vote-column formulation")
+  }
+
+  test("native word_shingle_set matches the explode-distinct formulation") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExpressions.register(spark)
+    val docs = Tables(spark, sf, "documents").limit(100)
+    val native = docs.select(col("doc_id"),
+        explode(call_function("word_shingle_set", col("text"))).as("sh"))
+    val relational = graft.operators.Dedup.shingleRows(docs, "doc_id", "text")
+    assert(native.exceptAll(relational).isEmpty && relational.exceptAll(native).isEmpty,
+      "kernel shingle set must equal the exploded distinct shingle rows")
+  }
+
+  test("native char_ngram_set + array_overlap_count match the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExpressions.register(spark)
+    val docs = Tables(spark, sf, "documents").limit(100)
+    val native = docs.select(col("doc_id"),
+      call_function("char_ngram_set", col("text"), lit(4)).as("g"))
+    val hof = docs.select(col("doc_id"),
+      graft.operators.Dedup.charNgrams(col("text"), 4).as("g"))
+    val joined = native.withColumnRenamed("g", "gn")
+      .join(hof.withColumnRenamed("g", "gh"), "doc_id")
+      .select(col("doc_id"),
+        (size(col("gn")) === size(col("gh")) &&
+          size(array_except(col("gn"), col("gh"))) === 0).as("same_set"),
+        call_function("array_overlap_count", col("gn"), col("gh")).as("ovl"),
+        size(col("gn")).as("szn"))
+      .collect()
+    assert(joined.length == 100)
+    assert(joined.forall(_.getAs[Boolean]("same_set")), "gram sets must be equal")
+    assert(joined.forall(r => r.getAs[Int]("ovl") == r.getAs[Int]("szn")),
+      "overlap of identical sets must be the full size")
+  }
+
   test("multimodal binary round-trips width/height through the stub decoder") {
     val bytes = Multimodal.encodeFake(320, 200, "payload".getBytes("UTF-8"))
     assert(Multimodal.decodeMetaStub(bytes) == ((320, 200)))
