@@ -130,7 +130,89 @@ object EdgeSql {
         |ORDER BY op""".stripMargin)
   }
 
+  /** ROLLUP: hierarchical subtotals + grand total, grouping() markers
+    * (DataFusion GROUP BY ROLLUP surface cnosdb inherits).
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS prio,
+        |  cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  cast(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, status, prio""".stripMargin)
+  }
+
+  /** CUBE: all grouping combinations. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin)
+  }
+
+  /** Explicit GROUPING SETS incl. the empty set (grand total). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin)
+  }
+
+  /** Window frame zoo: bounded ROWS frames (moving/centered), running
+    * RANGE, and a value-RANGE frame over a numeric order key.
+    */
+  def qWindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_sum,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS centered_avg,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS near_price_n
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Regex function surface: like / extract-group / global replace /
+    * count / first-match substr (DataFusion regexp_* slt coverage).
+    * Patterns stay in the POSIX-class subset where Java and RE2 agree.
+    */
+  def qRegexpFuncs(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_partkey,
+        |  regexp_like(p_name, '[aeiou][aeiou]') AS has_vowel_pair,
+        |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  regexp_replace(p_name, '[aeiou]', '_') AS vowels_masked,
+        |  cast(regexp_count(p_name, '[a-z]+') AS BIGINT) AS n_words,
+        |  regexp_substr(p_name, '[a-z]+') AS first_match
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_window_frames" -> qWindowFrames,
+    "q_regexp_funcs" -> qRegexpFuncs,
     "q_null_agg_semantics" -> qNullAggSemantics,
     "q_limit_offset" -> qLimitOffset,
     "q_set_ops" -> qSetOps,
@@ -141,6 +223,51 @@ object EdgeSql {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS prio,
+        |  cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  cast(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, status, prio""".stripMargin,
+    "q_cube" ->
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin,
+    "q_window_frames" ->
+      """SELECT o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_sum,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS centered_avg,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS near_price_n
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    "q_regexp_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_matches(p_name, '[aeiou][aeiou]') AS has_vowel_pair,
+        |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS vowels_masked,
+        |  cast(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+        |  regexp_extract(p_name, '[a-z]+') AS first_match
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
     "q_null_agg_semantics" ->
       """SELECT o_orderstatus,
         |  count(*) AS n_rows,
