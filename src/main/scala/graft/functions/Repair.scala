@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Repair {
 
-  /** value_fill(values, method): fill NaN/±Inf samples.
-    * (data_repair/value_fill.rs: mean, previous, linear; AR/MA later.)
+  /** value_fill(values, method): fill NaN/±Inf samples
+    * (data_repair/value_fill.rs: mean, previous, linear, ar, ma).
     * Linear interpolates on *position* between finite neighbours and
     * clamps at the edges (leading NaNs take the first finite value,
-    * trailing take the last), matching fill_linear.
+    * trailing take the last), matching fill_linear. `ar` fits the
+    * reference's AR(1) (NaN-as-zero autocorrelation estimate,
+    * recursive fill from the previous repaired value). `ma` transcribes
+    * the reference's windowed accumulator EXACTLY — including that it
+    * never evicts the left edge, so past the warm-up the "window"
+    * is a growing prefix mean; semantic parity beats a prettier
+    * average here.
     */
   def fillSeries(values: Array[Double], method: String): Array[Double] = {
     val n = values.length
@@ -50,6 +56,65 @@ object Repair {
         }
         var t = math.max(prev, 0)
         while (t < n) { out(t) = v(prev); t += 1 }
+        out
+      case "ar" =>
+        val mean = finite.sum / finite.length
+        var acf = 0.0
+        var factor = 0.0
+        var i = 0
+        while (i < n - 1) {
+          val l = if (v(i).isNaN) 0.0 else v(i)
+          val r = if (v(i + 1).isNaN) 0.0 else v(i + 1)
+          acf += l * r
+          factor += l * l
+          i += 1
+        }
+        if (factor == 0.0)
+          throw new IllegalArgumentException("Cannot fit AR(1) model. Please try another method.")
+        val theta = acf / factor
+        var meanEps = 0.0
+        var cntEps = 0.0
+        i = 0
+        while (i < n - 1) {
+          if (!v(i).isNaN && !v(i + 1).isNaN) {
+            cntEps += 1
+            meanEps += v(i + 1) - theta * v(i)
+          }
+          i += 1
+        }
+        if (cntEps == 0.0)
+          throw new IllegalArgumentException("Cannot fit AR(1) model. Please try another method.")
+        meanEps /= cntEps
+        val out = new Array[Double](n)
+        i = 0
+        while (i < n) {
+          out(i) =
+            if (!v(i).isNaN) v(i)
+            else if (i == 0) mean
+            else theta * out(i - 1) + meanEps
+          i += 1
+        }
+        out
+      case "ma" =>
+        val windowSize = 5
+        var sum = 0.0
+        var cnt = 0
+        var r = windowSize - 1
+        var i = 0
+        while (i < math.min(r, n)) {
+          if (!v(i).isNaN) { sum += v(i); cnt += 1 }
+          i += 1
+        }
+        val out = new Array[Double](n)
+        i = 0
+        while (i < n) {
+          out(i) = if (!v(i).isNaN) v(i) else sum / cnt
+          if (!(i <= (windowSize - 1) / 2 || i >= n - (windowSize - 1) / 2 - 1)) {
+            if (!v(r).isNaN) { sum += v(r); cnt += 1 }
+            r += 1
+          }
+          i += 1
+        }
         out
       case other => throw new IllegalArgumentException(s"Invalid fill method: $other")
     }

@@ -50,6 +50,17 @@ object QualityGisQueries {
         .orderBy("user_id", "t")
     }),
 
+    // AR(1)/MA fills are recursive / accumulator-defined → rows-only
+    // (semantics pinned by RepairSpec fixtures from the reference code)
+    "ts_value_fill_ar" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 30)
+        .withColumn("v", when(col("event_id") % 17 === 0, lit(Double.NaN))
+          .otherwise(col("value")))
+      Repair.valueFill(ev, expr("ts_ns div 1000"), col("v"), Seq("user_id"), "ar")
+        .select(col("user_id"), col("t"), round(col("filled"), 6).as("filled"))
+        .orderBy("user_id", "t")
+    }),
+
     "ts_value_repair" -> ((s, dir) =>
       Repair.valueRepair(
         Tables.events(s, dir).filter(col("user_id") < 10),

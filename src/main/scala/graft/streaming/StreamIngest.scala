@@ -111,6 +111,23 @@ object StreamIngest {
       }
   }
 
+  /** Streaming exact dedup for a document ingest lane: first occurrence
+    * of each content hash survives; `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by the watermark horizon, so memory is
+    * O(docs-per-horizon), not O(corpus) — the streaming analogue of the
+    * batch md5-groupBy exact dedup (Dedup.exactDupGroups). The same
+    * call runs on batch frames via plain dropDuplicates.
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+                          watermark: String): DataFrame = {
+    val hashed = docs.withColumn("__h", md5(col(textCol)))
+    val deduped =
+      if (hashed.isStreaming)
+        hashed.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__h")
+      else hashed.dropDuplicates("__h")
+    deduped.drop("__h")
+  }
+
   /** Continuous ingest pipeline: stream → windowed stats → sink.
     * `memory` sink + processAllAvailable in tests; `parquet` +
     * checkpointLocation in production.

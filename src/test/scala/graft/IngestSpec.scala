@@ -130,6 +130,33 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops repeated content across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamIngest.streamingExactDedup(docs, "ts", "text", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_test").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      mem.addData((1L, ts(0), "alpha"), (2L, ts(1), "beta"), (3L, ts(2), "alpha"))
+      q.processAllAvailable()
+      mem.addData((4L, ts(3), "beta"), (5L, ts(4), "gamma"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_test").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.intersect(Set(1L, 3L)).size == 1, "one of the alpha copies survives")
+      assert(kept.contains(5L), "new content passes through")
+      assert(!kept.contains(4L), "beta repeat within the watermark is dropped")
+      assert(kept.size == 3)
+    } finally q.stop()
+    // same function runs on a batch frame
+    val batch = Seq((1L, ts(0), "x"), (2L, ts(1), "x"), (3L, ts(2), "y"))
+      .toDF("doc_id", "ts", "text")
+    assert(StreamIngest.streamingExactDedup(batch, "ts", "text", "10 minutes").count() == 2)
+  }
+
   test("streamingLastPoint keeps the max-by-time row per key") {
     import spark.implicits._
     val pts = Seq(

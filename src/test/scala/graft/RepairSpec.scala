@@ -36,6 +36,25 @@ class RepairSpec extends AnyFunSuite {
     assert(math.abs(got(3) - 4.0) < 1.0, s"spike should be repaired, got ${got(3)}")
   }
 
+  test("fillSeries ar matches the reference AR(1) fit hand-computed") {
+    // series [1, NaN, 3, 4]: acf=12, factor=10 → theta=1.2;
+    // eps over (3,4): 4 − 1.2·3 = 0.4; fill: 1.2·1 + 0.4 = 1.6
+    val out = Repair.fillSeries(Array(1.0, Double.NaN, 3.0, 4.0), "ar")
+    assert(out(0) == 1.0 && out(2) == 3.0 && out(3) == 4.0)
+    assert(math.abs(out(1) - 1.6) < 1e-12)
+    // leading NaN takes the finite mean
+    val lead = Repair.fillSeries(Array(Double.NaN, 2.0, 2.0, 2.0), "ar")
+    assert(math.abs(lead(0) - 2.0) < 1e-12)
+  }
+
+  test("fillSeries ma reproduces the reference accumulator exactly") {
+    // [NaN,1,2,NaN,4,5,6,NaN], window 5: warm-up sum over idx 0..3 = 3/2;
+    // i=3 fills 1.5 then absorbs idx4; i=7 fills the accumulated 12/4 = 3
+    val out = Repair.fillSeries(
+      Array(Double.NaN, 1.0, 2.0, Double.NaN, 4.0, 5.0, 6.0, Double.NaN), "ma")
+    assert(out.toSeq == Seq(1.5, 1.0, 2.0, 1.5, 4.0, 5.0, 6.0, 3.0))
+  }
+
   test("timestampRepair produces a regular grid covering the range") {
     val ts = Array(0L, 10L, 21L, 30L, 39L, 50L, 60L)
     val vs = Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
