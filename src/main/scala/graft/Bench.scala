@@ -23,6 +23,16 @@ object Bench {
     // warm-up: JVM/JIT + codegen + parquet footer caches, not timed
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // prime the native text kernels (MD5 + loop JIT) so the first
+    // kernel-backed query isn't charged JVM warm-up it didn't cause
+    try {
+      import spark.implicits._
+      graft.functions.TextExpressions.register(spark)
+      (1 to 5000).map(i => s"warm up the native text kernels pass $i").toDF("text")
+        .selectExpr("minhash_sig(text, 8) AS a", "char_ngram_set(text, 4) AS b",
+          "simhash60(text) AS c", "word_shingle_set(text) AS d")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) => name -> run(name, fn) }
     // 4-decimal seconds keeps the one-line JSON short enough to survive the
     // driver's fixed-size stdout tail capture (r1's full-precision line was
