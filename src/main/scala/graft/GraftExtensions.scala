@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayOverlapCount, CharNgramSet, MinhashSig, NumGcd, NumLcm, SimHash60, VecDot, WordShingleSet}
+import graft.functions.{ArrayOverlapCount, BpeTokenCount, CharNgramSet, CharSetCount, MinhashSig, NonAlnumSpaceCount, NumGcd, NumLcm, SimHash60, VecDot, WordSetCount, WordShingleSet}
 
 /** SparkSessionExtensions hook: registers graft's native expressions
   * permanently in a session built with
@@ -33,5 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c: Seq[Expression]) => WordShingleSet(c.head)))
     ext.injectFunction((FunctionIdentifier("simhash60"), info("simhash60"),
       (c: Seq[Expression]) => SimHash60(c.head)))
+    ext.injectFunction((FunctionIdentifier("word_set_count"), info("word_set_count"),
+      (c: Seq[Expression]) => WordSetCount(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("char_set_count"), info("char_set_count"),
+      (c: Seq[Expression]) => CharSetCount(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("non_alnum_space_count"), info("non_alnum_space_count"),
+      (c: Seq[Expression]) => NonAlnumSpaceCount(c.head)))
+    ext.injectFunction((FunctionIdentifier("bpe_token_count"), info("bpe_token_count"),
+      (c: Seq[Expression]) => BpeTokenCount(c.head)))
   }
 }

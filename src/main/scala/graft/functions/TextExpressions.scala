@@ -162,6 +162,89 @@ object TextKernels {
     UTF8String.fromString(new String(out))
   }
 
+  /** Count of maximal ASCII word runs ([A-Za-z0-9_], the \w class both
+    * Java and RE2 use for \b by default) whose lowercased form is in
+    * the comma-separated `csv` set — exactly regexp_count(lower(text),
+    * '\b(w1|w2|…)\b') for plain-word alternations.
+    */
+  def wordSetCount(t: UTF8String, csv: UTF8String): Int = {
+    val words = new java.util.HashSet[String]()
+    csv.toString.split(",").foreach(w => words.add(w))
+    val s = t.toString
+    var count = 0
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder(16)
+    while (i <= n) {
+      val isWord = i < n && {
+        val c = s.charAt(i)
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+      }
+      if (isWord) sb.append(Character.toLowerCase(s.charAt(i)))
+      else if (sb.length > 0) {
+        if (words.contains(sb.toString)) count += 1
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** Count of characters present in `set` — regexp_count(text,
+    * '(c1|c2|…)') for single-char alternations (e.g. CJK markers).
+    */
+  def charSetCount(t: UTF8String, set: UTF8String): Int = {
+    val s = t.toString
+    val marks = set.toString
+    var count = 0
+    var i = 0
+    while (i < s.length) {
+      if (marks.indexOf(s.charAt(i)) >= 0) count += 1
+      i += 1
+    }
+    count
+  }
+
+  /** Count of characters c where lowercase(c) ∉ [a-z0-9 ] — exactly
+    * regexp_count(lower(text), '[^a-z0-9 ]').
+    */
+  def nonAlnumSpaceCount(t: UTF8String): Int = {
+    val s = t.toString
+    var count = 0
+    var i = 0
+    while (i < s.length) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')) count += 1
+      i += 1
+    }
+    count
+  }
+
+  /** Count of matches of '[a-z]+|[0-9]+|[^a-z0-9\s]' on lower(text):
+    * one per letter run, one per digit run, one per other
+    * non-whitespace char (\s = Java/RE2 default [ \t\n\x0B\f\r]).
+    */
+  def bpeTokenCount(t: UTF8String): Int = {
+    val s = t.toString
+    var count = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if (c >= 'a' && c <= 'z') {
+        count += 1
+        while (i < n && { val d = Character.toLowerCase(s.charAt(i)); d >= 'a' && d <= 'z' }) i += 1
+      } else if (c >= '0' && c <= '9') {
+        count += 1
+        while (i < n && { val d = s.charAt(i); d >= '0' && d <= '9' }) i += 1
+      } else {
+        if (!(c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r')) count += 1
+        i += 1
+      }
+    }
+    count
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < 16) {
@@ -313,6 +396,94 @@ case class WordShingleSet(child: Expression)
   override def prettyName: String = "word_shingle_set"
 }
 
+/** word_set_count(text, csvWords) → \b-bounded whole-word match count. */
+case class WordSetCount(left: Expression, right: Expression)
+  extends BinaryExpression with StaticCallExpr {
+
+  override def dataType: DataType = IntegerType
+  protected val kernel = "graft.functions.TextKernels"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check("word_set_count", "(string, string)",
+      (l, r) => l == StringType && r == StringType)
+
+  override def nullSafeEval(t: Any, w: Any): Any =
+    TextKernels.wordSetCount(t.asInstanceOf[UTF8String], w.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w) => s"${ev.value} = $kernel.wordSetCount($t, $w);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "word_set_count"
+}
+
+/** char_set_count(text, chars) → count of chars present in the set. */
+case class CharSetCount(left: Expression, right: Expression)
+  extends BinaryExpression with StaticCallExpr {
+
+  override def dataType: DataType = IntegerType
+  protected val kernel = "graft.functions.TextKernels"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check("char_set_count", "(string, string)",
+      (l, r) => l == StringType && r == StringType)
+
+  override def nullSafeEval(t: Any, w: Any): Any =
+    TextKernels.charSetCount(t.asInstanceOf[UTF8String], w.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w) => s"${ev.value} = $kernel.charSetCount($t, $w);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "char_set_count"
+}
+
+/** non_alnum_space_count(text) → chars outside [a-z0-9 ] after lower. */
+case class NonAlnumSpaceCount(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"non_alnum_space_count requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.nonAlnumSpaceCount(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      t => s"${ev.value} = graft.functions.TextKernels.nonAlnumSpaceCount($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "non_alnum_space_count"
+}
+
+/** bpe_token_count(text) → '[a-z]+|[0-9]+|[^a-z0-9\s]' match count. */
+case class BpeTokenCount(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.bpeTokenCount(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      t => s"${ev.value} = graft.functions.TextKernels.bpeTokenCount($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "bpe_token_count"
+}
+
 object TextExpressions {
   /** Idempotent per-session registration (same pattern as
     * VectorExpressions.register).
@@ -329,5 +500,13 @@ object TextExpressions {
       (c: Seq[Expression]) => WordShingleSet(c.head), "built-in")
     reg.createOrReplaceTempFunction("simhash60",
       (c: Seq[Expression]) => SimHash60(c.head), "built-in")
+    reg.createOrReplaceTempFunction("word_set_count",
+      (c: Seq[Expression]) => WordSetCount(c.head, c(1)), "built-in")
+    reg.createOrReplaceTempFunction("char_set_count",
+      (c: Seq[Expression]) => CharSetCount(c.head, c(1)), "built-in")
+    reg.createOrReplaceTempFunction("non_alnum_space_count",
+      (c: Seq[Expression]) => NonAlnumSpaceCount(c.head), "built-in")
+    reg.createOrReplaceTempFunction("bpe_token_count",
+      (c: Seq[Expression]) => BpeTokenCount(c.head), "built-in")
   }
 }

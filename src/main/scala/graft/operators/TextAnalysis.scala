@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Stopword regexes per language (word-bounded, lowercase input). */
+  /** Stopword regexes per language (word-bounded, lowercase input) —
+    * the SQL-expressible formulation that pins oracles and the kernel
+    * equivalence specs.
+    */
   val langPatterns: Seq[(String, String)] = Seq(
     "en" -> "\\b(the|and|of|to|a|in|is|it)\\b",
     "de" -> "\\b(der|die|und|das|ein|ist|zu|den)\\b",
@@ -18,36 +21,51 @@ object TextAnalysis {
     "fr" -> "\\b(le|la|les|des|et|un|une|est)\\b",
     "zh" -> "(的|了|是|在|我|有)")
 
+  /** Same word lists for the native `word_set_count`/`char_set_count`
+    * kernels (TextExpressions): one scan instead of one regex engine
+    * pass per language.
+    */
+  private val langWordSets: Seq[(String, Column => Column)] = Seq(
+    "en" -> (t => call_function("word_set_count", t, lit("the,and,of,to,a,in,is,it"))),
+    "de" -> (t => call_function("word_set_count", t, lit("der,die,und,das,ein,ist,zu,den"))),
+    "es" -> (t => call_function("word_set_count", t, lit("el,la,de,que,y,los,es,en"))),
+    "fr" -> (t => call_function("word_set_count", t, lit("le,la,les,des,et,un,une,est"))),
+    "zh" -> (t => call_function("char_set_count", t, lit("的了是在我有"))))
+
   /** n-gram/stopword heuristic language ID with a fixed priority order
     * for ties (en > de > es > fr > zh). Returns score columns + the
-    * prediction.
+    * prediction. Scores come from the single-pass kernels; values are
+    * identical to the regex formulation (equivalence-spec-pinned).
     */
   def langId(df: DataFrame, textCol: String): DataFrame = {
-    val lowered = lower(col(textCol))
-    val scored = langPatterns.foldLeft(df) { case (d, (lang, pat)) =>
-      d.withColumn(s"s_$lang", regexp_count(lowered, lit(pat)).cast("long"))
+    graft.functions.TextExpressions.register(df.sparkSession)
+    val scored = langWordSets.foldLeft(df) { case (d, (lang, f)) =>
+      d.withColumn(s"s_$lang", f(col(textCol)).cast("long"))
     }
-    val best = langPatterns.map { case (l, _) => col(s"s_$l") }
+    val best = langWordSets.map { case (l, _) => col(s"s_$l") }
       .reduce((a, b) => greatest(a, b))
-    val pred = langPatterns.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+    val pred = langWordSets.foldRight(lit("und"): Column) { case ((l, _), acc) =>
       when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
     }
     scored.withColumn("predicted_lang", pred)
   }
 
   /** Heuristic quality score in [0,1]: token count, punctuation ratio,
-    * stopword density, mean token length.
+    * stopword density, mean token length. Punct/stopword counts run in
+    * the native kernels, not the regex engine.
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
     val t = col(textCol)
     df.withColumn("n_chars", length(t).cast("long"))
       .withColumn("n_tokens", size(split(t, " ")).cast("long"))
       .withColumn("mean_token_len",
         length(regexp_replace(t, " ", "")).cast("double") / col("n_tokens"))
       .withColumn("punct_ratio",
-        regexp_count(lower(t), lit("[^a-z0-9 ]")).cast("double") / col("n_chars"))
+        call_function("non_alnum_space_count", t).cast("double") / col("n_chars"))
       .withColumn("stopword_ratio",
-        regexp_count(lower(t), lit(langPatterns.head._2)).cast("double") / col("n_tokens"))
+        call_function("word_set_count", t, lit("the,and,of,to,a,in,is,it")).cast("double")
+          / col("n_tokens"))
       .withColumn("quality_score",
         round(lit(0.25) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
           + lit(0.25) * (lit(1.0) - col("punct_ratio"))
@@ -55,11 +73,15 @@ object TextAnalysis {
           + lit(0.25) * least(col("mean_token_len") / 8.0, lit(1.0)), 6))
   }
 
-  /** Whitespace + BPE-ish regex token counts. */
-  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+  /** Whitespace + BPE-ish token counts (native kernel for the BPE-ish
+    * class pattern).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
     df.withColumn("n_ws_tokens", size(split(col(textCol), " ")).cast("long"))
       .withColumn("n_bpe_tokens",
-        regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
+        call_function("bpe_token_count", col(textCol)).cast("long"))
+  }
 
   /** Whitespace-normalized md5 content fingerprint (first 16 hex). */
   def fingerprint(textCol: Column): Column =

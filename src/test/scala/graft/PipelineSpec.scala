@@ -134,6 +134,35 @@ class PipelineSpec extends AnyFunSuite {
       "kernel shingle set must equal the exploded distinct shingle rows")
   }
 
+  test("text-stat kernels match their regex formulations exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExpressions.register(spark)
+    val tricky = Seq(
+      "The_the the5 the-the THE it", // boundary traps: _ and digits join \w runs
+      "a a a  AND and_of of",
+      "punct!@# 12ab3 4_5 é ü",
+      "tabs\tand\nnewlines the end.",
+      "的了是在我有 mixed 的 text the",
+      "", " ", "____", "99 bottles of x"
+    ).toDF("text")
+    val corpus = Tables(spark, sf, "documents").select("text").unionByName(tricky)
+    val checked = corpus.select(
+      (call_function("word_set_count", col("text"), lit("the,and,of,to,a,in,is,it")) ===
+        regexp_count(lower(col("text")), lit("\\b(the|and|of|to|a|in|is|it)\\b"))).as("w_ok"),
+      (call_function("char_set_count", col("text"), lit("的了是在我有")) ===
+        regexp_count(lower(col("text")), lit("(的|了|是|在|我|有)"))).as("c_ok"),
+      (call_function("non_alnum_space_count", col("text")) ===
+        regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))).as("p_ok"),
+      (call_function("bpe_token_count", col("text")) ===
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))).as("b_ok"))
+      .collect()
+    assert(checked.nonEmpty)
+    Seq("w_ok", "c_ok", "p_ok", "b_ok").foreach { c =>
+      assert(checked.forall(_.getAs[Boolean](c)), s"kernel/regex mismatch in $c")
+    }
+  }
+
   test("native char_ngram_set + array_overlap_count match the HOF formulation") {
     import org.apache.spark.sql.functions._
     graft.functions.TextExpressions.register(spark)
