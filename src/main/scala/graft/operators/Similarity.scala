@@ -67,7 +67,7 @@ object Similarity {
     * md5-derived uniform in [-1, 1). Reproducible across runs/engines —
     * an ANN index rebuilt on other hardware buckets identically.
     */
-  private def planeComponent(plane: Int, d: Int): Double = {
+  private[graft] def planeComponent(plane: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"${plane}_$d".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
@@ -132,7 +132,8 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Plain-Scala Lloyd's k-means over a BOUNDED driver-side sample —

@@ -124,7 +124,46 @@ object PipelineQueries {
     })
   )
 
+  /** Full SQL oracle for the LSH ANN: the hyperplane matrix is
+    * deterministic (md5-derived), so its literal components are embedded
+    * in the SQL and DuckDB recomputes bucketing, candidate generation,
+    * and cosine ranking end-to-end — the rows-only check becomes a
+    * hash-level one. Mirrors lshAnn(numPlanes=4, dims=64, k=10,
+    * numTables=6) over queries vec_id < 20.
+    */
+  private def lshOracle: String = {
+    val (numPlanes, numTables, dims, k) = (4, 6, 64, 10)
+    def bucketExpr(t: Int): String = (0 until numPlanes).map { p =>
+      val plane = t * numPlanes + p
+      val comps = (0 until dims).map(d => Similarity.planeComponent(plane, d))
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $comps) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val cbBranches = (0 until numTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM embeddings")
+      .mkString("\nUNION ALL ")
+    s"""WITH cb AS (
+       |$cbBranches),
+       |qb AS (SELECT * FROM cb WHERE vec_id < 20),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "emb_lsh_ann" -> lshOracle,
     "doc_exact_dedup" ->
       s"""WITH $CORPUS
          |SELECT md5(text) AS h, count(*) AS n,
@@ -275,7 +314,7 @@ object PipelineQueries {
         |  doc_id % 480 + 1 AS height,
         |  strlen(text) + 8 AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin
-    // emb_lsh_ann, emb_ivf_ann: candidate-generation semantics pinned by
-    // PipelineSpec recall checks vs brute force → rows-only.
+    // emb_ivf_ann: quantizer is trained on a Spark-side sample (not SQL-
+    // reproducible) → rows-only + PipelineSpec recall floor.
   )
 }
