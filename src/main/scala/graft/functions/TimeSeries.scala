@@ -194,6 +194,45 @@ object TimeSeries {
   def sampleReservoir(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed)).limit(n)
 
+  /** Backward as-of join: for every left row, the latest right row with
+    * ts ≤ left.ts on the same key (DuckDB/pandas ASOF semantics; equal
+    * timestamps match). Implemented as union + per-key window — ONE
+    * shuffle on the key and a single ordered pass, never a per-row
+    * range join (the naive formulation is |L|×|R| per key at 100 TB).
+    * Rows from the right side sort before left rows at equal ts so the
+    * match is inclusive. `toleranceSeconds` nulls out matches staler
+    * than the horizon. Right rows should be unique per (key, ts) —
+    * pre-aggregate otherwise, as match choice among equal-ts rows is
+    * tie-broken arbitrarily.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, tsCol: String, keyCols: Seq[String],
+               leftCols: Seq[String], rightCols: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    val k = keyCols.map(col)
+    val lt = left.select(k ++ Seq(col(tsCol).as("__ts"),
+      struct(leftCols.map(col): _*).as("__lp"), lit(1).as("__src")): _*)
+    val rt = right.select(k ++ Seq(col(tsCol).as("__ts"),
+      struct(rightCols.map(col): _*).as("__rp"), lit(0).as("__src")): _*)
+    val u = lt.unionByName(rt, allowMissingColumns = true)
+    val w = Window.partitionBy(k: _*).orderBy(col("__ts"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withMatch = u.withColumn("__m",
+      last(when(col("__src") === 0,
+        struct(col("__ts").as("ts"), col("__rp").as("p"))), ignoreNulls = true).over(w))
+    val bounded = toleranceSeconds match {
+      case Some(tol) => when(
+        col("__m").isNotNull &&
+          col("__ts").cast("double") - col("__m.ts").cast("double") <= tol, col("__m"))
+      case None => col("__m")
+    }
+    withMatch.filter(col("__src") === 1)
+      .withColumn("__m", bounded)
+      .select(k ++ Seq(col("__ts").as(tsCol)) ++
+        leftCols.map(c => col(s"__lp.$c").as(c)) ++
+        Seq(col("__m.ts").as("asof_ts")) ++
+        rightCols.map(c => col(s"__m.p.$c").as(s"asof_$c")): _*)
+  }
+
   /** time_window_gapfill + locf + interpolate (scalar_function/
     * {gapfill,locf,interpolate}.rs): dense per-group bucket spine from
     * the group's observed range, missing buckets carried forward (locf)

@@ -142,6 +142,22 @@ object TimeSeriesQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // As-of join: each click aligned to the user's latest view at or
+    // before it. Right side pre-aggregated to unique (user, ts) so the
+    // match is deterministic; DuckDB's native ASOF LEFT JOIN is the
+    // oracle.
+    "ts_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumnRenamed("value", "click_value")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      TimeSeries.asofJoin(clicks, views, "ts", Seq("user_id"),
+        Seq("event_id", "click_value"), Seq("view_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "ts_show_series" -> ((s, dir) =>
       Tables.events(s, dir).select("event_type").distinct().orderBy("event_type")),
 
@@ -353,6 +369,18 @@ object TimeSeriesQueries {
          |      pv + (nv - pv) * (epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))
          |  END, 6) AS interp_value
          |FROM f ORDER BY event_type, bucket""".stripMargin,
+    "ts_asof_join" ->
+      s"""WITH l AS (
+         |  SELECT user_id, ts, event_id, value AS click_value
+         |  FROM $E WHERE event_type = 'click'),
+         |r AS (
+         |  SELECT user_id, ts, max(value) AS view_value
+         |  FROM $E WHERE event_type = 'view' GROUP BY user_id, ts)
+         |SELECT l.user_id AS user_id, l.ts AS ts, l.event_id AS event_id, l.click_value,
+         |  r.ts AS asof_ts, r.view_value AS asof_view_value
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+         |ORDER BY l.user_id, l.event_id""".stripMargin,
     "ts_show_series" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "ts_show_tag_values" ->

@@ -123,6 +123,27 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(TimeSeries.sampleReservoir(df, 5000).count() == 1000)
   }
 
+  test("asofJoin matches latest-at-or-before, honors tolerance, nulls when none") {
+    def mk(rows: (Long, Long, Double)*) = rows.toDF("k", "ts_s", "v")
+      .select(col("k"), timestamp_seconds(col("ts_s")).as("ts"), col("v"))
+    val left = mk((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 50L, 5.0), (2L, 100L, 1.0))
+    val right = mk((1L, 100L, 0.7), (1L, 180L, 0.9)) // key 2 has no right rows
+      .withColumnRenamed("v", "rv")
+    val out = TimeSeries.asofJoin(left, right, "ts", Seq("k"), Seq("v"), Seq("rv"))
+      .orderBy("k", "ts").collect()
+    // left@50 precedes all right rows → null; left@100 matches right@100
+    // (equal ts inclusive); left@200 matches right@180
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_rv")))
+    assert(out(1).getAs[Double]("asof_rv") == 0.7)
+    assert(out(2).getAs[Double]("asof_rv") == 0.9)
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_rv"))) // key 2: no match
+    // tolerance: the 100→180 gap survives 30s only for the equal-ts match
+    val tol = TimeSeries.asofJoin(left, right, "ts", Seq("k"), Seq("v"), Seq("rv"),
+      toleranceSeconds = Some(10L)).orderBy("k", "ts").collect()
+    assert(tol(1).getAs[Double]("asof_rv") == 0.7)  // 0s old
+    assert(tol(2).isNullAt(tol(2).fieldIndex("asof_rv"))) // 20s old > 10s
+  }
+
   test("lastPoint with equal timestamps resolves via the tiebreak") {
     val df = Seq((1L, 10L, 1, "x"), (1L, 10L, 2, "y")).toDF("sid", "ts_s", "tb", "payload")
       .select(col("sid"), timestamp_seconds(col("ts_s")).as("ts"), col("tb"), col("payload"))
