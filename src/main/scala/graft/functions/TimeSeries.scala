@@ -233,6 +233,35 @@ object TimeSeries {
         rightCols.map(c => col(s"__m.p.$c").as(s"asof_$c")): _*)
   }
 
+  /** Binned range join: left rows against right [start, end) intervals
+    * (equi keys + containment). Spark would otherwise plan the ts ∈
+    * [start, end) predicate as a nested-loop join — |L|×|R| per key.
+    * Binning makes it an equijoin: left rows key on their time bin,
+    * intervals explode to every bin they cover, the join matches on
+    * (keys, bin) and the exact containment filter prunes bin-edge
+    * false positives. Each left row lives in exactly one bin, so no
+    * dedup is needed. Work is |L| + Σ interval-spans/bin — linear, one
+    * shuffle. `maxBinsPerInterval` fail-fasts adversarially long
+    * intervals (same guard pattern as gapfill).
+    */
+  def rangeJoinBinned(left: DataFrame, ltsCol: String, right: DataFrame,
+                      startCol: String, endCol: String, equiKeys: Seq[String],
+                      binSeconds: Long, maxBinsPerInterval: Long = 10000L): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    def bin(c: Column): Column = floor(c.cast("double") / binSeconds).cast("long")
+    val lb = left.withColumn("__bin", bin(col(ltsCol)))
+    val nBins = bin(col(endCol)) - bin(col(startCol)) + 1
+    val guardedEnd = when(nBins > maxBinsPerInterval,
+        raise_error(concat(
+          lit("rangeJoinBinned: an interval covers "), nBins.cast("string"),
+          lit(s" bins (> maxBinsPerInterval=$maxBinsPerInterval); widen binSeconds"))).cast("long"))
+      .otherwise(bin(col(endCol)))
+    val rb = right.withColumn("__bin", explode(sequence(bin(col(startCol)), guardedEnd)))
+    lb.join(rb, equiKeys :+ "__bin")
+      .filter(col(ltsCol) >= col(startCol) && col(ltsCol) < col(endCol))
+      .drop("__bin")
+  }
+
   /** time_window_gapfill + locf + interpolate (scalar_function/
     * {gapfill,locf,interpolate}.rs): dense per-group bucket spine from
     * the group's observed range, missing buckets carried forward (locf)

@@ -158,6 +158,24 @@ object TimeSeriesQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Binned range join: events against synthetic 2-hour maintenance
+    // windows every 7 hours per type; the oracle is DuckDB's plain
+    // inequality join over the same construction.
+    "ts_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wins = ev.groupBy("event_type")
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"))
+        .select(col("event_type"), col("t0"), explode(sequence(lit(0), lit(19))).as("k"))
+        .select(col("event_type"),
+          expr("t0 + k * INTERVAL '7' HOUR").as("w_start"))
+        .withColumn("w_end", expr("w_start + INTERVAL '2' HOUR"))
+      TimeSeries.rangeJoinBinned(ev.select("event_type", "ts", "value"), "ts",
+        wins, "w_start", "w_end", Seq("event_type"), binSeconds = 3600L)
+        .groupBy("event_type", "w_start")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type", "w_start")
+    }),
+
     "ts_show_series" -> ((s, dir) =>
       Tables.events(s, dir).select("event_type").distinct().orderBy("event_type")),
 
@@ -369,6 +387,19 @@ object TimeSeriesQueries {
          |      pv + (nv - pv) * (epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))
          |  END, 6) AS interp_value
          |FROM f ORDER BY event_type, bucket""".stripMargin,
+    "ts_range_join" ->
+      s"""WITH base AS (
+         |  SELECT event_type, date_trunc('hour', min(ts)) AS t0 FROM $E GROUP BY 1),
+         |w AS (
+         |  SELECT event_type,
+         |    t0 + (k * INTERVAL 7 HOUR) AS w_start,
+         |    t0 + (k * INTERVAL 7 HOUR) + INTERVAL 2 HOUR AS w_end
+         |  FROM base, LATERAL (SELECT unnest(generate_series(0, 19)) AS k) u)
+         |SELECT w.event_type AS event_type, w.w_start AS w_start,
+         |  count(*) AS n_events, round(sum(e.value), 4) AS sum_value
+         |FROM w JOIN $E e
+         |  ON e.event_type = w.event_type AND e.ts >= w.w_start AND e.ts < w.w_end
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ts_asof_join" ->
       s"""WITH l AS (
          |  SELECT user_id, ts, event_id, value AS click_value

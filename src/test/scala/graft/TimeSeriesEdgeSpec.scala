@@ -144,6 +144,31 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(tol(2).isNullAt(tol(2).fieldIndex("asof_rv"))) // 20s old > 10s
   }
 
+  test("rangeJoinBinned matches containment exactly and guards long intervals") {
+    val ev = Seq((1L, 100L, 1.0), (1L, 199L, 2.0), (1L, 200L, 3.0), (2L, 150L, 9.0))
+      .toDF("k", "ts_s", "v")
+      .select(col("k"), timestamp_seconds(col("ts_s")).as("ts"), col("v"))
+    val wins = Seq((1L, 100L, 200L), (2L, 0L, 100L)).toDF("k", "s_s", "e_s")
+      .select(col("k"), timestamp_seconds(col("s_s")).as("w_start"),
+        timestamp_seconds(col("e_s")).as("w_end"))
+    val out = TimeSeries.rangeJoinBinned(ev, "ts", wins, "w_start", "w_end",
+      Seq("k"), binSeconds = 60L).orderBy("ts").collect()
+    // [100, 200): rows at 100 and 199 match; 200 excluded; key 2's row
+    // at 150 is outside its [0, 100) window
+    assert(out.map(_.getAs[Double]("v")).toSeq == Seq(1.0, 2.0))
+    // an interval covering > maxBinsPerInterval bins fails fast
+    val huge = Seq((1L, 0L, 10000000L)).toDF("k", "s_s", "e_s")
+      .select(col("k"), timestamp_seconds(col("s_s")).as("w_start"),
+        timestamp_seconds(col("e_s")).as("w_end"))
+    val e = intercept[Exception] {
+      TimeSeries.rangeJoinBinned(ev, "ts", huge, "w_start", "w_end",
+        Seq("k"), binSeconds = 1L, maxBinsPerInterval = 1000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("rangeJoinBinned")), s"wanted guard message, got $e")
+  }
+
   test("lastPoint with equal timestamps resolves via the tiebreak") {
     val df = Seq((1L, 10L, 1, "x"), (1L, 10L, 2, "y")).toDF("sid", "ts_s", "tb", "payload")
       .select(col("sid"), timestamp_seconds(col("ts_s")).as("ts"), col("tb"), col("payload"))
