@@ -207,7 +207,46 @@ object EdgeSql {
         |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin)
   }
 
+  /** Ternary-logic partitioning (the reference's sqlancer suite): for a
+    * nullable predicate p, the three-way split WHERE p / WHERE NOT p /
+    * WHERE p IS NULL must cover the table exactly, and IS DISTINCT FROM
+    * is the null-safe comparison.
+    */
+  def qTlpPartition(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH p AS (
+        |  SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio
+        |  FROM orders)
+        |SELECT 'a_true' AS part, count(*) AS n FROM p WHERE prio > '2'
+        |UNION ALL SELECT 'b_false', count(*) FROM p WHERE NOT (prio > '2')
+        |UNION ALL SELECT 'c_null', count(*) FROM p WHERE (prio > '2') IS NULL
+        |UNION ALL SELECT 'd_total', count(*) FROM p
+        |UNION ALL SELECT 'e_isdistinct', count(*) FROM p
+        |  WHERE prio IS DISTINCT FROM '5-LOW'
+        |UNION ALL SELECT 'f_notdistinct', count(*) FROM p
+        |  WHERE prio IS NOT DISTINCT FROM NULL
+        |ORDER BY part""".stripMargin)
+  }
+
+  /** Bit / boolean aggregates (sqlancer exercises BIT_AND; DataFusion
+    * surface: bit_and/or/xor, bool_and/bool_or).
+    */
+  def qBitBoolAgg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey % 256) AS b_and,
+        |  bit_or(o_orderkey % 256) AS b_or,
+        |  bit_xor(o_orderkey % 256) AS b_xor,
+        |  bool_and(o_totalprice > 1000) AS all_gt_1000,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tlp_partition" -> qTlpPartition,
+    "q_bit_bool_agg" -> qBitBoolAgg,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
@@ -223,6 +262,27 @@ object EdgeSql {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_tlp_partition" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio
+        |  FROM orders)
+        |SELECT 'a_true' AS part, count(*) AS n FROM p WHERE prio > '2'
+        |UNION ALL SELECT 'b_false', count(*) FROM p WHERE NOT (prio > '2')
+        |UNION ALL SELECT 'c_null', count(*) FROM p WHERE (prio > '2') IS NULL
+        |UNION ALL SELECT 'd_total', count(*) FROM p
+        |UNION ALL SELECT 'e_isdistinct', count(*) FROM p
+        |  WHERE prio IS DISTINCT FROM '5-LOW'
+        |UNION ALL SELECT 'f_notdistinct', count(*) FROM p
+        |  WHERE prio IS NOT DISTINCT FROM NULL
+        |ORDER BY part""".stripMargin,
+    "q_bit_bool_agg" ->
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey % 256) AS b_and,
+        |  bit_or(o_orderkey % 256) AS b_or,
+        |  bit_xor(o_orderkey % 256) AS b_xor,
+        |  bool_and(o_totalprice > 1000) AS all_gt_1000,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_rollup" ->
       """SELECT
         |  CASE WHEN grouping(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
