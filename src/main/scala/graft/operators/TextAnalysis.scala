@@ -87,6 +87,33 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     substring(md5(regexp_replace(lower(textCol), "\\s+", " ")), 1, 16)
 
+  /** Benchmark decontamination: flag corpus documents that share any
+    * word-shingle with the benchmark set (the standard "n-gram overlap
+    * with eval data" filter in training-data pipelines; production
+    * pipelines use 8-13-gram shingles — this uses the library's 3-gram
+    * `word_shingle_set` kernel, same shape).
+    *
+    * 100 TB shape: benchmark shingles are DISTINCT + broadcast (eval
+    * sets are tiny next to the corpus), the corpus side is a mapper
+    * explode into a broadcast semi-join — no corpus shuffle; only the
+    * contaminated id list (bounded by real overlap) is exchanged for
+    * the final flag join.
+    */
+  def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(corpus.sparkSession)
+    val bShingles = broadcast(benchmark
+      .select(explode(call_function("word_shingle_set", col(textCol))).as("sh"))
+      .distinct())
+    val contaminated = corpus
+      .select(col(idCol), explode(call_function("word_shingle_set", col(textCol))).as("sh"))
+      .join(bShingles, Seq("sh"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("__c", lit(true))
+    corpus.join(contaminated, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__c"), lit(false)).as("contaminated"))
+  }
+
   /** Karp-Rabin winnowing fingerprint over char k-grams: min rolling
     * hash per window — robust doc signature for shift-tolerant matching
     * (spec-tested; not SQL-expressible → rows-only when queried).

@@ -69,6 +69,15 @@ object PipelineQueries {
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
         .orderBy("doc_id")),
 
+    // Decontamination: benchmark = documents with doc_id < 50; corpus =
+    // the dup-injected corpus, whose exact (+1e6) and near (+2e6)
+    // copies of benchmark docs must flag true.
+    "doc_decontaminate" -> ((s, dir) => {
+      val bench = Tables(s, dir, "documents").filter(col("doc_id") < 50)
+      TextAnalysis.flagContaminated(corpus(s, dir), "doc_id", "text", bench)
+        .orderBy("doc_id")
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -278,6 +287,20 @@ object PipelineQueries {
         |  len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_decontaminate" ->
+      s"""WITH $CORPUS,
+         |bsh AS (
+         |  SELECT DISTINCT t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+         |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+         |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+         |bad AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.sh = b.sh)
+         |SELECT corpus.doc_id AS doc_id, bad.doc_id IS NOT NULL AS contaminated
+         |FROM corpus LEFT JOIN bad ON corpus.doc_id = bad.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint

@@ -236,6 +236,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(sampled.columns.toSeq == Seq("doc_id", "frame_idx", "frame_byte"))
   }
 
+  test("flagContaminated flags copies of benchmark docs, passes clean ones") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") < 20)
+    // corpus: exact copies of benchmark docs (+1000) — must flag — and
+    // vocabulary-disjoint synthetic docs — must pass (the shared
+    // synthetic vocabulary makes real "fresh" docs collide on 3-grams,
+    // which is correct flag behavior but not a clean-negative fixture)
+    import spark.implicits._
+    val cleanDocs = (2000L until 2010L)
+      .map(id => (id, s"zzq$id aaq$id bbq$id ccq$id ddq$id"))
+      .toDF("doc_id", "text")
+    val corpus = bench.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+      .unionByName(cleanDocs)
+    val out = graft.operators.TextAnalysis
+      .flagContaminated(corpus, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (1000L until 1020L).foreach(id =>
+      assert(out(id), s"copy $id of a benchmark doc must flag contaminated"))
+    (2000L until 2010L).foreach(id =>
+      assert(!out(id), s"vocabulary-disjoint doc $id must pass clean"))
+  }
+
   test("winnow fingerprint is shift-tolerant") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("PREFIX the quick brown fox jumps over the lazy dog")
