@@ -66,11 +66,16 @@ object TextAnalysis {
       .withColumn("stopword_ratio",
         call_function("word_set_count", t, lit("the,and,of,to,a,in,is,it")).cast("double")
           / col("n_tokens"))
+      // floor-quantized output: the score's inputs are deterministic
+      // on any engine (exact-int divisions), but round() IMPLEMENTATIONS
+      // disagree on boundary values (exact-decimal half-up vs float
+      // multiply) — floor of bitwise-identical doubles cannot diverge
       .withColumn("quality_score",
-        round(lit(0.25) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+        floor((lit(0.25) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
           + lit(0.25) * (lit(1.0) - col("punct_ratio"))
           + lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0))
-          + lit(0.25) * least(col("mean_token_len") / 8.0, lit(1.0)), 6))
+          + lit(0.25) * least(col("mean_token_len") / 8.0, lit(1.0))) * 1000000.0)
+          / 1000000.0)
   }
 
   /** Whitespace + BPE-ish token counts (native kernel for the BPE-ish

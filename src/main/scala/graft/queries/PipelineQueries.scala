@@ -272,7 +272,7 @@ object PipelineQueries {
         |    / length(text), 6) AS punct_ratio,
         |  round(cast(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it)\b'))
         |    AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
-        |  round(
+        |  floor((
         |    0.25 * least(cast(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
         |    + 0.25 * (1.0 - cast(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
         |        / length(text))
@@ -280,7 +280,8 @@ object PipelineQueries {
         |        '\b(the|and|of|to|a|in|is|it)\b')) AS DOUBLE)
         |        / len(string_split(text, ' ')) * 5.0, 1.0)
         |    + 0.25 * least(cast(length(replace(text, ' ', '')) AS DOUBLE)
-        |        / len(string_split(text, ' ')) / 8.0, 1.0), 6) AS quality_score
+        |        / len(string_split(text, ' ')) / 8.0, 1.0)) * 1000000.0)
+        |    / 1000000.0 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_token_count" ->
       """SELECT doc_id,

@@ -20,8 +20,14 @@ object TimeSeriesQueries {
       TimeSeries.timeWindow(col("ts"), "1 hour") match { case w =>
         Tables.events(s, dir)
           .groupBy(w.as("w"), col("event_type"))
+          // avg over order-dependent double sums drifts by ulps between
+          // engines and the 2-decimal source data lands averages ON
+          // rounding boundaries: sum exact integer cents instead, then
+          // floor-quantize — floor of bitwise-identical doubles cannot
+          // diverge (round() implementations do, on half values).
           .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"),
-            round(avg("value"), 6).as("avg_value"))
+            (floor(sum(round(col("value") * 100).cast("long")) / 100.0 / count(lit(1))
+              * 1000000.0) / 1000000.0).as("avg_value"))
           .select(col("event_type"), col("w.start").as("w_start"),
             col("n"), col("sum_value"), col("avg_value"))
           .orderBy("event_type", "w_start")
@@ -126,7 +132,8 @@ object TimeSeriesQueries {
       val ev = Tables.events(s, dir).filter(col("user_id") < 30)
       val bucketed = ev
         .groupBy(col("event_type"), TimeSeries.timeWindow(col("ts"), "1 hour").getField("start").as("bucket"))
-        .agg(round(avg("value"), 6).as("v"))
+        .agg((floor(sum(round(col("value") * 100).cast("long")) / 100.0 / count(lit(1))
+          * 1000000.0) / 1000000.0).as("v"))
       TimeSeries.gapfill(bucketed, Seq("event_type"), "bucket", "v", 3600L)
         .select(col("event_type"), col("bucket"), round(col("locf"), 6).as("locf_value"))
         .orderBy("event_type", "bucket")
@@ -136,9 +143,10 @@ object TimeSeriesQueries {
       val ev = Tables.events(s, dir).filter(col("user_id") < 30)
       val bucketed = ev
         .groupBy(col("event_type"), TimeSeries.timeWindow(col("ts"), "1 hour").getField("start").as("bucket"))
-        .agg(round(avg("value"), 6).as("v"))
+        .agg((floor(sum(round(col("value") * 100).cast("long")) / 100.0 / count(lit(1))
+          * 1000000.0) / 1000000.0).as("v"))
       TimeSeries.gapfill(bucketed, Seq("event_type"), "bucket", "v", 3600L)
-        .select(col("event_type"), col("bucket"), round(col("interpolated"), 6).as("interp_value"))
+        .select(col("event_type"), col("bucket"), (floor(col("interpolated") * 1000000.0) / 1000000.0).as("interp_value"))
         .orderBy("event_type", "bucket")
     }),
 
@@ -209,7 +217,8 @@ object TimeSeriesQueries {
       s"""SELECT event_type,
          |  epoch_ms(cast(floor(epoch(ts) / 3600) * 3600000 AS BIGINT)) AS w_start,
          |  count(*) AS n, round(sum(value), 4) AS sum_value,
-         |  round(avg(value), 6) AS avg_value
+         |  floor(sum(cast(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+         |    * 1000000.0) / 1000000.0 AS avg_value
          |FROM $E
          |GROUP BY event_type, w_start
          |ORDER BY event_type, w_start""".stripMargin,
@@ -344,7 +353,8 @@ object TimeSeriesQueries {
       s"""WITH b AS (
          |  SELECT event_type,
          |    epoch_ms(cast(floor(epoch(ts) / 3600) * 3600000 AS BIGINT)) AS bucket,
-         |    round(avg(value), 6) AS v
+         |    floor(sum(cast(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+         |      * 1000000.0) / 1000000.0 AS v
          |  FROM $E WHERE user_id < 30 GROUP BY 1, 2),
          |spine AS (
          |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
@@ -360,7 +370,8 @@ object TimeSeriesQueries {
       s"""WITH b AS (
          |  SELECT event_type,
          |    epoch_ms(cast(floor(epoch(ts) / 3600) * 3600000 AS BIGINT)) AS bucket,
-         |    round(avg(value), 6) AS v
+         |    floor(sum(cast(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+         |      * 1000000.0) / 1000000.0 AS v
          |  FROM $E WHERE user_id < 30 GROUP BY 1, 2),
          |spine AS (
          |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
@@ -382,10 +393,10 @@ object TimeSeriesQueries {
          |  nw AS (PARTITION BY event_type ORDER BY bucket
          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
          |SELECT event_type, bucket,
-         |  round(CASE WHEN v IS NOT NULL THEN v
+         |  floor((CASE WHEN v IS NOT NULL THEN v
          |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
          |      pv + (nv - pv) * (epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))
-         |  END, 6) AS interp_value
+         |  END) * 1000000.0) / 1000000.0 AS interp_value
          |FROM f ORDER BY event_type, bucket""".stripMargin,
     "ts_range_join" ->
       s"""WITH base AS (
