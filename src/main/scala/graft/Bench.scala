@@ -41,10 +41,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // File copy is the machine-credited channel; stdout is best-effort.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RESULT.json"), line + "\n")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query map goes to the file; stdout gets ONLY a short
+    // totals line LAST so it survives any fixed-size tail capture
+    // (r1/r2 both had "parsed": null because the 100-query map pushed
+    // the line start outside the captured tail window).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RESULT.json"), fullLine + "\n")
     spark.stop()
-    println(line)
+    val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName"}""")
   }
 }

@@ -94,14 +94,30 @@ object Dedup {
     * self-join's two branches each recomputed the full signature pass).
     * The pair-expansion lambda runs interpreted, but only over the
     * colliding buckets, whose size LSH keeps small by construction.
+    *
+    * `maxBucketSize` is the adversarial-input guard (same pattern as
+    * gapfill / rangeJoinBinned): a mass-duplicated corpus — exactly
+    * what dedup pipelines meet — collapses the dup class into ONE
+    * bucket, whose all-pairs expansion is O(n²) rows inside a single
+    * task. Past the cap the query fails fast naming the bucket size
+    * and pointing at `exactDupGroups` as the pre-pass that removes
+    * exact copies (after which surviving buckets are genuinely-near
+    * neighbors and small). The guard is fused into the expansion's
+    * slice bound so column pruning can never drop it.
     */
-  def lshCandidates(bandHashes: DataFrame, idCol: String): DataFrame =
+  def lshCandidates(bandHashes: DataFrame, idCol: String,
+                    maxBucketSize: Int = 1000): DataFrame =
     bandHashes.groupBy("band", "band_hash")
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
+          s"transform(slice(ids, i + 2, CASE WHEN size(ids) > $maxBucketSize THEN " +
+          "CAST(raise_error(concat('lshCandidates: an LSH bucket holds ', " +
+          "CAST(size(ids) AS STRING), " +
+          s"' ids (> maxBucketSize=$maxBucketSize); the corpus is mass-duplicated — " +
+          "run exactDupGroups as a pre-pass or raise the cap')) AS INT) " +
+          "ELSE size(ids) END), y -> struct(x AS id_a, y AS id_b))))"))
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
@@ -110,30 +126,37 @@ object Dedup {
     * candidates only.
     *
     * 100 TB shape: the signature is a mapper (minhash_sig kernel), the
-    * candidate set is a (band, band_hash) self-join bounded by real
-    * collisions, and the confirm stage broadcasts the SMALL candidate
-    * pair list against two mapper-only `word_shingle_set` scans — the
-    * corpus is never shuffled and the candidate subtree is computed
-    * exactly once (r1 shuffled a distinct (id, shingle) explode of the
-    * whole corpus through two more joins).
+    * candidate set is a (band, band_hash) agg bounded by real
+    * collisions (and by `maxBucketSize`), and the confirm stage
+    * broadcasts ONLY the small id-pair list — never rows carrying
+    * shingle arrays — into each corpus-side semi-join, so the corpus
+    * scans stay mapper-only. The two array-carrying sides then meet in
+    * a pair-keyed equijoin over |candidates| rows only (r2 broadcast
+    * the A-side WITH its full shingle set per pair, which a dup-heavy
+    * corpus could push past the broadcast cap / driver memory).
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 8, bands: Int = 2,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucketSize: Int = 1000): DataFrame = {
     graft.functions.TextExpressions.register(df.sparkSession)
     val sig = minhashSignature(df, idCol, textCol, numHashes)
-    val cands = lshCandidates(lshBandHashes(sig, idCol, numHashes, bands), idCol)
+    val cands =
+      lshCandidates(lshBandHashes(sig, idCol, numHashes, bands), idCol, maxBucketSize)
     val sets = df.select(col(idCol).as("__sid"),
       call_function("word_shingle_set", col(textCol)).as("__shs"))
-    // candidates ⋉ shingle sets, both joins mapper-side via broadcast
-    // of the (LSH-bounded) candidate side
+    // corpus ⋉ broadcast(id pairs): mapper-only scans; only candidate
+    // rows (with their shingle sets) reach the pair-keyed join below
     val withA = sets.join(broadcast(cands), col("__sid") === col("id_a"))
       .select(col("id_a"), col("id_b"), col("__shs").as("__sh_a"))
-    val pairs = sets.join(broadcast(withA), col("__sid") === col("id_b"))
+    val withB = sets.join(broadcast(cands), col("__sid") === col("id_b"))
+      .select(col("id_a").as("__ja"), col("id_b").as("__jb"), col("__shs").as("__sh_b"))
+    val pairs = withA.join(withB,
+        col("id_a") === col("__ja") && col("id_b") === col("__jb"))
       .withColumn("__inter",
-        call_function("array_overlap_count", col("__sh_a"), col("__shs")))
+        call_function("array_overlap_count", col("__sh_a"), col("__sh_b")))
       .withColumn("jaccard",
-        col("__inter") / (size(col("__sh_a")) + size(col("__shs")) - col("__inter")))
+        col("__inter") / (size(col("__sh_a")) + size(col("__sh_b")) - col("__inter")))
     pairs
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -100,6 +100,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(b1.exceptAll(b2).isEmpty)
   }
 
+  test("lshCandidates fails fast on a mass-duplicated corpus (bucket guard)") {
+    import spark.implicits._
+    // 10k identical docs collapse into ONE LSH bucket per band: the
+    // all-pairs expansion would be ~5e7 rows in a single task. The
+    // guard must fail fast naming the bucket size, not OOM.
+    val dupes = (1 to 10000)
+      .map(i => (i.toLong, "the same exact document text repeated verbatim for everyone"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.operators.Dedup.minHashNearDups(dupes, "doc_id", "text").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m => m.contains("maxBucketSize") && m.contains("10000")),
+      s"expected the lshCandidates guard message, got: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("minHashNearDups with a raised cap still degrades linearly-ish on dup classes") {
+    import spark.implicits._
+    // 50 copies of one doc + 50 distinct docs: within the raised cap the
+    // operator must return the full 50*49/2 dup-class pairs at jaccard 1.
+    val docs = ((1 to 50).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      (51 to 100).map(i => (i.toLong, s"unique document number $i with words w${i}a w${i}b w${i}c")))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .minHashNearDups(docs, "doc_id", "text", threshold = 0.99, maxBucketSize = 100)
+    assert(pairs.count() == 50L * 49 / 2)
+  }
+
   test("native minhash_sig matches the row-per-seed aggregation formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents").limit(100)
