@@ -184,8 +184,17 @@ object TimeSeriesQueries {
         .orderBy("event_type", "w_start")
     }),
 
+    // SHOW SERIES emits the full series key — measurement + every tag
+    // pair, tags sorted by name (reference dql/show_series.slt:
+    // "test,t0=a,t1=b,t2=c"). events' tag columns are event_type and
+    // user_id; the key is assembled in the scan projection so the only
+    // exchange is the tag-set DISTINCT.
     "ts_show_series" -> ((s, dir) =>
-      Tables.events(s, dir).select("event_type").distinct().orderBy("event_type")),
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(concat(lit("events,event_type="), col("event_type"),
+          lit(",user_id="), col("user_id").cast("string")).as("key"))
+        .orderBy("key")),
 
     "ts_show_tag_values" -> ((s, dir) =>
       Tables.events(s, dir).select("user_id").distinct().orderBy("user_id")),
@@ -209,7 +218,48 @@ object TimeSeriesQueries {
         .agg(round(count(lit(1)) / 6.0, 6).as("hours_active"))
         .select(col("user_id"), col("d.start").as("day"), col("hours_active"))
         .orderBy("user_id", "day")
-    })
+    }),
+
+    // ns-precision time lane (reference dql/time_datatype.slt — the
+    // native time type is TIMESTAMP(NANOSECOND); Spark timestamps are
+    // µs). Tables.events carries the raw parquet nanos as ts_ns BIGINT
+    // beside the µs ts. Hash-green claims: (a) ts_us — Spark's
+    // ts_ns div 1000 vs DuckDB's epoch_us(ts) over REAL data (DuckDB
+    // truncates parquet ns→µs at read, so µs agreement is the strongest
+    // oracle-visible property of the physical column); (b) us_agree —
+    // the µs timestamp column is exactly the truncation of ts_ns
+    // (computed on the Spark side, constant true in the oracle, so a
+    // contract break hash-mismatches); (c) the full ns round-trip —
+    // split into (µs timestamp, sub-µs remainder), reconstructed
+    // exactly — over a sub-µs-rich ns column both engines construct
+    // identically. NsLaneSpec pins that the real parquet ts_ns itself
+    // has nonzero sub-µs digits (non-vacuous lane).
+    "ts_ns_roundtrip" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("us_agree", expr("unix_micros(ts) = ts_ns div 1000"))
+        .withColumn("ns", lit(1704067200000000000L) + col("event_id") * lit(1234567891L))
+        .withColumn("sub_us", expr("ns % 1000"))
+        .withColumn("ns_rt",
+          expr("unix_micros(timestamp_micros(ns div 1000)) * 1000 + ns % 1000"))
+        .withColumn("rt_exact", col("ns_rt") === col("ns"))
+        .withColumn("bucket_10ms", expr("ns div 10000000"))
+        .select("event_id", "ts_us", "us_agree", "ns", "sub_us", "ns_rt",
+          "rt_exact", "bucket_10ms")
+        .orderBy("event_id").limit(2000)
+    }),
+
+    // Pins the shared-truncation contract between Tables.events (Spark:
+    // parquet nanos → ts_ns, ts = timestamp_micros(ts_ns div 1000)) and
+    // the oracle view E (DuckDB: cast(ts AS TIMESTAMP)) over REAL rows.
+    // The oracle below IS the E text, so any drift between the two
+    // views hash-mismatches here before it can green-wash the other TS
+    // oracles (they all start from E). LIMIT keeps the driver's
+    // row-sort compare bounded at larger scale factors.
+    "ts_events_view" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy("event_id").limit(10000))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,7 +474,10 @@ object TimeSeriesQueries {
          |  ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY l.user_id, l.event_id""".stripMargin,
     "ts_show_series" ->
-      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+      """SELECT concat('events,event_type=', event_type,
+        |  ',user_id=', CAST(user_id AS VARCHAR)) AS key
+        |FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |ORDER BY key""".stripMargin,
     "ts_show_tag_values" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     "ts_sample" ->
@@ -439,6 +492,19 @@ object TimeSeriesQueries {
          |  epoch_ms(cast(floor(epoch(w10) / 86400) * 86400000 AS BIGINT)) AS day,
          |  round(count(*) / 6.0, 6) AS hours_active
          |FROM i GROUP BY user_id, day
-         |ORDER BY user_id, day""".stripMargin
+         |ORDER BY user_id, day""".stripMargin,
+    "ts_ns_roundtrip" ->
+      """WITH n AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |    1704067200000000000 + event_id * 1234567891 AS ns
+        |  FROM events)
+        |SELECT event_id, ts_us, (ts_us = ts_us) AS us_agree, ns,
+        |  ns % 1000 AS sub_us,
+        |  epoch_us(make_timestamp(ns // 1000)) * 1000 + ns % 1000 AS ns_rt,
+        |  (epoch_us(make_timestamp(ns // 1000)) * 1000 + ns % 1000 = ns) AS rt_exact,
+        |  ns // 10000000 AS bucket_10ms
+        |FROM n ORDER BY event_id LIMIT 2000""".stripMargin,
+    "ts_events_view" ->
+      s"SELECT event_id, user_id, event_type, value, ts FROM $E ORDER BY event_id LIMIT 10000"
   )
 }
