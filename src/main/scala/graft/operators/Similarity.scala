@@ -188,17 +188,29 @@ object Similarity {
         lit(i).as("i"))
     }: _*).getField("i")
 
-  /** Bounded vector sample for quantizer training: `limit(n)` with NO
-    * global order — a CollectLimit that stops after the first partitions
-    * it needs, never a full-corpus TakeOrdered (r1's `orderBy(id).limit`
-    * scanned the whole corpus to fetch 512 rows). On a static lake the
-    * file order is stable, so the sample is reproducible.
+  /** Bounded vector sample for quantizer training, stratified by
+    * partition: every split contributes its first ceil(n/partitions)
+    * vectors (`mapPartitions` + `take`), so on a lake laid out by
+    * cluster/label the sample spans the whole layout — a bare
+    * `limit(n)` CollectLimit is satisfied by the FIRST partitions and
+    * trains the quantizer on one region of the distribution (r2's
+    * residual bias). Still ONE job (no CollectLimit retry escalation:
+    * the cap is applied driver-side with `take`), each task reads only
+    * the head of its split, so IO stays ~n rows + one row-group per
+    * file regardless of corpus size. Deterministic on a static lake
+    * (file order and in-file row order are stable).
     */
-  def sampleVectors(corpus: DataFrame, vecCol: String, n: Int): Array[Array[Double]] =
-    corpus.select(col(vecCol).cast("array<double>"))
-      .limit(n)
+  def sampleVectors(corpus: DataFrame, vecCol: String, n: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v")).as[Seq[Double]]
+    val parts = math.max(1, vecs.rdd.getNumPartitions)
+    val perPart = math.max(1, math.ceil(n.toDouble / parts).toInt)
+    vecs.mapPartitions(_.take(perPart))
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .take(n)
+      .map(_.toArray)
+  }
 
   /** Explicit, cacheable IVF quantizer construction — ONE bounded Spark
     * job, run once and reusable across ivfAnn calls (the 100 TB shape:

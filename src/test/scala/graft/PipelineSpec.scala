@@ -48,6 +48,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF nprobe=3/8 should recover a solid fraction, got $recall")
   }
 
+  test("sampleVectors stratifies across partitions (clustered-layout de-bias)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 range partitions sorted by a cluster key; each vector's first
+    // component is its cluster id. A head-only limit(n) sample would be
+    // satisfied by the first partition(s) — one region only; the
+    // stratified sample must cover every partition.
+    val df = (0 until 400).map(i => (i / 100, Seq((i / 100).toDouble, i.toDouble)))
+      .toDF("cluster", "v")
+      .repartitionByRange(4, col("cluster"))
+      .sortWithinPartitions("cluster")
+    val sample = Similarity.sampleVectors(df, "v", 8)
+    assert(sample.length == 8)
+    val clustersSeen = sample.map(_.head).toSet
+    assert(clustersSeen.size == 4,
+      s"stratified sample must span all 4 clusters, saw only $clustersSeen")
+  }
+
+  test("ivf quantizer trained on a label-clustered, partition-sorted layout keeps recall") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables(spark, sf, "embeddings")
+    // adversarial lake layout: ranged + sorted by label, so the first
+    // partition holds only a few labels — exactly the layout where a
+    // head-only sample trains a one-region quantizer
+    val emb = raw.repartitionByRange(4, col("label")).sortWithinPartitions("label")
+    val queries = raw.filter(col("vec_id") < 10)
+    val truth = Similarity.cosineTopK(raw, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.buildIvfQuantizer(emb, "embedding", numCentroids = 8,
+      sampleSize = 128)
+    val approx = Similarity.ivfAnn(raw, queries, "vec_id", "embedding", 10,
+      cents, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    info(s"IVF recall@10 with clustered-layout 128-vector sample: $recall")
+    assert(recall > 0.3, s"clustered-layout quantizer sample tanked recall: $recall")
+  }
+
   test("ivfAnn plan construction launches no Spark jobs (centroids are literals)") {
     val emb = Tables(spark, sf, "embeddings")
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
