@@ -117,7 +117,10 @@ object Multimodal {
     val dataOffset = b.getInt()
     require(b.getInt() == 40, "unsupported DIB header")
     val width = b.getInt()
-    val height = b.getInt()
+    // negative height = top-down row order (a real-file variant). The
+    // stats here are row-order independent, so decoding only needs the
+    // magnitude; a resize/crop kernel would have to flip row iteration.
+    val height = math.abs(b.getInt())
     b.getShort() // planes
     require(b.getShort() == 24, "only 24bpp supported")
     val rowSize = (3 * width + 3) / 4 * 4
@@ -189,22 +192,53 @@ object Multimodal {
     var nSamples = 0L; var sumAbs = 0.0
     while (b.remaining() >= 8) {
       val id = tag(); val len = b.getInt()
+      // RIFF chunks are word-aligned: an odd-length chunk is followed by
+      // one pad byte that is NOT counted in `len` — skipping without it
+      // desynchronizes the walk on real files (e.g. odd-sized LIST/INFO).
+      val next = b.position() + len + (len & 1)
       id match {
         case "fmt " =>
-          val start = b.position()
           require(b.getShort() == 1, "only PCM supported")
           channels = b.getShort(); sampleRate = b.getInt()
           b.getInt(); b.getShort(); bits = b.getShort()
-          b.position(start + len)
         case "data" =>
           require(bits == 16, "only PCM16 supported")
           nSamples = len / 2L
           var i = 0L
           while (i < nSamples) { sumAbs += math.abs(b.getShort().toInt); i += 1 }
-        case _ => b.position(b.position() + len) // skip unknown chunk
+        case _ => ()
       }
+      b.position(math.min(next, bytes.length))
     }
     WavMeta(docId, sampleRate, channels, bits, nSamples,
       if (nSamples == 0) 0.0 else sumAbs / nSamples)
+  }
+
+  /** Attach a REAL PCM16 WAV binary derived from the id column:
+    * sample rate 8000 + id%8 · 1000, id%50 + 1 samples, sample i =
+    * (id·31 + i·7) % 2001 − 1000 — a generating formula whose
+    * rate/count/mean-abs the oracle recomputes in SQL.
+    */
+  def withWavBinary(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 50 + 1).toInt
+        val samples = Array.tabulate(n)(i => ((id * 31 + i * 7) % 2001 - 1000).toShort)
+        (id, encodeWav((8000 + (id % 8) * 1000).toInt, samples))
+      })
+      .toDF(idCol, "media")
+  }
+
+  /** Batch WAV metadata extraction — same mapPartitions shape as
+    * [[extractBmpMeta]], over real RIFF bytes.
+    */
+  def extractWavMeta(df: DataFrame, idCol: String): Dataset[WavMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
   }
 }

@@ -124,6 +124,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode: construct genuine PCM16 RIFF/WAV bytes from
+    // doc_id, walk the chunk structure, and average |sample| over the
+    // actual PCM payload; the oracle recomputes rate/count/mean-abs
+    // from the same generating formula. mean_abs is an exact integer
+    // sum divided by the same n on both sides — no rounding needed.
+    "mm_wav_decode" -> ((s, dir) => {
+      val withWav = Multimodal.withWavBinary(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractWavMeta(withWav, "doc_id").toDF()
+        .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("bits").cast("long").as("bits"),
+          col("n_samples"), col("mean_abs"))
+        .orderBy("doc_id")
+    }),
+
     "mm_binary_meta" -> ((s, dir) => {
       val docs = Multimodal.withFakeBinary(Tables(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractMeta(docs, "doc_id").toDF()
@@ -332,6 +347,15 @@ object PipelineQueries {
         |FROM documents d,
         |  LATERAL (SELECT unnest(generate_series(0, d.doc_id % 48)) AS y) u
         |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+    "mm_wav_decode" ->
+      """SELECT d.doc_id,
+        |  8000 + (d.doc_id % 8) * 1000 AS sample_rate,
+        |  1 AS channels, 16 AS bits,
+        |  d.doc_id % 50 + 1 AS n_samples,
+        |  avg(abs((d.doc_id * 31 + u.i * 7) % 2001 - 1000)) AS mean_abs
+        |FROM documents d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.doc_id % 50)) AS i) u
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  doc_id % 640 + 1 AS width,

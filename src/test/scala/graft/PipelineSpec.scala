@@ -285,6 +285,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(m.mean_abs - 250.0) < 1e-12)
   }
 
+  test("decodeWav survives an odd-length LIST chunk (RIFF word alignment)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-build RIFF: [LIST len=3 + pad][fmt][data] — without the pad
+    // byte the chunk walk desynchronizes and misses fmt/data entirely
+    val samples = Array[Short](500, -500)
+    val canonical = Multimodal.encodeWav(12000, samples)
+    val body = canonical.drop(12) // fmt + data chunks
+    val listLen = 3
+    val b = ByteBuffer.allocate(12 + 8 + listLen + 1 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(4 + 8 + listLen + 1 + body.length).put("WAVE".getBytes)
+    b.put("LIST".getBytes).putInt(listLen).put(Array[Byte](1, 2, 3)).put(0.toByte)
+    b.put(body)
+    val m = Multimodal.decodeWav(9L, b.array())
+    assert(m.sample_rate == 12000 && m.n_samples == 2 && m.mean_abs == 500.0)
+  }
+
+  test("decodeBmp handles top-down (negative height) BMPs") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val up = Multimodal.encodeBmp(4, 3, y => 20 * y)
+    val down = up.clone()
+    // flip the height field (offset 22) to -3: same pixels, top-down order
+    ByteBuffer.wrap(down).order(ByteOrder.LITTLE_ENDIAN).putInt(22, -3)
+    val m = Multimodal.decodeBmp(1L, down)
+    assert(m.height == 3 && m.width == 4)
+    assert(math.abs(m.mean_px - Multimodal.decodeBmp(1L, up).mean_px) < 1e-12)
+  }
+
+  test("extractWavMeta decodes distributed real WAVs matching the generator") {
+    val docs = Tables(spark, sf, "documents").select("doc_id").limit(50)
+    val metas = Multimodal.extractWavMeta(
+      Multimodal.withWavBinary(docs, "doc_id"), "doc_id").collect()
+    assert(metas.length == 50)
+    metas.foreach { m =>
+      assert(m.sample_rate == 8000 + (m.doc_id % 8) * 1000)
+      assert(m.channels == 1 && m.bits == 16)
+      val n = (m.doc_id % 50 + 1).toInt
+      assert(m.n_samples == n)
+      val expMean = (0 until n).map(i =>
+        math.abs((m.doc_id * 31 + i * 7) % 2001 - 1000).toDouble).sum / n
+      assert(math.abs(m.mean_abs - expMean) < 1e-12, s"doc ${m.doc_id} mean_abs mismatch")
+    }
+  }
+
   test("extractBmpMeta decodes distributed real BMPs matching the generator") {
     val docs = Tables(spark, sf, "documents").select("doc_id").limit(50)
     val metas = Multimodal.extractBmpMeta(
