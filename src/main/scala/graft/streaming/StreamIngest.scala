@@ -111,6 +111,66 @@ object StreamIngest {
       }
   }
 
+  final case class GaugePoint(series: Long, ts_us: Long, value: Double)
+  final case class GapfillState(lastBucket: Long, lastTs: Long, lastVal: Double)
+  final case class FilledBucket(series: Long, bucket_us: Long, value: Double, filled: Boolean)
+
+  /** Continuous downsampling WITH gap fill — the reference's stream
+    * gapfill/locf pattern (stream/basic.slt continuous downsample +
+    * gapfill.slt locf) as flatMapGroupsWithState: per series the state
+    * carries (last emitted bucket, last observed value), so a gap that
+    * spans micro-batch boundaries is filled with the value last seen in
+    * an EARLIER batch — exactly what a stateless per-batch gapfill
+    * cannot do. Memory is O(series), independent of throughput.
+    *
+    * Emission: one row per `bucketUs` bucket; observed buckets carry the
+    * last sample in the bucket (`filled = false`), interior gap buckets
+    * carry the carried-forward value (`filled = true`). Append mode
+    * cannot retract, so when a later micro-batch lands in an
+    * already-emitted bucket the row stands and only the locf state
+    * advances; rows at or before the last observed ts are ignored (the
+    * watermark analogue). `maxBucketsPerGap` is the same fail-fast
+    * densification guard as batch gapfill — a sensor returning after a
+    * year at 1 s buckets must error, not emit 3e7 rows.
+    */
+  def streamingGapfillLocf(points: Dataset[GaugePoint], bucketUs: Long,
+                           maxBucketsPerGap: Long = 1000000L): Dataset[FilledBucket] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[GapfillState, FilledBucket](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series, rows, state: GroupState[GapfillState]) =>
+          val out = Vector.newBuilder[FilledBucket]
+          var st = state.getOption.orNull
+          // drop rows at or before the last observed ts (the watermark
+          // analogue), then keep the LAST sample per bucket — collapse
+          // is safe because the survivors are in strict ts order
+          val perBucket = rows.toSeq.sortBy(_.ts_us)
+            .filter(p => st == null || p.ts_us > st.lastTs)
+            .map(p => (Math.floorDiv(p.ts_us, bucketUs) * bucketUs, p.ts_us, p.value))
+            .foldLeft(Vector.empty[(Long, Long, Double)]) { case (acc, r) =>
+              if (acc.nonEmpty && acc.last._1 == r._1) acc.init :+ r else acc :+ r
+            }
+          perBucket.foreach { case (b, ts, v) =>
+            if (st == null) {
+              out += FilledBucket(series, b, v, filled = false)
+            } else if (b > st.lastBucket) {
+              val gaps = (b - st.lastBucket) / bucketUs - 1
+              if (gaps > maxBucketsPerGap)
+                throw new IllegalStateException(
+                  s"streamingGapfillLocf: series $series gap of $gaps buckets exceeds " +
+                    s"maxBucketsPerGap=$maxBucketsPerGap — widen the bucket or raise the cap")
+              var g = st.lastBucket + bucketUs
+              while (g < b) { out += FilledBucket(series, g, st.lastVal, filled = true); g += bucketUs }
+              out += FilledBucket(series, b, v, filled = false)
+            } // b == lastBucket (later batch): row already emitted, locf advances
+            st = GapfillState(b, ts, v)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup for a document ingest lane: first occurrence
     * of each content hash survives; `dropDuplicatesWithinWatermark`
     * bounds the dedup state by the watermark horizon, so memory is

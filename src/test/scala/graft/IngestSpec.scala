@@ -130,6 +130,65 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingGapfillLocf fills gaps across micro-batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.GaugePoint]
+    val q = StreamIngest.streamingGapfillLocf(mem.toDS(), bucketUs = 10L)
+      .writeStream.outputMode("append").format("memory").queryName("gapfill_test").start()
+    try {
+      // batch 1: buckets 0 and 20 (gap at 10); batch 2: bucket 50 —
+      // gaps 30, 40 must be filled with batch 1's last value (2.0),
+      // i.e. the state crossed the micro-batch boundary
+      mem.addData(StreamIngest.GaugePoint(1L, 0L, 1.0), StreamIngest.GaugePoint(1L, 25L, 2.0))
+      q.processAllAvailable()
+      mem.addData(StreamIngest.GaugePoint(1L, 55L, 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("gapfill_test").orderBy("bucket_us")
+        .collect().map(r => (r.getAs[Long]("bucket_us"), r.getAs[Double]("value"),
+          r.getAs[Boolean]("filled")))
+      assert(rows.toSeq == Seq(
+        (0L, 1.0, false), (10L, 1.0, true), (20L, 2.0, false),
+        (30L, 2.0, true), (40L, 2.0, true), (50L, 9.0, false)))
+    } finally q.stop()
+  }
+
+  test("streamingGapfillLocf last-per-bucket, late rows, and the gap guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.GaugePoint]
+    val q = StreamIngest.streamingGapfillLocf(mem.toDS(), bucketUs = 10L)
+      .writeStream.outputMode("append").format("memory").queryName("gapfill_edge").start()
+    try {
+      // two samples in bucket 0: the bucket row carries the LAST (5.0);
+      // a late row (ts 3) after bucket 20 is ignored
+      mem.addData(StreamIngest.GaugePoint(2L, 1L, 4.0), StreamIngest.GaugePoint(2L, 9L, 5.0))
+      q.processAllAvailable()
+      mem.addData(StreamIngest.GaugePoint(2L, 21L, 7.0), StreamIngest.GaugePoint(2L, 3L, 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("gapfill_edge").orderBy("bucket_us")
+        .collect().map(r => (r.getAs[Long]("bucket_us"), r.getAs[Double]("value")))
+      assert(rows.toSeq == Seq((0L, 5.0), (10L, 5.0), (20L, 7.0)))
+    } finally q.stop()
+    // the densification guard: a 1e6+-bucket gap must fail the query fast
+    val mem2 = MemoryStream[StreamIngest.GaugePoint]
+    val q2 = StreamIngest.streamingGapfillLocf(mem2.toDS(), bucketUs = 1L, maxBucketsPerGap = 100L)
+      .writeStream.outputMode("append").format("memory").queryName("gapfill_guard").start()
+    try {
+      mem2.addData(StreamIngest.GaugePoint(3L, 0L, 1.0))
+      q2.processAllAvailable()
+      mem2.addData(StreamIngest.GaugePoint(3L, 1000L, 2.0))
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("streamingGapfillLocf")) ||
+        msgs(ex).exists(_.contains("maxBucketsPerGap")),
+        s"wanted the gap guard, got: ${msgs(ex).take(3).mkString(" | ")}")
+    } finally q2.stop()
+  }
+
   test("streamingExactDedup drops repeated content across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
