@@ -294,17 +294,40 @@ object Gis {
         // sit wholly inside a hole with its vertices on the hole ring
         !allRings(pb).exists(rb => ringEdges(pa.ring).exists { case (s1, s2) =>
           ringEdges(rb).exists { case (t1, t2) => segsIntersect(s1, s2, t1, t2) } }) &&
-        !pb.holes.exists(h => rayCast(h, centroidish(pa)))
+        !pb.holes.exists(h => rayCast(h, interiorPoint(pa)))
     case _ => throw new IllegalArgumentException("unsupported within pair")
   }
 
-  /** A representative interior-ish point (ring vertex average) — enough
-    * to reject "within" when the container's hole swallows the inner
-    * polygon while all its vertices sit on the hole's ring.
+  /** A GUARANTEED interior point of the outer ring — used to reject
+    * "within" when the container's hole swallows the inner polygon
+    * while all its vertices sit on the hole's ring. A vertex average is
+    * NOT interior for concave rings (a U-shaped inner hugging the hole
+    * averages into the hole and was misclassified), so this uses the
+    * classic construction: at the leftmost-lowest vertex v (strictly
+    * convex), take triangle (a, v, b) with v's neighbors; if no other
+    * ring vertex lies in that triangle its centroid is interior,
+    * otherwise the midpoint of v and the contained vertex farthest
+    * from diagonal (a, b) is.
     */
-  private def centroidish(p: Poly): Pt = {
+  private def interiorPoint(p: Poly): Pt = {
     val ps = p.ring.dropRight(1)
-    Pt(ps.map(_.x).sum / ps.length, ps.map(_.y).sum / ps.length)
+    if (ps.length < 3) return Pt(ps.map(_.x).sum / ps.length, ps.map(_.y).sum / ps.length)
+    def cross(o: Pt, u: Pt, w: Pt): Double =
+      (u.x - o.x) * (w.y - o.y) - (u.y - o.y) * (w.x - o.x)
+    val vi = ps.indices.minBy(i => (ps(i).x, ps(i).y))
+    val v = ps(vi)
+    val a = ps((vi + ps.length - 1) % ps.length)
+    val b = ps((vi + 1) % ps.length)
+    def inTri(q: Pt): Boolean = {
+      val d1 = cross(a, v, q); val d2 = cross(v, b, q); val d3 = cross(b, a, q)
+      !((d1 < 0 || d2 < 0 || d3 < 0) && (d1 > 0 || d2 > 0 || d3 > 0))
+    }
+    val blockers = ps.filter(q => q != v && q != a && q != b && inTri(q))
+    if (blockers.isEmpty) Pt((a.x + v.x + b.x) / 3, (a.y + v.y + b.y) / 3)
+    else {
+      val q = blockers.maxBy(q => math.abs(cross(a, b, q)))
+      Pt((v.x + q.x) / 2, (v.y + q.y) / 2)
+    }
   }
 
   // ---- Column API (st_* functions) ----

@@ -188,10 +188,16 @@ object Dedup {
       call_function("char_ngram_set", col(textCol), lit(n)).as("g"))
     val a = g.select(col("id").as("doc_a"), col("g").as("ga"))
     val b = g.select((col("id") - 1).as("doc_a"), col("g").as("gb"))
+    // Contract: a pair where BOTH docs are shorter than n chars (two
+    // empty gram sets) is emitted with jaccard NULL — stated explicitly
+    // rather than leaning on non-ANSI 0/0 division, so the result is
+    // the same under spark.sql.ansi.enabled=true.
+    val denom = size(col("ga")) + size(col("gb")) - col("inter")
     a.join(b, Seq("doc_a"))
       .withColumn("inter", call_function("array_overlap_count", col("ga"), col("gb")))
       .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
-        round(col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")), 6)
+        when(denom === 0, lit(null).cast("double"))
+          .otherwise(round(col("inter") / denom, 6))
           .as("jaccard"))
   }
 

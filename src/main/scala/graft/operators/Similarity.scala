@@ -59,7 +59,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+      .select(col("query_id"), col("neighbor_id"), (floor(col("cos") * 1e4) / 1e4).as("cos"),
         col("rank").cast("long").as("rank"))
   }
 
@@ -132,7 +132,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+      .select(col("query_id"), col("neighbor_id"), (floor(col("cos") * 1e4) / 1e4).as("cos"),
         col("rank").cast("long").as("rank"))
   }
 
@@ -267,7 +267,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+      .select(col("query_id"), col("neighbor_id"), (floor(col("cos") * 1e4) / 1e4).as("cos"),
         col("rank").cast("long").as("rank"))
   }
 
@@ -287,6 +287,6 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
-      .select(col("blk"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .select(col("blk"), col("id_a"), col("id_b"), (floor(col("cos") * 1e4) / 1e4).as("cos"))
   }
 }

@@ -179,7 +179,7 @@ object PipelineQueries {
        |  FROM cand
        |  JOIN embeddings q ON q.vec_id = cand.query_id
        |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
-       |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
+       |SELECT query_id, neighbor_id, floor(cos * 1e4) / 1e4 AS cos, rank FROM (
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
@@ -322,7 +322,7 @@ object PipelineQueries {
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "emb_cosine_topk" ->
-      """SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
+      """SELECT query_id, neighbor_id, floor(cos * 1e4) / 1e4 AS cos, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -333,7 +333,7 @@ object PipelineQueries {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "emb_cosine_dedup" ->
       """SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |  floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e4) / 1e4 AS cos
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35

@@ -65,7 +65,22 @@ class GisSpec extends AnyFunSuite {
       .asInstanceOf[Poly]
     assert(Gis.intersects(donut, straddle))
     assert(!Gis.within(straddle, donut))
+    // a CONCAVE inner hugging the hole: its vertex AVERAGE lands inside
+    // the hole, but its actual interior never touches it — within must
+    // hold (a vertex-average "interior" point misclassified this)
+    val ushape = parseWkt(
+      "POLYGON((3 3, 7 3, 7 7, 6.5 7, 6.5 3.5, 3.5 3.5, 3.5 7, 3 7, 3 3))")
+      .asInstanceOf[Poly]
+    val avg = Pt(ushape.ring.dropRight(1).map(_.x).sum / 8,
+      ushape.ring.dropRight(1).map(_.y).sum / 8)
+    assert(rayCast_isInHole(donut, avg), "fixture: the vertex average must fall in the hole")
+    assert(Gis.within(ushape, donut))
   }
+
+  // test-only probe: is the point inside the donut's (single) hole ring?
+  private def rayCast_isInHole(donut: Poly, p: Pt): Boolean =
+    Gis.contains(Poly(donut.holes.head), p) ||
+      Gis.intersects(Poly(donut.holes.head), p)
 
   test("multi-geometries: parse, WKB round-trip, measures and predicates distribute") {
     val mp = parseWkt("MULTIPOINT((0 0),(5 5))")
