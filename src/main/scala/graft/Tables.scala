@@ -13,16 +13,13 @@ object Tables {
     if (name == "events") events(spark, dir) else read(spark, dir, name)
   }
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS); Spark's TimestampType is micros, so
-    // read nanos as raw Long and convert explicitly (see events()).
-    // Set-once: a library shouldn't rewrite session conf on every table
-    // load (the value never changes; repeated sets are just surprising
-    // to callers diffing their session state).
-    val k = "spark.sql.legacy.parquet.nanosAsLong"
-    if (spark.conf.getOption(k).forall(_ != "true")) spark.conf.set(k, "true")
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    // events.ts is TIMESTAMP(NANOS); Spark's TimestampType is micros.
+    // Sessions must be built with spark.sql.legacy.parquet.nanosAsLong=true
+    // (all graft mains and specs do) so the nanos arrive as a raw Long
+    // that events() converts explicitly — a library must not mutate its
+    // caller's session conf on a table load.
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** events with `ts` as a proper (micro-precision) timestamp and the
     * original nanosecond count kept as `ts_ns` for precision-sensitive

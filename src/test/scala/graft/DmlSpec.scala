@@ -14,6 +14,7 @@ import graft.operators.Dml
 class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[2]")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

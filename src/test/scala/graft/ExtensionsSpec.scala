@@ -10,6 +10,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
