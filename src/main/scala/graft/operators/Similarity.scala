@@ -271,20 +271,36 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Near-duplicate vector pairs within a blocking key (e.g. label):
-    * the blocked self-join keeps pair counts linear in block sizes.
+  /** Near-duplicate vector pairs within a blocking key (e.g. label).
+    * Pairwise work is QUADRATIC in block size — that is the operator's
+    * semantics, and it is fine while blocks stay bounded, but a block
+    * that grows with the corpus (one dominant label at 100 TB) turns
+    * the join into n²/2 dot products. `maxBlockSize` fails fast past
+    * the cap (the gapfill/lshCandidates guard pattern, fused into the
+    * pair filter so pruning can't drop it): sub-block the offender
+    * (e.g. by LSH bucket within the label) or raise the cap. The
+    * per-block count is one tiny broadcast aggregate, paid once
+    * before the quadratic stage it protects.
     */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-                       blockCol: String, threshold: Double): DataFrame = {
+                       blockCol: String, threshold: Double,
+                       maxBlockSize: Int = 50000): DataFrame = {
     val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"),
-      col("nrm").as("n_a"))
+    val counts = base.groupBy("blk").agg(count(lit(1)).as("__bn"))
+    val a = base.join(broadcast(counts), Seq("blk"))
+      .select(col("blk"), col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a"), col("__bn"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"),
       col("nrm").as("n_b"))
     a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") + when(col("__bn") <= maxBlockSize, lit(0L))
+        .otherwise(expr(
+          "CAST(raise_error(concat('cosineDedupPairs: block ', CAST(blk AS STRING), " +
+            "' holds ', CAST(__bn AS STRING), " +
+            s"' vectors (> maxBlockSize=$maxBlockSize); pairwise work is quadratic in " +
+            "the block — sub-block it or raise the cap')) AS BIGINT)")))
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), (floor(col("cos") * 1e4) / 1e4).as("cos"))

@@ -141,6 +141,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(b1.exceptAll(b2).isEmpty)
   }
 
+  test("cosineDedupPairs fails fast on an oversized block (quadratic guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = (1 to 200).map(i => (1L, i.toLong, Seq(i.toDouble, 1.0)))
+      .toDF("label", "vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.cosineDedupPairs(vecs, "vec_id", "embedding", "label", 0.0,
+        maxBlockSize = 100).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("cosineDedupPairs") && m.contains("200")),
+      s"wanted the block guard message, got: ${msgs(ex).take(3).mkString(" | ")}")
+    // within the cap the full pair set comes back
+    assert(Similarity.cosineDedupPairs(vecs, "vec_id", "embedding", "label", -1.0,
+      maxBlockSize = 200).count() == 200L * 199 / 2)
+  }
+
   test("lshCandidates fails fast on a mass-duplicated corpus (bucket guard)") {
     import spark.implicits._
     // 10k identical docs collapse into ONE LSH bucket per band: the

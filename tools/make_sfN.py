@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Build a bench-only scaled lake by replicating a testdata sf dir K times
+with shifted keys (FK-consistent: lineitem/orders/customer/part/supplier
+shift together; region/nation stay fixed). events keeps its TIMESTAMP(NANOS)
+physical type via pyarrow. NOT oracle data — throughput scaling only.
+
+Usage: python3 tools/make_sfN.py /root/testdata/sf0.1 benchdata/sf1 10
+"""
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+src, out, K = sys.argv[1], sys.argv[2], int(sys.argv[3])
+os.makedirs(out, exist_ok=True)
+
+SHIFT = 100_000_000  # larger than any key in the source lake
+
+con = duckdb.connect()
+for t in ["region", "nation"]:
+    con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+keyed = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+for t, keys in keyed.items():
+    cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
+    def sel(k):
+        return ", ".join(c if c not in keys else f"{c} + {k * SHIFT} AS {c}" for c in cols)
+    union = " UNION ALL ".join(f"SELECT {sel(k)} FROM '{src}/{t}.parquet'" for k in range(K))
+    con.execute(f"COPY ({union}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    print(t, con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0])
+
+# events via pyarrow so ts stays timestamp[ns] (Spark reads it as raw nanos)
+tbl = pq.read_table(f"{src}/events.parquet")
+parts = []
+for k in range(K):
+    t2 = tbl
+    for c in ["event_id", "user_id"]:
+        i = t2.schema.get_field_index(c)
+        t2 = t2.set_column(i, c, pc.add(t2.column(c), k * SHIFT))
+    parts.append(t2)
+pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet")
+print("events", pq.read_metadata(f"{out}/events.parquet").num_rows)
