@@ -162,6 +162,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Duplicate-GROUP resolution: connected components over a near-dup
+    * pair list, so every doc in a dup cluster maps to one canonical
+    * (minimum) id — what a real dedup pipeline keeps. Iterative
+    * min-label propagation: each round joins the current labels across
+    * the edge list and keeps the per-vertex minimum; rounds needed =
+    * component diameter (dup clusters are near-cliques from LSH, so
+    * 2-3 in practice). Each round is one broadcast-or-shuffle equijoin
+    * + one aggregate over the PAIR list (orders smaller than the
+    * corpus), and the driver-side loop runs a bounded count() per
+    * round for convergence — the same bounded-iteration shape as the
+    * k-means quantizer. Fails rather than loops forever: `maxIters`.
+    *
+    * Output: (doc_id, group_id) for every doc that appears in a pair.
+    */
+  def dupGroups(pairs: DataFrame, aCol: String, bCol: String,
+                maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .cache()
+    // label(v) starts at min(v, min neighbor). Each round references
+    // the previous labels TWICE, so without truncation the logical
+    // plan doubles per round and the driver OOMs serializing it by
+    // ~10 rounds — localCheckpoint materializes the round AND cuts the
+    // lineage (on a cluster, prefer reliable checkpoint() with a
+    // checkpoint dir for executor-loss tolerance).
+    var labels = edges.groupBy("src").agg(least(min(col("dst")), col("src")).as("lbl"))
+      .select(col("src").as("v"), col("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // propagate: candidate label for dst is its neighbor's label
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("lbl"))
+        .unionByName(labels)
+        .groupBy("v").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val changed = prop.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = prop
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupGroups: no convergence after $maxIters rounds — component diameter " +
+          "exceeds the cap; raise maxIters (a partially-propagated result would be wrong)")
+    labels.select(col("v").as("doc_id"), col("lbl").as("group_id"))
+  }
+
   /** Char n-gram distinct set. */
   def charNgrams(textCol: Column, n: Int): Column = {
     val t = textCol.toString

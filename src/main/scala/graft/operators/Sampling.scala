@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling/splitting for training-data pipelines
+  * (SURVEY.md §2.4). Everything keys off md5 of the id, not an RNG, so
+  * a 100 TB re-run (or another engine — the DuckDB oracles recompute
+  * the same md5 arithmetic) selects the SAME rows: reproducible
+  * dataset construction is a correctness property, not a convenience.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) deterministic score per id: first 8 md5 hex
+    * digits as an unsigned 32-bit fraction. Engine-agnostic (DuckDB:
+    * `ascii`-free — uses the same substring + from-hex arithmetic).
+    */
+  def hashScore(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Exact n-per-stratum sample: deterministic hash order within each
+    * stratum, row_number ≤ n. One shuffle on the stratum key; the sort
+    * is per-stratum inside the window, never global. At 100 TB the
+    * stratum column is low-cardinality (label/language/source), so
+    * AQE handles skewed strata; n caps the output per stratum exactly
+    * (a fraction-based sample cannot).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Deterministic train/test split by hashed id: test iff
+    * hashScore(id) < testFraction. A pure mapper — no shuffle, no RNG
+    * state, stable under corpus growth (adding docs never moves an
+    * existing doc across the split — the property that keeps eval sets
+    * uncontaminated as the lake grows).
+    */
+  def trainTestSplit(df: DataFrame, idCol: String,
+                     testFraction: Double): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction must be in [0,1], got $testFraction")
+    df.withColumn("split",
+      when(hashScore(col(idCol)) < testFraction, lit("test")).otherwise(lit("train")))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline queries over documents/embeddings
   * (SURVEY.md §2.4). The synthetic corpus has no natural duplicates, so
@@ -77,6 +77,29 @@ object PipelineQueries {
       TextAnalysis.flagContaminated(corpus(s, dir), "doc_id", "text", bench)
         .orderBy("doc_id")
     }),
+
+    // Dup-GROUP resolution: near-dup pairs → connected components →
+    // canonical min id per cluster (what a dedup pipeline actually
+    // keeps). Oracle recomputes the closure with a recursive CTE over
+    // the same pair list.
+    "doc_dup_groups" -> ((s, dir) =>
+      Dedup.dupGroups(
+        Dedup.minHashNearDups(corpus(s, dir), "doc_id", "text"), "id_a", "id_b")
+        .orderBy("doc_id")),
+
+    // Exact n-per-stratum deterministic sample (hash order within each
+    // stratum) — reproducible dataset construction across engines/runs.
+    "doc_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables(s, dir, "documents"), "doc_id", "lang", 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Deterministic train/test split by hashed id: a pure mapper whose
+    // assignment never moves as the corpus grows.
+    "doc_train_test_split" -> ((s, dir) =>
+      Sampling.trainTestSplit(Tables(s, dir, "documents"), "doc_id", 0.25)
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
 
     "doc_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents")
@@ -186,6 +209,42 @@ object PipelineQueries {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The minhash pipeline as a reusable CTE chain ending in `pairs`
+    * (thresholded near-dup pairs with jaccard) — shared by the pair
+    * oracle and the recursive-CTE dup-groups oracle.
+    */
+  private val MINHASH_CTES =
+    s"""$CORPUS,
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+       |sig AS (
+       |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
+       |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) v
+       |  GROUP BY doc_id, seed),
+       |bh AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |    md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
+       |  FROM sig GROUP BY doc_id, seed // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
+       |  GROUP BY c.id_a, c.id_b),
+       |pairs AS (
+       |  SELECT i.id_a, i.id_b,
+       |    round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
+       |  FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
+       |  WHERE inter / (za.sz + zb.sz - inter) >= 0.5)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "emb_lsh_ann" -> lshOracle,
     "doc_exact_dedup" ->
@@ -195,36 +254,32 @@ object PipelineQueries {
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
          |ORDER BY h""".stripMargin,
     "doc_minhash_pairs" ->
-      s"""WITH $CORPUS,
-         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
-         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
-         |sig AS (
-         |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
-         |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) v
-         |  GROUP BY doc_id, seed),
-         |bh AS (
-         |  SELECT doc_id, seed // 4 AS band,
-         |    md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
-         |  FROM sig GROUP BY doc_id, seed // 4),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
-         |  WHERE a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.id_a
-         |  JOIN sh sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
-         |  GROUP BY c.id_a, c.id_b)
-         |SELECT i.id_a, i.id_b,
-         |  round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
-         |FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
-         |WHERE inter / (za.sz + zb.sz - inter) >= 0.5
+      s"""WITH $MINHASH_CTES
+         |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    "doc_dup_groups" ->
+      s"""WITH RECURSIVE $MINHASH_CTES,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src AS v, reach.r FROM reach JOIN edges e ON e.dst = reach.v)
+         |SELECT v AS doc_id, min(r) AS group_id FROM reach
+         |GROUP BY v ORDER BY doc_id""".stripMargin,
+    "doc_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "doc_train_test_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |    THEN 'test' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

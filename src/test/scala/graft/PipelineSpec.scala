@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Multimodal, Sampling, Similarity, TextAnalysis}
 
 class PipelineSpec extends AnyFunSuite {
 
@@ -389,6 +389,54 @@ class PipelineSpec extends AnyFunSuite {
       assert(out(id), s"copy $id of a benchmark doc must flag contaminated"))
     (2000L until 2010L).foreach(id =>
       assert(!out(id), s"vocabulary-disjoint doc $id must pass clean"))
+  }
+
+  test("dupGroups resolves components: chain, triangle, isolated pair") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.dupGroups(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupGroups fails fast when the diameter exceeds maxIters") {
+    import spark.implicits._
+    val longChain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Dedup.dupGroups(longChain, "id_a", "id_b", maxIters = 2).count()
+    }
+    assert(ex.getMessage.contains("dupGroups"))
+    // enough rounds resolves the same chain to one group
+    val ok = graft.operators.Dedup.dupGroups(longChain, "id_a", "id_b")
+      .select("group_id").distinct().count()
+    assert(ok == 1)
+  }
+
+  test("stratifiedSample is exact-n per stratum and deterministic") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "grp")
+    val s1 = Sampling.stratifiedSample(df, "id", "grp", 25)
+    assert(s1.groupBy("grp").count().collect().forall(_.getLong(1) == 25))
+    val s2 = Sampling.stratifiedSample(df, "id", "grp", 25)
+    assert(s1.exceptAll(s2).isEmpty, "same input must select the same rows")
+  }
+
+  test("trainTestSplit is stable under corpus growth and near the target fraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val small = (1L to 1000L).toDF("id")
+    val big = (1L to 2000L).toDF("id")
+    val sSmall = Sampling.trainTestSplit(small, "id", 0.25)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sBig = Sampling.trainTestSplit(big, "id", 0.25)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // adding docs never moves an existing doc across the split
+    assert(sSmall.forall { case (id, sp) => sBig(id) == sp })
+    val testFrac = sBig.values.count(_ == "test").toDouble / sBig.size
+    assert(math.abs(testFrac - 0.25) < 0.05, s"test fraction drifted: $testFrac")
   }
 
   test("winnow fingerprint is shift-tolerant") {
