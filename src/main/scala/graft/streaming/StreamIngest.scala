@@ -188,6 +188,48 @@ object StreamIngest {
     deduped.drop("__h")
   }
 
+  final case class BandCollision(doc_id: Long, band: Int, first_id: Long, is_dup: Boolean)
+
+  /** Streaming NEAR-dup detection for a document ingest lane — the
+    * streaming analogue of MinHash+LSH banding (batch:
+    * Dedup.minHashNearDups): each doc's minhash signature is a pure
+    * mapper (native `minhash_sig` kernel works on streaming frames —
+    * it is just a projection), band hashes explode from it, and a
+    * stateful pass per (band, band_hash) bucket remembers the FIRST
+    * doc that claimed the bucket. A later doc colliding in any band
+    * emits `is_dup = true` with the original's id — the LSH candidate
+    * semantics, continuously. Downstream either drops flagged docs
+    * (aggressive) or routes them to a batch confirm join (exact
+    * jaccard), mirroring the batch confirm stage.
+    *
+    * State is one (first doc id) per DISTINCT bucket seen — the same
+    * cardinality the batch candidate aggregation shuffles. For an
+    * unbounded stream, wrap the source with a watermark-bounded window
+    * upstream or recycle the query periodically; kept timeout-free
+    * here so dedup never silently forgets within a run.
+    */
+  def streamingNearDupFlags(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 8, bands: Int = 2): Dataset[BandCollision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.TextExpressions.register(spark)
+    val sig = graft.operators.Dedup.minhashSignature(
+      docs.select(col(idCol), col(textCol)), idCol, textCol, numHashes)
+    val bandHashes = graft.operators.Dedup.lshBandHashes(sig, idCol, numHashes, bands)
+      .select(col(idCol).cast("long").as("doc_id"), col("band").cast("int").as("band"),
+        col("band_hash"))
+      .as[(Long, Int, String)]
+    bandHashes.groupByKey { case (_, band, h) => (band, h) }
+      .flatMapGroupsWithState[Long, BandCollision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state: GroupState[Long]) =>
+          val sorted = rows.map(_._1).toSeq.sorted
+          val first = state.getOption.getOrElse(sorted.head)
+          if (!state.exists) state.update(first)
+          sorted.iterator.map(id => BandCollision(id, band, first, id != first))
+      }
+  }
+
   /** Continuous ingest pipeline: stream → windowed stats → sink.
     * `memory` sink + processAllAvailable in tests; `parquet` +
     * checkpointLocation in production.

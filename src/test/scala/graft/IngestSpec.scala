@@ -217,6 +217,33 @@ class IngestSpec extends AnyFunSuite {
     assert(StreamIngest.streamingExactDedup(batch, "ts", "text", "10 minutes").count() == 2)
   }
 
+  test("streamingNearDupFlags flags near-copies across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamIngest.streamingNearDupFlags(docs, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_test").start()
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    try {
+      mem.addData((1L, base), (2L, "completely different words entirely here now ok fine"))
+      q.processAllAvailable()
+      // batch 2: an exact copy of doc 1 (every band collides) and a
+      // fresh doc — the copy must flag against doc 1 FROM BATCH 1
+      mem.addData((3L, base), (4L, "yet another unrelated document with its own tokens"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_test")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_id"),
+          r.getAs[Boolean]("is_dup")))
+      val byDoc = rows.groupBy(_._1)
+      assert(byDoc(1L).forall(!_._3), "the first claimant is not a dup")
+      assert(byDoc(3L).forall(r => r._3 && r._2 == 1L),
+        s"the cross-batch copy must flag against doc 1, got ${byDoc(3L).toSeq}")
+      assert(byDoc(2L).forall(!_._3) && byDoc(4L).forall(!_._3))
+    } finally q.stop()
+  }
+
   test("streamingLastPoint keeps the max-by-time row per key") {
     import spark.implicits._
     val pts = Seq(
