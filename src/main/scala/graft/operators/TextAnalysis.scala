@@ -119,6 +119,32 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
 
+  /** PII patterns shared by the operator and the DuckDB oracle — kept
+    * to the regex subset Java and RE2 agree on (character classes,
+    * bounded repetition, \b, \d).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrub for a training corpus: count and redact emails, IPv4
+    * addresses, and phone-shaped numbers. A pure mapper (codegen'd
+    * regexp_replace/regexp_count chain — no UDF), so at 100 TB it is
+    * one pass over the scan with no shuffle. Redaction order matters:
+    * emails first (their domains would otherwise partially match the
+    * looser patterns), then IPs, then phones.
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
   /** Karp-Rabin winnowing fingerprint over char k-grams: min rolling
     * hash per window — robust doc signature for shift-tolerant matching
     * (spec-tested; not SQL-expressible → rows-only when queried).

@@ -101,6 +101,18 @@ object PipelineQueries {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // PII scrub: the synthetic corpus has no real PII, so deterministic
+    // email/IP/phone strings are appended from doc_id on BOTH sides;
+    // counts + the fully redacted text are hash-compared.
+    "doc_pii_redact" -> ((s, dir) => {
+      val withPii = Tables(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+          pmod(col("doc_id"), lit(256)), lit("."), pmod(col("doc_id"), lit(100)),
+          lit(" or 555-"), lit(1000) + pmod(col("doc_id"), lit(9000))))
+      TextAnalysis.piiRedact(withPii, "doc_id", "text").orderBy("doc_id")
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -372,6 +384,25 @@ object PipelineQueries {
          |SELECT corpus.doc_id AS doc_id, bad.doc_id IS NOT NULL AS contaminated
          |FROM corpus LEFT JOIN bad ON corpus.doc_id = bad.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "doc_pii_redact" -> {
+      import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |      || ' or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+         |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint

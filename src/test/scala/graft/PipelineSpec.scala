@@ -439,6 +439,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(testFrac - 0.25) < 0.05, s"test fraction drifted: $testFrac")
   }
 
+  test("piiRedact counts and redacts emails, IPs, and phone numbers") {
+    import spark.implicits._
+    val df = Seq((1L, "mail a@b.co and c.d@e.org, ip 10.1.2.3, call 555-1234 or 555-0000"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_emails") == 2)
+    assert(r.getAs[Int]("n_ips") == 1)
+    assert(r.getAs[Int]("n_phones") == 2)
+    val red = r.getAs[String]("redacted")
+    assert(red == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE> or <PHONE>")
+  }
+
   test("winnow fingerprint is shift-tolerant") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("PREFIX the quick brown fox jumps over the lazy dog")
