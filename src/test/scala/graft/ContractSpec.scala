@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver contract and the plan shapes the 100 TB design
+  * claims rest on — so a refactor that quietly adds a shuffle to a
+  * mapper-only pass, or orphans an oracle key, fails here instead of
+  * in the next round's correctness report.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every oracle key has a query, and the rows-only set is exactly the declared one") {
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle SQL without a query: $orphaned")
+    // SURVEY §6: non-SQL-expressible by design — sketches, iterative
+    // algorithms, Spark-side quantizer training. Anything else missing
+    // an oracle is a gap, not a declaration.
+    val declaredRowsOnly = Set("q_approx_agg", "ts_data_quality", "ts_timestamp_repair",
+      "ts_value_fill_ar", "ts_value_repair", "emb_ivf_ann")
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual == declaredRowsOnly,
+      s"rows-only drift: +${actual -- declaredRowsOnly} -${declaredRowsOnly -- actual}")
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("signature passes are mapper-only: no exchange in the plan") {
+    val docs = Tables(spark, sf, "documents")
+    val sig = operators.Dedup.minhashSignature(docs, "doc_id", "text", 8)
+    assert(!executedPlan(sig).contains("Exchange"),
+      "minhash signature must not shuffle the corpus")
+    val sh = operators.Dedup.simhash(docs, "doc_id", "text")
+    assert(!executedPlan(sh).contains("Exchange"), "simhash must not shuffle")
+    val emb = Tables(spark, sf, "embeddings")
+    val buckets = operators.Similarity.lshBucket(emb, "vec_id", "embedding", 4, 64, 2)
+    assert(!executedPlan(buckets).contains("Exchange"), "LSH bucketing must not shuffle")
+  }
+
+  test("piiRedact and trainTestSplit are single-pass mappers") {
+    val docs = Tables(spark, sf, "documents")
+    assert(!executedPlan(operators.TextAnalysis.piiRedact(docs, "doc_id", "text"))
+      .contains("Exchange"))
+    assert(!executedPlan(operators.Sampling.trainTestSplit(docs, "doc_id", 0.25))
+      .contains("Exchange"))
+  }
+
+  test("decontamination broadcasts the benchmark side, never shuffles the corpus") {
+    val docs = Tables(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") < 20)
+    val plan = executedPlan(
+      operators.TextAnalysis.flagContaminated(docs, "doc_id", "text", bench))
+    assert(plan.contains("BroadcastHashJoin"), "benchmark shingles must broadcast")
+  }
+
+  test("stratifiedSample shuffles once, on the stratum key") {
+    val docs = Tables(spark, sf, "documents")
+    val plan = executedPlan(operators.Sampling.stratifiedSample(docs, "doc_id", "lang", 5))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one exchange (stratum partition), got $exchanges")
+  }
+
+  test("events scan prunes to selected columns") {
+    val pruned = Tables.events(spark, sf).select("event_id", "value")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // ReadSchema in the parquet scan must not include the unused
+    // event_type/user_id/props columns
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"column pruning failed: $readSchema")
+  }
+}
