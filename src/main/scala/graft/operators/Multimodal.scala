@@ -203,6 +203,8 @@ object Multimodal {
           b.getInt(); b.getShort(); bits = b.getShort()
         case "data" =>
           require(bits == 16, "only PCM16 supported")
+          require(len <= b.remaining(),
+            s"truncated WAV: data chunk declares $len bytes, ${b.remaining()} remain")
           nSamples = len / 2L
           var i = 0L
           while (i < nSamples) { sumAbs += math.abs(b.getShort().toInt); i += 1 }

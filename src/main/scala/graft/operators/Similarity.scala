@@ -205,11 +205,31 @@ object Similarity {
     import spark.implicits._
     val vecs = corpus.select(col(vecCol).cast("array<double>").as("v")).as[Seq[Double]]
     val parts = math.max(1, vecs.rdd.getNumPartitions)
-    val perPart = math.max(1, math.ceil(n.toDouble / parts).toInt)
-    vecs.mapPartitions(_.take(perPart))
-      .collect()
-      .take(n)
-      .map(_.toArray)
+    // at most n partitions contribute (stride-selected by partition id
+    // inside the task, so deselected splits never pull their iterator —
+    // no row IO) and each contributes a small oversampled head: driver
+    // memory stays O(n) however many splits the lake has, and the 4×
+    // oversample absorbs sparse/uneven partitions without a second job.
+    // Returns up to n; a heavily-filtered corpus may yield fewer — for
+    // exact-n needs use TimeSeries.sampleReservoir (full pass).
+    val selParts = math.min(parts, n)
+    val stride = parts / selParts
+    val perPart = math.min(n, math.ceil(4.0 * n / selParts).toInt)
+    val collected = vecs.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (pid % stride == 0) it.take(perPart).map(v => (pid, v)) else Iterator.empty
+    }.collect()
+    // round-robin across partitions so the cap keeps the sample SPREAD —
+    // a plain take(n) over the oversampled heads would refill from the
+    // first partitions, which is the bias this function exists to avoid
+    val byPart = collected.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var round = 0
+    while (out.length < n && byPart.exists(_.length > round)) {
+      byPart.foreach { p => if (round < p.length && out.length < n) out += p(round).toArray }
+      round += 1
+    }
+    out.toArray
   }
 
   /** Explicit, cacheable IVF quantizer construction — ONE bounded Spark
@@ -294,13 +314,16 @@ object Similarity {
         col("nrm").as("n_a"), col("__bn"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"),
       col("nrm").as("n_b"))
+    // the guard is a boolean conjunct (not arithmetic on the id — that
+    // would numerically coerce string/UUID ids and silently NULL the
+    // comparison), so any id type that supports < keeps working
     a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b") + when(col("__bn") <= maxBlockSize, lit(0L))
+      .filter(col("id_a") < col("id_b") && when(col("__bn") <= maxBlockSize, lit(true))
         .otherwise(expr(
           "CAST(raise_error(concat('cosineDedupPairs: block ', CAST(blk AS STRING), " +
             "' holds ', CAST(__bn AS STRING), " +
             s"' vectors (> maxBlockSize=$maxBlockSize); pairwise work is quadratic in " +
-            "the block — sub-block it or raise the cap')) AS BIGINT)")))
+            "the block — sub-block it or raise the cap')) AS BOOLEAN)")))
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), (floor(col("cos") * 1e4) / 1e4).as("cos"))

@@ -110,7 +110,13 @@ object PipelineQueries {
           lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
           pmod(col("doc_id"), lit(256)), lit("."), pmod(col("doc_id"), lit(100)),
           lit(" or 555-"), lit(1000) + pmod(col("doc_id"), lit(9000))))
-      TextAnalysis.piiRedact(withPii, "doc_id", "text").orderBy("doc_id")
+      TextAnalysis.piiRedact(withPii, "doc_id", "text")
+        // regexp_count is INT; the oracle's len(regexp_extract_all) is
+        // BIGINT — cast per the repo's type-exactness convention
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("n_phones").cast("long").as("n_phones"), col("redacted"))
+        .orderBy("doc_id")
     }),
 
     "doc_fingerprint" -> ((s, dir) =>
@@ -436,7 +442,7 @@ object PipelineQueries {
     "mm_wav_decode" ->
       """SELECT d.doc_id,
         |  8000 + (d.doc_id % 8) * 1000 AS sample_rate,
-        |  1 AS channels, 16 AS bits,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
         |  d.doc_id % 50 + 1 AS n_samples,
         |  avg(abs((d.doc_id * 31 + u.i * 7) % 2001 - 1000)) AS mean_abs
         |FROM documents d,

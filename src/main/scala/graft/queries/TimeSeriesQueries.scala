@@ -192,8 +192,10 @@ object TimeSeriesQueries {
     "ts_show_series" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), col("user_id")).distinct()
-        .select(concat(lit("events,event_type="), col("event_type"),
-          lit(",user_id="), col("user_id").cast("string")).as("key"))
+        // coalesce: Spark's concat null-propagates while DuckDB's skips
+        // NULL args — empty-string both so a NULL tag can't diverge
+        .select(concat(lit("events,event_type="), coalesce(col("event_type"), lit("")),
+          lit(",user_id="), coalesce(col("user_id").cast("string"), lit(""))).as("key"))
         .orderBy("key")),
 
     "ts_show_tag_values" -> ((s, dir) =>

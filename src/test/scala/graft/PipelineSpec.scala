@@ -159,6 +159,22 @@ class PipelineSpec extends AnyFunSuite {
       maxBlockSize = 200).count() == 200L * 199 / 2)
   }
 
+  test("cosineDedupPairs supports non-numeric ids (guard must not coerce the comparison)") {
+    import spark.implicits._
+    val vecs = Seq(("blk", "a", Seq(1.0, 0.0)), ("blk", "b", Seq(1.0, 0.0)),
+      ("blk", "c", Seq(0.0, 1.0))).toDF("label", "vec_id", "embedding")
+    val pairs = Similarity.cosineDedupPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getString(1) == "a" && pairs.head.getString(2) == "b")
+  }
+
+  test("decodeWav reports a truncated data chunk instead of a buffer underflow") {
+    val good = Multimodal.encodeWav(8000, Array[Short](1, 2, 3, 4))
+    val truncated = good.dropRight(4) // declared len now exceeds the payload
+    val ex = intercept[IllegalArgumentException] { Multimodal.decodeWav(1L, truncated) }
+    assert(ex.getMessage.contains("truncated WAV"))
+  }
+
   test("lshCandidates fails fast on a mass-duplicated corpus (bucket guard)") {
     import spark.implicits._
     // 10k identical docs collapse into ONE LSH bucket per band: the
