@@ -72,6 +72,33 @@ class ContractSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one exchange (stratum partition), got $exchanges")
   }
 
+  test("bucketed lake tables co-locate the join: no exchange on either side") {
+    // SURVEY §5: big fact-fact joins co-locate via bucketing. Write both
+    // sides bucketed by the join key, then join with broadcast off — the
+    // sort-merge join must read bucket-aligned scans with ZERO exchanges.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey")
+      val lineitem = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      orders.write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("bkt_orders")
+      lineitem.write.mode("overwrite").bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("bkt_lineitem")
+      val joined = spark.table("bkt_lineitem")
+        .join(spark.table("bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${plan.take(2000)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
+
   test("events scan prunes to selected columns") {
     val pruned = Tables.events(spark, sf).select("event_id", "value")
     val scan = pruned.queryExecution.executedPlan.toString
