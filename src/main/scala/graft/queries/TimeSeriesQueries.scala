@@ -251,6 +251,24 @@ object TimeSeriesQueries {
         .orderBy("event_id").limit(2000)
     }),
 
+    // Mergeable-sketch rollup — THE 100 TB distinct-counting pattern:
+    // hour-level HLL sketches (Datasketches, partial-aggregated
+    // map-side) UNION into day level without touching raw rows again.
+    // At scale the hourly sketch table is materialized once and every
+    // coarser rollup (day/week/ad-hoc ranges) unions sketches instead
+    // of rescanning the lake. Sketch bytes are engine-specific →
+    // rows-only; ApproxAggSpec pins merge accuracy vs exact distincts.
+    "ts_sketch_rollup" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      hourly
+        .groupBy(date_trunc("day", col("h")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("daily_users"),
+          count(lit(1)).as("hours_covered"))
+        .orderBy("event_type", "day")
+    }),
+
     // Pins the shared-truncation contract between Tables.events (Spark:
     // parquet nanos → ts_ns, ts = timestamp_micros(ts_ns div 1000)) and
     // the oracle view E (DuckDB: cast(ts AS TIMESTAMP)) over REAL rows.

@@ -59,6 +59,23 @@ class ApproxAggSpec extends AnyFunSuite {
     check("p50"); check("p90")
   }
 
+  test("hll sketch rollup: hourly-sketch union matches exact daily distincts within 5%") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val rolled = graft.queries.TimeSeriesQueries.queries("ts_sketch_rollup")(
+      spark, "/root/testdata/sf0.001")
+    val exact = ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(countDistinct("user_id").as("exact_users"))
+    val joined = rolled.join(exact, Seq("day", "event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val est = r.getAs[Long]("daily_users").toDouble
+      val ex = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(est - ex) <= math.max(2.0, 0.05 * ex),
+        s"${r.getAs[Any]("day")}/${r.getAs[String]("event_type")}: estimate $est vs exact $ex")
+    }
+  }
+
   test("weightedPercentile matches a hand-computed fixture") {
     import spark.implicits._
     // values 10,20,30,40 with weights 1,1,6,2 (total 10):
