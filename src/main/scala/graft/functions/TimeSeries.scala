@@ -315,4 +315,68 @@ object TimeSeries {
           .otherwise(lit(null)))
       .drop("__pv", "__nv")
   }
+
+  /** Largest-Triangle-Three-Buckets index selection — the standard
+    * visual downsampler (Steinarsson 2013; TimescaleDB toolkit ships it
+    * as `lttb`): keeps first and last, then one point per bucket
+    * maximizing the triangle area with the previously kept point and
+    * the next bucket's centroid, preserving spikes a plain avg
+    * downsample flattens. Pure scalar core, spec-pinned.
+    */
+  def lttbSelect(ts: Array[Long], vs: Array[Double], threshold: Int): Array[Int] = {
+    val n = ts.length
+    if (threshold >= n || threshold < 3) return Array.range(0, n)
+    val out = new Array[Int](threshold)
+    val every = (n - 2).toDouble / (threshold - 2)
+    out(0) = 0
+    var a = 0
+    var i = 0
+    while (i < threshold - 2) {
+      val nextStart = math.floor((i + 1) * every).toInt + 1
+      val nextEnd = math.min(math.floor((i + 2) * every).toInt + 1, n)
+      var avgX = 0.0; var avgY = 0.0; var c = 0
+      var j = nextStart
+      while (j < nextEnd) { avgX += ts(j).toDouble; avgY += vs(j); c += 1; j += 1 }
+      if (c == 0) { avgX = ts(n - 1).toDouble; avgY = vs(n - 1); c = 1 }
+      avgX /= c; avgY /= c
+      val start = math.floor(i * every).toInt + 1
+      val end = math.min(math.floor((i + 1) * every).toInt + 1, n)
+      var best = start
+      var bestArea = -1.0
+      j = start
+      while (j < end) {
+        val area = math.abs((ts(a).toDouble - avgX) * (vs(j) - vs(a)) -
+          (ts(a).toDouble - ts(j).toDouble) * (avgY - vs(a))) / 2.0
+        if (area > bestArea) { bestArea = area; best = j }
+        j += 1
+      }
+      out(i + 1) = best
+      a = best
+      i += 1
+    }
+    out(threshold - 1) = n - 1
+    out
+  }
+
+  private val lttbUdf = udf { (series: Seq[org.apache.spark.sql.Row], threshold: Int) =>
+    val ts = series.map(_.getLong(0)).toArray
+    val vs = series.map(_.getDouble(1)).toArray
+    lttbSelect(ts, vs, threshold).map(i => (ts(i), vs(i))).toSeq
+  }
+
+  /** Per-series LTTB downsample to ≤ `threshold` points. Same
+    * whole-series shape as the repair operators: one shuffle on the
+    * series key, collect_list per series, scalar pass, explode — a
+    * series must fit an executor (millions of points; time-slice first
+    * if longer).
+    */
+  def lttb(df: DataFrame, seriesCols: Seq[String], tsCol: Column, valueCol: Column,
+           threshold: Int): DataFrame = {
+    val g = seriesCols.map(col)
+    df.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(tsCol.cast("long").as("t"),
+        valueCol.cast("double").as("v")))).as("__s"))
+      .withColumn("__kept", explode(lttbUdf(col("__s"), lit(threshold))))
+      .select(g :+ col("__kept._1").as("ts_us") :+ col("__kept._2").as("value"): _*)
+  }
 }

@@ -251,6 +251,14 @@ object TimeSeriesQueries {
         .orderBy("event_id").limit(2000)
     }),
 
+    // LTTB visual downsample: ≤50 spike-preserving points per user
+    // series (sequential selection — not SQL-expressible → rows-only;
+    // the scalar core is fixture-pinned in TimeSeriesEdgeSpec).
+    "ts_lttb" -> ((s, dir) =>
+      TimeSeries.lttb(Tables.events(s, dir), Seq("user_id"),
+        expr("unix_micros(ts)"), col("value"), 50)
+        .orderBy("user_id", "ts_us")),
+
     // Mergeable-sketch rollup — THE 100 TB distinct-counting pattern:
     // hour-level HLL sketches (Datasketches, partial-aggregated
     // map-side) UNION into day level without touching raw rows again.

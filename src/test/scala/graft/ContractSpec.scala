@@ -28,7 +28,7 @@ class ContractSpec extends AnyFunSuite {
     // algorithms, Spark-side quantizer training. Anything else missing
     // an oracle is a gap, not a declaration.
     val declaredRowsOnly = Set("q_approx_agg", "ts_data_quality", "ts_timestamp_repair",
-      "ts_value_fill_ar", "ts_value_repair", "emb_ivf_ann", "ts_sketch_rollup")
+      "ts_value_fill_ar", "ts_value_repair", "emb_ivf_ann", "ts_sketch_rollup", "ts_lttb")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == declaredRowsOnly,
       s"rows-only drift: +${actual -- declaredRowsOnly} -${declaredRowsOnly -- actual}")

@@ -170,6 +170,31 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("rangeJoinBinned")), s"wanted guard message, got $e")
   }
 
+  test("lttbSelect keeps endpoints, preserves spikes, and passes short series through") {
+    val n = 100
+    val ts = Array.tabulate(n)(_.toLong)
+    val vs = Array.tabulate(n)(i => if (i == 57) 100.0 else math.sin(i / 5.0))
+    val idx = TimeSeries.lttbSelect(ts, vs, 12)
+    assert(idx.length == 12)
+    assert(idx.head == 0 && idx.last == n - 1, "endpoints must survive")
+    assert(idx.contains(57), "the spike must survive visual downsampling")
+    assert(idx.sorted.sameElements(idx), "selection must be time-ordered")
+    // short series pass through untouched
+    assert(TimeSeries.lttbSelect(ts.take(5), vs.take(5), 12).sameElements(Array(0, 1, 2, 3, 4)))
+  }
+
+  test("lttb DataFrame operator downsamples per series") {
+    val df = series((1 to 200).map(i =>
+      (1L, i.toLong, (if (i == 77) 50.0 else 1.0): java.lang.Double)) ++
+      (1 to 10).map(i => (2L, i.toLong, 2.0: java.lang.Double)): _*)
+    val out = TimeSeries.lttb(df, Seq("sid"), expr("unix_micros(ts)"), col("v"), 20)
+      .collect()
+    val s1 = out.filter(_.getLong(0) == 1L)
+    assert(s1.length == 20)
+    assert(s1.exists(_.getDouble(2) == 50.0), "spike survives")
+    assert(out.count(_.getLong(0) == 2L) == 10, "short series passes through")
+  }
+
   test("lastPoint with equal timestamps resolves via the tiebreak") {
     val df = Seq((1L, 10L, 1, "x"), (1L, 10L, 2, "y")).toDF("sid", "ts_s", "tb", "payload")
       .select(col("sid"), timestamp_seconds(col("ts_s")).as("ts"), col("tb"), col("payload"))
