@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayOverlapCount, BpeTokenCount, CharNgramSet, CharSetCount, MinhashSig, NonAlnumSpaceCount, NumGcd, NumLcm, SimHash60, VecDot, WordSetCount, WordShingleSet}
+import graft.functions.{ArrayOverlapCount, BpeTokenCount, CharNgramSet, CharSetCount, MinhashSig, NonAlnumSpaceCount, NumGcd, NumLcm, SimHash60, VecDot, WordSetCount, WordShingleSet, ZorderKey}
 
 /** SparkSessionExtensions hook: registers graft's native expressions
   * permanently in a session built with
@@ -41,5 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c: Seq[Expression]) => NonAlnumSpaceCount(c.head)))
     ext.injectFunction((FunctionIdentifier("bpe_token_count"), info("bpe_token_count"),
       (c: Seq[Expression]) => BpeTokenCount(c.head)))
+    ext.injectFunction((FunctionIdentifier("zorder_key"), info("zorder_key"),
+      (c: Seq[Expression]) => ZorderKey(c.head, c(1))))
   }
 }

@@ -112,6 +112,56 @@ case class NumLcm(left: Expression, right: Expression)
   override def prettyName: String = "num_lcm"
 }
 
+/** 32-bit Morton (Z-order) interleave of two bigint columns' low 32
+  * bits: bit i of x lands at position 2i, bit i of y at 2i+1. Sorting
+  * or range-partitioning a lake by this key clusters rows that are
+  * close in BOTH dimensions, so min/max zone pruning cuts scans for
+  * 2-D predicates (time × device, lat × lon) — the layout trick behind
+  * Delta/Iceberg Z-ORDER, here as a first-class codegen'd expression.
+  * Pure bit arithmetic: the DuckDB oracle recomputes it exactly.
+  */
+case class ZorderKey(left: Expression, right: Expression)
+  extends BinaryExpression with LongBinaryMath {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkLongInputs("zorder_key")
+
+  // classic bit-spreading: x | x<<16 … masked, then interleave
+  private def spread(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    spread(a.asInstanceOf[Long]) | (spread(b.asInstanceOf[Long]) << 1)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sp = ctx.freshName("spread")
+      ctx.addNewFunction(sp,
+        s"""
+           |private long $sp(long v) {
+           |  long x = v & 0xffffffffL;
+           |  x = (x | (x << 16)) & 0x0000ffff0000ffffL;
+           |  x = (x | (x << 8)) & 0x00ff00ff00ff00ffL;
+           |  x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL;
+           |  x = (x | (x << 2)) & 0x3333333333333333L;
+           |  x = (x | (x << 1)) & 0x5555555555555555L;
+           |  return x;
+           |}
+         """.stripMargin)
+      s"${ev.value} = $sp($a) | ($sp($b) << 1);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "zorder_key"
+}
+
 object ScalarExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -119,5 +169,7 @@ object ScalarExpressions {
       (c: Seq[Expression]) => NumGcd(c.head, c(1)), "built-in")
     reg.createOrReplaceTempFunction("num_lcm",
       (c: Seq[Expression]) => NumLcm(c.head, c(1)), "built-in")
+    reg.createOrReplaceTempFunction("zorder_key",
+      (c: Seq[Expression]) => ZorderKey(c.head, c(1)), "built-in")
   }
 }

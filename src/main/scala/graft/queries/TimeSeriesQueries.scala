@@ -251,6 +251,22 @@ object TimeSeriesQueries {
         .orderBy("event_id").limit(2000)
     }),
 
+    // Z-order lake-layout key (native codegen'd bit interleave — the
+    // clustering trick behind Delta/Iceberg Z-ORDER): sorting by it
+    // co-locates rows close in BOTH dimensions so min/max zone pruning
+    // works for 2-D predicates. Inputs masked to 16 bits so the DuckDB
+    // oracle's bit arithmetic stays overflow-free; the full 32-bit lane
+    // is spec-pinned.
+    "ts_zorder_key" -> ((s, dir) => {
+      graft.functions.ScalarExpressions.register(s)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          call_function("zorder_key",
+            pmod(col("user_id"), lit(65536)).cast("long"),
+            pmod(col("event_id"), lit(65536)).cast("long")).as("zkey"))
+        .orderBy("event_id").limit(5000)
+    }),
+
     // LTTB visual downsample: ≤50 spike-preserving points per user
     // series (sequential selection — not SQL-expressible → rows-only;
     // the scalar core is fixture-pinned in TimeSeriesEdgeSpec).
@@ -533,6 +549,13 @@ object TimeSeriesQueries {
         |  ns // 10000000 AS bucket_10ms
         |FROM n ORDER BY event_id LIMIT 2000""".stripMargin,
     "ts_events_view" ->
-      s"SELECT event_id, user_id, event_type, value, ts FROM $E ORDER BY event_id LIMIT 10000"
+      s"SELECT event_id, user_id, event_type, value, ts FROM $E ORDER BY event_id LIMIT 10000",
+    "ts_zorder_key" ->
+      """SELECT event_id,
+        |  CAST(sum((((user_id % 65536) >> b.i) & 1)::BIGINT << (2 * b.i)) +
+        |       sum((((event_id % 65536) >> b.i) & 1)::BIGINT << (2 * b.i + 1)) AS BIGINT)
+        |    AS zkey
+        |FROM events, (SELECT unnest(generate_series(0, 15)) AS i) b
+        |GROUP BY event_id ORDER BY event_id LIMIT 5000""".stripMargin
   )
 }

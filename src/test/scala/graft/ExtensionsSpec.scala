@@ -25,6 +25,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(2) == 12L)
   }
 
+  test("zorder_key interleaves bits: x at even positions, y at odd") {
+    // x=10 (1010b) → bits 1,3 land at 2,6 → 68; y=5 (0101b) → bits 0,2
+    // land at 1,5 → 34; key = 102. Full 32-bit lane: bit 31 of y lands
+    // at position 63 (sign bit — still a total order for SORTing when
+    // inputs stay below 2^31, which ids do).
+    val row = spark.sql(
+      """SELECT zorder_key(10L, 5L), zorder_key(10L, 0L), zorder_key(0L, 5L),
+        |  zorder_key(4294967295L, 0L), zorder_key(0L, 1L)""".stripMargin).head()
+    assert(row.getLong(0) == 102L)
+    assert(row.getLong(1) == 68L)
+    assert(row.getLong(2) == 34L)
+    assert(row.getLong(3) == 0x5555555555555555L) // all 32 x-bits spread to evens
+    assert(row.getLong(4) == 2L)
+  }
+
+  test("zorder_key clusters 2-D neighbors better than a 1-D sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 16x16 grid: under z-order, the average |rank distance| between a
+    // cell and its right neighbor must beat sorting by y (where x
+    // neighbors land 16 ranks apart consistently at best)
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)).toDF("x", "y")
+    val ranked = grid.withColumn("zkey", call_function("zorder_key", col("x"), col("y")))
+      .withColumn("zrank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("zkey")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val zdist = (for (x <- 0L until 15L; y <- 0L until 16L)
+      yield math.abs(ranked((x + 1, y)) - ranked((x, y)))).sum /
+      (15.0 * 16)
+    // y-major sort puts x-neighbors exactly 16 apart; z-order must do
+    // meaningfully better on average
+    assert(zdist < 12.0, s"z-order x-neighbor rank distance $zdist should beat 16")
+  }
+
   test("gcd/lcm edge semantics match the reference slt cases") {
     val row = spark.sql(
       """SELECT num_gcd(0L, 0L), num_gcd(-12L, 18L), num_lcm(0L, 5L),
