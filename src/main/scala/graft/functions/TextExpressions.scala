@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-document text kernels behind the native expressions below.
@@ -243,6 +243,33 @@ object TextKernels {
       }
     }
     count
+  }
+
+  /** Word-bigram repetition stats in ONE pass: [total_bigram_occurrences,
+    * occurrences_belonging_to_duplicated_bigrams, top_bigram_count].
+    * The Gopher/C4-class repetition signals (duplicate-n-gram fraction,
+    * most-common-n-gram share) derive from these by exact integer
+    * division. Tokenization matches split(text, " ") with empties kept;
+    * [0,0,0] when the doc has fewer than 2 tokens.
+    */
+  def repStats(t: UTF8String): ArrayData = {
+    val toks = t.toString.split(" ", -1)
+    if (toks.length < 2) return new GenericArrayData(Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    var j = 0
+    while (j < toks.length - 1) {
+      counts.merge(toks(j) + " " + toks(j + 1), 1, Integer.sum _)
+      j += 1
+    }
+    var dup = 0L
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > 1) dup += c
+      if (c > top) top = c
+    }
+    new GenericArrayData(Array[Any]((toks.length - 1).toLong, dup, top))
   }
 
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -484,6 +511,31 @@ case class BpeTokenCount(child: Expression)
   override def prettyName: String = "bpe_token_count"
 }
 
+/** rep_stats(text) → array<long> [total_bigram_occurrences,
+  * dup_bigram_occurrences, top_bigram_count] (Gopher-class repetition
+  * signals, one pass, no explode).
+  */
+case class RepStats(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rep_stats requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.repStats(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      t => s"${ev.value} = graft.functions.TextKernels.repStats($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "rep_stats"
+}
+
 object TextExpressions {
   /** Idempotent per-session registration (same pattern as
     * VectorExpressions.register).
@@ -508,5 +560,7 @@ object TextExpressions {
       (c: Seq[Expression]) => NonAlnumSpaceCount(c.head), "built-in")
     reg.createOrReplaceTempFunction("bpe_token_count",
       (c: Seq[Expression]) => BpeTokenCount(c.head), "built-in")
+    reg.createOrReplaceTempFunction("rep_stats",
+      (c: Seq[Expression]) => RepStats(c.head), "built-in")
   }
 }

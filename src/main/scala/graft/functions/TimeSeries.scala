@@ -370,6 +370,46 @@ object TimeSeries {
     * series must fit an executor (millions of points; time-slice first
     * if longer).
     */
+  /** Time-weighted average per series group — the TimescaleDB-toolkit
+    * `time_weight('linear')`/`average` surface: the trapezoidal
+    * integral of the value over the group's observed span, divided by
+    * that span. Points count by how LONG they held, not how often they
+    * were sampled — the right mean for irregularly-sampled gauges
+    * (plain avg() over-weights densely-sampled intervals).
+    *
+    * 100 TB shape: ONE shuffle on the group key serves both the lead()
+    * window and the final aggregation (same partitioning); the
+    * aggregation is partial-aggregable. Engine-exact arithmetic:
+    * timestamps are integer time units (ns or µs — any fixed unit; the
+    * driver query uses µs, DuckDB's oracle-visible parquet precision),
+    * values become exact integer cents,
+    * each trapezoid is an exact integer product accumulated in
+    * DECIMAL(38,0) (order-independent), and only the final ratio is
+    * floated + floor-quantized. Single-point groups (zero span) emit
+    * their value: the zero-width integral's limit.
+    */
+  def twa(df: DataFrame, groupCols: Seq[String], tsIntCol: String,
+          valueCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(tsIntCol))
+    val vc = round(col(valueCol) * 100).cast("long") // exact cents
+    val contrib = when(lead(col(tsIntCol), 1).over(w).isNotNull,
+      (lead(col(tsIntCol), 1).over(w) - col(tsIntCol)).cast("decimal(38,0)")
+        * (vc + lead(vc, 1).over(w)).cast("decimal(38,0)"))
+      .otherwise(lit(0).cast("decimal(38,0)"))
+    df.withColumn("__tr", contrib)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (max(col(tsIntCol)) - min(col(tsIntCol))).as("span"),
+        sum(col("__tr")).as("__integ2"),
+        min(vc).as("__vc0"))
+      .withColumn("twa",
+        when(col("span") > 0,
+          floor(col("__integ2").cast("double") / 2.0 / col("span").cast("double")
+            / 100.0 * 1000000.0) / 1000000.0)
+          .otherwise(floor(col("__vc0").cast("double") / 100.0 * 1000000.0) / 1000000.0))
+      .drop("__integ2", "__vc0")
+  }
+
   def lttb(df: DataFrame, seriesCols: Seq[String], tsCol: Column, valueCol: Column,
            threshold: Int): DataFrame = {
     val g = seriesCols.map(col)

@@ -36,6 +36,32 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Domain-mixture statistics for training-set construction: per
+    * stratum (e.g. source × language), document and whitespace-token
+    * counts plus two sampling weights — token-proportional (α=1) and
+    * sqrt-temperature (α=0.5, the standard upweighting of small
+    * domains). 100 TB shape: one map-side-combined aggregation over the
+    * corpus; the per-stratum table is tiny (domains × languages), so
+    * the normalizing totals are a window over the aggregate, not a
+    * second corpus pass. Engine-stable arithmetic: weights are ratios
+    * of exact integers (the sqrt weight quantizes sqrt(tokens) to
+    * integer micro-units BEFORE the sum so the denominator is an exact
+    * integer too), floor-quantized on output.
+    */
+  def domainMixture(df: DataFrame, textCol: String, strataCols: String*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("tokens"))
+      .withColumn("sqrt_tok_q", floor(sqrt(col("tokens").cast("double")) * 1000000.0).cast("long"))
+      .withColumn("w_prop",
+        floor(col("tokens").cast("double") / sum("tokens").over(w) * 1000000.0) / 1000000.0)
+      .withColumn("w_sqrt",
+        floor(col("sqrt_tok_q").cast("double") / sum("sqrt_tok_q").over(w) * 1000000.0)
+          / 1000000.0)
+      .drop("sqrt_tok_q")
+  }
+
   /** Deterministic train/test split by hashed id: test iff
     * hashScore(id) < testFraction. A pure mapper — no shuffle, no RNG
     * state, stable under corpus growth (adding docs never moves an

@@ -291,6 +291,32 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * compression step before ANN at 100 TB (4× smaller than float32,
+    * 8× than float64 scoring vectors). Per vector: scale = 127/max|x|,
+    * q_i = floor(x_i·scale + 0.5) (round-half-up spelled as floor so
+    * every engine agrees on boundary values); an all-zero vector
+    * quantizes to zeros with a NULL-→0 scale guard. A pure mapper: one
+    * corpus pass, no shuffle, stays in whole-stage codegen.
+    * Reconstruction-error columns quantize the per-element error to
+    * integer nano-units BEFORE aggregating, so the sums compared across
+    * engines are exact integers, not order-sensitive float folds.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val withScale = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", when(col("mx") > 0, lit(127.0) / col("mx")))
+    val errInt = (x: Column) => when(col("scale").isNull, lit(0L))
+      .otherwise(floor(abs(x - floor(x * col("scale") + lit(0.5)) / col("scale")) * 1e9)
+        .cast("long"))
+    withScale.select(col(idCol),
+      transform(col("v"), x => when(col("scale").isNull, lit(0))
+        .otherwise(floor(x * col("scale") + lit(0.5)).cast("int"))).as("qvec"),
+      (floor(coalesce(col("scale"), lit(0.0)) * 1e6) / 1e6).as("scale_q"),
+      aggregate(transform(col("v"), errInt), lit(0L), (a, x) => a + x).as("sum_abs_err_1e9"),
+      array_max(transform(col("v"), errInt)).as("max_abs_err_1e9"))
+  }
+
   /** Near-duplicate vector pairs within a blocking key (e.g. label).
     * Pairwise work is QUADRATIC in block size — that is the operator's
     * semantics, and it is fine while blocks stay bounded, but a block

@@ -145,6 +145,32 @@ object TextAnalysis {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** Gopher-class repetition signals per document: the fraction of
+    * word-bigram occurrences that belong to duplicated bigrams and the
+    * share of the single most frequent bigram — high values flag
+    * boilerplate/spam/generated text in a training corpus. The counts
+    * come from the single-pass `rep_stats` kernel, so at 100 TB this is
+    * a pure mapper: no bigram explode, no shuffle. Fractions are
+    * floor-quantized ratios of exact integers (engine-stable) and NULL
+    * when the doc has no bigrams.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    df.select(col(idCol), call_function("rep_stats", col(textCol)).as("st"))
+      .select(col(idCol),
+        col("st").getItem(0).as("total_bigrams"),
+        col("st").getItem(1).as("dup_occurrences"),
+        col("st").getItem(2).as("top_count"))
+      .withColumn("dup_frac",
+        when(col("total_bigrams") > 0,
+          floor(col("dup_occurrences").cast("double") / col("total_bigrams") * 1000000.0)
+            / 1000000.0))
+      .withColumn("top_frac",
+        when(col("total_bigrams") > 0,
+          floor(col("top_count").cast("double") / col("total_bigrams") * 1000000.0)
+            / 1000000.0))
+  }
+
   /** Karp-Rabin winnowing fingerprint over char k-grams: min rolling
     * hash per window — robust doc signature for shift-tolerant matching
     * (spec-tested; not SQL-expressible → rows-only when queried).

@@ -244,7 +244,22 @@ object EdgeSql {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** JSON field extraction over the events.props payload column —
+    * get_json_object path extraction + cast, aggregated per series.
+    * A pure mapper feeding a partial-aggregable group-by: the JSON
+    * parse never leaves the scan stage at 100 TB.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        count(when(col("k") > 50, 1)).as("n_high"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> qJsonExtract,
     "q_tlp_partition" -> qTlpPartition,
     "q_bit_bool_agg" -> qBitBoolAgg,
     "q_rollup" -> qRollup,
@@ -262,6 +277,15 @@ object EdgeSql {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(CASE WHEN k > 50 THEN 1 END) AS n_high,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_tlp_partition" ->
       """WITH p AS (
         |  SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio

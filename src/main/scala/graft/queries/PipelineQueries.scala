@@ -119,6 +119,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-class repetition signals: duplicate-bigram fraction + top-
+    // bigram share per doc, from the single-pass rep_stats kernel (pure
+    // mapper). The oracle recomputes the counts by exploding bigrams.
+    "doc_rep_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Domain-mixture table: per (source, lang) doc/token counts and the
+    // two standard sampling weights (token-proportional and sqrt-
+    // temperature) for training-set construction.
+    "doc_domain_mix" -> ((s, dir) =>
+      Sampling.domainMixture(Tables(s, dir, "documents"), "text", "source", "lang")
+        .orderBy("source", "lang")),
+
+    // Corpus-wide heavy hitters: top-50 word bigrams by total
+    // occurrences (two-level partial agg; only (bigram, count) partials
+    // shuffle, then a tiny global top-k).
+    "doc_top_ngrams" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      docs.select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg"))
+        .limit(50)
+    }),
+
+    // int8 embedding quantization: qvec + scale + exact-integer
+    // reconstruction-error metrics (the ANN storage-compression step).
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -409,6 +444,67 @@ object PipelineQueries {
          |    '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    "doc_rep_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, t[j] || ' ' || t[j+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) u),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg),
+        |g AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_bigrams,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occurrences,
+        |    CAST(max(cnt) AS BIGINT) AS top_count
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(g.total_bigrams, 0) AS total_bigrams,
+        |  coalesce(g.dup_occurrences, 0) AS dup_occurrences,
+        |  coalesce(g.top_count, 0) AS top_count,
+        |  CASE WHEN g.total_bigrams > 0
+        |    THEN floor(g.dup_occurrences / g.total_bigrams * 1000000.0) / 1000000.0 END
+        |    AS dup_frac,
+        |  CASE WHEN g.total_bigrams > 0
+        |    THEN floor(g.top_count / g.total_bigrams * 1000000.0) / 1000000.0 END
+        |    AS top_frac
+        |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "doc_domain_mix" ->
+      """WITH g AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source, lang),
+        |q AS (SELECT *,
+        |  CAST(floor(sqrt(tokens::DOUBLE) * 1000000.0) AS BIGINT) AS sqrt_tok_q FROM g)
+        |SELECT source, lang, n_docs, tokens,
+        |  floor(tokens::DOUBLE / (SELECT sum(tokens) FROM q) * 1000000.0)
+        |    / 1000000.0 AS w_prop,
+        |  floor(sqrt_tok_q::DOUBLE / (SELECT sum(sqrt_tok_q) FROM q) * 1000000.0)
+        |    / 1000000.0 AS w_sqrt
+        |FROM q ORDER BY source, lang""".stripMargin,
+    "doc_top_ngrams" ->
+      """WITH b AS (
+        |  SELECT t[j] || ' ' || t[j+1] AS bg
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) u)
+        |SELECT bg, count(*) AS n FROM b GROUP BY bg
+        |ORDER BY n DESC, bg LIMIT 50""".stripMargin,
+    "emb_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |s AS (SELECT vec_id, v,
+        |  CASE WHEN mx > 0 THEN 127.0 / mx END AS scale FROM m),
+        |e AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> CASE WHEN scale IS NULL THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(abs(x - floor(x * scale + 0.5) / scale)
+        |      * 1000000000.0) AS BIGINT) END) AS errs
+        |  FROM s)
+        |SELECT vec_id,
+        |  list_transform(v, x -> CASE WHEN scale IS NULL THEN 0
+        |    ELSE CAST(floor(x * scale + 0.5) AS INT) END) AS qvec,
+        |  floor(coalesce(scale, 0) * 1000000.0) / 1000000.0 AS scale_q,
+        |  CAST(list_sum(errs) AS BIGINT) AS sum_abs_err_1e9,
+        |  CAST(list_max(errs) AS BIGINT) AS max_abs_err_1e9
+        |FROM e ORDER BY vec_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint

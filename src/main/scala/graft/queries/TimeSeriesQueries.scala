@@ -210,6 +210,20 @@ object TimeSeriesQueries {
     // re-binned to days → active hours. Both windows derive
     // deterministically from ts, so the only shuffle key is user_id —
     // the day rollup reuses the partial-agg output of the first.
+    // Time-weighted average (TimescaleDB-toolkit time_weight surface):
+    // trapezoidal integral over the timestamps / observed span, per
+    // event_type × day. Exact-integer trapezoid sums (DECIMAL(38,0) of
+    // cents × µs) keep the oracle engine-stable; µs (not ns) because
+    // DuckDB truncates parquet ns→µs at read — the shared-precision
+    // contract the ns lane pins.
+    "ts_twa" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("day", expr("ts_ns div 1000 div 86400000000"))
+      TimeSeries.twa(e, Seq("event_type", "day"), "ts_us", "value")
+        .orderBy("event_type", "day")
+    }),
+
     "ts_date_bin" -> ((s, dir) => {
       val inner = Tables.events(s, dir)
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
@@ -527,6 +541,31 @@ object TimeSeriesQueries {
     "ts_sample" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY md5(cast(event_id AS VARCHAR)) LIMIT 100""".stripMargin,
+    "ts_twa" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, day, ts_us, vc,
+        |    lead(ts_us) OVER (PARTITION BY event_type, day ORDER BY ts_us) AS t2,
+        |    lead(vc) OVER (PARTITION BY event_type, day ORDER BY ts_us) AS vc2
+        |  FROM e),
+        |g AS (
+        |  SELECT event_type, day, count(*) AS n,
+        |    max(ts_us) - min(ts_us) AS span,
+        |    sum(CASE WHEN t2 IS NOT NULL
+        |      THEN (t2 - ts_us)::HUGEINT * (vc + vc2)::HUGEINT
+        |      ELSE 0 END) AS integ2,
+        |    min(vc) AS vc0
+        |  FROM l GROUP BY 1, 2)
+        |SELECT event_type, day, n, span,
+        |  CASE WHEN span > 0
+        |    THEN floor(integ2::DOUBLE / 2.0 / span::DOUBLE / 100.0 * 1000000.0)
+        |      / 1000000.0
+        |    ELSE floor(vc0::DOUBLE / 100.0 * 1000000.0) / 1000000.0 END AS twa
+        |FROM g ORDER BY event_type, day""".stripMargin,
     "ts_date_bin" ->
       s"""WITH i AS (
          |  SELECT epoch_ms(cast(floor(epoch(ts) / 600) * 600000 AS BIGINT)) AS w10,

@@ -467,6 +467,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(red == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE> or <PHONE>")
   }
 
+  test("rep_stats kernel matches the explode-groupBy formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExpressions.register(spark)
+    val tricky = Seq((9001L, "a b a b a"), (9002L, "x"), (9003L, ""),
+      (9004L, "x y"), (9005L, "w w w w")).toDF("doc_id", "text")
+    val corpus = Tables(spark, sf, "documents").select("doc_id", "text")
+      .unionByName(tricky)
+    val native = TextAnalysis.repetitionStats(corpus, "doc_id", "text")
+    val exploded = corpus.withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("e_total"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("e_dup"),
+        max("cnt").as("e_top"))
+    val joined = native.join(exploded, Seq("doc_id"), "left").collect()
+    assert(joined.length > 500)
+    joined.foreach { r =>
+      val total = r.getAs[Long]("total_bigrams")
+      if (r.isNullAt(r.fieldIndex("e_total"))) // < 2 tokens → no bigrams
+        assert(total == 0 && r.getAs[Long]("top_count") == 0)
+      else {
+        assert(total == r.getAs[Long]("e_total"), s"total mismatch for $r")
+        assert(r.getAs[Long]("dup_occurrences") == r.getAs[Long]("e_dup"))
+        assert(r.getAs[Long]("top_count") == r.getAs[Long]("e_top"))
+      }
+    }
+    // hand-pinned: "a b a b a" → {a b: 2, b a: 2} → total 4, dup 4, top 2
+    val h = native.filter(col("doc_id") === 9001L).head()
+    assert(h.getAs[Long]("total_bigrams") == 4 && h.getAs[Long]("dup_occurrences") == 4
+      && h.getAs[Long]("top_count") == 2)
+    // "w w w w" → {w w: 3} → all occurrences duplicated, top_frac 1.0
+    val w4 = native.filter(col("doc_id") === 9005L).head()
+    assert(w4.getAs[Double]("dup_frac") == 1.0 && w4.getAs[Double]("top_frac") == 1.0)
+  }
+
+  test("quantizeInt8 bounds values to ±127 and error to half a step") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(3.0f))).toDF("vec_id", "embedding")
+      .unionByName(Tables(spark, sf, "embeddings").select("vec_id", "embedding"))
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()
+    out.foreach { r =>
+      val q = r.getAs[scala.collection.Seq[Int]]("qvec")
+      assert(q.forall(x => x >= -127 && x <= 127), s"q out of int8 range: $r")
+      val scaleQ = r.getAs[Double]("scale_q")
+      if (scaleQ > 0) {
+        // max reconstruction error ≤ half a quantization step (+1 nano-unit slack)
+        val maxErr = r.getAs[Long]("max_abs_err_1e9")
+        assert(maxErr <= (0.5 / scaleQ * 1e9).toLong + 2, s"error above half-step: $r")
+      } else // zero vector → zero qvec, zero error
+        assert(q.forall(_ == 0) && r.getAs[Long]("sum_abs_err_1e9") == 0)
+    }
+    val v1 = out.find(_.getLong(0) == 1L).get
+    assert(v1.getAs[scala.collection.Seq[Int]]("qvec") == Seq(64, -127, 32))
+  }
+
+  test("domainMixture weights normalize and sqrt-temperature flattens") {
+    val mix = Sampling.domainMixture(
+      Tables(spark, sf, "documents"), "text", "source", "lang").collect()
+    assert(mix.length > 1)
+    val wp = mix.map(_.getAs[Double]("w_prop"))
+    val ws = mix.map(_.getAs[Double]("w_sqrt"))
+    // floor-quantized weights sum to 1 − at most n quantization ulps
+    assert(math.abs(wp.sum - 1.0) < mix.length * 1e-6 + 1e-9)
+    assert(math.abs(ws.sum - 1.0) < mix.length * 1e-6 + 1e-9)
+    // sqrt temperature compresses the spread: max/min ratio must shrink
+    val ratio = (xs: Array[Double]) => xs.max / xs.min
+    assert(ratio(ws) < ratio(wp) + 1e-9,
+      s"sqrt weights should flatten the mixture: ${ratio(ws)} vs ${ratio(wp)}")
+  }
+
   test("winnow fingerprint is shift-tolerant") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("PREFIX the quick brown fox jumps over the lazy dog")

@@ -201,4 +201,21 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     val out = TimeSeries.lastPoint(df, col("ts"), col("tb"), Seq("sid"), Seq("payload")).head()
     assert(out.getString(2) == "y")
   }
+
+  test("twa is the trapezoidal time-weighted mean, not the sample mean") {
+    // series a: hold 1.0 for 10s, then 2.0 for 20s →
+    //   integral = 10*(1+2)/2 + 20*(2+2)/2 = 55, span 30 → twa 1.8333…
+    //   (the SAMPLE mean is (1+2+2)/3 = 1.6667 — must differ)
+    // series b: single point → its own value
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 30L, 2.0),
+      ("b", 5L, 7.5)).toDF("g", "t", "value")
+    val out = TimeSeries.twa(df, Seq("g"), "t", "value")
+      .orderBy("g").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n") == 3 && a.getAs[Long]("span") == 30)
+    assert(math.abs(a.getAs[Double]("twa") - 1.833333) < 1e-9)
+    val b = out(1)
+    assert(b.getAs[Long]("span") == 0)
+    assert(b.getAs[Double]("twa") == 7.5)
+  }
 }
