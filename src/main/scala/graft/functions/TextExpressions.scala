@@ -78,50 +78,76 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** Per-doc minhash signature: for each seed s in [0, k), the minimum
-    * of md5(s + "|" + shingle) over the doc's word-3-gram shingles —
-    * byte-for-byte the value `min(md5(concat(s|, sh)))` aggregates in
-    * the row-per-shingle formulation (and in the DuckDB oracle), but
-    * computed in one in-memory pass with NO explode and NO shuffle.
+  /** Per-doc minhash signature: seed s in [0, k) orders shingles by the
+    * md5 hex digest ROTATED LEFT by 4·s hex chars (= 2·s bytes) and
+    * takes the minimum — byte-for-byte the value
+    *   min(substr(md5(sh), 4s+1) || substr(md5(sh), 1, 4s))
+    * aggregates in the row-per-shingle formulation (and in the DuckDB
+    * oracle), computed in one in-memory pass with NO explode and NO
+    * shuffle. One digest per shingle serves ALL k seeds (each rotation
+    * is a bijection on digests, so every seed is a proper minhash; the
+    * r2 scheme md5(s + "|" + shingle) paid k digests per shingle — 8×
+    * the hashing for the same candidate-generation role, with the exact
+    * Jaccard confirm stage downstream unchanged either way).
     * Tokenization matches Spark `split(text, " ")` (trailing empties
     * kept). Null when the doc has fewer than 3 tokens (no shingles) —
     * callers filter, exactly as shingle-less docs dropped out of the
     * grouped aggregation before.
     */
   def minhashSig(t: UTF8String, k: Int): ArrayData = {
+    if (k < 1 || k > 8) throw new IllegalArgumentException(
+      s"minhash_sig supports 1..8 seeds (distinct 4-hex-char digest rotations), got $k")
     val toks = t.toString.split(" ", -1)
     if (toks.length < 3) return null
     val md = MessageDigest.getInstance("MD5")
-    // md5(s + "|" + shingle) == digest(prefixBytes ++ shingleBytes):
-    // feeding the two byte runs avoids building k concatenated strings
-    // (and k UTF-8 encodes) per shingle. Tokens are encoded once.
-    val seedBytes = Array.tabulate(k)(s =>
-      (s + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val tokBytes = toks.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val mins = new Array[Array[Byte]](k)
     var j = 0
     while (j <= toks.length - 3) {
-      val a = tokBytes(j); val b = tokBytes(j + 1); val c = tokBytes(j + 2)
-      val shB = new Array[Byte](a.length + b.length + c.length + 2)
-      System.arraycopy(a, 0, shB, 0, a.length)
-      shB(a.length) = ' '
-      System.arraycopy(b, 0, shB, a.length + 1, b.length)
-      shB(a.length + b.length + 1) = ' '
-      System.arraycopy(c, 0, shB, a.length + b.length + 2, c.length)
+      md.reset()
+      md.update(tokBytes(j)); md.update(' '.toByte)
+      md.update(tokBytes(j + 1)); md.update(' '.toByte)
+      md.update(tokBytes(j + 2))
+      val d = md.digest()
       var s = 0
       while (s < k) {
-        md.reset()
-        md.update(seedBytes(s))
-        md.update(shB)
-        val d = md.digest()
-        // hex order == unsigned byte order, so compare digests raw and
-        // hex-encode only the k winners at the end
-        if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
+        // hex order == unsigned byte order, so compare rotated digests
+        // raw and hex-encode only the k winners at the end
+        if (mins(s) == null || rotatedLess(d, mins(s), 2 * s)) mins(s) = d
         s += 1
       }
       j += 1
     }
-    new GenericArrayData(mins.map(d => UTF8String.fromString(bytesToHex(d)): Any))
+    val out = new Array[Any](k)
+    var s = 0
+    while (s < k) { out(s) = UTF8String.fromString(rotatedHex(mins(s), 2 * s)); s += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Unsigned byte-wise compare of two 16-byte digests, both read
+    * starting at byte offset `off` (mod 16) — the rotated-digest order.
+    */
+  private def rotatedLess(a: Array[Byte], b: Array[Byte], off: Int): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a((i + off) & 15) & 0xff
+      val y = b((i + off) & 15) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def rotatedHex(d: Array[Byte], off: Int): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d((i + off) & 15)
+      out(2 * i) = HEX((b >> 4) & 0xf)
+      out(2 * i + 1) = HEX(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** 60-bit SimHash as 15 hex chars — identical values to the
@@ -245,6 +271,26 @@ object TextKernels {
     count
   }
 
+  /** Collapse every run of whitespace ([ \t\n\x0B\f\r] — Java/RE2 \s)
+    * to a single space in one pass — exactly
+    * regexp_replace(text, '\s+', ' ') without the regex engine.
+    */
+  def wsNormalize(t: UTF8String): UTF8String = {
+    val s = t.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    var inWs = false
+    while (i < n) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+      if (ws) { if (!inWs) out.append(' '); inWs = true }
+      else { out.append(c); inWs = false }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** Word-bigram repetition stats in ONE pass: [total_bigram_occurrences,
     * occurrences_belonging_to_duplicated_bigrams, top_bigram_count].
     * The Gopher/C4-class repetition signals (duplicate-n-gram fraction,
@@ -272,27 +318,6 @@ object TextKernels {
     new GenericArrayData(Array[Any]((toks.length - 1).toLong, dup, top))
   }
 
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < 16) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
-
-  private def bytesToHex(d: Array[Byte]): String = {
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < d.length) {
-      out(2 * i) = HEX((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = HEX(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
 }
 
 private[functions] trait StaticCallExpr { self: BinaryExpression =>
@@ -511,6 +536,30 @@ case class BpeTokenCount(child: Expression)
   override def prettyName: String = "bpe_token_count"
 }
 
+/** ws_normalize(text) → text with every whitespace run collapsed to one
+  * space (single-pass regexp_replace(text, '\s+', ' ')).
+  */
+case class WsNormalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ws_normalize requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.wsNormalize(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      t => s"${ev.value} = graft.functions.TextKernels.wsNormalize($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ws_normalize"
+}
+
 /** rep_stats(text) → array<long> [total_bigram_occurrences,
   * dup_bigram_occurrences, top_bigram_count] (Gopher-class repetition
   * signals, one pass, no explode).
@@ -562,5 +611,7 @@ object TextExpressions {
       (c: Seq[Expression]) => BpeTokenCount(c.head), "built-in")
     reg.createOrReplaceTempFunction("rep_stats",
       (c: Seq[Expression]) => RepStats(c.head), "built-in")
+    reg.createOrReplaceTempFunction("ws_normalize",
+      (c: Seq[Expression]) => WsNormalize(c.head), "built-in")
   }
 }

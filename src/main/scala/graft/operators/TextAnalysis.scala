@@ -88,9 +88,21 @@ object TextAnalysis {
         call_function("bpe_token_count", col(textCol)).cast("long"))
   }
 
-  /** Whitespace-normalized md5 content fingerprint (first 16 hex). */
+  /** Whitespace-normalized md5 content fingerprint (first 16 hex).
+    * Normalization runs in the single-pass `ws_normalize` kernel (the
+    * regex-engine formulation it replaces is pinned equivalent in
+    * PipelineSpec and remains the DuckDB oracle's spelling); callers
+    * get kernel registration via [[fingerprintOf]] or their own
+    * `TextExpressions.register`.
+    */
   def fingerprint(textCol: Column): Column =
-    substring(md5(regexp_replace(lower(textCol), "\\s+", " ")), 1, 16)
+    substring(md5(call_function("ws_normalize", lower(textCol))), 1, 16)
+
+  /** [[fingerprint]] with per-session kernel registration handled. */
+  def fingerprintOf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+  }
 
   /** Benchmark decontamination: flag corpus documents that share any
     * word-shingle with the benchmark set (the standard "n-gram overlap

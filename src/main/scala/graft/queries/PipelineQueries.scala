@@ -155,8 +155,7 @@ object PipelineQueries {
         .orderBy("vec_id")),
 
     "doc_fingerprint" -> ((s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      TextAnalysis.fingerprintOf(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     "emb_cosine_topk" -> ((s, dir) => {
@@ -274,7 +273,8 @@ object PipelineQueries {
        |    t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
        |sig AS (
-       |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
+       |  SELECT doc_id, seed,
+       |    min(substr(md5(sh), seed * 4 + 1) || substr(md5(sh), 1, seed * 4)) AS mh
        |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) v
        |  GROUP BY doc_id, seed),
        |bh AS (

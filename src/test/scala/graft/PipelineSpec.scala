@@ -208,9 +208,11 @@ class PipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents").limit(100)
     val native = graft.operators.Dedup.minhashSignature(docs, "doc_id", "text", 8)
-    // the r1 relational formulation: raw shingle stream, one min-agg per seed
+    // the relational formulation: raw shingle stream, one min-agg per
+    // seed over the digest rotated left by 4·seed hex chars
     val mins = (0 until 8).map(s =>
-      min(md5(concat(lit(s + "|"), col("sh")))).as(s"mh$s"))
+      min(concat(substring(md5(col("sh")), 4 * s + 1, 32),
+        substring(md5(col("sh")), 1, 4 * s))).as(s"mh$s"))
     val relational = graft.operators.Dedup.shingleRowsRaw(docs, "doc_id", "text")
       .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     assert(native.count() == relational.count())
@@ -465,6 +467,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_phones") == 2)
     val red = r.getAs[String]("redacted")
     assert(red == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE> or <PHONE>")
+  }
+
+  test("ws_normalize kernel matches the regex formulation; fingerprint is stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExpressions.register(spark)
+    val tricky = Seq("a  b\t\tc\nd", " lead", "trail ", "\t\n\f\r", "", "one",
+      "x\r\ny  \t z").toDF("text")
+    val corpus = Tables(spark, sf, "documents").select("text").unionByName(tricky)
+    val checked = corpus.select(
+      (call_function("ws_normalize", col("text")) ===
+        regexp_replace(col("text"), "\\s+", " ")).as("ok")).collect()
+    assert(checked.nonEmpty && checked.forall(_.getAs[Boolean]("ok")))
+    // fingerprint built on the kernel equals the regex-built fingerprint
+    val fp = corpus.select(
+      (TextAnalysis.fingerprint(col("text")) ===
+        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16)).as("ok"))
+      .collect()
+    assert(fp.forall(_.getAs[Boolean]("ok")))
   }
 
   test("rep_stats kernel matches the explode-groupBy formulation") {
