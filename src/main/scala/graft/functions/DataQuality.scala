@@ -148,6 +148,39 @@ object DataQuality {
   }
 
   /** DataFrame form: one row per group with the four quality metrics. */
+  /** Distributed median/MAD outlier detection per series — the
+    * data-quality validity kernel (median ± k·1.4826·MAD, reference
+    * common.rs outlier counting) as a standalone queryable operator,
+    * but FULLY distributed: two partial-aggregable percentile passes
+    * (median, then median absolute deviation) joined back broadcast —
+    * no per-series collect, so one giant series cannot OOM an executor
+    * the way the whole-series metrics aggregate could.
+    *
+    * Engine-exact across oracles: values are quantized to integer
+    * cents first, so every median (exact .5-grid interpolation on
+    * integers) and deviation is a small dyadic rational — bit-identical
+    * in any IEEE engine regardless of the engine's interpolation
+    * spelling.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val vc = round(col(valueCol) * 100).cast("long")
+    val base = df.select(groupCols.map(col) :+ vc.as("__vc"): _*)
+    val med = base.groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile(__vc, 0.5)").as("__mc"))
+    val dev = base.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col("__vc") - col("__mc")))
+    val madDf = dev.groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile(__dev, 0.5)").as("__madc"))
+    dev.join(broadcast(madDf), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__dev") > lit(k) * lit(1.4826) * col("__madc"), 1))
+          .as("n_outliers"),
+        (first(col("__mc")) / 100.0).as("median_v"),
+        (first(col("__madc")) / 100.0).as("mad_v"))
+  }
+
   def dataQuality(df: DataFrame, tsCol: Column, valueCol: Column,
                   groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)

@@ -22,6 +22,15 @@ object QualityGisQueries {
         col("ts"), col("value"), Seq("user_id"))
         .orderBy("user_id")),
 
+    // Median/MAD outlier detection per series (the data-quality validity
+    // kernel as a standalone distributed operator): exact-cents medians
+    // keep every interpolated value a dyadic rational, so the DuckDB
+    // median() recomputation is bit-identical.
+    "ts_outlier_mad" -> ((s, dir) =>
+      graft.functions.DataQuality.madOutliers(
+        Tables.events(s, dir), Seq("event_type", "user_id"), "value")
+        .orderBy("event_type", "user_id")),
+
     "ts_value_fill" -> ((s, dir) => {
       val ev = Tables.events(s, dir).filter(col("user_id") < 30)
         .withColumn("v", when(col("event_id") % 17 === 0, lit(Double.NaN))
@@ -122,6 +131,27 @@ object QualityGisQueries {
   private val E = "(SELECT event_id, user_id, event_type, value, cast(events.ts AS TIMESTAMP) AS ts, epoch_us(cast(events.ts AS TIMESTAMP)) AS ts_ns FROM events)"
 
   def oracleSql: Map[String, String] = Map(
+    "ts_outlier_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, user_id, median(vc) AS mc
+        |  FROM e GROUP BY event_type, user_id),
+        |d AS (
+        |  SELECT e.event_type, e.user_id, vc, abs(vc - mc) AS dev, mc
+        |  FROM e JOIN m USING (event_type, user_id)),
+        |md AS (
+        |  SELECT event_type, user_id, median(dev) AS madc
+        |  FROM d GROUP BY event_type, user_id)
+        |SELECT d.event_type, d.user_id, count(*) AS n,
+        |  count(CASE WHEN dev > 3.0 * 1.4826 * madc THEN 1 END) AS n_outliers,
+        |  any_value(mc) / 100.0 AS median_v,
+        |  any_value(madc) / 100.0 AS mad_v
+        |FROM d JOIN md USING (event_type, user_id)
+        |GROUP BY d.event_type, d.user_id
+        |ORDER BY event_type, user_id""".stripMargin,
     "ts_value_fill" ->
       s"""WITH e AS (
          |  SELECT user_id, ts_ns AS t, event_id,

@@ -57,6 +57,27 @@ class ContractSpec extends AnyFunSuite {
       .contains("Exchange"))
   }
 
+  test("repetitionStats, quantizeInt8, and fingerprintOf are single-pass mappers") {
+    val docs = Tables(spark, sf, "documents")
+    assert(!executedPlan(operators.TextAnalysis.repetitionStats(docs, "doc_id", "text"))
+      .contains("Exchange"))
+    assert(!executedPlan(operators.TextAnalysis.fingerprintOf(docs, "doc_id", "text"))
+      .contains("Exchange"))
+    val emb = Tables(spark, sf, "embeddings")
+    assert(!executedPlan(operators.Similarity.quantizeInt8(emb, "vec_id", "embedding"))
+      .contains("Exchange"))
+  }
+
+  test("twa runs window and aggregation off ONE group-key exchange") {
+    val e = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("day", expr("ts_ns div 1000 div 86400000000"))
+    val plan = executedPlan(
+      functions.TimeSeries.twa(e, Seq("event_type", "day"), "ts_us", "value"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"twa should shuffle once on the group key, got $exchanges:\n$plan")
+  }
+
   test("decontamination broadcasts the benchmark side, never shuffles the corpus") {
     val docs = Tables(spark, sf, "documents")
     val bench = docs.filter(col("doc_id") < 20)
