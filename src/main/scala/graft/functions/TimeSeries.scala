@@ -410,6 +410,43 @@ object TimeSeries {
       .drop("__integ2", "__vc0")
   }
 
+  /** Equi-width histogram per series group (the TimescaleDB
+    * `histogram(value, min, max, nbuckets)` aggregate surface, with the
+    * bounds derived from the data): nbins equal buckets over the
+    * group's [min, max], values at max clamped into the last bucket.
+    * Two partial-aggregable passes (bounds, then counts) with the tiny
+    * bounds table broadcast back — no sort, no window, no collect.
+    * Bucket index arithmetic is the same IEEE double expression on both
+    * engines (cents-exact inputs), so the assignment is deterministic.
+    * Output: one row per (group, bin) with the bin's [lo, hi) bounds
+    * floor-quantized; empty bins are emitted (count 0) via a sequence
+    * explode on the bounds table so the shape is dense.
+    */
+  def histogramOf(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  nbins: Int = 10): DataFrame = {
+    require(nbins >= 1, s"nbins must be >= 1, got $nbins")
+    val gc = groupCols.map(col)
+    val bounds = df.groupBy(gc: _*)
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    val binned = df.join(broadcast(bounds), groupCols)
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0)) // constant series → one bucket
+          .otherwise(least(
+            floor((col(valueCol) - col("__lo")) / (col("__hi") - col("__lo"))
+              * nbins).cast("int"), lit(nbins - 1))))
+      .groupBy((gc :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+    val dense = bounds.select(gc :+ explode(sequence(lit(0), lit(nbins - 1))).as("bin")
+      :+ col("__lo") :+ col("__hi"): _*)
+    dense.join(binned, groupCols :+ "bin", "left")
+      .select(gc ++ Seq(col("bin").cast("long").as("bin"),
+        (floor((col("__lo") + (col("__hi") - col("__lo")) / nbins * col("bin"))
+          * 1000000.0) / 1000000.0).as("bin_lo"),
+        (floor((col("__lo") + (col("__hi") - col("__lo")) / nbins * (col("bin") + 1))
+          * 1000000.0) / 1000000.0).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n")): _*)
+  }
+
   def lttb(df: DataFrame, seriesCols: Seq[String], tsCol: Column, valueCol: Column,
            threshold: Int): DataFrame = {
     val g = seriesCols.map(col)

@@ -224,6 +224,13 @@ object TimeSeriesQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Equi-width histogram per series (TimescaleDB histogram() surface):
+    // 10 buckets over each series' [min, max], dense shape with empty
+    // bins, clamp-at-max semantics.
+    "ts_histogram" -> ((s, dir) =>
+      TimeSeries.histogramOf(Tables.events(s, dir), Seq("event_type"), "value", 10)
+        .orderBy("event_type", "bin")),
+
     "ts_date_bin" -> ((s, dir) => {
       val inner = Tables.events(s, dir)
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
@@ -541,6 +548,25 @@ object TimeSeriesQueries {
     "ts_sample" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY md5(cast(event_id AS VARCHAR)) LIMIT 100""".stripMargin,
+    "ts_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY event_type),
+        |x AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE least(CAST(floor((value - lo) / (hi - lo) * 10) AS INT), 9) END AS bin
+        |  FROM events e JOIN b USING (event_type)),
+        |c AS (SELECT event_type, bin, count(*) AS n FROM x GROUP BY event_type, bin),
+        |d AS (
+        |  SELECT b.event_type, u.bin, lo, hi
+        |  FROM b, LATERAL (SELECT unnest(generate_series(0, 9)) AS bin) u)
+        |SELECT d.event_type, d.bin,
+        |  floor((lo + (hi - lo) / 10 * d.bin) * 1000000.0) / 1000000.0 AS bin_lo,
+        |  floor((lo + (hi - lo) / 10 * (d.bin + 1)) * 1000000.0) / 1000000.0 AS bin_hi,
+        |  coalesce(c.n, 0) AS n
+        |FROM d LEFT JOIN c ON d.event_type = c.event_type AND d.bin = c.bin
+        |ORDER BY d.event_type, d.bin""".stripMargin,
     "ts_twa" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) AS ts_us,

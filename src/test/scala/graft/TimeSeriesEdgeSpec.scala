@@ -202,6 +202,21 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(out.getString(2) == "y")
   }
 
+  test("histogramOf emits a dense equi-width shape with clamp-at-max") {
+    val df = Seq(("a", 0.0), ("a", 5.0), ("a", 10.0), ("b", 3.0), ("b", 3.0))
+      .toDF("g", "value")
+    val out = TimeSeries.histogramOf(df, Seq("g"), "value", 10)
+      .orderBy("g", "bin").collect()
+    assert(out.length == 20, "dense shape: 10 bins per group")
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getAs[Long]("n")).toSeq ==
+      Seq(1L, 0L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, 1L), "max clamps into the last bin")
+    assert(a(0).getAs[Double]("bin_lo") == 0.0 && a(9).getAs[Double]("bin_hi") == 10.0)
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.map(_.getAs[Long]("n")).toSeq.sum == 2 &&
+      b(0).getAs[Long]("n") == 2, "constant series lands in bucket 0")
+  }
+
   test("twa is the trapezoidal time-weighted mean, not the sample mean") {
     // series a: hold 1.0 for 10s, then 2.0 for 20s →
     //   integral = 10*(1+2)/2 + 20*(2+2)/2 = 55, span 30 → twa 1.8333…
