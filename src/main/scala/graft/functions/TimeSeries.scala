@@ -456,4 +456,73 @@ object TimeSeries {
       .withColumn("__kept", explode(lttbUdf(col("__s"), lit(threshold))))
       .select(g :+ col("__kept._1").as("ts_us") :+ col("__kept._2").as("value"): _*)
   }
+
+  /** OHLC candlestick per (series, bucket) — the TimescaleDB-toolkit
+    * `candlestick_agg` surface (open/high/low/close + count + volume):
+    * one partial-aggregable hash aggregate, no sort. Open/close are
+    * `min_by`/`max_by` over a (time, rowId) struct so ties on the
+    * timestamp break deterministically on the unique row id (the
+    * toolkit's first/last have the same need; a bare min_by on a
+    * duplicated timestamp is engine-order-dependent). Volume sums exact
+    * integer cents and floats only the final /100 — bit-identical
+    * across engines.
+    */
+  def candlestick(df: DataFrame, seriesCols: Seq[String], bucketCol: Column,
+                  tieCols: Seq[String], valueCol: String): DataFrame = {
+    val g = seriesCols.map(col)
+    val ord = struct(tieCols.map(col): _*)
+    val cents = round(col(valueCol) * 100).cast("long")
+    df.withColumn("__c", cents).withColumn("__ord", ord)
+      .groupBy(g :+ bucketCol.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        min_by(col(valueCol), col("__ord")).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), col("__ord")).as("close"),
+        (sum(col("__c")).cast("double") / 100.0).as("volume"))
+  }
+
+  /** Per-series least-squares linear trend — the `stats_agg` 2-D
+    * regression surface (slope / intercept / r² / n) with ENGINE-EXACT
+    * accumulation: x (integer time units) and y (exact integer cents)
+    * are summed as DECIMAL(38,0) — order-independent, no double
+    * accumulation drift — and only the final closed-form arithmetic
+    * floats, in one fixed expression shape both engines evaluate
+    * identically (IEEE ops on identical operands are bit-exact), then
+    * floor-quantized. One partial-aggregable hash aggregate; at 100 TB
+    * this is the same shape as any sum/count rollup.
+    *
+    * `xCol` should be pre-shifted near zero (e.g. seconds since the
+    * corpus epoch): the closed form subtracts big near-equal products,
+    * so keeping x small preserves significance in the double stage.
+    * Degenerate groups (single point, constant x) emit NULL slope; a
+    * constant-y group has zero variance and emits NULL r².
+    */
+  def linearTrend(df: DataFrame, groupCols: Seq[String], xCol: Column,
+                  yCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = xCol.cast("long")
+    val y = round(yCol * 100).cast("long") // exact cents
+    val agg = df
+      .withColumn("__x", x).withColumn("__y", y)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__x"))).as("sx"), sum(dec(col("__y"))).as("sy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).as("syy"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("sxy"))
+    val (n, sx, sy, sxx, syy, sxy) =
+      (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+    // covariance/variance numerators; y stays in cents until the end
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val cxy = n * sxy - sx * sy
+    val q6 = (c: Column) => floor(c * lit(1000000.0)) / 1000000.0
+    agg.select(g ++ Seq(col("n"),
+      when(vx > 0, q6(cxy / vx / 100.0)).as("slope"),
+      when(vx > 0, q6((sy / n - (cxy / vx) * (sx / n)) / 100.0)).as("intercept"),
+      when(vx > 0 && vy > 0, q6(cxy * cxy / (vx * vy))).as("r2")): _*)
+  }
 }

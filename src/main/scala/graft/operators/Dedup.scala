@@ -214,6 +214,23 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("lbl").as("group_id"))
   }
 
+  /** Exact-dedup materialization: the kept corpus — one canonical row
+    * (minimum id) per distinct text, i.e. what actually ships to
+    * training after exact dedup. ONE content-hash aggregate producing
+    * (hash → keep_id), then a keep-side equijoin on (hash, id) — both
+    * shuffles keyed on the content hash, no window sort, partial-
+    * aggregable. At 100 TB the keep table is |distinct texts| rows of
+    * (md5, id) — orders smaller than the corpus it filters.
+    */
+  def dedupedCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.select(md5(col(textCol)).as("__h"), col(idCol))
+      .groupBy("__h").agg(min(col(idCol)).as("__keep"))
+    df.withColumn("__h", md5(col(textCol)))
+      .join(keep, Seq("__h"))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
+  }
+
   /** Char n-gram distinct set. */
   def charNgrams(textCol: Column, n: Int): Column = {
     val t = textCol.toString

@@ -183,6 +183,95 @@ object TextAnalysis {
             / 1000000.0))
   }
 
+  /** Chunk-level boilerplate detection (the RefinedWeb/CCNet line-dedup
+    * idea, over fixed-width word chunks since the corpus has no line
+    * structure): split each doc into consecutive `chunkWords`-word
+    * chunks, hash them, count DISTINCT docs per chunk corpus-wide, and
+    * score each doc by the fraction of its chunks that appear in >=
+    * `minDocs` docs. High ratio = the doc is mostly shared boilerplate.
+    *
+    * 100 TB shape: chunks are a mapper-side explode (~1/chunkWords rows
+    * per word, each an md5 key), the corpus-wide frequency is ONE
+    * partial-aggregable count-distinct-by-key aggregate, and the
+    * score join is chunk-keyed — no self-join, no pair expansion, work
+    * linear in corpus tokens. The doc left-join keeps sub-chunk docs
+    * (NULL ratio) so the output is total.
+    */
+  def chunkBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       chunkWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    val chunkRows = df
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= chunkWords)
+      .select(col(idCol),
+        explode(sequence(lit(0),
+          (size(col("__t")) / chunkWords).cast("int") - 1)).as("__j"),
+        col("__t"))
+      .select(col(idCol), md5(concat_ws(" ",
+        slice(col("__t"), col("__j") * chunkWords + 1, lit(chunkWords)))).as("__ch"))
+    val freq = chunkRows.select(col(idCol), col("__ch")).distinct()
+      .groupBy("__ch").agg(count(lit(1)).as("__docs"))
+    val perDoc = chunkRows.join(freq, "__ch")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__docs") >= minDocs, 1L).otherwise(0L)).as("bp_chunks"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("bp_chunks"), lit(0L)).as("bp_chunks"),
+        when(col("n_chunks") > 0,
+          floor(col("bp_chunks").cast("double") / col("n_chunks") * 1000000.0)
+            / 1000000.0).as("bp_ratio"))
+  }
+
+  /** Unigram corpus-frequency rarity signal per doc — the integer-exact
+    * stand-in for a unigram log-prob quality model (sums of engine-
+    * specific log() values cannot hash-match across engines; sums of
+    * exact token counts can, and rank docs the same way): per doc the
+    * token count, mean corpus frequency of its tokens (floor-quantized
+    * ratio of exact integers), the rarest token's frequency, and how
+    * many of its tokens are corpus hapaxes. Low mean frequency / low
+    * min = rare vocabulary; high = stereotyped text.
+    *
+    * 100 TB shape: token explode (mapper) → ONE vocab-sized count
+    * aggregate → token-keyed join back → per-doc aggregate. The vocab
+    * table is Zipf-small relative to the corpus; Spark's AQE broadcasts
+    * the frequency side when it fits.
+    */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__f"))
+    toks.join(freq, "__tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__f")).as("__sumf"),
+        min(col("__f")).as("min_freq"),
+        sum(when(col("__f") === 1, 1L).otherwise(0L)).as("hapax_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (floor(col("__sumf").cast("double") / col("n_tokens") * 1000000.0)
+          / 1000000.0).as("mean_freq"),
+        col("min_freq"), col("hapax_tokens"))
+  }
+
+  /** Corpus composition rollup per (lang, source): docs, chars, tokens,
+    * distinct texts (by content hash) and the exact-duplicate ratio —
+    * the first dashboard any 100 TB curation run needs. ONE partial-
+    * aggregable aggregate (count-distinct of md5 partials per group);
+    * ratios are floor-quantized exact-integer divisions.
+    */
+  def corpusStats(df: DataFrame, textCol: String,
+                  groupCols: Seq[String], charsCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    df.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol).cast("long")).as("total_chars"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("total_tokens"),
+        countDistinct(md5(col(textCol))).as("distinct_texts"))
+      .withColumn("dup_ratio",
+        floor((col("n_docs") - col("distinct_texts")).cast("double")
+          / col("n_docs") * 1000000.0) / 1000000.0)
+  }
+
   /** Karp-Rabin winnowing fingerprint over char k-grams: min rolling
     * hash per window — robust doc signature for shift-tolerant matching
     * (spec-tested; not SQL-expressible → rows-only when queried).

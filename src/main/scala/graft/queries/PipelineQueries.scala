@@ -126,6 +126,46 @@ object PipelineQueries {
       TextAnalysis.repetitionStats(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Chunk-level boilerplate over the dup-injected corpus: fraction of
+    // each doc's 8-word chunks that appear in >= 2 distinct docs.
+    "doc_chunk_boilerplate" -> ((s, dir) =>
+      TextAnalysis.chunkBoilerplate(corpus(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Integer-exact unigram rarity signal (the hash-stable stand-in for
+    // unigram log-prob quality scoring).
+    "doc_token_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Corpus composition dashboard per (lang, source) incl. exact-dup
+    // ratio — run over the dup-injected corpus joined back to metadata
+    // so dup_ratio is nonzero.
+    "doc_corpus_stats" -> ((s, dir) => {
+      val meta = Tables(s, dir, "documents").select(col("doc_id").as("base_id"),
+        col("lang"), col("source"), col("n_chars"))
+      val c = corpus(s, dir).withColumn("base_id", col("doc_id") % 1000000)
+        .join(meta, "base_id")
+      TextAnalysis.corpusStats(c, "text", Seq("lang", "source"), "n_chars")
+        .orderBy("lang", "source")
+    }),
+
+    // Exact-dedup keep-set materialization over the dup-injected corpus:
+    // the canonical (min-id) row per distinct text.
+    "doc_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupedCorpus(corpus(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+
+    // Document-length histogram per language: 12 equi-width buckets over
+    // each language's [min, max] char length (reuses the TS histogram
+    // operator — corpus length-distribution dashboards are the same
+    // shape).
+    "doc_length_histogram" -> ((s, dir) =>
+      graft.functions.TimeSeries.histogramOf(
+          Tables(s, dir, "documents").withColumn("len", col("n_chars").cast("double")),
+          Seq("lang"), "len", 12)
+        .orderBy("lang", "bin")),
+
     // Domain-mixture table: per (source, lang) doc/token counts and the
     // two standard sampling weights (token-proportional and sqrt-
     // temperature) for training-set construction.
@@ -444,6 +484,73 @@ object PipelineQueries {
          |    '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    "doc_chunk_boilerplate" ->
+      s"""WITH $CORPUS,
+        |c AS (
+        |  SELECT doc_id, md5(array_to_string(t[(j*8+1):(j*8+8)], ' ')) AS ch
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |    LATERAL (SELECT unnest(generate_series(0, len(t) // 8 - 1)) AS j) u
+        |  WHERE len(t) >= 8),
+        |f AS (SELECT ch, count(DISTINCT doc_id) AS docs FROM c GROUP BY ch),
+        |p AS (
+        |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS bp_chunks
+        |  FROM c JOIN f USING (ch) GROUP BY c.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(p.bp_chunks, 0) AS BIGINT) AS bp_chunks,
+        |  CASE WHEN p.n_chunks > 0 THEN
+        |    floor(p.bp_chunks / p.n_chunks * 1000000.0) / 1000000.0 END AS bp_ratio
+        |FROM corpus d LEFT JOIN p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "doc_token_rarity" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS fr FROM t GROUP BY tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(fr) AS DOUBLE) / count(*) * 1000000.0) / 1000000.0 AS mean_freq,
+        |  CAST(min(fr) AS BIGINT) AS min_freq,
+        |  CAST(sum(CASE WHEN fr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+        |FROM t JOIN f USING (tok) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "doc_corpus_stats" ->
+      s"""WITH $CORPUS,
+        |j AS (
+        |  SELECT d.lang, d.source, d.n_chars, c.text
+        |  FROM (SELECT doc_id % 1000000 AS base_id, text FROM corpus) c
+        |  JOIN documents d ON c.base_id = d.doc_id)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+        |  floor(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+        |    * 1000000.0) / 1000000.0 AS dup_ratio
+        |FROM j GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    "doc_dedup_corpus" ->
+      s"""WITH $CORPUS,
+        |k AS (SELECT md5(text) AS h, min(doc_id) AS keep
+        |      FROM corpus GROUP BY md5(text))
+        |SELECT c.doc_id FROM corpus c
+        |JOIN k ON md5(c.text) = k.h AND c.doc_id = k.keep
+        |ORDER BY c.doc_id""".stripMargin,
+    "doc_length_histogram" ->
+      """WITH v AS (SELECT lang, n_chars::DOUBLE AS len FROM documents),
+        |b AS (SELECT lang, min(len) AS lo, max(len) AS hi FROM v GROUP BY lang),
+        |x AS (
+        |  SELECT v.lang,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE least(CAST(floor((len - lo) / (hi - lo) * 12) AS INT), 11) END AS bin
+        |  FROM v JOIN b USING (lang)),
+        |c AS (SELECT lang, bin, count(*) AS n FROM x GROUP BY lang, bin),
+        |d AS (
+        |  SELECT b.lang, u.bin, lo, hi
+        |  FROM b, LATERAL (SELECT unnest(generate_series(0, 11)) AS bin) u)
+        |SELECT d.lang, d.bin,
+        |  floor((lo + (hi - lo) / 12 * d.bin) * 1000000.0) / 1000000.0 AS bin_lo,
+        |  floor((lo + (hi - lo) / 12 * (d.bin + 1)) * 1000000.0) / 1000000.0 AS bin_hi,
+        |  coalesce(c.n, 0) AS n
+        |FROM d LEFT JOIN c ON d.lang = c.lang AND d.bin = c.bin
+        |ORDER BY d.lang, d.bin""".stripMargin,
     "doc_rep_stats" ->
       """WITH b AS (
         |  SELECT doc_id, t[j] || ' ' || t[j+1] AS bg

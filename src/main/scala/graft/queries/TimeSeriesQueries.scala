@@ -231,6 +231,22 @@ object TimeSeriesQueries {
       TimeSeries.histogramOf(Tables.events(s, dir), Seq("event_type"), "value", 10)
         .orderBy("event_type", "bin")),
 
+    // OHLC candlestick per (series, hour) — open/close tie-break on
+    // (ts_ns, event_id) so duplicated timestamps stay deterministic.
+    "ts_candlestick" -> ((s, dir) =>
+      TimeSeries.candlestick(Tables.events(s, dir), Seq("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))), Seq("ts_ns", "event_id"), "value")
+        .withColumnRenamed("bucket", "bucket_us")
+        .orderBy("event_type", "bucket_us")),
+
+    // Least-squares trend per series over (seconds-since-epoch, value):
+    // slope / intercept / r² from exact decimal sums (stats_agg 2-D
+    // regression surface).
+    "ts_linreg" -> ((s, dir) =>
+      TimeSeries.linearTrend(Tables.events(s, dir), Seq("event_type"),
+          expr("ts_ns div 1000000000") - lit(1704067200L), col("value"))
+        .orderBy("event_type")),
+
     "ts_date_bin" -> ((s, dir) => {
       val inner = Tables.events(s, dir)
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
@@ -567,6 +583,49 @@ object TimeSeriesQueries {
         |  coalesce(c.n, 0) AS n
         |FROM d LEFT JOIN c ON d.event_type = c.event_type AND d.bin = c.bin
         |ORDER BY d.event_type, d.bin""".stripMargin,
+    "ts_candlestick" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', cast(ts AS TIMESTAMP))) AS bucket_us,
+        |    value, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_ns(ts) AS tns, event_id
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    first_value(value) OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY tns, event_id) AS o,
+        |    first_value(value) OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY tns DESC, event_id DESC) AS c
+        |  FROM e)
+        |SELECT event_type, bucket_us, CAST(count(*) AS BIGINT) AS n,
+        |  min(o) AS open, max(value) AS high, min(value) AS low,
+        |  min(c) AS close, CAST(sum(cents) AS DOUBLE) / 100.0 AS volume
+        |FROM w GROUP BY event_type, bucket_us
+        |ORDER BY event_type, bucket_us""".stripMargin,
+    "ts_linreg" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 1000000000 - 1704067200 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    floor((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * 1000000.0)
+        |      / 1000000.0 END AS slope,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    floor((sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n))
+        |      / 100.0 * 1000000.0) / 1000000.0 END AS intercept,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000.0) / 1000000.0
+        |    END AS r2
+        |FROM a ORDER BY event_type""".stripMargin,
     "ts_twa" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) AS ts_us,

@@ -564,6 +564,62 @@ class PipelineSpec extends AnyFunSuite {
       s"sqrt weights should flatten the mixture: ${ratio(ws)} vs ${ratio(wp)}")
   }
 
+  test("chunkBoilerplate scores shared chunks and NULLs sub-chunk docs") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ") // one exact 8-word chunk
+    val docs = Seq(
+      (1L, shared + " unique tail one two three four five six"), // 2 chunks, 1 shared
+      (2L, shared),                                              // 1 chunk, shared
+      (3L, "totally different words " + (1 to 13).map(i => s"x$i").mkString(" ")), // 2 chunks, unique
+      (4L, "short doc")                                          // < 8 words → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkBoilerplate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_chunks")).toSeq == Seq(2L, 1L, 2L, 0L))
+    assert(out.map(_.getAs[Long]("bp_chunks")).toSeq == Seq(1L, 1L, 0L, 0L))
+    assert(out(1).getAs[Double]("bp_ratio") == 1.0)
+    assert(out(0).getAs[Double]("bp_ratio") == 0.5)
+    assert(out(3).isNullAt(out(3).fieldIndex("bp_ratio")), "no chunks → NULL ratio")
+  }
+
+  test("tokenRarity: hapaxes, min frequency, and mean corpus frequency") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a rare")).toDF("doc_id", "text")
+    // corpus freqs: a=3, b=1, rare=1
+    val out = TextAnalysis.tokenRarity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 3 && out(1).getAs[Long]("n_tokens") == 2)
+    assert(out(0).getAs[Double]("mean_freq") == math.floor((3 + 3 + 1) / 3.0 * 1e6) / 1e6)
+    assert(out(0).getAs[Long]("min_freq") == 1 && out(0).getAs[Long]("hapax_tokens") == 1)
+    assert(out(1).getAs[Double]("mean_freq") == 2.0) // (3 + 1) / 2
+    assert(out(1).getAs[Long]("hapax_tokens") == 1)
+  }
+
+  test("corpusStats counts exact duplicates per group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", "en", "s0", 9L), (2L, "same text", "en", "s0", 9L),
+      (3L, "other text", "en", "s0", 10L), (4L, "solo", "de", "s1", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.corpusStats(docs, "text", Seq("lang", "source"), "n_chars")
+      .orderBy("lang", "source").collect()
+    val en = out.find(_.getString(0) == "en").get
+    assert(en.getAs[Long]("n_docs") == 3 && en.getAs[Long]("distinct_texts") == 2)
+    assert(en.getAs[Long]("total_chars") == 28 && en.getAs[Long]("total_tokens") == 6)
+    assert(en.getAs[Double]("dup_ratio") == math.floor(1.0 / 3 * 1e6) / 1e6)
+    assert(out.find(_.getString(0) == "de").get.getAs[Double]("dup_ratio") == 0.0)
+  }
+
+  test("dedupedCorpus keeps exactly one min-id row per distinct text") {
+    import spark.implicits._
+    val docs = Seq((5L, "dup"), (2L, "dup"), (9L, "dup"), (7L, "uniq"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupedCorpus(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 7L), "min id per text survives")
+    assert(out.map(_.getString(1)).toSeq == Seq("dup", "uniq"))
+  }
+
   test("winnow fingerprint is shift-tolerant") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("PREFIX the quick brown fox jumps over the lazy dog")

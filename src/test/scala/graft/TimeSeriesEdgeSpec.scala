@@ -217,6 +217,37 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
       b(0).getAs[Long]("n") == 2, "constant series lands in bucket 0")
   }
 
+  test("candlestick: OHLC with deterministic tie-break on duplicated timestamps") {
+    val df = Seq(
+      ("a", 100L, 1L, 5.0), ("a", 100L, 2L, 9.0), // same ts: open = row id 1
+      ("a", 200L, 3L, 1.0), ("a", 300L, 4L, 7.0),
+      ("a", 300L, 5L, 3.0) // same ts at the end: close = row id 5
+    ).toDF("g", "t", "rid", "value")
+    val out = TimeSeries.candlestick(df, Seq("g"), lit(0).as("b"),
+      Seq("t", "rid"), "value").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("open") == 5.0 && r.getAs[Double]("close") == 3.0)
+    assert(r.getAs[Double]("high") == 9.0 && r.getAs[Double]("low") == 1.0)
+    assert(r.getAs[Long]("n") == 5 && r.getAs[Double]("volume") == 25.0)
+  }
+
+  test("linearTrend recovers an exact line and NULLs degenerate groups") {
+    val line = (0 to 10).map(x => ("l", x.toLong, 2.0 * x + 1.0))
+    val flatX = Seq(("fx", 5L, 1.0), ("fx", 5L, 9.0))  // constant x → no slope
+    val flatY = (0 to 4).map(x => ("fy", x.toLong, 3.0)) // constant y → r2 NULL
+    val df = (line ++ flatX ++ flatY).toDF("g", "x", "y")
+    val out = TimeSeries.linearTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("l").getAs[Double]("slope") == 2.0)
+    assert(out("l").getAs[Double]("intercept") == 1.0)
+    assert(out("l").getAs[Double]("r2") == math.floor(1.0 * 1e6) / 1e6 ||
+      out("l").getAs[Double]("r2") == 1.0)
+    assert(out("fx").isNullAt(out("fx").fieldIndex("slope")))
+    assert(out("fy").getAs[Double]("slope") == 0.0)
+    assert(out("fy").isNullAt(out("fy").fieldIndex("r2")), "zero y-variance → NULL r2")
+  }
+
   test("twa is the trapezoidal time-weighted mean, not the sample mean") {
     // series a: hold 1.0 for 10s, then 2.0 for 20s →
     //   integral = 10*(1+2)/2 + 20*(2+2)/2 = 55, span 30 → twa 1.8333…
