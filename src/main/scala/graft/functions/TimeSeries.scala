@@ -482,6 +482,56 @@ object TimeSeries {
         (sum(col("__c")).cast("double") / 100.0).as("volume"))
   }
 
+  /** Per-point z-score anomaly flags with ENGINE-EXACT flagging: the
+    * |v − μ| > kσ test is algebraically cleared of divisions/square
+    * roots — (v·n − S)² > k²·(n·Q − S²) over exact integer cents sums
+    * in DECIMAL(38,0) — so the boolean can never flip on a float
+    * boundary; the reported z itself is sqrt-based but floor-quantized
+    * from identical operands. Two passes over the series: one partial-
+    * aggregable (n, S, Q) rollup per group, broadcast back into the
+    * scan (tiny — one row per series). No window sort.
+    */
+  def anomalyZscore(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    k: Int = 3): DataFrame = {
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val stats = df.withColumn("__c", cents)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(dec(col("__c"))).as("__s"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("__q"))
+    val joined = df.withColumn("__c", cents).join(broadcast(stats), groupCols)
+    val num = dec(col("__c")) * dec(col("__n")) - col("__s") // v·n − S
+    val varNum = dec(col("__n")) * col("__q") - col("__s") * col("__s") // n·Q − S²
+    joined
+      .withColumn("is_outlier",
+        when(varNum > 0, num * num > lit(k * k) * varNum).otherwise(lit(false)))
+      .withColumn("z",
+        when(varNum > 0,
+          floor(num.cast("double") / sqrt(varNum.cast("double")) * 1000000.0)
+            / 1000000.0).otherwise(lit(0.0)))
+      .drop("__c", "__n", "__s", "__q")
+  }
+
+  /** Centered moving average per series — exact integer cents summed
+    * over a ROWS frame (±`halfWindow` rows around each point, ordered
+    * by a unique (time, rowId) key so the frame contents are
+    * deterministic), floated + floor-quantized only at the end. One
+    * sort shuffle on the series key — the standard window shape.
+    */
+  def movingAverage(df: DataFrame, seriesCols: Seq[String], orderCols: Seq[String],
+                    valueCol: String, halfWindow: Int = 3): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-halfWindow, halfWindow)
+    val cents = round(col(valueCol) * 100).cast("long")
+    df.withColumn("__c", cents)
+      .withColumn("ma",
+        floor(sum(col("__c")).over(w).cast("double") / count(lit(1)).over(w)
+          / 100.0 * 1000000.0) / 1000000.0)
+      .drop("__c")
+  }
+
   /** Per-series least-squares linear trend — the `stats_agg` 2-D
     * regression surface (slope / intercept / r² / n) with ENGINE-EXACT
     * accumulation: x (integer time units) and y (exact integer cents)

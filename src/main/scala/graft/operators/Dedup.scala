@@ -214,6 +214,26 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("lbl").as("group_id"))
   }
 
+  /** Near-dedup keep-set materialization — the standard MinHashLSH keep
+    * rule: a doc is dropped iff it has a confirmed near-duplicate with
+    * a smaller id (pairs are emitted with id_a < id_b, so the drop set
+    * is exactly `distinct id_b`). On near-clique dup classes this keeps
+    * one canonical doc per class without the iterative
+    * connected-components pass — the deterministic, SQL-expressible
+    * rule production dedup pipelines actually apply. 100 TB shape: the
+    * pair list is orders smaller than the corpus; the anti-join is one
+    * id-keyed equijoin (AQE broadcasts the drop side when it fits).
+    */
+  def nearDedupKeep(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 8, bands: Int = 2,
+                    threshold: Double = 0.5,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, numHashes, bands,
+      threshold, maxBucketSize)
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact-dedup materialization: the kept corpus — one canonical row
     * (minimum id) per distinct text, i.e. what actually ships to
     * training after exact dedup. ONE content-hash aggregate producing

@@ -291,6 +291,44 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Cluster-composition statistics against K reference vectors (the
+    * first `numClusters` corpus ids — deterministic, so the whole
+    * operator is oracle-checkable end-to-end, unlike the k-means
+    * quantizer whose training is a declared Spark-side step): each
+    * vector is assigned to its max-cosine reference (tie → smaller
+    * cluster id) and each cluster reports membership count, mean and
+    * min assigned cosine. Cosines are floor-quantized to a 1e-4 grid
+    * BEFORE aggregation, so the sums are exact integers and the result
+    * is engine-stable regardless of aggregation order.
+    *
+    * 100 TB shape: references are a broadcast cross join (a mapper —
+    * K rows against the scan), the argmax is ONE partial-aggregable
+    * max(struct) aggregate keyed on vec id, and the per-cluster rollup
+    * aggregates K rows' worth of groups. No window sort anywhere.
+    */
+  def clusterStats(corpus: DataFrame, idCol: String, vecCol: String,
+                   numClusters: Int = 8): DataFrame = {
+    val cents = corpus.filter(col(idCol) < numClusters)
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("c_norm", norm(col("cv")))
+    val v = corpus.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("v_norm", norm(col("v")))
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("qcos",
+        floor(dot(col("v"), col("cv")) / (col("v_norm") * col("c_norm")) * 1e4)
+          .cast("long"))
+    val assigned = scored.groupBy("vid")
+      .agg(max(struct(col("qcos").as("q"), (lit(0L) - col("cid")).as("negc"))).as("m"))
+      .select(col("vid"), (lit(0L) - col("m.negc")).as("cid"), col("m.q").as("qcos"))
+    assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        (floor(sum(col("qcos")).cast("double") / count(lit(1)) / 10000.0 * 1000000.0)
+          / 1000000.0).as("mean_cos"),
+        min(col("qcos")).as("min_cos_q"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * compression step before ANN at 100 TB (4× smaller than float32,
     * 8× than float64 scoring vectors). Per vector: scale = 127/max|x|,

@@ -156,6 +156,19 @@ object PipelineQueries {
       Dedup.dedupedCorpus(corpus(s, dir), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
 
+    // NEAR-dedup keep-set: drop every doc with a confirmed smaller-id
+    // near-duplicate (the MinHashLSH keep rule, end-to-end).
+    "doc_near_dedup_corpus" -> ((s, dir) =>
+      Dedup.nearDedupKeep(corpus(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+
+    // Cluster composition against the first-8-ids reference vectors:
+    // max-cosine assignment, per-cluster count / mean / min cosine on
+    // a pre-quantized grid (exact integer aggregation).
+    "emb_cluster_stats" -> ((s, dir) =>
+      Similarity.clusterStats(Tables(s, dir, "embeddings"), "vec_id", "embedding", 8)
+        .orderBy("cid")),
+
     // Document-length histogram per language: 12 equi-width buckets over
     // each language's [min, max] char length (reuses the TS histogram
     // operator — corpus length-distribution dashboards are the same
@@ -533,6 +546,29 @@ object PipelineQueries {
         |SELECT c.doc_id FROM corpus c
         |JOIN k ON md5(c.text) = k.h AND c.doc_id = k.keep
         |ORDER BY c.doc_id""".stripMargin,
+    "doc_near_dedup_corpus" ->
+      s"""WITH $MINHASH_CTES
+        |SELECT c.doc_id FROM corpus c
+        |WHERE c.doc_id NOT IN (SELECT id_b FROM pairs)
+        |ORDER BY c.doc_id""".stripMargin,
+    "emb_cluster_stats" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT vid, cid,
+        |    CAST(floor(list_cosine_similarity(v, cv) * 10000) AS BIGINT) AS qcos
+        |  FROM v, c),
+        |r AS (
+        |  SELECT vid, cid, qcos,
+        |    row_number() OVER (PARTITION BY vid ORDER BY qcos DESC, cid) AS rn
+        |  FROM s)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+        |  floor(CAST(sum(qcos) AS DOUBLE) / count(*) / 10000.0 * 1000000.0)
+        |    / 1000000.0 AS mean_cos,
+        |  CAST(min(qcos) AS BIGINT) AS min_cos_q
+        |FROM r WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
     "doc_length_histogram" ->
       """WITH v AS (SELECT lang, n_chars::DOUBLE AS len FROM documents),
         |b AS (SELECT lang, min(len) AS lo, max(len) AS hi FROM v GROUP BY lang),

@@ -247,6 +247,21 @@ object TimeSeriesQueries {
           expr("ts_ns div 1000000000") - lit(1704067200L), col("value"))
         .orderBy("event_type")),
 
+    // Per-point 3σ anomaly flags; the boolean test is cleared to exact
+    // integer arithmetic so it cannot flip on a float boundary.
+    "ts_anomaly_zscore" -> ((s, dir) =>
+      TimeSeries.anomalyZscore(Tables.events(s, dir), Seq("event_type"), "value")
+        .select("event_id", "event_type", "value", "is_outlier", "z")
+        .orderBy("event_id").limit(10000)),
+
+    // Centered ±3-row moving average per series (deterministic frame
+    // order on the unique (ts_ns, event_id) key).
+    "ts_moving_avg" -> ((s, dir) =>
+      TimeSeries.movingAverage(Tables.events(s, dir), Seq("event_type"),
+          Seq("ts_ns", "event_id"), "value")
+        .select("event_id", "event_type", "ma")
+        .orderBy("event_id").limit(10000)),
+
     "ts_date_bin" -> ((s, dir) => {
       val inner = Tables.events(s, dir)
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
@@ -583,6 +598,32 @@ object TimeSeriesQueries {
         |  coalesce(c.n, 0) AS n
         |FROM d LEFT JOIN c ON d.event_type = c.event_type AND d.bin = c.bin
         |ORDER BY d.event_type, d.bin""".stripMargin,
+    "ts_anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS sc,
+        |    sum(CAST(round(value * 100) AS BIGINT)
+        |      * CAST(round(value * 100) AS BIGINT)) AS qc
+        |  FROM events GROUP BY event_type),
+        |j AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    CAST(round(e.value * 100) AS HUGEINT) * n - sc AS num,
+        |    n * qc - sc * sc AS varnum
+        |  FROM events e JOIN s USING (event_type))
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN varnum > 0 THEN num * num > 9 * varnum ELSE FALSE END AS is_outlier,
+        |  CASE WHEN varnum > 0 THEN
+        |    floor(CAST(num AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE)) * 1000000.0)
+        |      / 1000000.0 ELSE 0.0 END AS z
+        |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_moving_avg" ->
+      """SELECT event_id, event_type,
+        |  floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |    / (count(*) OVER w) / 100.0 * 1000000.0) / 1000000.0 AS ma
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY event_id LIMIT 10000""".stripMargin,
     "ts_candlestick" ->
       """WITH e AS (
         |  SELECT event_type,

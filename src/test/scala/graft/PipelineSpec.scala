@@ -620,6 +620,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("dup", "uniq"))
   }
 
+  test("nearDedupKeep keeps one canonical doc per near-dup clique") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, base), (20L, base), (30L, base + " tail"), // near-dup clique
+      (40L, (100 to 119).map(i => s"other$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.nearDedupKeep(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L), "smallest id of the clique survives")
+    assert(!kept.contains(20L), "exact copy with larger id is dropped")
+    assert(kept.contains(40L), "unrelated doc survives")
+  }
+
+  test("clusterStats assigns every vector and breaks ties to the smaller cid") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // the 2 references
+      (5L, Array(0.9f, 0.1f)), (6L, Array(0.1f, 0.9f)),
+      (7L, Array(1.0f, 1.0f)) // equidistant → cid 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.clusterStats(docs, "vec_id", "embedding", numClusters = 2)
+      .orderBy("cid").collect()
+    assert(out.map(_.getAs[Long]("n_members")).sum == 5, "every vector assigned")
+    assert(out(0).getAs[Long]("cid") == 0 && out(0).getAs[Long]("n_members") == 3,
+      "tie goes to the smaller cluster id")
+    assert(out(1).getAs[Long]("n_members") == 2)
+  }
+
   test("winnow fingerprint is shift-tolerant") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("PREFIX the quick brown fox jumps over the lazy dog")

@@ -248,6 +248,30 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(out("fy").isNullAt(out("fy").fieldIndex("r2")), "zero y-variance → NULL r2")
   }
 
+  test("anomalyZscore flags the spike and only the spike, exactly") {
+    // 10 points at 10.0 and one at 100.0: μ≈18.2, σ≈25.9 → z(100)≈3.16
+    val df = ((1 to 10).map(i => ("s", i.toLong, 10.0)) :+ ("s", 11L, 100.0))
+      .toDF("g", "id", "value")
+    val out = TimeSeries.anomalyZscore(df, Seq("g"), "value")
+      .orderBy("id").collect()
+    assert(out.count(_.getAs[Boolean]("is_outlier")) == 1)
+    assert(out.last.getAs[Boolean]("is_outlier"), "the spike is the outlier")
+    assert(out.last.getAs[Double]("z") > 3.0)
+    // constant series: zero variance → no flags, z = 0
+    val flat = Seq(("f", 1L, 5.0), ("f", 2L, 5.0)).toDF("g", "id", "value")
+    val fo = TimeSeries.anomalyZscore(flat, Seq("g"), "value").collect()
+    assert(fo.forall(r => !r.getAs[Boolean]("is_outlier") && r.getAs[Double]("z") == 0.0))
+  }
+
+  test("movingAverage uses a centered deterministic ROWS frame") {
+    val df = (1 to 5).map(i => ("s", i.toLong, i.toDouble)).toDF("g", "t", "value")
+    val out = TimeSeries.movingAverage(df, Seq("g"), Seq("t"), "value", halfWindow = 1)
+      .orderBy("t").collect()
+    // frames: [1,2] [1,2,3] [2,3,4] [3,4,5] [4,5]
+    assert(out.map(_.getAs[Double]("ma")).toSeq ==
+      Seq(1.5, 2.0, 3.0, 4.0, 4.5))
+  }
+
   test("twa is the trapezoidal time-weighted mean, not the sample mean") {
     // series a: hold 1.0 for 10s, then 2.0 for 20s →
     //   integral = 10*(1+2)/2 + 20*(2+2)/2 = 55, span 30 → twa 1.8333…
