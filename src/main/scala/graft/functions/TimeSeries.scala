@@ -513,6 +513,45 @@ object TimeSeries {
       .drop("__c", "__n", "__s", "__q")
   }
 
+  /** Lag-k autocorrelation per series (the seasonality probe of every
+    * TS toolbox), with the estimator cleared to exact integer sums so
+    * both engines agree bit-for-bit: with cents v, S=Σv, Q=Σv², and
+    * over the n−k lagged pairs P=Σv_i·v_{i+k}, A=Σv_i, B=Σv_{i+k},
+    *   acf·n²·(nQ−S²)/n = n²P − nS(A+B) + (n−k)S²   (numerator)
+    *   denominator       = n(nQ − S²)
+    * — every term a DECIMAL(38,0) integer; only the final ratio floats
+    * (floor-quantized). One sort shuffle on the series key feeds the
+    * lead() window AND the aggregate (same partitioning); degenerate
+    * series (n ≤ k, zero variance) emit NULL.
+    */
+  def acf(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+          valueCol: String, lag: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy(g: _*).orderBy(orderCols.map(col): _*)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val agg = df.withColumn("__c", cents)
+      .withColumn("__cl", lead(col("__c"), lag).over(w))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__c"))).as("s"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("q"),
+        sum(when(col("__cl").isNotNull, dec(col("__c")) * dec(col("__cl")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("p"),
+        sum(when(col("__cl").isNotNull, dec(col("__c")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("a"),
+        sum(when(col("__cl").isNotNull, dec(col("__cl")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("b"))
+    val n = dec(col("n"))
+    val num = n * n * col("p") - n * col("s") * (col("a") + col("b")) +
+      (n - lit(lag)) * col("s") * col("s")
+    val den = n * (n * col("q") - col("s") * col("s"))
+    agg.select(g ++ Seq(col("n"),
+      when(col("n") > lag && den > 0,
+        floor(num.cast("double") / den.cast("double") * 1000000.0) / 1000000.0)
+        .as(s"acf_$lag")): _*)
+  }
+
   /** Centered moving average per series — exact integer cents summed
     * over a ROWS frame (±`halfWindow` rows around each point, ordered
     * by a unique (time, rowId) key so the frame contents are

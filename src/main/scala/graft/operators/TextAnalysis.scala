@@ -253,6 +253,28 @@ object TextAnalysis {
         col("min_freq"), col("hapax_tokens"))
   }
 
+  /** Per-doc most-distinctive terms — the TF-IDF ranking surface with
+    * an integer-exact ordering instead of engine-specific ln():
+    * rank tokens by (term frequency DESC, document frequency ASC,
+    * token ASC), which orders exactly like tf·idf for monotone idf and
+    * hash-matches across engines. Shape: (doc, tok) tf aggregate →
+    * tok-keyed df aggregate (vocab-sized) → join back → per-doc top-k
+    * window over ~|vocab per doc| rows.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Corpus composition rollup per (lang, source): docs, chars, tokens,
     * distinct texts (by content hash) and the exact-duplicate ratio —
     * the first dashboard any 100 TB curation run needs. ONE partial-

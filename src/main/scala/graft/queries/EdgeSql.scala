@@ -61,6 +61,22 @@ object EdgeSql {
     * UPDATE a tag value, apply a TTL cut, then aggregate the survivors.
     * Oracle expresses the same rewrite with WHERE + CASE.
     */
+  /** PIVOT: days × event-type columns (Spark's relational pivot; the
+    * oracle spells the identical CASE-aggregation semantics). Values
+    * are exact cents sums floated only by the final /100 — one hash
+    * aggregate, the pivot itself adds no shuffle.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .withColumn("day", unix_micros(date_trunc("DAY", col("ts"))))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg((sum("cents").cast("double") / 100.0).as("v"))
+      .orderBy("day")
+  }
+
   def qDmlRewrite(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val afterDelete = Dml.delete(ev, col("value") < 0.05)
@@ -273,6 +289,7 @@ object EdgeSql {
     "q_type_cast" -> qTypeCast,
     "q_order_by_nulls" -> qOrderByNulls,
     "q_empty_table_agg" -> qEmptyTableAgg,
+    "q_pivot" -> qPivot,
     "q_dml_rewrite" -> qDmlRewrite
   )
 
@@ -409,6 +426,18 @@ object EdgeSql {
       """SELECT count(*) AS n, sum(o_totalprice) AS s,
         |  round(avg(o_totalprice), 4) AS a, max(o_orderdate) AS mx
         |FROM orders WHERE false""".stripMargin,
+    "q_pivot" ->
+      """WITH e AS (
+        |  SELECT epoch_us(date_trunc('day', cast(ts AS TIMESTAMP))) AS day,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN cents END) AS DOUBLE) / 100.0 AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN cents END) AS DOUBLE) / 100.0 AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS DOUBLE) / 100.0 AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN cents END) AS DOUBLE) / 100.0 AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS DOUBLE) / 100.0 AS view
+        |FROM e GROUP BY day ORDER BY day""".stripMargin,
     "q_dml_rewrite" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value FROM (
         |  SELECT CASE WHEN event_type = 'view' THEN 'page_view' ELSE event_type END AS event_type,

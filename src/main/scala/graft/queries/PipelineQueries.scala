@@ -132,6 +132,12 @@ object PipelineQueries {
       TextAnalysis.chunkBoilerplate(corpus(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Per-doc top-3 distinctive terms: the TF-IDF ranking surface with
+    // an integer-exact (tf DESC, df ASC, tok) ordering.
+    "doc_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")),
+
     // Integer-exact unigram rarity signal (the hash-stable stand-in for
     // unigram log-prob quality scoring).
     "doc_token_rarity" -> ((s, dir) =>
@@ -515,6 +521,19 @@ object PipelineQueries {
         |    floor(p.bp_chunks / p.n_chunks * 1000000.0) / 1000000.0 END AS bp_ratio
         |FROM corpus d LEFT JOIN p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "doc_top_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |r AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS BIGINT) AS rank
+        |  FROM tf JOIN df USING (tok))
+        |SELECT doc_id, tok, tf, df, rank FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "doc_token_rarity" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -254,6 +254,13 @@ object TimeSeriesQueries {
         .select("event_id", "event_type", "value", "is_outlier", "z")
         .orderBy("event_id").limit(10000)),
 
+    // Lag-10 autocorrelation per series: exact-integer estimator, one
+    // sort shuffle for lead() + aggregate.
+    "ts_acf" -> ((s, dir) =>
+      TimeSeries.acf(Tables.events(s, dir), Seq("event_type"),
+          Seq("ts_ns", "event_id"), "value", lag = 10)
+        .orderBy("event_type")),
+
     // Centered ±3-row moving average per series (deterministic frame
     // order on the unique (ts_ns, event_id) key).
     "ts_moving_avg" -> ((s, dir) =>
@@ -616,6 +623,27 @@ object TimeSeriesQueries {
         |    floor(CAST(num AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE)) * 1000000.0)
         |      / 1000000.0 ELSE 0.0 END AS z
         |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_acf" ->
+      """WITH l AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+        |    lead(CAST(round(value * 100) AS BIGINT), 10) OVER
+        |      (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id) AS cl
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q,
+        |    CAST(sum(CASE WHEN cl IS NOT NULL
+        |      THEN CAST(c AS HUGEINT) * cl ELSE 0 END) AS HUGEINT) AS p,
+        |    CAST(sum(CASE WHEN cl IS NOT NULL THEN c ELSE 0 END) AS HUGEINT) AS aa,
+        |    CAST(sum(CASE WHEN cl IS NOT NULL THEN cl ELSE 0 END) AS HUGEINT) AS bb
+        |  FROM l GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 10 AND n * (n * q - s * s) > 0 THEN
+        |    floor(CAST(n * n * p - n * s * (aa + bb) + (n - 10) * s * s AS DOUBLE)
+        |      / CAST(n * (n * q - s * s) AS DOUBLE) * 1000000.0) / 1000000.0
+        |  END AS acf_10
+        |FROM a ORDER BY event_type""".stripMargin,
     "ts_moving_avg" ->
       """SELECT event_id, event_type,
         |  floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)

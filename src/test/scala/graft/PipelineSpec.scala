@@ -649,6 +649,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_members") == 2)
   }
 
+  test("topTerms ranks by tf desc then df asc then token") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(docs, "doc_id", "text", 3)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("tok")).toSeq == Seq("a", "b", "c"),
+      "tf breaks first, then the df/token tie-break")
+    assert(out.map(_.getAs[Long]("tf")).toSeq == Seq(2L, 1L, 1L))
+    assert(out.head.getAs[Long]("df") == 1)
+  }
+
   test("winnow fingerprint is shift-tolerant") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("PREFIX the quick brown fox jumps over the lazy dog")

@@ -263,6 +263,19 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(fo.forall(r => !r.getAs[Boolean]("is_outlier") && r.getAs[Double]("z") == 0.0))
   }
 
+  test("acf: alternating series is anti-correlated at lag 1, correlated at lag 2") {
+    val df = Seq(("s", 1L, 1.0), ("s", 2L, -1.0), ("s", 3L, 1.0), ("s", 4L, -1.0))
+      .toDF("g", "t", "value")
+    val a1 = TimeSeries.acf(df, Seq("g"), Seq("t"), "value", lag = 1).collect().head
+    assert(a1.getAs[Double]("acf_1") == -0.75) // exact finite-n estimator value
+    val a2 = TimeSeries.acf(df, Seq("g"), Seq("t"), "value", lag = 2).collect().head
+    assert(a2.getAs[Double]("acf_2") == 0.5)
+    // n <= lag and zero-variance series → NULL
+    val short = Seq(("x", 1L, 3.0)).toDF("g", "t", "value")
+    assert(TimeSeries.acf(short, Seq("g"), Seq("t"), "value", 1)
+      .collect().head.isNullAt(2))
+  }
+
   test("movingAverage uses a centered deterministic ROWS frame") {
     val df = (1 to 5).map(i => ("s", i.toLong, i.toDouble)).toDF("g", "t", "value")
     val out = TimeSeries.movingAverage(df, Seq("g"), Seq("t"), "value", halfWindow = 1)
