@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -228,6 +228,40 @@ object StreamIngest {
           if (!state.exists) state.update(first)
           sorted.iterator.map(id => BandCollision(id, band, first, id != first))
       }
+  }
+
+  /** Streaming anomaly flags: incoming points scored against STATIC
+    * per-series baselines (n, Σcents, Σcents² from a batch pass over
+    * the lake — the production pattern: train on history, score the
+    * stream). The static side joins as a broadcast into every
+    * micro-batch, so scoring is stateless and mapper-only; the flag
+    * uses the same division-free exact-integer test as the batch
+    * `TimeSeries.anomalyZscore`, so a point flags identically online
+    * and offline (no train/serve skew).
+    */
+  def streamingAnomalyFlags(points: DataFrame, baselines: DataFrame,
+                            keyCol: String, valueCol: String,
+                            k: Int = 3): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val num = dec(cents) * dec(col("__n")) - col("__s")
+    val varNum = dec(col("__n")) * col("__q") - col("__s") * col("__s")
+    points.join(broadcast(baselines), keyCol)
+      .withColumn("is_outlier",
+        when(varNum > 0, num * num > lit(k * k) * varNum).otherwise(lit(false)))
+      .drop("__n", "__s", "__q")
+  }
+
+  /** The batch side of [[streamingAnomalyFlags]]: per-series (n, S, Q)
+    * baselines from the historical lake.
+    */
+  def anomalyBaselines(history: DataFrame, keyCol: String,
+                       valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = round(col(valueCol) * 100).cast("long")
+    history.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(dec(cents)).as("__s"),
+        sum(dec(cents) * dec(cents)).as("__q"))
   }
 
   /** Continuous ingest pipeline: stream → windowed stats → sink.

@@ -155,6 +155,33 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingAnomalyFlags scores a stream against batch baselines identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    // history: series 1 hovers at 10.0 with tight spread
+    val history = ((1 to 20).map(i => (1L, 10.0 + (i % 3) * 0.01)))
+      .toDF("series", "value")
+    val baselines = StreamIngest.anomalyBaselines(history, "series", "value")
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamIngest.streamingAnomalyFlags(
+        mem.toDF().toDF("series", "value"), baselines, "series", "value")
+      .writeStream.outputMode("append").format("memory").queryName("anom_test").start()
+    try {
+      mem.addData((1L, 10.01), (1L, 50.0)) // normal point + wild spike
+      q.processAllAvailable()
+      val rows = spark.table("anom_test").orderBy("value")
+        .collect().map(r => (r.getAs[Double]("value"), r.getAs[Boolean]("is_outlier")))
+      assert(rows.toSeq == Seq((10.01, false), (50.0, true)))
+      // no train/serve skew: batch scorer agrees on the same points
+      val batch = graft.functions.TimeSeries.anomalyZscore(
+          history.unionByName(Seq((1L, 10.01), (1L, 50.0)).toDF("series", "value")),
+          Seq("series"), "value")
+        .filter(col("value") === 50.0).collect()
+      assert(batch.head.getAs[Boolean]("is_outlier"))
+    } finally q.stop()
+  }
+
   test("streamingGapfillLocf last-per-bucket, late rows, and the gap guard") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
