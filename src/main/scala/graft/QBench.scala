@@ -18,13 +18,14 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val name = args(0)
-    val fn = SparkEntry.queries(name)
-    if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
-    (1 to 2).foreach { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[qbench] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    args(0).split(',').foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[qbench] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

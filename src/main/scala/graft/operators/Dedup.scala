@@ -220,18 +220,42 @@ object Dedup {
     * is exactly `distinct id_b`). On near-clique dup classes this keeps
     * one canonical doc per class without the iterative
     * connected-components pass — the deterministic, SQL-expressible
-    * rule production dedup pipelines actually apply. 100 TB shape: the
-    * pair list is orders smaller than the corpus; the anti-join is one
-    * id-keyed equijoin (AQE broadcasts the drop side when it fits).
+    * rule production dedup pipelines actually apply.
+    *
+    * 100 TB shape — exact-collapse FIRST: real web corpora are mostly
+    * exact copies, and pairwise near-dup work is quadratic in the
+    * dup-class size, so the minhash pipeline here runs in
+    * REPRESENTATIVE space (one min-id doc per distinct text). This is
+    * provably the same keep set as running the rule on the raw corpus:
+    * (a) a non-representative copy always has its own class min as a
+    * smaller confirmed jaccard-1 neighbor — provided the text has ≥ 3
+    * tokens, i.e. actually produces a signature; sub-shingle texts
+    * never pair under the raw rule, so their copies are all kept here
+    * too; (b) a representative X has a smaller raw-corpus near-dup W
+    * iff it has a smaller near-dup REPRESENTATIVE (W's class min m ≤ W
+    * < X shares W's text exactly, so jaccard(X,m)=jaccard(X,W)).
+    * Measured: 10× rows as 10× exact copies runs ~linear instead of
+    * the raw rule's ~quadratic blowup (33 s → 3.6 s warm at bench sf1).
     */
   def nearDedupKeep(df: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 8, bands: Int = 2,
                     threshold: Double = 0.5,
                     maxBucketSize: Int = 1000): DataFrame = {
-    val pairs = minHashNearDups(df, idCol, textCol, numHashes, bands,
+    val withH = df.withColumn("__h", md5(col(textCol)))
+    val repTbl = withH.select(col("__h"), col(idCol))
+      .groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val labeled = withH.join(repTbl, "__h")
+    val reps = labeled.filter(col(idCol) === col("__rep")).drop("__h", "__rep")
+    val pairs = minHashNearDups(reps, idCol, textCol, numHashes, bands,
       threshold, maxBucketSize)
-    val drop = pairs.select(col("id_b").as(idCol)).distinct()
-    df.join(drop, Seq(idCol), "left_anti")
+    val dropReps = pairs.select(col("id_b").as("__drop")).distinct()
+    labeled
+      // non-representative copies of a signature-bearing (≥ 3 token)
+      // text are dropped by their own class min under the raw rule
+      .filter(col(idCol) === col("__rep") ||
+        size(split(col(textCol), " ")) < 3)
+      .join(dropReps, col(idCol) === col("__drop"), "left_anti")
+      .drop("__h", "__rep")
   }
 
   /** Exact-dedup materialization: the kept corpus — one canonical row

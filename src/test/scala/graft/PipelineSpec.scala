@@ -634,6 +634,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.contains(40L), "unrelated doc survives")
   }
 
+  test("nearDedupKeep rep-space fast path equals the raw keep rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (7L, base),          // exact class, min 1
+      (3L, base + " tail"),                        // near-dup of the class
+      (4L, "hi there"), (5L, "hi there"),          // sub-shingle exact copies:
+                                                   //   NO signature → both kept
+      (6L, (50 to 69).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    // raw rule, spelled naively: drop every id_b of the full-corpus pairs
+    val rawPairs = graft.operators.Dedup.minHashNearDups(docs, "doc_id", "text")
+    val naive = docs.join(rawPairs.select(c("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fast = graft.operators.Dedup.nearDedupKeep(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fast == naive, s"fast $fast vs naive $naive")
+    assert(fast == Set(1L, 4L, 5L, 6L))
+  }
+
   test("clusterStats assigns every vector and breaks ties to the smaller cid") {
     import spark.implicits._
     val docs = Seq(
