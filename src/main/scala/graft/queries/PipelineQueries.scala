@@ -83,8 +83,7 @@ object PipelineQueries {
     // keeps). Oracle recomputes the closure with a recursive CTE over
     // the same pair list.
     "doc_dup_groups" -> ((s, dir) =>
-      Dedup.dupGroups(
-        Dedup.minHashNearDups(corpus(s, dir), "doc_id", "text"), "id_a", "id_b")
+      Dedup.dupGroupsOf(corpus(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
     // Exact n-per-stratum deterministic sample (hash order within each

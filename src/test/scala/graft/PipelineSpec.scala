@@ -656,6 +656,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(fast == Set(1L, 4L, 5L, 6L))
   }
 
+  test("dupGroupsOf rep-space fast path equals raw connected components") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (40 to 59).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (4L, base), (9L, base),       // exact class → one group
+      (2L, base + " tail"),                     // near-dup bridging into it
+      (3L, other), (8L, other + " x"),          // second component (singletons)
+      (5L, "tiny doc"), (6L, "tiny doc"),       // sub-shingle copies: excluded
+      (7L, (80 to 99).map(i => s"q$i").mkString(" ")) // isolated: excluded
+    ).toDF("doc_id", "text")
+    val naive = graft.operators.Dedup.dupGroups(
+        graft.operators.Dedup.minHashNearDups(docs, "doc_id", "text"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = graft.operators.Dedup.dupGroupsOf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive, s"fast $fast vs naive $naive")
+    assert(fast((1L, 1L)) && fast((4L, 1L)) && fast((9L, 1L)) && fast((2L, 1L)))
+    assert(fast((3L, 3L)) && fast((8L, 3L)))
+    assert(!fast.exists(p => Set(5L, 6L, 7L)(p._1)))
+  }
+
   test("clusterStats assigns every vector and breaks ties to the smaller cid") {
     import spark.implicits._
     val docs = Seq(
