@@ -33,4 +33,37 @@ object Dml {
     */
   def applyTtl(df: DataFrame, tsCol: String, now: Column, ttl: Column): DataFrame =
     df.filter(col(tsCol) >= now - ttl)
+
+  /** Small-file compaction — the lake-maintenance pass every streaming
+    * ingest needs (micro-batches write a file per trigger per
+    * partition; a year of 1-minute triggers is half a million tiny
+    * files and footer-open dominated scans). Sizes the output file
+    * count from the INPUT BYTES (listed from the filesystem, no data
+    * pass), then rewrites once:
+    *   - with `sortCols`, `repartitionByRange` + in-partition sort —
+    *     restores zone-map clustering (pair with `zorder_key` for 2-D)
+    *     so min/max pruning works again after compaction;
+    *   - without, round-robin `repartition` for pure size leveling.
+    * Returns the target file count. At 100 TB this runs per partition
+    * directory (compact only partitions whose file count or avg size
+    * crossed a threshold), never the whole table at once.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetBytesPerFile: Long = 128L << 20,
+              sortCols: Seq[String] = Seq.empty): Int = {
+    require(targetBytesPerFile > 0, "targetBytesPerFile must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
+    val df = spark.read.parquet(inDir)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    out.write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }

@@ -40,6 +40,35 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq("a", "b", "hot", "hot"))
   }
 
+  test("compact levels a many-small-files directory and preserves rows + clustering") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = s"$tmp/in"
+    val out = s"$tmp/out"
+    // 64 tiny files out of order — the streaming-sink pathology
+    (1 to 2048).map(i => (i.toLong * 2654435761L % 4096, s"payload_$i"))
+      .toDF("k", "payload").repartition(64).write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+    val n = Dml.compact(spark, in, out, targetBytesPerFile = 1L << 20,
+      sortCols = Seq("k"))
+    val outFiles = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(outFiles.length == n && n < 8, s"64 tiny files → $n leveled files")
+    val readBack = spark.read.parquet(out)
+    assert(readBack.count() == 2048, "no rows lost")
+    // range-partition + sort restored zone-map clustering: per-file
+    // [min,max] of k must not overlap across files
+    val ranges = outFiles.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath).agg(min("k"), max("k")).head
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, "files must not overlap in k")
+      case _ =>
+    }
+  }
+
   test("applyTtl keeps rows at exactly now - ttl") {
     import spark.implicits._
     val ts = Seq("2024-01-01 00:00:00", "2024-01-10 00:00:00", "2024-01-20 00:00:00")
