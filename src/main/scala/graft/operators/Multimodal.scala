@@ -162,6 +162,70 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeBmp(id, bytes) })
   }
 
+  /** Nearest-neighbor resize of a REAL 24-bit BMP — the image-resize
+    * stage of a multimodal curation pipeline, on actual pixel bytes
+    * (not a stub): source pixel (⌊x·sw/ow⌋, ⌊y·sh/oh⌋) for each output
+    * pixel, top-down (negative height) inputs handled by flipping the
+    * row iteration, output re-encoded bottom-up. Runs inside the same
+    * mapPartitions batch shape as the decoders; a JPEG-backed version
+    * would swap only the codec, not the plumbing.
+    */
+  def resizeBmp(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0)
+    val b = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(b.get() == 'B' && b.get() == 'M', "not a BMP")
+    b.getInt(); b.getInt()
+    val dataOffset = b.getInt()
+    require(b.getInt() == 40, "unsupported DIB header")
+    val width = b.getInt()
+    val rawH = b.getInt()
+    val height = math.abs(rawH)
+    val topDown = rawH < 0
+    b.getShort()
+    require(b.getShort() == 24, "only 24bpp supported")
+    val srcRow = (3 * width + 3) / 4 * 4
+    val dstRow = (3 * outW + 3) / 4 * 4
+    val out = ByteBuffer.allocate(54 + dstRow * outH)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dstRow * outH)
+      .putShort(0).putShort(0).putInt(54)
+    out.putInt(40).putInt(outW).putInt(outH).putShort(1).putShort(24)
+      .putInt(0).putInt(dstRow * outH).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // both loops iterate STORAGE rows of the (bottom-up) output; the
+    // sampled source storage row accounts for the input's row order
+    var oy = 0
+    while (oy < outH) {
+      val logicalY = outH - 1 - oy          // bottom-up storage → logical
+      val sy = logicalY.toLong * height / outH
+      val syStore = if (topDown) sy else height - 1 - sy
+      var ox = 0
+      while (ox < outW) {
+        val sx = ox.toLong * width / outW
+        val src = dataOffset + syStore * srcRow + 3 * sx
+        out.put(bytes(src.toInt)).put(bytes(src.toInt + 1)).put(bytes(src.toInt + 2))
+        ox += 1
+      }
+      var p = 3 * outW
+      while (p < dstRow) { out.put(0.toByte); p += 1 }
+      oy += 1
+    }
+    out.array()
+  }
+
+  /** Batch resize lane: (id, media) → (id, resized media) with the
+    * decoded-and-re-encoded geometry checked downstream by
+    * [[extractBmpMeta]] — the mapPartitions batch shape of a 100 TB
+    * image-preprocessing pass.
+    */
+  def resizeBmpBatch(df: DataFrame, idCol: String, outW: Int, outH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, resizeBmp(bytes, outW, outH)) })
+      .toDF(idCol, "media")
+  }
+
   final case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
                            bits: Int, n_samples: Long, mean_abs: Double)
 

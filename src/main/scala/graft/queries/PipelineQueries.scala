@@ -257,6 +257,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL image resize: nearest-neighbor over actual BMP pixel bytes
+    // (decode → sample → re-encode → re-decode); the oracle recomputes
+    // the resized mean from the generating formula and the row-sampling
+    // rule sy = floor(y·h/8).
+    "mm_bmp_resize" -> ((s, dir) => {
+      val withBmp = Multimodal.withBmpBinary(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractBmpMeta(
+          Multimodal.resizeBmpBatch(withBmp, "doc_id", 8, 8), "doc_id").toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_bytes"),
+          round(col("mean_px"), 6).as("mean_px"))
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode: construct genuine PCM16 RIFF/WAV bytes from
     // doc_id, walk the chunk structure, and average |sample| over the
     // actual PCM payload; the oracle recomputes rate/count/mean-abs
@@ -695,6 +710,14 @@ object PipelineQueries {
         |  round(avg((d.doc_id + u.y) % 256), 6) AS mean_px
         |FROM documents d,
         |  LATERAL (SELECT unnest(generate_series(0, d.doc_id % 48)) AS y) u
+        |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+    "mm_bmp_resize" ->
+      """SELECT d.doc_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(246 AS BIGINT) AS n_bytes,
+        |  round(avg((d.doc_id + (u.y * (d.doc_id % 48 + 1)) // 8) % 256), 6) AS mean_px
+        |FROM documents d,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS y) u
         |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
     "mm_wav_decode" ->
       """SELECT d.doc_id,

@@ -379,6 +379,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeBmp samples real pixels and respects top-down row order") {
+    // 4×2, logical top row = 7, bottom row = 200
+    val src = Multimodal.encodeBmp(4, 2, y => if (y == 0) 7 else 200)
+    val down = Multimodal.resizeBmp(src, 2, 1) // keeps the TOP source row
+    val m = Multimodal.decodeBmp(0L, down)
+    assert(m.width == 2 && m.height == 1 && m.mean_px == 7.0)
+    val up = Multimodal.decodeBmp(0L, Multimodal.resizeBmp(src, 4, 4))
+    assert(up.height == 4 && up.mean_px == (7.0 + 7.0 + 200.0 + 200.0) / 4)
+    // top-down variant (negative height): logical rows flip, so the
+    // same resize must now keep 200 — proof the row order is honored
+    val td = src.clone()
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    val mTd = Multimodal.decodeBmp(0L, Multimodal.resizeBmp(td, 2, 1))
+    assert(mTd.mean_px == 200.0, "top-down input: logical top is storage row 0")
+    // distributed lane: geometry comes back resized, bytes re-decode
+    val docs = Tables(spark, sf, "documents").select("doc_id").limit(10)
+    val rs = Multimodal.extractBmpMeta(
+      Multimodal.resizeBmpBatch(
+        Multimodal.withBmpBinary(docs, "doc_id"), "doc_id", 8, 8), "doc_id").collect()
+    assert(rs.length == 10 && rs.forall(r => r.width == 8 && r.height == 8))
+  }
+
   test("frameSample yields one sampled byte per stride") {
     val docs = Multimodal.withFakeBinary(Tables(spark, sf, "documents"), "doc_id", "text")
     val sampled = Multimodal.frameSample(docs, "doc_id", 16)
