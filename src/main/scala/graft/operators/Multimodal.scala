@@ -280,6 +280,54 @@ object Multimodal {
       if (nSamples == 0) 0.0 else sumAbs / nSamples)
   }
 
+  final case class WavFeatures(doc_id: Long, n_samples: Long, peak_abs: Long,
+                               zero_crossings: Long, rms: Double)
+
+  /** Audio FEATURE EXTRACTION on real PCM bytes — the signal-level
+    * curation metrics (silence/clipping/noisiness filters) computed
+    * from the decoded samples, not the header: peak |amplitude|,
+    * sign-change count, and RMS energy. RMS is sqrt of an exact
+    * integer Σs² / n, floor-quantized — engine-stable. Same
+    * mapPartitions batch lane as the decoders.
+    */
+  def decodeWavFeatures(docId: Long, bytes: Array[Byte]): WavFeatures = {
+    val b = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
+    require(tag() == "RIFF", "not a RIFF file"); b.getInt()
+    require(tag() == "WAVE", "not a WAV file")
+    var nSamples = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+    while (b.remaining() >= 8) {
+      val id = tag(); val len = b.getInt()
+      val next = b.position() + len + (len & 1)
+      if (id == "data") {
+        nSamples = len / 2L
+        var prev = 0
+        var i = 0L
+        while (i < nSamples) {
+          val s = b.getShort().toInt
+          sumSq += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && ((s < 0 && prev > 0) || (s > 0 && prev < 0))) zc += 1
+          prev = s
+          i += 1
+        }
+      }
+      b.position(math.min(next, bytes.length))
+    }
+    val rms = if (nSamples == 0) 0.0
+      else math.floor(math.sqrt(sumSq.toDouble / nSamples) * 1e6) / 1e6
+    WavFeatures(docId, nSamples, peak, zc, rms)
+  }
+
+  /** Batch audio-feature lane over (id, media) WAV bytes. */
+  def extractWavFeatures(df: DataFrame, idCol: String): Dataset[WavFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWavFeatures(id, bytes) })
+  }
+
   /** Attach a REAL PCM16 WAV binary derived from the id column:
     * sample rate 8000 + id%8 · 1000, id%50 + 1 samples, sample i =
     * (id·31 + i·7) % 2001 − 1000 — a generating formula whose

@@ -287,6 +287,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL audio feature extraction over the PCM payload: peak, sign
+    // changes, RMS (sqrt of exact Σs²/n, floor-quantized); the oracle
+    // regenerates the samples from the formula.
+    "mm_wav_features" -> ((s, dir) => {
+      val withWav = Multimodal.withWavBinary(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractWavFeatures(withWav, "doc_id").toDF()
+        .orderBy("doc_id")
+    }),
+
     "mm_binary_meta" -> ((s, dir) => {
       val docs = Multimodal.withFakeBinary(Tables(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractMeta(docs, "doc_id").toDF()
@@ -728,6 +738,21 @@ object PipelineQueries {
         |FROM documents d,
         |  LATERAL (SELECT unnest(generate_series(0, d.doc_id % 50)) AS i) u
         |GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
+    "mm_wav_features" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, u.i,
+        |    (d.doc_id * 31 + u.i * 7) % 2001 - 1000 AS s,
+        |    CASE WHEN u.i > 0
+        |      THEN (d.doc_id * 31 + (u.i - 1) * 7) % 2001 - 1000 END AS sp
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(generate_series(0, d.doc_id % 50)) AS i) u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(CASE WHEN sp IS NOT NULL AND s * sp < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS zero_crossings,
+        |  floor(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) * 1000000.0)
+        |    / 1000000.0 AS rms
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  doc_id % 640 + 1 AS width,

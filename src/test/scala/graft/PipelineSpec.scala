@@ -402,6 +402,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(rs.length == 10 && rs.forall(r => r.width == 8 && r.height == 8))
   }
 
+  test("decodeWavFeatures: peak, zero crossings, RMS from real PCM bytes") {
+    val alt = Multimodal.encodeWav(8000, Array[Short](100, -100, 100, -100))
+    val f = Multimodal.decodeWavFeatures(1L, alt)
+    assert(f.n_samples == 4 && f.peak_abs == 100 && f.zero_crossings == 3)
+    assert(f.rms == 100.0)
+    val silence = Multimodal.decodeWavFeatures(2L, Multimodal.encodeWav(8000, Array[Short](0, 0)))
+    assert(silence.peak_abs == 0 && silence.zero_crossings == 0 && silence.rms == 0.0)
+  }
+
   test("frameSample yields one sampled byte per stride") {
     val docs = Multimodal.withFakeBinary(Tables(spark, sf, "documents"), "doc_id", "text")
     val sampled = Multimodal.frameSample(docs, "doc_id", 16)
