@@ -27,7 +27,7 @@ object QualityGisQueries {
     // keep every interpolated value a dyadic rational, so the DuckDB
     // median() recomputation is bit-identical.
     "ts_outlier_mad" -> ((s, dir) =>
-      graft.functions.DataQuality.madOutliers(
+      graft.functions.DataQuality.madOutliersCompact(
         Tables.events(s, dir), Seq("event_type", "user_id"), "value")
         .orderBy("event_type", "user_id")),
 

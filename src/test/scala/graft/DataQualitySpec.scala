@@ -40,4 +40,21 @@ class DataQualitySpec extends AnyFunSuite {
     assert(DataQuality.compute(Array(1.0, 2.0, 3.0),
       Array(12.34, Double.NaN, Double.NaN)).isEmpty)
   }
+
+  test("madOutliersCompact equals the three-pass variant on real data") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "user_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+    val threePass = canon(DataQuality.madOutliers(ev, Seq("event_type", "user_id"), "value"))
+    val onePass = canon(DataQuality.madOutliersCompact(ev, Seq("event_type", "user_id"), "value"))
+    assert(threePass.nonEmpty && onePass == threePass)
+  }
 }
