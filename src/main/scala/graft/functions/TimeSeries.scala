@@ -459,13 +459,16 @@ object TimeSeries {
 
   /** OHLC candlestick per (series, bucket) — the TimescaleDB-toolkit
     * `candlestick_agg` surface (open/high/low/close + count + volume):
-    * one partial-aggregable hash aggregate, no sort. Open/close are
+    * ONE partial-aggregated exchange, no window. Open/close are
     * `min_by`/`max_by` over a (time, rowId) struct so ties on the
     * timestamp break deterministically on the unique row id (the
     * toolkit's first/last have the same need; a bare min_by on a
-    * duplicated timestamp is engine-order-dependent). Volume sums exact
-    * integer cents and floats only the final /100 — bit-identical
-    * across engines.
+    * duplicated timestamp is engine-order-dependent). The struct
+    * ordering key makes Spark pick a sort-based aggregate buffer
+    * (SortAggregate) — still map-side partial around a single shuffle,
+    * which is the property that matters at 100 TB (plan-pinned in
+    * ContractSpec). Volume sums exact integer cents and floats only
+    * the final /100 — bit-identical across engines.
     */
   def candlestick(df: DataFrame, seriesCols: Seq[String], bucketCol: Column,
                   tieCols: Seq[String], valueCol: String): DataFrame = {

@@ -120,6 +120,45 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("anomalyZscore broadcasts the stats side and plans no window sort") {
+    val ev = Tables.events(spark, sf)
+    val plan = executedPlan(
+      functions.TimeSeries.anomalyZscore(ev, Seq("event_type"), "value"))
+    assert(plan.contains("BroadcastHashJoin"), "per-series stats must broadcast")
+    assert(!plan.contains("Window"), "the z-score is a join, not a window")
+  }
+
+  test("candlestick is one partial-aggregated exchange; linearTrend hash-aggregates") {
+    val ev = Tables.events(spark, sf)
+    val cs = executedPlan(functions.TimeSeries.candlestick(ev, Seq("event_type"),
+      unix_micros(date_trunc("hour", col("ts"))), Seq("ts_ns", "event_id"), "value"))
+    // struct-ordered min_by/max_by needs a sort-based aggregate buffer,
+    // but it must still be partial (map-side) around a SINGLE exchange
+    assert(cs.linesIterator.count(_.trim.startsWith("+- Exchange")) == 1, cs)
+    assert(cs.contains("partial_min_by") && !cs.contains("Window"), cs)
+    val lr = executedPlan(functions.TimeSeries.linearTrend(ev, Seq("event_type"),
+      expr("ts_ns div 1000000000"), col("value")))
+    assert(lr.contains("HashAggregate") && !lr.contains("Window") && !lr.contains("Sort"),
+      "linearTrend must hash-aggregate without sorting")
+  }
+
+  test("clusterStats cross-joins broadcast references, no window") {
+    val emb = Tables(spark, sf, "embeddings")
+    val plan = executedPlan(
+      operators.Similarity.clusterStats(emb, "vec_id", "embedding", 4))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "references must broadcast")
+    assert(!plan.contains("Window"), "argmax is max(struct), not a window rank")
+  }
+
+  test("chunkBoilerplate plans no cartesian product and one corpus-side shape") {
+    val docs = Tables(spark, sf, "documents")
+    val plan = executedPlan(
+      operators.TextAnalysis.chunkBoilerplate(docs, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "boilerplate scoring must stay equijoin-only")
+  }
+
   test("events scan prunes to selected columns") {
     val pruned = Tables.events(spark, sf).select("event_id", "value")
     val scan = pruned.queryExecution.executedPlan.toString
