@@ -372,6 +372,63 @@ object Dedup {
       call_function("simhash60", col(textCol)).as("simhash"))
   }
 
+  /** SimHash near-dup pairs by Hamming distance — the Google-style
+    * complement to MinHash (Manku et al., WWW'07): docs whose 60-bit
+    * SimHashes differ in ≤ `maxHamming` bits. Candidate generation is
+    * the PIGEONHOLE block index: split 60 bits into `maxHamming + 1`
+    * blocks (here 4 × 15 bits for the default 3) — any pair within the
+    * Hamming radius must agree exactly on ≥ 1 block, so candidates are
+    * a (block index, block value) equi-bucket join, never an all-pairs
+    * scan. Confirmation is xor + popcount on the signatures carried
+    * through the bucket aggregate — no rejoin to the corpus at all.
+    *
+    * 100 TB shape: signature+blocks are a pure mapper over the scan;
+    * ONE aggregation on (block, value) bounded by real collisions with
+    * the same fused `raise_error` bucket guard as [[lshCandidates]]
+    * (a mass-duplicated corpus collapses into one bucket → run
+    * [[exactDupGroups]] first); the pair distinct is over candidates
+    * only.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 14, "maxHamming out of range")
+    graft.functions.TextExpressions.register(df.sparkSession)
+    val nBlocks = maxHamming + 1
+    val bits = 60
+    val base = bits / nBlocks
+    val rem = bits % nBlocks // first `rem` blocks get one extra bit
+    val sigs = df.select(col(idCol),
+        conv(call_function("simhash60", col(textCol)), 16, 10).cast("long").as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val blockCols = (0 until nBlocks).map { b =>
+      val width = base + (if (b < rem) 1 else 0)
+      val offset = (0 until b).map(i => base + (if (i < rem) 1 else 0)).sum
+      struct(lit(b).as("blk"),
+        shiftright(col("__sig"), offset).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    val buckets = sigs
+      .select(col(idCol), col("__sig"), explode(array(blockCols: _*)).as("bb"))
+      .groupBy(col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+      .agg(sort_array(collect_set(struct(col(idCol).as("id"), col("__sig").as("sig"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+    val pairs = buckets.select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          s"transform(slice(ms, i + 2, CASE WHEN size(ms) > $maxBucketSize THEN " +
+          "CAST(raise_error(concat('simhashNearDups: a block bucket holds ', " +
+          "CAST(size(ms) AS STRING), " +
+          s"' ids (> maxBucketSize=$maxBucketSize); the corpus is mass-duplicated — " +
+          "run exactDupGroups as a pre-pass or raise the cap')) AS INT) " +
+          "ELSE size(ms) END), y -> struct(x.id AS id_a, y.id AS id_b, " +
+          "x.sig AS sig_a, y.sig AS sig_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    pairs
+  }
+
   /** The SQL-expressible 60-bit SimHash formulation (tokens → md5 hex
     * digits → per-bit votes → majority bits → hex digits) — retained to
     * pin the kernel's values in DedupSpec-style equivalence tests.

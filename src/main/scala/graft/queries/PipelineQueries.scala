@@ -45,6 +45,12 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", 4)
         .orderBy("doc_a")),
 
+    // SimHash Hamming near-dup pairs (pigeonhole 4×15-bit block index,
+    // xor+popcount confirm) over the dup-injected corpus.
+    "doc_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
     "doc_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -427,6 +433,38 @@ object PipelineQueries {
         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    "doc_simhash_pairs" ->
+      s"""WITH $CORPUS,
+        |toks AS (
+        |  SELECT doc_id, md5(tok) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)),
+        |votes AS (
+        |  SELECT doc_id, p, k,
+        |    sum(CASE WHEN (strpos('0123456789abcdef', substr(h, p, 1)) - 1) // (1 << k) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS v
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, 15)) AS p) u,
+        |    LATERAL (SELECT unnest(generate_series(0, 3)) AS k) w
+        |  GROUP BY doc_id, p, k),
+        |digits AS (
+        |  SELECT doc_id, p,
+        |    sum(CASE WHEN v > 0 THEN 1 << k ELSE 0 END) AS dig_out
+        |  FROM votes GROUP BY doc_id, p),
+        |sigv AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(dig_out AS BIGINT) << (4 * (15 - p))) AS BIGINT) AS sig
+        |  FROM digits GROUP BY doc_id),
+        |blocks AS (
+        |  SELECT doc_id, sig, u.blk, (sig >> (u.blk * 15)) & 32767 AS bv
+        |  FROM sigv, LATERAL (SELECT unnest(generate_series(0, 3)) AS blk) u),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM blocks a JOIN blocks b
+        |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "doc_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, md5(tok) AS h

@@ -666,6 +666,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.contains(40L), "unrelated doc survives")
   }
 
+  test("simhashNearDups equals brute-force Hamming pairs (pigeonhole completeness)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, conv, call_function}
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").limit(120)
+    // brute force over the actual 60-bit signatures
+    graft.functions.TextExpressions.register(spark)
+    val sigs = docs.select(c("doc_id"),
+        conv(call_function("simhash60", c("text")), 16, 10).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val fast = graft.operators.Dedup.simhashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute, s"pigeonhole must be exact within radius 3: " +
+      s"missing ${brute -- fast}, extra ${fast -- brute}")
+  }
+
   test("nearDedupKeep rep-space fast path equals the raw keep rule") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => c}
