@@ -516,6 +516,34 @@ object TimeSeries {
       .drop("__c", "__n", "__s", "__q")
   }
 
+  /** M4 visual downsampling — the error-free alternative to LTTB
+    * (Jugel et al., VLDB'14): per (series, pixel bucket) keep the
+    * first, last, min-value and max-value POINTS (≤ 4 rows per
+    * bucket), which provably preserves the rendered line at the
+    * target pixel width. All four selectors are min_by/max_by over
+    * fully-ordered (value, ts, rowId) structs, so duplicated
+    * timestamps/values select deterministically. ONE partial-
+    * aggregated exchange (sort-based buffer, same note as
+    * [[candlestick]]) + a ≤4-element explode — no window, and unlike
+    * LTTB no sequential whole-series pass, so it parallelizes at any
+    * series length.
+    */
+  def m4(df: DataFrame, seriesCols: Seq[String], bucketCol: Column,
+         tsCol: String, rowIdCol: String, valueCol: String): DataFrame = {
+    val g = seriesCols.map(col)
+    val p = struct(col(tsCol), col(rowIdCol), col(valueCol))
+    val tOrd = struct(col(tsCol), col(rowIdCol))
+    val vOrd = struct(col(valueCol), col(tsCol), col(rowIdCol))
+    df.groupBy(g :+ bucketCol.as("bucket"): _*)
+      .agg(min_by(p, tOrd).as("__pf"), max_by(p, tOrd).as("__pl"),
+        min_by(p, vOrd).as("__pmin"), max_by(p, vOrd).as("__pmax"))
+      .select(g ++ Seq(col("bucket"),
+        explode(array_distinct(array(col("__pf"), col("__pmin"),
+          col("__pmax"), col("__pl")))).as("__p")): _*)
+      .select(g ++ Seq(col("bucket"), col(s"__p.$tsCol").as(tsCol),
+        col(s"__p.$rowIdCol").as(rowIdCol), col(s"__p.$valueCol").as(valueCol)): _*)
+  }
+
   /** Lag-k autocorrelation per series (the seasonality probe of every
     * TS toolbox), with the estimator cleared to exact integer sums so
     * both engines agree bit-for-bit: with cents v, S=Σv, Q=Σv², and

@@ -234,8 +234,10 @@ object TimeSeriesQueries {
     // OHLC candlestick per (series, hour) — open/close tie-break on
     // (ts_ns, event_id) so duplicated timestamps stay deterministic.
     "ts_candlestick" -> ((s, dir) =>
-      TimeSeries.candlestick(Tables.events(s, dir), Seq("event_type"),
-          unix_micros(date_trunc("hour", col("ts"))), Seq("ts_ns", "event_id"), "value")
+      TimeSeries.candlestick(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))), Seq("ts_us", "event_id"), "value")
         .withColumnRenamed("bucket", "bucket_us")
         .orderBy("event_type", "bucket_us")),
 
@@ -254,18 +256,30 @@ object TimeSeriesQueries {
         .select("event_id", "event_type", "value", "is_outlier", "z")
         .orderBy("event_id").limit(10000)),
 
+    // M4 downsampling: first/last/min/max POINTS per (series, hour) —
+    // the error-free pixel-exact downsampler, ≤ 4 rows per bucket.
+    "ts_m4" -> ((s, dir) =>
+      TimeSeries.m4(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))), "ts_us", "event_id", "value")
+        .withColumnRenamed("bucket", "bucket_us")
+        .orderBy("event_type", "bucket_us", "ts_us", "event_id")),
+
     // Lag-10 autocorrelation per series: exact-integer estimator, one
     // sort shuffle for lead() + aggregate.
     "ts_acf" -> ((s, dir) =>
-      TimeSeries.acf(Tables.events(s, dir), Seq("event_type"),
-          Seq("ts_ns", "event_id"), "value", lag = 10)
+      TimeSeries.acf(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), Seq("ts_us", "event_id"), "value", lag = 10)
         .orderBy("event_type")),
 
     // Centered ±3-row moving average per series (deterministic frame
     // order on the unique (ts_ns, event_id) key).
     "ts_moving_avg" -> ((s, dir) =>
-      TimeSeries.movingAverage(Tables.events(s, dir), Seq("event_type"),
-          Seq("ts_ns", "event_id"), "value")
+      TimeSeries.movingAverage(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), Seq("ts_us", "event_id"), "value")
         .select("event_id", "event_type", "ma")
         .orderBy("event_id").limit(10000)),
 
@@ -623,11 +637,32 @@ object TimeSeriesQueries {
         |    floor(CAST(num AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE)) * 1000000.0)
         |      / 1000000.0 ELSE 0.0 END AS z
         |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_m4" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', cast(ts AS TIMESTAMP))) AS bucket_us,
+        |    epoch_us(cast(ts AS TIMESTAMP)) AS ts_us, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY ts_us, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY ts_us DESC, event_id DESC) AS rl,
+        |    row_number() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY value, ts_us, event_id) AS rmin,
+        |    row_number() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY value DESC, ts_us DESC, event_id DESC) AS rmax
+        |  FROM e)
+        |SELECT DISTINCT event_type, bucket_us, ts_us, event_id, value
+        |FROM r WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
+        |ORDER BY event_type, bucket_us, ts_us, event_id""".stripMargin,
     "ts_acf" ->
       """WITH l AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
         |    lead(CAST(round(value * 100) AS BIGINT), 10) OVER
-        |      (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id) AS cl
+        |      (PARTITION BY event_type
+        |       ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id) AS cl
         |  FROM events),
         |a AS (
         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
@@ -649,7 +684,8 @@ object TimeSeriesQueries {
         |  floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
         |    / (count(*) OVER w) / 100.0 * 1000000.0) / 1000000.0 AS ma
         |FROM events
-        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+        |WINDOW w AS (PARTITION BY event_type
+        |  ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id
         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         |ORDER BY event_id LIMIT 10000""".stripMargin,
     "ts_candlestick" ->
@@ -657,7 +693,7 @@ object TimeSeriesQueries {
         |  SELECT event_type,
         |    epoch_us(date_trunc('hour', cast(ts AS TIMESTAMP))) AS bucket_us,
         |    value, CAST(round(value * 100) AS BIGINT) AS cents,
-        |    epoch_ns(ts) AS tns, event_id
+        |    epoch_us(cast(ts AS TIMESTAMP)) AS tns, event_id
         |  FROM events),
         |w AS (
         |  SELECT *,

@@ -263,6 +263,19 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(fo.forall(r => !r.getAs[Boolean]("is_outlier") && r.getAs[Double]("z") == 0.0))
   }
 
+  test("m4 keeps exactly the first/last/min/max points per bucket, deduped") {
+    val df = Seq(
+      ("a", 0L, 10L, 1L, 5.0), ("a", 0L, 20L, 2L, 1.0), ("a", 0L, 30L, 3L, 9.0),
+      ("a", 0L, 40L, 4L, 4.0), ("a", 0L, 50L, 5L, 6.0), // first=10, min=20, max=30, last=50
+      ("a", 1L, 60L, 6L, 2.0) // single point: all four roles collapse to one row
+    ).toDF("g", "b", "t", "rid", "value")
+    val out = TimeSeries.m4(df, Seq("g"), col("b"), "t", "rid", "value")
+      .orderBy("bucket", "t").collect()
+    val b0 = out.filter(_.getLong(1) == 0L).map(_.getLong(2)).toSeq
+    assert(b0 == Seq(10L, 20L, 30L, 50L), s"kept points: $b0")
+    assert(out.count(_.getLong(1) == 1L) == 1, "degenerate bucket emits ONE row")
+  }
+
   test("acf: alternating series is anti-correlated at lag 1, correlated at lag 2") {
     val df = Seq(("s", 1L, 1.0), ("s", 2L, -1.0), ("s", 3L, 1.0), ("s", 4L, -1.0))
       .toDF("g", "t", "value")
