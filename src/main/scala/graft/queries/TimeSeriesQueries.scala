@@ -256,6 +256,23 @@ object TimeSeriesQueries {
         .select("event_id", "event_type", "value", "is_outlier", "z")
         .orderBy("event_id").limit(10000)),
 
+    // Batch keep-first dedup per (user, event_type, minute) — the batch
+    // analogue of streaming exact dedup. The survivor is min(ts, id),
+    // selected via a PACKED integer min (ts_us·1e7 + id in
+    // DECIMAL(38,0)) so the aggregate stays hash-aggregable — no window
+    // sort, no struct buffer.
+    "ts_dedup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("__pack",
+          col("ts_us").cast("decimal(38,0)") * lit(10000000L) + col("event_id"))
+        .groupBy(col("user_id"), col("event_type"),
+          expr("ts_us div 60000000").as("minute"))
+        .agg(min(col("__pack")).as("__p"))
+        .select(col("user_id"), col("event_type"), col("minute"),
+          (col("__p") % 10000000).cast("long").as("event_id"))
+        .orderBy("user_id", "event_type", "minute")),
+
     // M4 downsampling: first/last/min/max POINTS per (series, hour) —
     // the error-free pixel-exact downsampler, ≤ 4 rows per bucket.
     "ts_m4" -> ((s, dir) =>
@@ -637,6 +654,13 @@ object TimeSeriesQueries {
         |    floor(CAST(num AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE)) * 1000000.0)
         |      / 1000000.0 ELSE 0.0 END AS z
         |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_dedup" ->
+      """SELECT user_id, event_type,
+        |  epoch_us(cast(ts AS TIMESTAMP)) // 60000000 AS minute,
+        |  CAST(min(CAST(epoch_us(cast(ts AS TIMESTAMP)) AS HUGEINT) * 10000000
+        |    + event_id) % 10000000 AS BIGINT) AS event_id
+        |FROM events GROUP BY user_id, event_type, minute
+        |ORDER BY user_id, event_type, minute""".stripMargin,
     "ts_m4" ->
       """WITH e AS (
         |  SELECT event_type,
