@@ -8,13 +8,26 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // The spark.sql.extensions CONFIG is only consulted when the
+    // SparkContext itself is created; in the shared test JVM another
+    // suite usually owns the context already, so getOrCreate would
+    // silently hand back a session without graft's functions. The
+    // public Builder.withExtensions hook runs the SAME GraftExtensions
+    // entry point on a fresh session over the existing context —
+    // which is exactly what this spec pins: the class works as a
+    // SparkSessionExtensions injector.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   test("extension-registered functions resolve in plain SQL") {
     val row = spark.sql(
