@@ -139,6 +139,53 @@ object Dedup {
                       numHashes: Int = 8, bands: Int = 2,
                       threshold: Double = 0.5,
                       maxBucketSize: Int = 1000): DataFrame = {
+    // Exact-collapse first (same argument as [[nearDedupKeep]]): the
+    // minhash/LSH/confirm pipeline runs once per DISTINCT text, and the
+    // raw pair list is reconstructed exactly as
+    //   expand(rep pairs) ∪ within-class pairs:
+    // a raw pair (X, Y) across classes is confirmed iff its reps are
+    // (identical texts → identical signatures → identical buckets and
+    // jaccard), and a within-class pair is always a jaccard-1 confirmed
+    // candidate — iff the text has ≥ 3 tokens (else no signature, no
+    // pair), mirrored in the `__sig3` flag. The expansions are
+    // output-proportional; the md5/signature work drops by the corpus
+    // dup factor (the dominant term on real web corpora).
+    val withH = df.withColumn("__h", md5(col(textCol)))
+    val repTbl = withH.select(col("__h"), col(idCol))
+      .groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val members = withH.select(col("__h"), col(idCol)).join(repTbl, "__h")
+    val repRows = withH.join(repTbl, "__h")
+      .filter(col(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol))
+    val repPairs = minHashNearDupsRaw(repRows, idCol, textCol, numHashes,
+      bands, threshold, maxBucketSize)
+    val m = members.select(col("__rep"), col(idCol).as("__mid"))
+    val cross = repPairs
+      .join(m.withColumnRenamed("__mid", "__xa"), col("__rep") === col("id_a"))
+      .drop("__rep")
+      .join(m.withColumnRenamed("__mid", "__xb"), col("__rep") === col("id_b"))
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"), col("jaccard"))
+    val within = members
+      .join(withH.select(col("__h"),
+        (size(split(col(textCol), " ")) >= 3).as("__sig3")).distinct(), "__h")
+      .filter(col("__sig3") && lit(1.0) >= threshold)
+      .select(col("__h"), col(idCol).as("__wa"))
+    val withinPairs = within.join(
+        within.select(col("__h"), col("__wa").as("__wb")), "__h")
+      .filter(col("__wa") < col("__wb"))
+      .select(col("__wa").as("id_a"), col("__wb").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(withinPairs)
+  }
+
+  /** The direct (no exact-collapse) pipeline — runs once per input row;
+    * [[minHashNearDups]] wraps it in representative space.
+    */
+  private def minHashNearDupsRaw(df: DataFrame, idCol: String, textCol: String,
+                                 numHashes: Int, bands: Int,
+                                 threshold: Double,
+                                 maxBucketSize: Int): DataFrame = {
     graft.functions.TextExpressions.register(df.sparkSession)
     val sig = minhashSignature(df, idCol, textCol, numHashes)
     val cands =
@@ -246,7 +293,7 @@ object Dedup {
       .groupBy("__h").agg(min(col(idCol)).as("__rep"))
     val labeled = withH.join(repTbl, "__h")
     val reps = labeled.filter(col(idCol) === col("__rep")).drop("__h", "__rep")
-    val pairs = minHashNearDups(reps, idCol, textCol, numHashes, bands,
+    val pairs = minHashNearDupsRaw(reps, idCol, textCol, numHashes, bands,
       threshold, maxBucketSize)
     val dropReps = pairs.select(col("id_b").as("__drop")).distinct()
     labeled
@@ -304,7 +351,7 @@ object Dedup {
     val reps = withH.join(repTbl, "__h")
       .filter(col(idCol) === col("__rep"))
       .withColumn("__sig", size(split(col(textCol), " ")) >= 3)
-    val repPairs = minHashNearDups(
+    val repPairs = minHashNearDupsRaw(
       reps.select(col(idCol), col(textCol)), idCol, textCol,
       numHashes, bands, threshold, maxBucketSize)
     val repGroups = dupGroups(repPairs, "id_a", "id_b", maxIters)

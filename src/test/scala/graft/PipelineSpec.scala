@@ -175,21 +175,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("truncated WAV"))
   }
 
-  test("lshCandidates fails fast on a mass-duplicated corpus (bucket guard)") {
+  test("exact mass-duplication collapses instead of hitting the bucket guard") {
     import spark.implicits._
-    // 10k identical docs collapse into ONE LSH bucket per band: the
-    // all-pairs expansion would be ~5e7 rows in a single task. The
-    // guard must fail fast naming the bucket size, not OOM.
-    val dupes = (1 to 10000)
+    // 1000 identical docs: r2 fell into one LSH bucket and needed the
+    // fail-fast guard; the rep-space collapse now runs the minhash
+    // pipeline on ONE representative and reconstructs the full
+    // within-class pair list (output-proportional, no bucket blowup).
+    val dupes = (1 to 1000)
       .map(i => (i.toLong, "the same exact document text repeated verbatim for everyone"))
       .toDF("doc_id", "text")
+    val n = graft.operators.Dedup.minHashNearDups(dupes, "doc_id", "text").count()
+    assert(n == 1000L * 999 / 2, "all within-class pairs at jaccard 1")
+  }
+
+  test("lshCandidates guard still fires on > cap NEAR-identical distinct texts") {
+    import spark.implicits._
+    // Distinct texts (collapse keeps them all) engineered to share
+    // minhash band buckets: 20 shared words + one unique tail word, so
+    // most docs' band hashes equal the base doc's. The rep-space bucket
+    // then exceeds the cap and the fused raise_error must fire.
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val near = (1 to 1500).map(i => (i.toLong, s"$base tail$i")).toDF("doc_id", "text")
     val ex = intercept[Exception] {
-      graft.operators.Dedup.minHashNearDups(dupes, "doc_id", "text").count()
+      graft.operators.Dedup.minHashNearDups(near, "doc_id", "text").count()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(m => m.contains("maxBucketSize") && m.contains("10000")),
-      s"expected the lshCandidates guard message, got: ${messages(ex).mkString(" | ")}")
+    assert(messages(ex).exists(_.contains("maxBucketSize")),
+      s"expected the lshCandidates guard, got: ${messages(ex).mkString(" | ")}")
   }
 
   test("minHashNearDups with a raised cap still degrades linearly-ish on dup classes") {
