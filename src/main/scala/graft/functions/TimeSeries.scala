@@ -583,6 +583,48 @@ object TimeSeries {
         .as(s"acf_$lag")): _*)
   }
 
+  /** CUSUM change-point screening per series: flags points where the
+    * cumulative deviation from the series mean exceeds k standard
+    * deviations under the Brownian-bridge scaling — the classic
+    * mean-shift detector. The test is cleared to exact integers (with
+    * prefix P_i of cents, D = n·P_i − i·S):
+    *   flag_i ⇔ D² · n > k² · i·(n−i) · (nQ − S²)
+    * so the boolean can never flip on a float boundary; the reported
+    * standardized statistic floats from the same exact operands and is
+    * floor-quantized. One sort shuffle per series (prefix sum + row
+    * number share the window), stats broadcast back. D²·n stays inside
+    * DECIMAL(38,0) for series up to ~10⁷ cents-scale points — bucket
+    * longer series first (the detector is about the shape, not the
+    * sampling rate).
+    */
+  def cusum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+            valueCol: String, k: Int = 3): DataFrame = {
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val w = Window.partitionBy(g: _*).orderBy(orderCols.map(col): _*)
+    val stats = df.withColumn("__c", cents)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(dec(col("__c"))).as("__s"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("__q"))
+    val withPrefix = df.withColumn("__c", cents)
+      .withColumn("__p", sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .join(broadcast(stats), groupCols)
+    val n = dec(col("__n"))
+    val d = n * dec(col("__p")) - dec(col("__i")) * col("__s")
+    val varNum = n * col("__q") - col("__s") * col("__s")
+    val bridge = dec(col("__i")) * (n - dec(col("__i"))) * varNum
+    withPrefix
+      .withColumn("is_shift",
+        when(bridge > 0, d * d * n > lit(k.toLong * k) * bridge).otherwise(lit(false)))
+      .withColumn("cusum_z",
+        when(bridge > 0,
+          floor(d.cast("double") / sqrt(bridge.cast("double") / col("__n").cast("double"))
+            * 1000000.0) / 1000000.0).otherwise(lit(0.0)))
+      .drop("__c", "__p", "__i", "__n", "__s", "__q")
+  }
+
   /** Centered moving average per series — exact integer cents summed
     * over a ROWS frame (±`halfWindow` rows around each point, ordered
     * by a unique (time, rowId) key so the frame contents are

@@ -34,6 +34,28 @@ object Dml {
   def applyTtl(df: DataFrame, tsCol: String, now: Column, ttl: Column): DataFrame =
     df.filter(col(tsCol) >= now - ttl)
 
+  /** MERGE / upsert as a lake rewrite — cnosdb's INSERT semantics
+    * (writing an existing (time, tags) series key REPLACES its fields,
+    * reference dml/insert tests): rows from `source` win on key match,
+    * unmatched target rows survive, unmatched source rows insert. One
+    * full-outer equijoin on the key, column-wise coalesce(source,
+    * target) — no window, partial-pruning friendly when the key
+    * includes the partition column (only touched partitions rewrite).
+    */
+  def upsert(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dataCols = target.columns.filterNot(keyCols.contains)
+    require(source.columns.sorted.sameElements(target.columns.sorted),
+      "upsert requires identical schemas")
+    // row-presence marker, not per-column coalesce: a source row whose
+    // field is legitimately NULL must still overwrite the target field
+    val s = dataCols.foldLeft(source) { (d, c) => d.withColumnRenamed(c, s"__s_$c") }
+      .withColumn("__hit", lit(true))
+    target.join(s, keyCols, "full_outer")
+      .select(keyCols.map(col) ++
+        dataCols.map(c =>
+          when(col("__hit").isNotNull, col(s"__s_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** Small-file compaction — the lake-maintenance pass every streaming
     * ingest needs (micro-batches write a file per trigger per
     * partition; a year of 1-minute triggers is half a million tiny

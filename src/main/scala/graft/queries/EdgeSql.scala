@@ -77,6 +77,18 @@ object EdgeSql {
       .orderBy("day")
   }
 
+  /** MERGE/upsert semantics: matched keys take the source row, both
+    * sides' extras survive (cnosdb INSERT-replaces-series semantics as
+    * one full-outer equijoin).
+    */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val target = ev.filter(col("event_id") < 5000).select("event_id", "value")
+    val source = ev.filter(col("event_id") % 3 === 0 && col("event_id") < 6000)
+      .select(col("event_id"), (col("value") + 1).as("value"))
+    Dml.upsert(target, source, Seq("event_id")).orderBy("event_id")
+  }
+
   def qDmlRewrite(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val afterDelete = Dml.delete(ev, col("value") < 0.05)
@@ -290,6 +302,7 @@ object EdgeSql {
     "q_order_by_nulls" -> qOrderByNulls,
     "q_empty_table_agg" -> qEmptyTableAgg,
     "q_pivot" -> qPivot,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_dml_rewrite" -> qDmlRewrite
   )
 
@@ -438,6 +451,14 @@ object EdgeSql {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN cents END) AS DOUBLE) / 100.0 AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS DOUBLE) / 100.0 AS view
         |FROM e GROUP BY day ORDER BY day""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH t AS (SELECT event_id, value FROM events WHERE event_id < 5000),
+        |s AS (SELECT event_id, value + 1 AS value FROM events
+        |      WHERE event_id % 3 = 0 AND event_id < 6000)
+        |SELECT coalesce(s.event_id, t.event_id) AS event_id,
+        |  CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value
+        |FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+        |ORDER BY event_id""".stripMargin,
     "q_dml_rewrite" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value FROM (
         |  SELECT CASE WHEN event_type = 'view' THEN 'page_view' ELSE event_type END AS event_type,

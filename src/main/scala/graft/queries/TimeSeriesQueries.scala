@@ -256,6 +256,15 @@ object TimeSeriesQueries {
         .select("event_id", "event_type", "value", "is_outlier", "z")
         .orderBy("event_id").limit(10000)),
 
+    // CUSUM change-point screening: exact Brownian-bridge test per
+    // point, flags + standardized statistic.
+    "ts_cusum" -> ((s, dir) =>
+      TimeSeries.cusum(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), Seq("ts_us", "event_id"), "value")
+        .select("event_id", "event_type", "is_shift", "cusum_z")
+        .orderBy("event_id").limit(10000)),
+
     // Batch keep-first dedup per (user, event_type, minute) — the batch
     // analogue of streaming exact dedup. The survivor is min(ts, id),
     // selected via a PACKED integer min (ts_us·1e7 + id in
@@ -653,6 +662,36 @@ object TimeSeriesQueries {
         |  CASE WHEN varnum > 0 THEN
         |    floor(CAST(num AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE)) * 1000000.0)
         |      / 1000000.0 ELSE 0.0 END AS z
+        |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_cusum" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    epoch_us(cast(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS sc,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS qc
+        |  FROM e GROUP BY event_type),
+        |p AS (
+        |  SELECT event_id, event_type,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS pf,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts_us, event_id)
+        |      AS HUGEINT) AS i
+        |  FROM e),
+        |j AS (
+        |  SELECT p.event_id, p.event_type,
+        |    n * pf - i * sc AS d,
+        |    i * (n - i) * (n * qc - sc * sc) AS bridge,
+        |    n
+        |  FROM p JOIN s USING (event_type))
+        |SELECT event_id, event_type,
+        |  CASE WHEN bridge > 0 THEN d * d * n > 9 * bridge ELSE FALSE END AS is_shift,
+        |  CASE WHEN bridge > 0 THEN
+        |    floor(CAST(d AS DOUBLE) / sqrt(CAST(bridge AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000.0) / 1000000.0 ELSE 0.0 END AS cusum_z
         |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
     "ts_dedup" ->
       """SELECT user_id, event_type,

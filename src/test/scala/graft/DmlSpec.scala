@@ -40,6 +40,19 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq("a", "b", "hot", "hot"))
   }
 
+  test("upsert: source wins on match (even with NULL fields), both sides' extras survive") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v")
+    val source = Seq((2L, "B", Double.NaN), (4L, "d", 40.0))
+      .toDF("id", "tag", "v")
+      .withColumn("v", org.apache.spark.sql.functions.when(col("id") === 2L,
+        org.apache.spark.sql.functions.lit(null).cast("double")).otherwise(col("v")))
+    val out = Dml.upsert(target, source, Seq("id")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "B", null), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
   test("compact levels a many-small-files directory and preserves rows + clustering") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString

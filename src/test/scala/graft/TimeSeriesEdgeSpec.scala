@@ -263,6 +263,21 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(fo.forall(r => !r.getAs[Boolean]("is_outlier") && r.getAs[Double]("z") == 0.0))
   }
 
+  test("cusum flags a mean shift and stays quiet on a flat series") {
+    val shifted = (1 to 20).map(i => ("s", i.toLong, 0.0)) ++
+      (21 to 40).map(i => ("s", i.toLong, 10.0))
+    val flat = (1 to 40).map(i => ("f", i.toLong, 5.0))
+    val out = TimeSeries.cusum((shifted ++ flat).toDF("g", "t", "value"),
+      Seq("g"), Seq("t"), "value").collect()
+    val sRows = out.filter(_.getString(0) == "s")
+    assert(sRows.exists(_.getAs[Boolean]("is_shift")), "the shift must flag")
+    // the strongest point of a single mean shift is the boundary
+    val best = sRows.maxBy(r => math.abs(r.getAs[Double]("cusum_z")))
+    assert(best.getLong(1) == 20L, s"peak |z| at the shift boundary, got row $best")
+    assert(out.filter(_.getString(0) == "f").forall(r => !r.getAs[Boolean]("is_shift")),
+      "zero-variance series: no flags")
+  }
+
   test("m4 keeps exactly the first/last/min/max points per bucket, deduped") {
     val df = Seq(
       ("a", 0L, 10L, 1L, 5.0), ("a", 0L, 20L, 2L, 1.0), ("a", 0L, 30L, 3L, 9.0),
