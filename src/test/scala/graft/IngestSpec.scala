@@ -155,6 +155,36 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed OHLC candlestick runs unchanged on a watermarked stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val pts = mem.toDF().toDF("t_us", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("t_us")))
+      .withColumn("rid", col("t_us"))
+      .withWatermark("ts", "0 seconds")
+    // same operator as the batch ts_candlestick entry, grouped on the
+    // event-time window instead of a derived bucket column
+    val q = graft.functions.TimeSeries.candlestick(pts, Seq.empty,
+        org.apache.spark.sql.functions.window(col("ts"), "1 minute"), Seq("t_us", "rid"), "value")
+      .writeStream.outputMode("append").format("memory").queryName("cs_test").start()
+    try {
+      val base = 60L * 1000000
+      mem.addData((base + 1, 5.0), (base + 2, 9.0), (base + 3, 1.0), (base + 4, 7.0))
+      q.processAllAvailable()
+      // advance the watermark past the window so append emits it
+      mem.addData((base + 200000000L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("cs_test").orderBy("bucket").collect()
+      assert(rows.nonEmpty, "window must close and emit")
+      val r = rows.head
+      assert(r.getAs[Double]("open") == 5.0 && r.getAs[Double]("close") == 7.0)
+      assert(r.getAs[Double]("high") == 9.0 && r.getAs[Double]("low") == 1.0)
+      assert(r.getAs[Long]("n") == 4)
+    } finally q.stop()
+  }
+
   test("streamingAnomalyFlags scores a stream against batch baselines identically") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
