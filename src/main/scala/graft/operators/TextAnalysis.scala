@@ -253,6 +253,40 @@ object TextAnalysis {
         col("min_freq"), col("hapax_tokens"))
   }
 
+  /** Bigram language-model fluency score per doc — the corpus-trained
+    * stand-in for perplexity filtering, hash-stable across engines:
+    * each bigram scores its conditional frequency c(w1 w2)/c(w1·)
+    * floor-quantized to an integer 1e-6 grid BEFORE summation, so the
+    * per-doc mean is a ratio of exact integers. High mean = the doc's
+    * transitions are common corpus-wide (fluent/stereotyped); low =
+    * rare transitions (novel or garbled). Shape: bigram explode →
+    * bigram-count and prefix-count aggregates (vocab-bounded) → two
+    * token-keyed joins back → per-doc aggregate; every stage partial-
+    * aggregable, work linear in corpus tokens.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(sequence(lit(0), size(col("__t")) - 2)).as("__j"),
+        col("__t"))
+      .select(col(idCol), element_at(col("__t"), col("__j") + 1).as("__w1"),
+        concat_ws(" ", element_at(col("__t"), col("__j") + 1),
+          element_at(col("__t"), col("__j") + 2)).as("__bg"))
+    val bgCounts = toks.groupBy("__bg").agg(count(lit(1)).as("__cbg"))
+    val prefCounts = toks.groupBy("__w1").agg(count(lit(1)).as("__cw"))
+    val scored = toks.join(bgCounts, "__bg").join(prefCounts, "__w1")
+      .withColumn("__q",
+        floor(col("__cbg").cast("double") / col("__cw") * 1000000.0).cast("long"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__sq"))
+      .select(col(idCol), col("n_bigrams"),
+        (floor(col("__sq").cast("double") / col("n_bigrams")) / 1000000.0)
+          .as("mean_cond_prob"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_cond_prob"))
+  }
+
   /** Per-doc most-distinctive terms — the TF-IDF ranking surface with
     * an integer-exact ordering instead of engine-specific ln():
     * rank tokens by (term frequency DESC, document frequency ASC,

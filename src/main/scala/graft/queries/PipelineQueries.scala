@@ -137,6 +137,13 @@ object PipelineQueries {
       TextAnalysis.chunkBoilerplate(corpus(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Bigram-LM fluency score (the perplexity-filter stand-in): mean
+    // corpus conditional probability of each doc's transitions, on an
+    // exact pre-quantized grid.
+    "doc_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Per-doc top-3 distinctive terms: the TF-IDF ranking surface with
     // an integer-exact (tf DESC, df ASC, tok) ordering.
     "doc_top_terms" -> ((s, dir) =>
@@ -583,6 +590,24 @@ object PipelineQueries {
         |    floor(p.bp_chunks / p.n_chunks * 1000000.0) / 1000000.0 END AS bp_ratio
         |FROM corpus d LEFT JOIN p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "doc_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, t[j] AS w1, t[j] || ' ' || t[j+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) u),
+        |cb AS (SELECT bg, count(*) AS cbg FROM t GROUP BY bg),
+        |cw AS (SELECT w1, count(*) AS cw FROM t GROUP BY w1),
+        |sc AS (
+        |  SELECT doc_id, CAST(floor(cbg / cw * 1000000.0) AS BIGINT) AS q
+        |  FROM t JOIN cb USING (bg) JOIN cw USING (w1)),
+        |p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    floor(CAST(sum(q) AS DOUBLE) / count(*)) / 1000000.0 AS mean_cond_prob
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  p.mean_cond_prob
+        |FROM documents d LEFT JOIN p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "doc_top_terms" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

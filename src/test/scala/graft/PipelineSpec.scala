@@ -758,6 +758,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_members") == 2)
   }
 
+  test("bigramLmScore: deterministic transitions score 1, rare ones lower") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // every 'a b'/'b a' transition is corpus-typical
+      (2L, "a b c d"),       // 'b c', 'c d' are hapax transitions
+      (3L, "x")              // no bigrams → NULL score
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val s1 = out(0).getAs[Double]("mean_cond_prob")
+    val s2 = out(1).getAs[Double]("mean_cond_prob")
+    assert(s1 > s2, s"repetitive doc must outscore the novel one: $s1 vs $s2")
+    assert(out(2).getAs[Long]("n_bigrams") == 0 &&
+      out(2).isNullAt(out(2).fieldIndex("mean_cond_prob")))
+    // exact: c(a b)=4 c(b a)=2 c(b c)=1 c(c d)=1; prefixes a·=4 b·=3 c·=1
+    // doc1 = floor((3·1e6 + 2·floor(2/3·1e6)) / 5)/1e6; doc2 = floor((1e6+333333+1e6)/3)/1e6
+    assert(s1 == 0.866666, s"doc1 exact score, got $s1")
+    assert(s2 == 0.777777, s"doc2 exact score, got $s2")
+  }
+
   test("topTerms ranks by tf desc then df asc then token") {
     import spark.implicits._
     val docs = Seq((1L, "a a b c"), (2L, "b b c")).toDF("doc_id", "text")
