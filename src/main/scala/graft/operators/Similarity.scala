@@ -291,6 +291,138 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  // ------------------------------------------------------------------
+  // Integer-exact IVF: quantizer training that any engine reproduces
+  // bit-for-bit, so the WHOLE ANN path is hash-level oracle-checkable
+  // (the float-kmeans path above stays as the library's general API).
+  // ------------------------------------------------------------------
+
+  /** Shared quantization grid for the exact IVF path: component →
+    * floor(x·1e6) as an integer-valued double. Every arithmetic result
+    * downstream (squared distances ≤ dims·(2e6)² ≈ 2.6e14, sums over a
+    * bounded sample) stays below 2⁵³, so double arithmetic IS exact
+    * integer arithmetic and Spark/DuckDB cannot disagree by a ulp.
+    */
+  private[graft] def quantGrid(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => floor(x * lit(1e6)).cast("double"))
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Deterministic, engine-reproducible IVF quantizer: Lloyd's k-means
+    * over vectors quantized to the 1e-6 integer grid, trained on the
+    * md5-prefix sample `md5(id)[0, prefixLen) < hexBound` (a pure
+    * mapper filter — no sort, no TakeOrdered; at 100 TB you lengthen
+    * the prefix so the sampled fraction keeps the collect bounded).
+    * Init = the k sample vectors with the smallest md5(id); each Lloyd
+    * round assigns by exact integer squared distance (ties → lower
+    * cell) and re-centers with floor(sum/count). Every step is plain
+    * SQL over the same parquet, so a DuckDB oracle recomputes the SAME
+    * centroids and the driver can hash-check the full ANN output —
+    * unlike the float quantizer above, whose training is a declared
+    * Spark-side step.
+    */
+  def exactIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int = 3,
+                        hexBound: String = "8"): Array[Array[Long]] = {
+    val rows = corpus
+      .filter(substring(md5(col(idCol).cast("string")), 1, hexBound.length) < hexBound)
+      .select(col(idCol).cast("string").as("sid"), quantGrid(col(vecCol)).as("vq"))
+      .collect()
+    require(rows.nonEmpty, "exactIvfCentroids: md5-prefix sample is empty — widen hexBound")
+    val samples = rows.map { r =>
+      (md5Hex(r.getString(0)), r.getSeq[Double](1).map(_.toLong).toArray)
+    }.sortBy(_._1).map(_._2)
+    val dims = samples.head.length
+    val kEff = math.min(k, samples.length)
+    var cents = samples.take(kEff).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kEff, dims)(0L)
+      val counts = Array.fill(kEff)(0L)
+      samples.foreach { s =>
+        var best = 0; var bd = Long.MaxValue; var c = 0
+        while (c < kEff) {
+          var d = 0L; var j = 0
+          while (j < dims) { val t = s(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dims) { sums(best)(j) += s(j); j += 1 }
+      }
+      // floor(sum/count) via double division, textually mirroring the
+      // SQL oracle's CAST(floor(sv / n) AS BIGINT); sums are ≤ |samples|
+      // ·1e6 so the division operands are exactly representable and the
+      // floor can never straddle an integer boundary across engines.
+      cents = Array.tabulate(kEff)(c =>
+        if (counts(c) > 0) sums(c).map(s => math.floor(s.toDouble / counts(c)).toLong)
+        else cents(c))
+    }
+    cents
+  }
+
+  /** Exact integer squared distance from a quantized vector column to a
+    * quantized centroid literal: |vq|² − 2·vq·cq + |cq|², each term an
+    * exact integer in double form (vec_dot keeps it codegen'd).
+    */
+  private def intDist(selfDot: Column, vq: Column, cq: Array[Long]): Column = {
+    val cLit = array(cq.map(x => lit(x.toDouble)): _*)
+    (selfDot - dot(vq, cLit) * 2.0 + lit(cq.map(x => x.toDouble * x).sum)).cast("long")
+  }
+
+  /** IVF ANN over the integer-exact quantizer: identical plan shape to
+    * [[ivfAnn]] (centroid literals → assignment is a mapper, queries +
+    * probes broadcast, candidates cell-equijoin, exact cosine rank) but
+    * cell assignment uses the exact integer metric, so with centroids
+    * from [[exactIvfCentroids]] the whole output is engine-reproducible.
+    * Plan construction launches no Spark jobs.
+    */
+  def ivfAnnExact(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, centroids: Array[Array[Long]], nprobe: Int = 3): DataFrame = {
+    require(centroids.nonEmpty, "ivfAnnExact needs at least one centroid")
+    val kc = centroids.length
+    def cellOf(vq: Column, selfDot: Column): Column =
+      least(centroids.zipWithIndex.map { case (cq, i) =>
+        struct(intDist(selfDot, vq, cq).as("d"), lit(i.toLong).as("i"))
+      }: _*).getField("i")
+
+    val cCells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+      .withColumn("vq", quantGrid(col("c_vec")))
+      .withColumn("sd", dot(col("vq"), col("vq")))
+      .withColumn("cell", cellOf(col("vq"), col("sd")))
+      .drop("vq", "sd")
+
+    val centDists = centroids.zipWithIndex.map { case (cq, i) =>
+      struct(intDist(col("sd"), col("vq"), cq).as("d"), lit(i.toLong).as("cell"))
+    }
+    val qProbes = broadcast {
+      val exploded = queries
+        .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
+        .withColumn("q_norm", norm(col("q_vec")))
+        .withColumn("vq", quantGrid(col("q_vec")))
+        .withColumn("sd", dot(col("vq"), col("vq")))
+        .select(col("query_id"), col("q_vec"), col("q_norm"),
+          explode(array(centDists: _*)).as("cd"))
+      val w = Window.partitionBy("query_id").orderBy(col("cd.d"), col("cd.cell"))
+      exploded.withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= nprobe)
+        .select(col("query_id"), col("q_vec"), col("q_norm"), col("cd.cell").as("cell"))
+    }
+
+    val scored = cCells.join(qProbes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), (floor(col("cos") * 1e4) / 1e4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Cluster-composition statistics against K reference vectors (the
     * first `numClusters` corpus ids — deterministic, so the whole
     * operator is oracle-checkable end-to-end, unlike the k-means
