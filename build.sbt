@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked program's stdout/stderr STRAIGHT through instead of
+// re-logging with [info]/[error] prefixes, and drop sbt's trailing
+// "[success] Total time..." line: the bench driver parses the literal
+// last stdout line as JSON, and three rounds of BENCH parsed null
+// because sbt decorated the line and appended its epilogue after it.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

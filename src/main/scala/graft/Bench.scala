@@ -11,11 +11,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-query function re-registration WARNs land
+    // on stderr DURING the run; if the harness merges streams they could
+    // interleave after the final stdout JSON line. Nothing bench-relevant
+    // logs below ERROR.
+    spark.sparkContext.setLogLevel("ERROR")
     // Full materialization without a collect: the noop sink executes the
     // whole plan (count() would let the optimizer prune projected
     // columns and under-measure map-only queries).
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
@@ -34,22 +38,44 @@ object Bench {
           "simhash60(text) AS c", "word_shingle_set(text) AS d")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) => name -> run(name, fn) }
+    // prime DECIMAL(38,0) arithmetic + min(decimal) hash-agg codegen —
+    // ts_dedup's packed-integer lane JITs these kernels separately from
+    // the long/double paths (13.6 s cold vs 0.87 s warm in r3 was this)
+    try {
+      spark.range(20000)
+        .selectExpr("CAST(id AS DECIMAL(38,0)) * 10000000 + id AS p", "id % 7 AS g")
+        .groupBy("g").agg(org.apache.spark.sql.functions.min("p").as("m"))
+        .selectExpr("g", "CAST(m % 10000000 AS LONG) AS id")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+    // run1 = arrival order (includes residual per-query JIT), run2 =
+    // immediate warm re-run: the artifact separates JIT from plan cost
+    // so round-over-round comparisons aren't dominated by cold-start
+    // ordering noise.
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> (once(fn), once(fn))
+    }
     // 4-decimal seconds keeps the one-line JSON short enough to survive the
     // driver's fixed-size stdout tail capture (r1's full-precision line was
     // truncated at the front → "parsed": null).
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qs = results.map { case (k, (r1, r2)) =>
+      s"\"" + k + "\":{\"run1\":" + fmt(r1) + ",\"run2\":" + fmt(r2) + "}"
+    }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    val total2 = results.values.map(_._2).sum
+    val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_run2":${fmt(total2)},"queries":$qs,"sf":"$sfName"}"""
     // Full per-query map goes to the file; stdout gets ONLY a short
     // totals line LAST so it survives any fixed-size tail capture
     // (r1/r2 both had "parsed": null because the 100-query map pushed
     // the line start outside the captured tail window).
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RESULT.json"), fullLine + "\n")
     spark.stop()
-    val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName"}""")
+    // build.sbt routes forked stdout straight through (StdoutOutput) and
+    // suppresses sbt's [success] epilogue, so this is the LITERAL last
+    // stdout line — r1-r3 all parsed null because sbt decorated/followed
+    // the line.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_run2":${fmt(total2)},"sf":"$sfName"}""")
   }
 }

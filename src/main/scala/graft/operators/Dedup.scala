@@ -224,33 +224,52 @@ object Dedup {
     * Output: (doc_id, group_id) for every doc that appears in a pair.
     */
   def dupGroups(pairs: DataFrame, aCol: String, bCol: String,
-                maxIters: Int = 20): DataFrame = {
+                maxIters: Int = 20,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Each round references the previous labels TWICE, so without
+    // truncation the logical plan doubles per round and the driver OOMs
+    // serializing it by ~10 rounds. The checkpoint is LAZY: the round's
+    // single aggregate action below materializes it, so each round runs
+    // ONE driver action (r3 ran an eager checkpoint + a convergence
+    // count() join — two blocking actions). With `checkpointDir` set,
+    // reliable checkpoint() replaces localCheckpoint: blocks survive
+    // executor loss (localCheckpoint loses them and fails the 100 TB
+    // job mid-propagation) at the cost of one write pass per round.
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .cache()
-    // label(v) starts at min(v, min neighbor). Each round references
-    // the previous labels TWICE, so without truncation the logical
-    // plan doubles per round and the driver OOMs serializing it by
-    // ~10 rounds — localCheckpoint materializes the round AND cuts the
-    // lineage (on a cluster, prefer reliable checkpoint() with a
-    // checkpoint dir for executor-loss tolerance).
-    var labels = edges.groupBy("src").agg(least(min(col("dst")), col("src")).as("lbl"))
-      .select(col("src").as("v"), col("lbl"))
-      .localCheckpoint(true)
+    // label(v) starts at min(v, min neighbor); propagation is MONOTONE
+    // (labels only ever decrease: new lbl = min over self ∪ neighbors),
+    // so the per-round Σlbl aggregate — computed in the SAME action that
+    // materializes the round — is a complete convergence test: the sum
+    // is strictly smaller unless every label is unchanged. DECIMAL(38)
+    // keeps the sum exact at any vertex count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var labels = truncate(
+      edges.groupBy("src").agg(least(min(col("dst")), col("src")).as("lbl"))
+        .select(col("src").as("v"), col("lbl")))
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       // propagate: candidate label for dst is its neighbor's label
-      val prop = edges.join(labels, edges("src") === labels("v"))
-        .select(col("dst").as("v"), col("lbl"))
-        .unionByName(labels)
-        .groupBy("v").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      val changed = prop.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      val prop = truncate(
+        edges.join(labels, edges("src") === labels("v"))
+          .select(col("dst").as("v"), col("lbl"))
+          .unionByName(labels)
+          .groupBy("v").agg(min("lbl").as("lbl")))
+      val curSum = labelSum(prop)
       labels = prop
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       it += 1
     }
     edges.unpersist()
@@ -343,7 +362,8 @@ object Dedup {
     */
   def dupGroupsOf(df: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 8, bands: Int = 2, threshold: Double = 0.5,
-                  maxBucketSize: Int = 1000, maxIters: Int = 20): DataFrame = {
+                  maxBucketSize: Int = 1000, maxIters: Int = 20,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val withH = df.withColumn("__h", md5(col(textCol)))
     val repTbl = withH.select(col("__h"), col(idCol))
       .groupBy("__h").agg(min(col(idCol)).as("__rep"),
@@ -354,7 +374,7 @@ object Dedup {
     val repPairs = minHashNearDupsRaw(
       reps.select(col(idCol), col(textCol)), idCol, textCol,
       numHashes, bands, threshold, maxBucketSize)
-    val repGroups = dupGroups(repPairs, "id_a", "id_b", maxIters)
+    val repGroups = dupGroups(repPairs, "id_a", "id_b", maxIters, checkpointDir)
       .select(col("doc_id").as("__rep2"), col("group_id"))
     val repState = reps.select(col(idCol).as("__rep2"), col("__nclass"), col("__sig"))
       .join(repGroups, Seq("__rep2"), "left")

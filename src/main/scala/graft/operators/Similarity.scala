@@ -182,7 +182,9 @@ object Similarity {
     * is a mapper, no shuffle, no UDF.
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
-    least(centroids.zipWithIndex.map { case (c, i) =>
+    // least() needs >= 2 args — a single cell is always cell 0
+    if (centroids.length == 1) lit(0)
+    else least(centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
       struct((dot(vec, cLit) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
         lit(i).as("i"))
@@ -325,15 +327,37 @@ object Similarity {
     */
   def exactIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         k: Int, iters: Int = 3,
-                        hexBound: String = "8"): Array[Array[Long]] = {
+                        hexBound: String = "8",
+                        maxSample: Int = 8192): Array[Array[Long]] = {
+    // The md5-prefix sample scales with the corpus (hexBound="8" is
+    // ~50%), so the collect is bounded by a fail-fast cap: limit reads
+    // at most maxSample+1 rows, and exceeding the cap THROWS rather
+    // than silently truncating (a truncated sample would train
+    // different centroids than the SQL oracle's full-sample retrain).
+    // At 100 TB, lengthen the hexBound prefix to shrink the fraction.
     val rows = corpus
       .filter(substring(md5(col(idCol).cast("string")), 1, hexBound.length) < hexBound)
       .select(col(idCol).cast("string").as("sid"), quantGrid(col(vecCol)).as("vq"))
+      .limit(maxSample + 1)
       .collect()
     require(rows.nonEmpty, "exactIvfCentroids: md5-prefix sample is empty — widen hexBound")
+    require(rows.length <= maxSample,
+      s"exactIvfCentroids: the md5-prefix sample exceeds maxSample=$maxSample rows — " +
+        "lengthen the hexBound prefix (each extra hex char divides the sampled " +
+        "fraction by 16) or raise the cap deliberately")
     val samples = rows.map { r =>
       (md5Hex(r.getString(0)), r.getSeq[Double](1).map(_.toLong).toArray)
     }.sortBy(_._1).map(_._2)
+    // Exactness precondition: every distance term downstream must stay
+    // an exact integer in a double. With |component| ≤ maxAbsQ, d =
+    // Σ(s−c)² ≤ dims·(2·maxAbsQ)²; require dims·maxAbsQ² ≤ 2⁵⁰ so the
+    // driver's Long sums and the engines' double dot products can never
+    // overflow/round (the same bound ivfAnnExact re-checks per row).
+    val maxAbsQ = math.max(1L, samples.iterator.flatMap(_.iterator).map(math.abs).max)
+    require(samples.head.length.toDouble * maxAbsQ.toDouble * maxAbsQ.toDouble <= ExactSdBound,
+      s"exactIvfCentroids: sampled components reach |q|=$maxAbsQ after the 1e6 grid — " +
+        "dims·maxAbsQ² exceeds the 2^50 exact-integer budget; normalize or rescale the " +
+        "vectors (the bit-exact guarantee would silently break otherwise)")
     val dims = samples.head.length
     val kEff = math.min(k, samples.length)
     var cents = samples.take(kEff).map(_.clone())
@@ -372,6 +396,26 @@ object Similarity {
     (selfDot - dot(vq, cLit) * 2.0 + lit(cq.map(x => x.toDouble * x).sum)).cast("long")
   }
 
+  /** 2⁵⁰ — per-term budget for the exact-integer IVF path. With |vq|² and
+    * |cq|² both ≤ 2⁵⁰, Cauchy-Schwarz bounds |vq·cq| ≤ 2⁵⁰ too, so the
+    * assembled distance stays ≤ 2⁵² < 2⁵³ and double arithmetic is exact.
+    */
+  private[graft] val ExactSdBound: Double = 1125899906842624.0
+
+  /** |vq|² with the exactness budget fused in: a row whose quantized
+    * self-dot exceeds 2⁵⁰ would silently void the bit-exact guarantee,
+    * so it raises instead (the sample-side require in
+    * [[exactIvfCentroids]] catches the distribution; this catches the
+    * outlier row the sample missed). One comparison per row on an
+    * already-computed value — stays in codegen.
+    */
+  private def guardedSelfDot(vq: Column): Column = {
+    val sd = dot(vq, vq)
+    when(sd <= lit(ExactSdBound), sd).otherwise(expr(
+      "CAST(raise_error('ivfAnnExact: a vector''s quantized |v|² exceeds the 2^50 " +
+        "exact-integer budget — rescale/normalize the embedding column') AS DOUBLE)"))
+  }
+
   /** IVF ANN over the integer-exact quantizer: identical plan shape to
     * [[ivfAnn]] (centroid literals → assignment is a mapper, queries +
     * probes broadcast, candidates cell-equijoin, exact cosine rank) but
@@ -382,9 +426,14 @@ object Similarity {
   def ivfAnnExact(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, centroids: Array[Array[Long]], nprobe: Int = 3): DataFrame = {
     require(centroids.nonEmpty, "ivfAnnExact needs at least one centroid")
-    val kc = centroids.length
+    centroids.zipWithIndex.foreach { case (cq, i) =>
+      require(cq.map(x => x.toDouble * x).sum <= ExactSdBound,
+        s"ivfAnnExact: centroid $i has |cq|² past the 2^50 exact-integer budget")
+    }
     def cellOf(vq: Column, selfDot: Column): Column =
-      least(centroids.zipWithIndex.map { case (cq, i) =>
+      // least() needs >= 2 args — one centroid means every row is cell 0
+      if (centroids.length == 1) lit(0L)
+      else least(centroids.zipWithIndex.map { case (cq, i) =>
         struct(intDist(selfDot, vq, cq).as("d"), lit(i.toLong).as("i"))
       }: _*).getField("i")
 
@@ -392,7 +441,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("c_vec"))
       .withColumn("c_norm", norm(col("c_vec")))
       .withColumn("vq", quantGrid(col("c_vec")))
-      .withColumn("sd", dot(col("vq"), col("vq")))
+      .withColumn("sd", guardedSelfDot(col("vq")))
       .withColumn("cell", cellOf(col("vq"), col("sd")))
       .drop("vq", "sd")
 
@@ -404,7 +453,7 @@ object Similarity {
         .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
         .withColumn("q_norm", norm(col("q_vec")))
         .withColumn("vq", quantGrid(col("q_vec")))
-        .withColumn("sd", dot(col("vq"), col("vq")))
+        .withColumn("sd", guardedSelfDot(col("vq")))
         .select(col("query_id"), col("q_vec"), col("q_norm"),
           explode(array(centDists: _*)).as("cd"))
       val w = Window.partitionBy("query_id").orderBy(col("cd.d"), col("cd.cell"))

@@ -278,18 +278,30 @@ object CoreSql {
         countDistinct(col("l_suppkey")).as("exact_count_supps"))
       .orderBy("l_returnflag")
 
-  /** Approximate aggregates (function/common/approx_agg/) — sketch
-    * implementations differ across engines, so no SQL oracle; the
-    * driver's rows-only check + ScalaTest bounds cover it.
+  /** Approximate aggregates (function/common/approx_agg/). Sketch
+    * VALUES differ across engines, but |approx − exact| / exact ≤ 0.05
+    * is an engine-stable BOOLEAN both sides can compute and hash — each
+    * engine checks its own sketch against its own exact aggregate, so
+    * the entry is hash-green instead of rows-only while still failing
+    * if either engine's approximation drifts. exact_parts is hashed
+    * exactly (integers).
     */
-  def qApproxAgg(spark: SparkSession, dir: String): DataFrame =
+  def qApproxAgg(spark: SparkSession, dir: String): DataFrame = {
+    val exact = countDistinct(col("l_partkey"))
+    val exactMedian = expr("percentile(l_extendedprice, 0.5)")
+    val exactP90 = expr("percentile(l_extendedprice, 0.9)")
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90_price"))
+        exact.as("exact_parts"),
+        (abs(approx_count_distinct(col("l_partkey")) - exact) <= exact * 0.05)
+          .as("parts_ok"),
+        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          - exactMedian) <= exactMedian * 0.05).as("median_ok"),
+        (abs(percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+          - exactP90) <= exactP90 * 0.05).as("p90_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Weighted percentile (function/common/approx_agg/
     * approx_percentile_cont_with_weight.slt) — exact cumulative-weight
@@ -544,7 +556,20 @@ object CoreSql {
         |  string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
         |  count(*) AS n
         |FROM events WHERE user_id < 20
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
-    // q_approx_agg: no oracle (sketches are engine-specific) → rows-only.
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Sketch values are engine-specific; each engine hashes its OWN
+    // |approx − exact|/exact ≤ 0.05 boolean plus the exact counts.
+    "q_approx_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |    <= count(DISTINCT l_partkey) * 0.05 AS parts_ok,
+        |  abs(approx_quantile(l_extendedprice, 0.5)
+        |      - quantile_cont(l_extendedprice, 0.5))
+        |    <= quantile_cont(l_extendedprice, 0.5) * 0.05 AS median_ok,
+        |  abs(approx_quantile(l_extendedprice, 0.9)
+        |      - quantile_cont(l_extendedprice, 0.9))
+        |    <= quantile_cont(l_extendedprice, 0.9) * 0.05 AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

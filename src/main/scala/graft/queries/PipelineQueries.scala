@@ -221,8 +221,13 @@ object PipelineQueries {
 
     // int8 embedding quantization: qvec + scale + exact-integer
     // reconstruction-error metrics (the ANN storage-compression step).
+    // qvec is serialized to a CSV string for the compare — the driver's
+    // pandas row-sort cannot hash an array-typed column (r3's only
+    // harness-broken entry); the values compared are unchanged.
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .withColumn("qvec",
+          concat_ws(",", transform(col("qvec"), x => x.cast("string"))))
         .orderBy("vec_id")),
 
     "doc_fingerprint" -> ((s, dir) =>
@@ -249,10 +254,16 @@ object PipelineQueries {
 
     "emb_ivf_ann" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      // Quantizer training is the one explicit bounded job (cacheable /
-      // offline at scale); ivfAnn itself launches no jobs at plan time.
-      val cents = Similarity.buildIvfQuantizer(emb, "embedding", numCentroids = 16)
-      Similarity.ivfAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10, cents)
+      // Integer-grid quantizer (exactIvfCentroids): training is a pure
+      // relational program over the same parquet, so the DuckDB oracle
+      // retrains the SAME centroids and the whole ANN lane hash-checks
+      // (the float kmeans path stays the general library API). One
+      // bounded, capped driver job; ivfAnnExact launches no jobs at
+      // plan time (pinned in PipelineSpec).
+      val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 2, hexBound = "8")
+      Similarity.ivfAnnExact(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        10, cents, nprobe = 3)
         .orderBy("query_id", "rank")
     }),
 
@@ -357,6 +368,81 @@ object PipelineQueries {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Full SQL oracle for the exact-IVF ANN: the quantizer TRAINING is
+    * re-run inside the SQL — md5-prefix sample, md5-ordered init, two
+    * unrolled Lloyd rounds on the 1e-6 integer grid with
+    * floor(sum/count) recentering — so DuckDB retrains the exact
+    * centroids `exactIvfCentroids` computes driver-side, then replays
+    * cell assignment, probe selection and cosine ranking. Every
+    * distance is an exact integer (components floor-quantized, terms
+    * ≤ 2⁵²), so the engines cannot disagree by a ulp anywhere before
+    * the final (already floor-gridded) cosine. Mirrors
+    * exactIvfCentroids(k=8, iters=2, hexBound="8") + ivfAnnExact(k=10,
+    * nprobe=3) over queries vec_id < 20.
+    */
+  private def ivfOracle: String = {
+    val (k, iters, hexBound, nprobe, topk) = (8, 2, "8", 3, 10)
+    def d(vq: String, cq: String): String =
+      s"CAST(list_dot_product($vq, $vq) - 2 * list_dot_product($vq, $cq)" +
+        s" + list_dot_product($cq, $cq) AS BIGINT)"
+    def lloyd(i: Int, prev: String): String =
+      s"""a$i AS (
+         |  SELECT mh, vq, cell FROM (
+         |    SELECT s.mh, s.vq, c.cell,
+         |      row_number() OVER (PARTITION BY s.mh
+         |        ORDER BY ${d("s.vq", "c.cq")}, c.cell) AS rn
+         |    FROM samp s CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |r$i AS (
+         |  SELECT cell, j, floor(sum(vq[j]) / count(*)) AS cj
+         |  FROM a$i, LATERAL (SELECT unnest(generate_series(1, len(vq))) AS j) u
+         |  GROUP BY cell, j),
+         |c$i AS (
+         |  SELECT p.cell, coalesce(n.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT cell, list(cj ORDER BY j) AS cq FROM r$i GROUP BY cell) n
+         |    ON n.cell = p.cell)""".stripMargin
+    val rounds = (1 to iters).map(i => lloyd(i, if (i == 1) "init" else s"c${i - 1}"))
+      .mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS vq
+       |  FROM embeddings),
+       |samp AS (
+       |  SELECT md5(CAST(vec_id AS VARCHAR)) AS mh, vq
+       |  FROM q WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, ${hexBound.length})
+       |    < '$hexBound'),
+       |init AS (
+       |  SELECT cell, vq AS cq FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY mh) - 1 AS BIGINT) AS cell, vq
+       |    FROM samp) WHERE cell < $k),
+       |$rounds,
+       |cc AS (
+       |  SELECT neighbor_id, c_vec, cell FROM (
+       |    SELECT e.vec_id AS neighbor_id, e.v AS c_vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d("e.vq", "c.cq")}, c.cell) AS rn
+       |    FROM q e CROSS JOIN c$iters c)
+       |  WHERE rn = 1),
+       |qp AS (
+       |  SELECT query_id, q_vec, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.v AS q_vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d("e.vq", "c.cq")}, c.cell) AS rn
+       |    FROM q e CROSS JOIN c$iters c WHERE e.vec_id < 20)
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, cc.neighbor_id,
+       |    list_cosine_similarity(p.q_vec, cc.c_vec) AS cos
+       |  FROM qp p JOIN cc ON cc.cell = p.cell AND cc.neighbor_id <> p.query_id)
+       |SELECT query_id, neighbor_id, floor(cos * 1e4) / 1e4 AS cos, rank FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The minhash pipeline as a reusable CTE chain ending in `pairs`
     * (thresholded near-dup pairs with jaccard) — shared by the pair
     * oracle and the recursive-CTE dup-groups oracle.
@@ -396,6 +482,7 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "emb_lsh_ann" -> lshOracle,
+    "emb_ivf_ann" -> ivfOracle,
     "doc_exact_dedup" ->
       s"""WITH $CORPUS
          |SELECT md5(text) AS h, count(*) AS n,
@@ -748,8 +835,8 @@ object PipelineQueries {
         |      * 1000000000.0) AS BIGINT) END) AS errs
         |  FROM s)
         |SELECT vec_id,
-        |  list_transform(v, x -> CASE WHEN scale IS NULL THEN 0
-        |    ELSE CAST(floor(x * scale + 0.5) AS INT) END) AS qvec,
+        |  array_to_string(list_transform(v, x -> CASE WHEN scale IS NULL THEN 0
+        |    ELSE CAST(floor(x * scale + 0.5) AS INT) END), ',') AS qvec,
         |  floor(coalesce(scale, 0) * 1000000.0) / 1000000.0 AS scale_q,
         |  CAST(list_sum(errs) AS BIGINT) AS sum_abs_err_1e9,
         |  CAST(list_max(errs) AS BIGINT) AS max_abs_err_1e9
@@ -822,7 +909,5 @@ object PipelineQueries {
         |  doc_id % 480 + 1 AS height,
         |  strlen(text) + 8 AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin
-    // emb_ivf_ann: quantizer is trained on a Spark-side sample (not SQL-
-    // reproducible) → rows-only + PipelineSpec recall floor.
   )
 }

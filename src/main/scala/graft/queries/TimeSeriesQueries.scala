@@ -379,16 +379,27 @@ object TimeSeriesQueries {
     // map-side) UNION into day level without touching raw rows again.
     // At scale the hourly sketch table is materialized once and every
     // coarser rollup (day/week/ad-hoc ranges) unions sketches instead
-    // of rescanning the lake. Sketch bytes are engine-specific →
-    // rows-only; ApproxAggSpec pins merge accuracy vs exact distincts.
+    // of rescanning the lake. Sketch VALUES are engine-specific, but
+    // |sketch − exact|/exact ≤ 0.05 is an engine-stable boolean each
+    // side checks against its OWN exact distinct → hash-green (the
+    // exact counts are hashed exactly); ApproxAggSpec still pins merge
+    // accuracy.
     "ts_sketch_rollup" -> ((s, dir) => {
       val hourly = Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      hourly
+      val daily = hourly
         .groupBy(date_trunc("day", col("h")).as("day"), col("event_type"))
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("daily_users"),
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
           count(lit(1)).as("hours_covered"))
+      val exact = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      daily.join(exact, Seq("day", "event_type"))
+        .select(col("day"), col("event_type"), col("hours_covered"),
+          col("exact_users"),
+          (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05)
+            .as("sketch_ok"))
         .orderBy("event_type", "day")
     }),
 
@@ -848,6 +859,16 @@ object TimeSeriesQueries {
         |       sum((((event_id % 65536) >> b.i) & 1)::BIGINT << (2 * b.i + 1)) AS BIGINT)
         |    AS zkey
         |FROM events, (SELECT unnest(generate_series(0, 15)) AS i) b
-        |GROUP BY event_id ORDER BY event_id LIMIT 5000""".stripMargin
+        |GROUP BY event_id ORDER BY event_id LIMIT 5000""".stripMargin,
+    // Sketch bytes are engine-specific; each engine hashes its OWN
+    // |approx − exact|/exact ≤ 0.05 boolean + the exact distincts.
+    "ts_sketch_rollup" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         |  CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS hours_covered,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+         |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         |    <= count(DISTINCT user_id) * 0.05 AS sketch_ok
+         |FROM $E GROUP BY day, event_type
+         |ORDER BY event_type, day""".stripMargin
   )
 }

@@ -796,4 +796,141 @@ class PipelineSpec extends AnyFunSuite {
     val overlap = (a.toSet & b.toSet).size.toDouble / a.size
     assert(overlap > 0.5, s"winnow overlap after shift should be high, got $overlap")
   }
+
+  test("exactIvfCentroids equals a purely relational recompute (the oracle's program)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, sf, "embeddings")
+    val (k, iters) = (8, 2)
+    val driver = Similarity.exactIvfCentroids(emb, "vec_id", "embedding", k, iters, "8")
+    val driver2 = Similarity.exactIvfCentroids(emb, "vec_id", "embedding", k, iters, "8")
+    assert(driver.zip(driver2).forall { case (a, b) => a.sameElements(b) },
+      "quantizer training must be deterministic")
+    // the same program, expressed relationally like the DuckDB oracle:
+    // md5-prefix sample → md5-ordered init → per-round argmin assignment
+    // (exact integer distances) → floor(sum/count) recentering
+    val q = emb.select(col("vec_id"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1e6) AS DOUBLE))")
+          .as("vq"))
+      .withColumn("mh", md5(col("vec_id").cast("string")))
+    val samp = q.filter(substring(col("mh"), 1, 1) < "8").select("mh", "vq")
+    var cents = samp
+      .withColumn("cell", (row_number().over(Window.orderBy("mh")) - 1).cast("long"))
+      .filter(col("cell") < k).select(col("cell"), col("vq").as("cq"))
+    for (_ <- 1 to iters) {
+      val assigned = samp.crossJoin(cents)
+        .withColumn("d", expr(
+          "CAST(aggregate(zip_with(vq, cq, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS BIGINT)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("mh").orderBy(col("d"), col("cell"))))
+        .filter(col("rn") === 1)
+      val re = assigned.select(col("cell"), posexplode(col("vq")).as(Seq("j", "x")))
+        .groupBy("cell", "j").agg(floor(sum("x") / count(lit(1))).as("cj"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+          s => s.getField("cj")).as("ncq"))
+      cents = cents.join(re, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("ncq"), col("cq")).as("cq"))
+    }
+    val relational = cents.orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).map(_.toLong).toArray)
+    assert(relational.length == driver.length)
+    assert(driver.zip(relational).forall { case (a, b) => a.sameElements(b) },
+      "driver-side Lloyd training must equal the relational/SQL retrain bit-for-bit")
+  }
+
+  test("ivfAnnExact: zero plan-time jobs, deterministic output, recall floor") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding", 8, 2, "8")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val plan = Similarity.ivfAnnExact(emb, queries, "vec_id", "embedding", 10, cents,
+      nprobe = 3)
+    assert(tracker.getJobIdsForGroup(null).length == before,
+      "building the ivfAnnExact plan must not run any job")
+    val got = plan.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val again = Similarity.ivfAnnExact(emb, queries, "vec_id", "embedding", 10, cents,
+        nprobe = 3).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == again, "ivfAnnExact must be run-to-run deterministic")
+    val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    info(s"exact-IVF recall@10 over ${truth.size} truth pairs: $recall")
+    assert(recall > 0.3, s"exact-IVF nprobe=3/8 should keep IVF-grade recall, got $recall")
+  }
+
+  test("ivfAnnExact and ivfAnn work with a single centroid (least() needs two args)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings").limit(30)
+    val queries = emb.filter(col("vec_id") < 2)
+    val one = Similarity.ivfAnnExact(emb, queries, "vec_id", "embedding", 5,
+      Array(Array.fill(64)(0L)), nprobe = 1)
+    assert(one.count() > 0, "single-cell exact IVF must degrade to brute force, not throw")
+    val oneF = Similarity.ivfAnn(emb, queries, "vec_id", "embedding", 5,
+      Array(Array.fill(64)(0.0)), nprobe = 1)
+    assert(oneF.count() > 0, "single-cell float IVF must work too")
+  }
+
+  test("exactIvfCentroids fails fast past the sample cap and the exactness budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings")
+    val capped = intercept[IllegalArgumentException] {
+      Similarity.exactIvfCentroids(emb, "vec_id", "embedding", 4, 1, "8", maxSample = 10)
+    }
+    assert(capped.getMessage.contains("maxSample"),
+      s"wanted the sample-cap guard, got: ${capped.getMessage}")
+    // components ~1e9 quantize to ~1e15; dims·maxQ² blows the 2^50 budget
+    val huge = (1L to 20L).map(i => (i, Seq(1e9, i.toDouble))).toDF("vec_id", "embedding")
+    val over = intercept[IllegalArgumentException] {
+      Similarity.exactIvfCentroids(huge, "vec_id", "embedding", 2, 1, hexBound = "g")
+    }
+    assert(over.getMessage.contains("exact-integer budget"),
+      s"wanted the magnitude guard, got: ${over.getMessage}")
+    // the per-row runtime guard catches an outlier the sample missed
+    val ex = intercept[Exception] {
+      Similarity.ivfAnnExact(huge, huge.filter(col("vec_id") < 2), "vec_id", "embedding",
+        3, Array(Array(0L, 0L), Array(1L, 1L)), nprobe = 1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("exact-integer budget")),
+      s"wanted the fused row guard, got: ${messages(ex).take(3).mkString(" | ")}")
+  }
+
+  test("minHashNearDups edges: threshold > 1 emits nothing; 3-token dup class pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), // exactly-3-token dup class
+      (4L, "x y"), (5L, "x y"),                    // sub-shingle: never pairs
+      (6L, "p q r s t u v w")                      // singleton
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minHashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)),
+      s"the 3-token class pairs at jaccard 1 and nothing else, got $pairs")
+    val none = graft.operators.Dedup
+      .minHashNearDups(docs, "doc_id", "text", threshold = 1.5).count()
+    assert(none == 0, "an unsatisfiable threshold (> 1) must emit no within-class pairs")
+  }
+
+  test("dupGroups with reliable checkpointing matches the localCheckpoint path") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    def groups(dir: Option[String]) =
+      graft.operators.Dedup.dupGroups(pairs, "id_a", "id_b", checkpointDir = dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = groups(None)
+    assert(local == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)),
+      s"chain 1-2-3 collapses to 1, pair 10-11 to 10; got $local")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    assert(groups(Some(dir)) == local,
+      "reliable checkpoint() must produce identical components")
+  }
 }
