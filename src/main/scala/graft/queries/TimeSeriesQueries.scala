@@ -367,12 +367,25 @@ object TimeSeriesQueries {
     }),
 
     // LTTB visual downsample: ≤50 spike-preserving points per user
-    // series (sequential selection — not SQL-expressible → rows-only;
-    // the scalar core is fixture-pinned in TimeSeriesEdgeSpec).
+    // series. The sequential selection IS SQL-expressible as a
+    // recursive CTE stepping one bucket per row, and it hash-checks
+    // because the lane is integer-exact: timestamps enter as small µs
+    // OFFSETS (base 2024-01-01) and values as cent integers, so every
+    // bucket-average partial sum is an exact integer and the remaining
+    // double ops (avg division, triangle areas) are the same IEEE
+    // operation sequence on identical operands in both engines — argmax
+    // can never flip on a ulp. Emitted ts/value are reconstructed
+    // identically on both sides.
     "ts_lttb" -> ((s, dir) =>
-      TimeSeries.lttb(Tables.events(s, dir), Seq("user_id"),
-        expr("unix_micros(ts)"), col("value"), 50)
-        .orderBy("user_id", "ts_us")),
+      TimeSeries.lttb(
+          Tables.events(s, dir)
+            .withColumn("t_off", expr("unix_micros(ts) - 1704067200000000"))
+            .withColumn("v_cents", expr("CAST(round(value * 100) AS DOUBLE)")),
+          Seq("user_id"), col("t_off"), col("v_cents"), 50)
+        .select(col("user_id"),
+          (col("ts_us") + 1704067200000000L).as("ts_us"),
+          (col("value") / 100.0).as("value"))
+        .orderBy("user_id", "ts_us", "value")),
 
     // Mergeable-sketch rollup — THE 100 TB distinct-counting pattern:
     // hour-level HLL sketches (Datasketches, partial-aggregated
@@ -860,6 +873,69 @@ object TimeSeriesQueries {
         |    AS zkey
         |FROM events, (SELECT unnest(generate_series(0, 15)) AS i) b
         |GROUP BY event_id ORDER BY event_id LIMIT 5000""".stripMargin,
+    // LTTB replayed as a recursive CTE, one bucket per recursion step:
+    // bucket boundaries and bucket averages depend only on (n, i) so
+    // they precompute OUTSIDE the recursion (bkt/bavg); the recursive
+    // member carries only the previously selected index `a` and picks
+    // the max-triangle-area point of bucket i (ties → lowest idx,
+    // mirroring the scalar core's strict `>`). All sums are exact
+    // integers (µs offsets, cents), divisions/areas are identical IEEE
+    // op sequences — validated bit-for-bit against the scalar core.
+    "ts_lttb" ->
+      s"""WITH RECURSIVE
+         |pts AS (
+         |  SELECT user_id, epoch_us(ts) - 1704067200000000 AS t,
+         |         CAST(round(value * 100) AS DOUBLE) AS v
+         |  FROM $E),
+         |p AS (
+         |  SELECT user_id, t, v,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY t, v) - 1 AS idx,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM pts),
+         |big AS (SELECT * FROM p WHERE n > 50),
+         |meta AS (SELECT DISTINCT user_id, n, (n - 2) / 48.0 AS every FROM big),
+         |bkt AS (
+         |  SELECT m.user_id, g.i, m.n,
+         |    CAST(floor((g.i + 1) * m.every) AS BIGINT) + 1 AS lo,
+         |    least(CAST(floor((g.i + 2) * m.every) AS BIGINT) + 1, m.n) AS hi
+         |  FROM meta m, (SELECT unnest(generate_series(0, 47)) AS i) g),
+         |bavg AS (
+         |  SELECT k.user_id, k.i,
+         |    CASE WHEN count(b.idx) = 0
+         |      THEN (SELECT CAST(t AS DOUBLE) FROM big z
+         |            WHERE z.user_id = k.user_id AND z.idx = k.n - 1)
+         |      ELSE CAST(sum(b.t) AS DOUBLE) / count(b.idx) END AS ax,
+         |    CASE WHEN count(b.idx) = 0
+         |      THEN (SELECT v FROM big z
+         |            WHERE z.user_id = k.user_id AND z.idx = k.n - 1)
+         |      ELSE sum(b.v) / count(b.idx) END AS ay
+         |  FROM bkt k
+         |  LEFT JOIN big b ON b.user_id = k.user_id AND b.idx >= k.lo AND b.idx < k.hi
+         |  GROUP BY k.user_id, k.i, k.n),
+         |sel AS (
+         |  SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS a, n, every FROM meta
+         |  UNION ALL
+         |  SELECT s.user_id, s.i + 1,
+         |    (SELECT b.idx
+         |     FROM big b, big pa, bavg x
+         |     WHERE pa.user_id = s.user_id AND pa.idx = s.a
+         |       AND x.user_id = s.user_id AND x.i = s.i
+         |       AND b.user_id = s.user_id
+         |       AND b.idx >= CAST(floor(s.i * s.every) AS BIGINT) + 1
+         |       AND b.idx < least(CAST(floor((s.i + 1) * s.every) AS BIGINT) + 1, s.n)
+         |     ORDER BY abs((CAST(pa.t AS DOUBLE) - x.ax) * (b.v - pa.v)
+         |                - (CAST(pa.t AS DOUBLE) - CAST(b.t AS DOUBLE)) * (x.ay - pa.v))
+         |       DESC, b.idx
+         |     LIMIT 1) AS a,
+         |    s.n, s.every
+         |  FROM sel s WHERE s.i < 48),
+         |kept AS (
+         |  SELECT user_id, a AS idx FROM sel
+         |  UNION ALL SELECT user_id, n - 1 FROM meta
+         |  UNION ALL SELECT user_id, idx FROM p WHERE n <= 50)
+         |SELECT b.user_id, b.t + 1704067200000000 AS ts_us, b.v / 100.0 AS value
+         |FROM kept k JOIN p b ON b.user_id = k.user_id AND b.idx = k.idx
+         |ORDER BY b.user_id, ts_us, value""".stripMargin,
     // Sketch bytes are engine-specific; each engine hashes its OWN
     // |approx − exact|/exact ≤ 0.05 boolean + the exact distincts.
     "ts_sketch_rollup" ->

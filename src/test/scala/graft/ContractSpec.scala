@@ -28,11 +28,12 @@ class ContractSpec extends AnyFunSuite {
     // algorithms, Spark-side quantizer training. Anything else missing
     // an oracle is a gap, not a declaration.
     // r4: emb_ivf_ann (exact integer-grid quantizer retrained in SQL),
-    // q_approx_agg and ts_sketch_rollup (tolerance-boolean oracles)
-    // graduated to hash-green; only genuinely non-recomputable lanes
-    // remain (reservoir/iterative repair, sequential LTTB).
+    // q_approx_agg and ts_sketch_rollup (tolerance-boolean oracles),
+    // and ts_lttb (recursive-CTE replay of the sequential selection on
+    // an integer-exact lane) graduated to hash-green; only genuinely
+    // non-recomputable lanes remain (reservoir, iterative repair).
     val declaredRowsOnly = Set("ts_data_quality", "ts_timestamp_repair",
-      "ts_value_fill_ar", "ts_value_repair", "ts_lttb")
+      "ts_value_fill_ar", "ts_value_repair")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == declaredRowsOnly,
       s"rows-only drift: +${actual -- declaredRowsOnly} -${declaredRowsOnly -- actual}")
