@@ -43,5 +43,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c: Seq[Expression]) => BpeTokenCount(c.head)))
     ext.injectFunction((FunctionIdentifier("zorder_key"), info("zorder_key"),
       (c: Seq[Expression]) => ZorderKey(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("st_distance"), info("st_distance"),
+      (c: Seq[Expression]) => functions.StDistance(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("st_intersects"), info("st_intersects"),
+      (c: Seq[Expression]) => functions.StIntersects(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("st_within"), info("st_within"),
+      (c: Seq[Expression]) => functions.StWithin(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("st_equals"), info("st_equals"),
+      (c: Seq[Expression]) => functions.StEquals(c.head, c(1))))
+    ext.injectFunction((FunctionIdentifier("st_area"), info("st_area"),
+      (c: Seq[Expression]) => functions.StArea(c.head)))
+    ext.injectFunction((FunctionIdentifier("st_asbinary"), info("st_asbinary"),
+      (c: Seq[Expression]) => functions.StAsBinary(c.head)))
+    ext.injectFunction((FunctionIdentifier("st_geomfromwkb"), info("st_geomfromwkb"),
+      (c: Seq[Expression]) => functions.StGeomFromWkb(c.head)))
   }
 }

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * sqllogicaltests/cases/function/gis/).
   *
   * Geometries: POINT, LINESTRING, POLYGON (planar, Euclidean, like the
-  * reference's geo-crate usage). Parsing/predicates run as UDFs — GIS
-  * is not the 100 TB hot path; the values ride columnar until the
-  * predicate.
+  * reference's geo-crate usage). Parsing/predicates run as native
+  * Catalyst expressions (GisExpressions) inside whole-stage codegen —
+  * matching the text/vector kernels — with Scala-UDF closures kept only
+  * as the sessionless fallback.
   */
 object Gis {
 
@@ -331,20 +332,30 @@ object Gis {
   }
 
   // ---- Column API (st_* functions) ----
+  // Native Catalyst expressions (GisExpressions — codegen'd static
+  // calls, same geometry semantics) when a session is active; the
+  // Scala-UDF closures remain only as the sessionless fallback, like
+  // Similarity.dot's HOF fallback.
+
+  private def viaKernel(name: String, fallback: => Column, cols: Column*): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => GisExpressions.register(s); call_function(name, cols: _*)
+      case None => fallback
+    }
 
   val stDistance: (Column, Column) => Column = {
     val f = udf((w1: String, w2: String) => distance(parseWkt(w1), parseWkt(w2)))
-    (c1, c2) => f(c1, c2)
+    (c1, c2) => viaKernel("st_distance", f(c1, c2), c1, c2)
   }
 
   val stArea: Column => Column = {
     val f = udf((w: String) => area(parseWkt(w)))
-    c => f(c)
+    c => viaKernel("st_area", f(c), c)
   }
 
   val stIntersects: (Column, Column) => Column = {
     val f = udf((w1: String, w2: String) => intersects(parseWkt(w1), parseWkt(w2)))
-    (c1, c2) => f(c1, c2)
+    (c1, c2) => viaKernel("st_intersects", f(c1, c2), c1, c2)
   }
 
   val stDisjoint: (Column, Column) => Column =
@@ -352,7 +363,7 @@ object Gis {
 
   val stWithin: (Column, Column) => Column = {
     val f = udf((w1: String, w2: String) => within(parseWkt(w1), parseWkt(w2)))
-    (c1, c2) => f(c1, c2)
+    (c1, c2) => viaKernel("st_within", f(c1, c2), c1, c2)
   }
 
   val stContains: (Column, Column) => Column =
@@ -360,16 +371,16 @@ object Gis {
 
   val stEquals: (Column, Column) => Column = {
     val f = udf((w1: String, w2: String) => parseWkt(w1) == parseWkt(w2))
-    (c1, c2) => f(c1, c2)
+    (c1, c2) => viaKernel("st_equals", f(c1, c2), c1, c2)
   }
 
   val stAsBinary: Column => Column = {
     val f = udf((w: String) => toWkb(parseWkt(w)))
-    c => f(c)
+    c => viaKernel("st_asbinary", f(c), c)
   }
 
   val stGeomFromWkb: Column => Column = {
     val f = udf((b: Array[Byte]) => toWkt(fromWkb(b)))
-    c => f(c)
+    c => viaKernel("st_geomfromwkb", f(c), c)
   }
 }

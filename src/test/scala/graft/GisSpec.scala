@@ -116,4 +116,42 @@ class GisSpec extends AnyFunSuite {
     // a polygon may touch the container's boundary and still be within
     assert(Gis.within(parseWkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"), box))
   }
+
+  test("st_* column lane runs as codegen'd kernels, no ScalaUDF in the plan") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("POINT(2 2)", "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))", "LINESTRING(0 0, 3 4)"),
+      ("POINT(6 2)", "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))", "MULTIPOINT((1 1),(9 9))")
+    ).toDF("wa", "wb", "wl")
+    val out = df.select(
+      Gis.stDistance(col("wa"), col("wb")).as("d"),
+      Gis.stArea(col("wb")).as("ar"),
+      Gis.stIntersects(col("wa"), col("wb")).as("ix"),
+      Gis.stWithin(col("wa"), col("wb")).as("wi"),
+      Gis.stEquals(col("wa"), col("wa")).as("eq"),
+      Gis.stGeomFromWkb(Gis.stAsBinary(col("wa"))).as("rt"),
+      // line/multi geometries ride the binary kernels end-to-end
+      Gis.stGeomFromWkb(Gis.stAsBinary(col("wl"))).as("rt2"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"st_* must run as native kernels, plan still has a UDF:\n$plan")
+    val rows = out.collect()
+    // kernel values == the scalar core (which the UDF fallback wraps)
+    val expected = Seq(
+      (0.0, 16.0, true, true, true, "POINT(2.0 2.0)", "LINESTRING(0.0 0.0,3.0 4.0)"),
+      (2.0, 16.0, false, false, true, "POINT(6.0 2.0)", "MULTIPOINT((1.0 1.0),(9.0 9.0))"))
+    expected.zip(rows).foreach { case ((d, ar, ix, wi, eq, rt, rt2), r) =>
+      assert(math.abs(r.getDouble(0) - d) < 1e-12)
+      assert(math.abs(r.getDouble(1) - ar) < 1e-12)
+      assert(r.getBoolean(2) == ix && r.getBoolean(3) == wi && r.getBoolean(4) == eq)
+      assert(r.getString(5) == rt)
+      assert(r.getString(6) == rt2)
+    }
+  }
 }
