@@ -57,5 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c: Seq[Expression]) => functions.StAsBinary(c.head)))
     ext.injectFunction((FunctionIdentifier("st_geomfromwkb"), info("st_geomfromwkb"),
       (c: Seq[Expression]) => functions.StGeomFromWkb(c.head)))
+    ext.injectFunction((FunctionIdentifier("st_geomfromwkt"), info("st_geomfromwkt"),
+      (c: Seq[Expression]) => functions.StGeomFromWkt(c.head)))
+    // derived predicates, same SQL surface as the reference gis/mod.rs:
+    // contains = within flipped, disjoint = NOT intersects
+    ext.injectFunction((FunctionIdentifier("st_contains"), info("st_contains"),
+      (c: Seq[Expression]) => functions.StWithin(c(1), c.head)))
+    ext.injectFunction((FunctionIdentifier("st_disjoint"), info("st_disjoint"),
+      (c: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Not(functions.StIntersects(c.head, c(1)))))
   }
 }

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * Geometries: POINT, LINESTRING, POLYGON (planar, Euclidean, like the
   * reference's geo-crate usage). Parsing/predicates run as native
   * Catalyst expressions (GisExpressions) inside whole-stage codegen —
-  * matching the text/vector kernels — with Scala-UDF closures kept only
-  * as the sessionless fallback.
+  * matching the text/vector kernels — built directly into Columns via
+  * the graftshim bridge (no registry side effect, no active-session
+  * dependency). Null WKT yields null, per nullSafeEval.
   */
 object Gis {
 
@@ -333,54 +334,42 @@ object Gis {
 
   // ---- Column API (st_* functions) ----
   // Native Catalyst expressions (GisExpressions — codegen'd static
-  // calls, same geometry semantics) when a session is active; the
-  // Scala-UDF closures remain only as the sessionless fallback, like
-  // Similarity.dot's HOF fallback.
+  // calls, same geometry semantics), wrapped into public Columns via
+  // the org.apache.spark.sql.graftshim bridge. Built DIRECTLY from the
+  // expression tree: no function-registry side effect and no dependence
+  // on which SparkSession is active on the constructing thread — the
+  // Column is valid in whatever session later executes the plan.
 
-  private def viaKernel(name: String, fallback: => Column, cols: Column*): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(s) => GisExpressions.register(s); call_function(name, cols: _*)
-      case None => fallback
-    }
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column => exprColumn, expression => exprOf}
+  import org.apache.spark.sql.catalyst.expressions.Not
 
-  val stDistance: (Column, Column) => Column = {
-    val f = udf((w1: String, w2: String) => distance(parseWkt(w1), parseWkt(w2)))
-    (c1, c2) => viaKernel("st_distance", f(c1, c2), c1, c2)
-  }
+  val stDistance: (Column, Column) => Column =
+    (c1, c2) => exprColumn(StDistance(exprOf(c1), exprOf(c2)))
 
-  val stArea: Column => Column = {
-    val f = udf((w: String) => area(parseWkt(w)))
-    c => viaKernel("st_area", f(c), c)
-  }
+  val stArea: Column => Column =
+    c => exprColumn(StArea(exprOf(c)))
 
-  val stIntersects: (Column, Column) => Column = {
-    val f = udf((w1: String, w2: String) => intersects(parseWkt(w1), parseWkt(w2)))
-    (c1, c2) => viaKernel("st_intersects", f(c1, c2), c1, c2)
-  }
+  val stIntersects: (Column, Column) => Column =
+    (c1, c2) => exprColumn(StIntersects(exprOf(c1), exprOf(c2)))
 
   val stDisjoint: (Column, Column) => Column =
-    (c1, c2) => !stIntersects(c1, c2)
+    (c1, c2) => exprColumn(Not(StIntersects(exprOf(c1), exprOf(c2))))
 
-  val stWithin: (Column, Column) => Column = {
-    val f = udf((w1: String, w2: String) => within(parseWkt(w1), parseWkt(w2)))
-    (c1, c2) => viaKernel("st_within", f(c1, c2), c1, c2)
-  }
+  val stWithin: (Column, Column) => Column =
+    (c1, c2) => exprColumn(StWithin(exprOf(c1), exprOf(c2)))
 
   val stContains: (Column, Column) => Column =
-    (c1, c2) => stWithin(c2, c1)
+    (c1, c2) => exprColumn(StWithin(exprOf(c2), exprOf(c1)))
 
-  val stEquals: (Column, Column) => Column = {
-    val f = udf((w1: String, w2: String) => parseWkt(w1) == parseWkt(w2))
-    (c1, c2) => viaKernel("st_equals", f(c1, c2), c1, c2)
-  }
+  val stEquals: (Column, Column) => Column =
+    (c1, c2) => exprColumn(StEquals(exprOf(c1), exprOf(c2)))
 
-  val stAsBinary: Column => Column = {
-    val f = udf((w: String) => toWkb(parseWkt(w)))
-    c => viaKernel("st_asbinary", f(c), c)
-  }
+  val stAsBinary: Column => Column =
+    c => exprColumn(StAsBinary(exprOf(c)))
 
-  val stGeomFromWkb: Column => Column = {
-    val f = udf((b: Array[Byte]) => toWkt(fromWkb(b)))
-    c => viaKernel("st_geomfromwkb", f(c), c)
-  }
+  val stGeomFromWkb: Column => Column =
+    c => exprColumn(StGeomFromWkb(exprOf(c)))
+
+  val stGeomFromWkt: Column => Column =
+    c => exprColumn(StGeomFromWkt(exprOf(c)))
 }

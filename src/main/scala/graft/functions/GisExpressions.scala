@@ -25,6 +25,8 @@ object GisKernels {
     Gis.parseWkt(a.toString) == Gis.parseWkt(b.toString)
   def wktToWkb(a: UTF8String): Array[Byte] = Gis.toWkb(Gis.parseWkt(a.toString))
   def wkbToWkt(b: Array[Byte]): UTF8String = UTF8String.fromString(Gis.toWkt(Gis.fromWkb(b)))
+  def wktNormalize(a: UTF8String): UTF8String =
+    UTF8String.fromString(Gis.toWkt(Gis.parseWkt(a.toString)))
 }
 
 /** The GIS scalar lane as native Catalyst expressions (reference
@@ -119,6 +121,24 @@ case class StAsBinary(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_asbinary"
 }
 
+/** Parse-and-canonicalize WKT (reference gis/mod.rs `st_GeomFromWKT`):
+  * validates the text and returns the engine's canonical serialization,
+  * so malformed geometry fails at ingest instead of deep inside a
+  * predicate.
+  */
+case class StGeomFromWkt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_geomfromwkt requires a string (WKT) argument, got ${child.dataType.simpleString}")
+  override def nullSafeEval(a: Any): Any = GisKernels.wktNormalize(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GisKernels.wktNormalize($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromwkt"
+}
+
 case class StGeomFromWkb(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -152,5 +172,14 @@ object GisExpressions {
       (c: Seq[Expression]) => StAsBinary(c.head), "built-in")
     r.createOrReplaceTempFunction("st_geomfromwkb",
       (c: Seq[Expression]) => StGeomFromWkb(c.head), "built-in")
+    r.createOrReplaceTempFunction("st_geomfromwkt",
+      (c: Seq[Expression]) => StGeomFromWkt(c.head), "built-in")
+    // derived predicates (reference gis/mod.rs exposes them as first-class
+    // SQL names): contains = within with flipped args, disjoint = NOT intersects
+    r.createOrReplaceTempFunction("st_contains",
+      (c: Seq[Expression]) => StWithin(c(1), c.head), "built-in")
+    r.createOrReplaceTempFunction("st_disjoint",
+      (c: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Not(
+        StIntersects(c.head, c(1))), "built-in")
   }
 }

@@ -250,9 +250,12 @@ object Dedup {
     // materializes the round — is a complete convergence test: the sum
     // is strictly smaller unless every label is unchanged. DECIMAL(38)
     // keeps the sum exact at any vertex count.
+    // sum() over an empty frame is null — coalesce so a legitimately
+    // empty pair list (zero near-dups) converges to an empty result
+    // instead of NPE-ing in compareTo.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var labels = truncate(
       edges.groupBy("src").agg(least(min(col("dst")), col("src")).as("lbl"))
         .select(col("src").as("v"), col("lbl")))
@@ -278,6 +281,103 @@ object Dedup {
         s"dupGroups: no convergence after $maxIters rounds — component diameter " +
           "exceeds the cap; raise maxIters (a partially-propagated result would be wrong)")
     labels.select(col("v").as("doc_id"), col("lbl").as("group_id"))
+  }
+
+  /** O(log n)-round connected components — the two-phase large-star /
+    * small-star algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    * Vassilvitskii, "Connected Components in MapReduce and Beyond",
+    * SOCC 2014; public). Min-label propagation ([[dupGroups]]) needs
+    * O(component diameter) rounds, which is fine for LSH dup clusters
+    * (near-cliques, diameter 2-3) but fails on the long boilerplate
+    * chains real web corpora produce; the star operations halve chain
+    * distances per round, so a 10k-link path converges in ~log₂
+    * rounds where the naive path hits its iteration cap.
+    *
+    * Per round: large-star (symmetrize, group by node, connect every
+    * LARGER neighbor to the neighborhood min) then small-star (on the
+    * now big→small directed edges, re-point every smaller neighbor and
+    * the node itself at the min) — two shuffles on the PAIR list, one
+    * convergence action (count + exact decimal endpoint sums, with a
+    * definitive exceptAll equality check run only when those agree, so
+    * a coincidental stats collision can never declare false
+    * convergence). At the fixed point the edges are exactly the star
+    * forest (doc → component min).
+    *
+    * Same output contract as [[dupGroups]]: (doc_id, group_id) for
+    * every doc that appears in a pair, group_id = component minimum.
+    */
+  def dupGroupsStar(pairs: DataFrame, aCol: String, bCol: String,
+                    maxIters: Int = 30,
+                    checkpointDir: Option[String] = None): DataFrame =
+    dupGroupsStarWithRounds(pairs, aCol, bCol, maxIters, checkpointDir)._1
+
+  private[graft] def dupGroupsStarWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 30,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+
+    val allVerts = pairs.select(col(aCol).cast("long").as("vid"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("vid")))
+      .distinct()
+    // canonical big→small directed edges; self-pairs drop here and are
+    // restored as singleton groups by the final left join
+    var edges = truncate(pairs.select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // every neighbor v > u re-points at m = min(Γ(u) ∪ {u}); v > u ≥ m
+      // keeps the output canonical and self-loop-free
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      val j = e.join(mins, "u")
+      j.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(j.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // (count, Σu, Σv) as exact DECIMAL(38) — computed in the same action
+    // that materializes the round's checkpoint
+    def stats(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)), sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+
+    var it = 0
+    var converged = edges.isEmpty
+    var prev = if (converged) null else stats(edges)
+    while (!converged && it < maxIters) {
+      val next = truncate(smallStar(largeStar(edges)))
+      val cur = stats(next)
+      // stats equality is necessary for a fixed point; the exceptAll
+      // run (sets, post-distinct) makes it sufficient
+      if (cur == prev) converged = next.exceptAll(edges).isEmpty
+      edges = next
+      prev = cur
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupGroupsStar: no convergence after $maxIters rounds (expected O(log n)) — " +
+          "raise maxIters (a partially-contracted result would be wrong)")
+    val labels = allVerts.join(edges, allVerts("vid") === edges("u"), "left")
+      .select(col("vid").as("doc_id"), coalesce(col("v"), col("vid")).as("group_id"))
+    (labels, it)
   }
 
   /** Near-dedup keep-set materialization — the standard MinHashLSH keep

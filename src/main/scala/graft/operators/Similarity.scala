@@ -325,6 +325,23 @@ object Similarity {
     * unlike the float quantizer above, whose training is a declared
     * Spark-side step.
     */
+  /** hexBound targeting ~targetSample rows of an n-row corpus, so the
+    * training collect stays bounded at ANY scale without hand-tuning:
+    * an 8-hex-digit md5-prefix bound b = floor(target·2³²/n) samples
+    * n·b/2³² ≈ target rows (uniform md5), clamped to [1, 2³²); n ≤
+    * target degenerates to "g" (> every hex char ⇒ the full corpus).
+    * The rule is one count + double floor, so a SQL oracle recomputes
+    * the IDENTICAL bound from its own count(*) — both operands exact in
+    * double (target·2³² ≤ 2⁴⁴). Granularity 1/2³² keeps the expected
+    * sample within 2× of target up to ~10¹³ rows; beyond that the
+    * maxSample fail-fast in [[exactIvfCentroids]] still guards.
+    */
+  def ivfHexBound(n: Long, targetSample: Long = 4096): String = {
+    require(n > 0, "ivfHexBound: empty corpus")
+    val b = math.floor(targetSample.toDouble * 4294967296.0 / n.toDouble).toLong
+    if (b >= 4294967296L) "g" else f"${math.max(1L, b)}%08x"
+  }
+
   def exactIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         k: Int, iters: Int = 3,
                         hexBound: String = "8",

@@ -257,11 +257,16 @@ object PipelineQueries {
       // Integer-grid quantizer (exactIvfCentroids): training is a pure
       // relational program over the same parquet, so the DuckDB oracle
       // retrains the SAME centroids and the whole ANN lane hash-checks
-      // (the float kmeans path stays the general library API). One
-      // bounded, capped driver job; ivfAnnExact launches no jobs at
-      // plan time (pinned in PipelineSpec).
+      // (the float kmeans path stays the general library API). The
+      // md5-sample bound is DERIVED from a cheap corpus count
+      // (parquet-metadata count + ivfHexBound), so the entry survives
+      // any sf without tripping the maxSample fail-fast; the oracle SQL
+      // recomputes the identical bound from its own count(*). Two
+      // bounded driver actions (count + capped sample collect);
+      // ivfAnnExact launches no jobs at plan time (pinned in
+      // PipelineSpec).
       val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
-        k = 8, iters = 2, hexBound = "8")
+        k = 8, iters = 2, hexBound = Similarity.ivfHexBound(emb.count()))
       Similarity.ivfAnnExact(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         10, cents, nprobe = 3)
         .orderBy("query_id", "rank")
@@ -369,19 +374,25 @@ object PipelineQueries {
   }
 
   /** Full SQL oracle for the exact-IVF ANN: the quantizer TRAINING is
-    * re-run inside the SQL — md5-prefix sample, md5-ordered init, two
-    * unrolled Lloyd rounds on the 1e-6 integer grid with
-    * floor(sum/count) recentering — so DuckDB retrains the exact
-    * centroids `exactIvfCentroids` computes driver-side, then replays
-    * cell assignment, probe selection and cosine ranking. Every
-    * distance is an exact integer (components floor-quantized, terms
-    * ≤ 2⁵²), so the engines cannot disagree by a ulp anywhere before
-    * the final (already floor-gridded) cosine. Mirrors
-    * exactIvfCentroids(k=8, iters=2, hexBound="8") + ivfAnnExact(k=10,
-    * nprobe=3) over queries vec_id < 20.
+    * re-run inside the SQL — md5-prefix sample (bound recomputed from
+    * count(*) by the same ivfHexBound rule the Spark entry uses),
+    * md5-ordered init, two unrolled Lloyd rounds on the 1e-6 integer
+    * grid with floor(sum/count) recentering — so DuckDB retrains the
+    * exact centroids `exactIvfCentroids` computes driver-side, then
+    * replays cell assignment, probe selection and cosine ranking. Every
+    * distance up to and including cell/probe selection is an exact
+    * integer (components floor-quantized, terms ≤ 2⁵²), so the engines
+    * cannot diverge there; the FINAL ranking, like emb_lsh_ann's,
+    * orders by the raw double cosine and therefore relies on both
+    * engines evaluating dot/norm/sqrt in the same IEEE order — the
+    * 1e-4 floor grid plus the integer neighbor-id tiebreak makes a
+    * ulp-flip unlikely but not impossible (same accepted risk as the
+    * emb_lsh_ann oracle). Mirrors exactIvfCentroids(k=8, iters=2,
+    * hexBound=ivfHexBound(n)) + ivfAnnExact(k=10, nprobe=3) over
+    * queries vec_id < 20.
     */
   private def ivfOracle: String = {
-    val (k, iters, hexBound, nprobe, topk) = (8, 2, "8", 3, 10)
+    val (k, iters, nprobe, topk) = (8, 2, 3, 10)
     def d(vq: String, cq: String): String =
       s"CAST(list_dot_product($vq, $vq) - 2 * list_dot_product($vq, $cq)" +
         s" + list_dot_product($cq, $cq) AS BIGINT)"
@@ -408,10 +419,16 @@ object PipelineQueries {
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS vq
        |  FROM embeddings),
+       |bnd AS (
+       |  SELECT CASE WHEN floor(4096.0 * 4294967296.0 / count(*)) >= 4294967296.0
+       |    THEN 'g'
+       |    ELSE printf('%08x', GREATEST(1, CAST(floor(4096.0 * 4294967296.0
+       |      / count(*)) AS BIGINT))) END AS hb
+       |  FROM q),
        |samp AS (
        |  SELECT md5(CAST(vec_id AS VARCHAR)) AS mh, vq
-       |  FROM q WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, ${hexBound.length})
-       |    < '$hexBound'),
+       |  FROM q, bnd WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, len(bnd.hb))
+       |    < bnd.hb),
        |init AS (
        |  SELECT cell, vq AS cq FROM (
        |    SELECT CAST(row_number() OVER (ORDER BY mh) - 1 AS BIGINT) AS cell, vq

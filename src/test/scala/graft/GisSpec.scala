@@ -117,6 +117,50 @@ class GisSpec extends AnyFunSuite {
     assert(Gis.within(parseWkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"), box))
   }
 
+  test("all 10 st_* functions resolve at the SQL level (reference gis/mod.rs surface)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GisExpressions.register(spark)
+    import spark.implicits._
+    Seq(("POINT(2 2)", "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))", "POLYGON((10 10, 11 10, 11 11, 10 11, 10 10))"))
+      .toDF("pt", "box", "far").createOrReplaceTempView("gis_sql_probe")
+    val r = spark.sql(
+      """SELECT
+        |  st_distance(pt, far) AS d,
+        |  st_area(box) AS ar,
+        |  st_intersects(pt, box) AS ix,
+        |  st_within(pt, box) AS wi,
+        |  st_contains(box, pt) AS co,
+        |  st_disjoint(box, far) AS dj,
+        |  st_equals(pt, pt) AS eq,
+        |  st_geomfromwkt(pt) AS gw,
+        |  st_geomfromwkb(st_asbinary(pt)) AS rt
+        |FROM gis_sql_probe""".stripMargin).head
+    assert(math.abs(r.getDouble(0) - math.sqrt(128.0)) < 1e-12)
+    assert(r.getDouble(1) == 16.0)
+    assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4) &&
+      r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getString(7) == "POINT(2.0 2.0)")
+    assert(r.getString(8) == "POINT(2.0 2.0)")
+    // st_asbinary makes it 10 distinct SQL names exercised above
+  }
+
+  test("st_* Columns build without any active SparkSession (no registry side effect)") {
+    // direct Catalyst construction via the graftshim bridge: Column
+    // creation must not depend on which session is active on this
+    // thread (the old call_function lane silently fell back to UDFs)
+    import org.apache.spark.sql.functions.col
+    val c = Gis.stDistance(col("a"), col("b"))
+    val c2 = Gis.stContains(col("a"), col("b"))
+    val c3 = Gis.stGeomFromWkt(col("a"))
+    assert(c.toString.toLowerCase.contains("st_distance"))
+    assert(c2.toString.toLowerCase.contains("st_within")) // contains = within flipped
+    assert(c3.toString.toLowerCase.contains("st_geomfromwkt"))
+  }
+
   test("st_* column lane runs as codegen'd kernels, no ScalaUDF in the plan") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

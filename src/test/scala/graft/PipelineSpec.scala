@@ -478,6 +478,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(ok == 1)
   }
 
+  test("dupGroups returns an empty frame on an empty pair list (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.dupGroups(empty, "id_a", "id_b")
+    assert(got.columns.toSeq == Seq("doc_id", "group_id"))
+    assert(got.count() == 0)
+    assert(graft.operators.Dedup.dupGroupsStar(empty, "id_a", "id_b").count() == 0)
+  }
+
+  test("dupGroupsStar matches min-label groups on mixed fixtures") {
+    import spark.implicits._
+    // chain + triangle + pair + a self-pair singleton + unordered dup edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 10L), (20L, 21L), (30L, 30L)).toDF("id_a", "id_b")
+    val naive = graft.operators.Dedup.dupGroups(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = graft.operators.Dedup.dupGroupsStar(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == naive)
+    assert(star(4L) == 1L && star(12L) == 10L && star(30L) == 30L)
+  }
+
+  test("dupGroupsStar converges in O(log n) rounds on a 1000-edge path graph") {
+    import spark.implicits._
+    // diameter 1000: min-label propagation would need ~1000 rounds (its
+    // maxIters=20 fail-fast fires); the star contraction halves chain
+    // distances per round
+    val path = (1L to 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.dupGroups(path, "id_a", "id_b").count()
+    }
+    val (labels, rounds) =
+      graft.operators.Dedup.dupGroupsStarWithRounds(path, "id_a", "id_b")
+    assert(rounds <= 12, s"expected O(log n) convergence, took $rounds rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1001 && got.forall(_._2 == 1L))
+  }
+
+  test("ivfHexBound scales the md5 sample bound with the corpus count") {
+    // n <= target: full corpus ('g' beats every hex char)
+    assert(Similarity.ivfHexBound(2000) == "g")
+    assert(Similarity.ivfHexBound(4096) == "g")
+    // n = 20k: b = floor(4096*2^32/20000); expected sample ~= 4096
+    val b20k = java.lang.Long.parseLong(Similarity.ivfHexBound(20000), 16)
+    assert(math.abs(20000.0 * b20k / 4294967296.0 - 4096.0) < 2.0)
+    // huge corpora clamp to the minimum non-empty bound
+    assert(Similarity.ivfHexBound(Long.MaxValue / 2) == "00000001")
+    // the bound string compares lexicographically == numerically (zero-padded)
+    assert(Similarity.ivfHexBound(20000000) < Similarity.ivfHexBound(20000))
+  }
+
   test("stratifiedSample is exact-n per stratum and deterministic") {
     import spark.implicits._
     val df = (1 to 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "grp")
