@@ -48,24 +48,54 @@ object Bench {
         .selectExpr("g", "CAST(m % 10000000 AS LONG) AS id")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // Calibration sentinel: a fixed deterministic CPU+shuffle probe
+    // (5e8-row modulo + hash aggregate) timed before, midway, and after
+    // the suite. BENCH_r04's numbers were provably box-noise (an
+    // empty-table aggregate at 16.7 s) with nothing in the artifact to
+    // say so — the probe makes the measurement self-evidencing: if the
+    // three probe times disagree by ≥ 1.5×, the box was contended
+    // during the run and the artifact flags ITSELF as noisy. The
+    // median probe time is also emitted as `calib_unit` so per-query
+    // numbers can be read in probe-relative units across rounds/boxes.
+    def calibProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("id % 1024 AS k")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibProbe() // untimed: JIT-prime the probe's own codegen
     // run1 = arrival order (includes residual per-query JIT), run2 =
     // immediate warm re-run: the artifact separates JIT from plan cost
     // so round-over-round comparisons aren't dominated by cold-start
     // ordering noise.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (once(fn), once(fn))
-    }
+    val qseq = SparkEntry.queries.toSeq
+    val (firstHalf, secondHalf) = qseq.splitAt(qseq.length / 2)
+    val calibA = calibProbe()
+    val res1 = firstHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
+    val calibB = calibProbe()
+    val res2 = secondHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
+    val calibC = calibProbe()
+    val results = res1 ++ res2
+    val calibs = Seq(calibA, calibB, calibC)
+    val spread = calibs.max / calibs.min
+    val unit = calibs.sorted.apply(1)
+    val noisy = spread >= 1.5
     // 4-decimal seconds keeps the one-line JSON short enough to survive the
     // driver's fixed-size stdout tail capture (r1's full-precision line was
     // truncated at the front → "parsed": null).
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, (r1, r2)) =>
-      s"\"" + k + "\":{\"run1\":" + fmt(r1) + ",\"run2\":" + fmt(r2) + "}"
+      s"\"" + k + "\":{\"run1\":" + fmt(r1) + ",\"run2\":" + fmt(r2) +
+        ",\"rel2\":" + fmt(r2 / unit) + "}"
     }.mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
-    val total2 = results.values.map(_._2).sum
+    val total = results.map(_._2._1).sum
+    val total2 = results.map(_._2._2).sum
+    val calibJson = "\"calib\":[" + calibs.map(fmt).mkString(",") + "]," +
+      "\"calib_spread\":" + fmt(spread) + ",\"calib_unit\":" + fmt(unit) +
+      ",\"noisy\":" + noisy
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_run2":${fmt(total2)},"queries":$qs,"sf":"$sfName"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_run2":${fmt(total2)},$calibJson,"queries":$qs,"sf":"$sfName"}"""
     // Full per-query map goes to the file; stdout gets ONLY a short
     // totals line LAST so it survives any fixed-size tail capture
     // (r1/r2 both had "parsed": null because the 100-query map pushed
@@ -76,6 +106,6 @@ object Bench {
     // suppresses sbt's [success] epilogue, so this is the LITERAL last
     // stdout line — r1-r3 all parsed null because sbt decorated/followed
     // the line.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_run2":${fmt(total2)},"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_run2":${fmt(total2)},$calibJson,"sf":"$sfName"}""")
   }
 }

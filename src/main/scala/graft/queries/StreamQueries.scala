@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.streaming.StreamIngest
+
+/** Batch/stream EQUIVALENCE driver entries — the streaming lanes'
+  * upgrade from "MemoryStream spec only" to oracle-checked (reference
+  * runs stream tables through the same checked SQL surface:
+  * query_server/sqllogicaltests/cases/stream/basic.slt).
+  *
+  * Each entry replays the events parquet through the REAL Structured
+  * Streaming engine — `readStream` file source over the same lake file,
+  * `Trigger.AvailableNow`, the stateful StreamIngest operator, a memory
+  * sink — then returns the sink as a batch frame for the driver's
+  * DuckDB hash check. The operators share their exact kernels with the
+  * batch lanes (cents-exact deltas, integer z-test), so stream output
+  * == batch output bit-for-bit and the oracle is plain SQL.
+  *
+  * Determinism preconditions (hold for the driver lake, asserted
+  * nowhere cheaper than here): per event_type the µs timestamps are
+  * unique (verified: 0 ties at sf0.01/sf0.1), and the source is a
+  * single parquet file, so AvailableNow delivers ONE micro-batch and
+  * the stateful operators see each series complete and time-sortable —
+  * multi-batch arrival-order behavior (late-row drops, cross-batch
+  * locf) is covered by the MemoryStream specs in StreamIngestSpec.
+  *
+  * Series keying: flatMapGroupsWithState lanes key on a Long, so
+  * event_type rides as xxhash64(event_type) and is restored by an
+  * equijoin against the batch-side (event_type, hash) dictionary — a
+  * pure mapper plus a 5-row broadcast join; a hash collision between
+  * two event types (p ≈ 2⁻⁶⁴ per pair) would merge their series.
+  */
+object StreamQueries {
+
+  private val BucketUs = 3600000000L // 1 hour
+
+  /** Run a streaming frame into a fresh memory sink and hand back the
+    * sink table. AvailableNow processes everything then stops, so the
+    * call is synchronous; the sink name is dropped first so Bench's
+    * run1/run2 double-invocation works.
+    */
+  private def replay(s: SparkSession, out: DataFrame, name: String): DataFrame = {
+    s.catalog.dropTempView(name)
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Raw events stream: ts arrives as the parquet's INT64 nanos (the
+    * same nanosAsLong view the batch loader uses).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    StreamIngest.readEventsStream(s, dir, "events.parquet", schema)
+  }
+
+  private def typeDict(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").select(col("event_type")).distinct()
+      .withColumn("series", xxhash64(col("event_type")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Counter increase with prometheus reset semantics, streamed. The
+    // oracle is ts_increase's already-green batch SQL: the stream emits
+    // per-event running totals, the final total per series is the row
+    // with the max ts, and because deltas are differences of
+    // cents-exact doubles the accumulation order cannot produce float
+    // divergence.
+    "stream_increase" -> ((s, dir) => {
+      import s.implicits._
+      val pts = eventsStream(s, dir)
+        .select(xxhash64(col("event_type")).as("series"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .as[StreamIngest.CounterPoint]
+      val sink = replay(s, StreamIngest.streamingIncrease(pts).toDF(), "stream_increase_sink")
+      sink.groupBy("series")
+        .agg(max(struct(col("ts_us"), col("increase"))).getField("increase").as("inc"))
+        .join(typeDict(s, dir), "series")
+        .select(col("event_type"), round(col("inc"), 4).as("increase"))
+        .orderBy("event_type")
+    }),
+
+    // Streaming anomaly scoring against batch-trained baselines (the
+    // train-on-history / score-the-stream pattern). The flag uses the
+    // identical division-free exact-integer test as batch
+    // ts_anomaly_zscore, so online == offline per event — the oracle is
+    // that entry's SQL minus the z column.
+    "stream_anomaly" -> ((s, dir) => {
+      val base = StreamIngest.anomalyBaselines(Tables(s, dir, "events"), "event_type", "value")
+      val scored = StreamIngest.streamingAnomalyFlags(
+        eventsStream(s, dir).select("event_id", "event_type", "value"),
+        base, "event_type", "value")
+      replay(s, scored, "stream_anomaly_sink")
+        .select("event_id", "event_type", "value", "is_outlier")
+        .orderBy("event_id").limit(10000)
+    }),
+
+    // Continuous downsample + locf gap fill, streamed: per series one
+    // row per hour bucket — observed buckets carry the bucket's last
+    // sample, interior gaps the carried-forward value. The oracle
+    // replays the same rule relationally (last-sample per bucket →
+    // per-series spine → locf window). user_id < 30 thins the stream so
+    // real gaps exist.
+    "stream_gapfill_locf" -> ((s, dir) => {
+      import s.implicits._
+      val pts = eventsStream(s, dir)
+        .filter(col("user_id") < 30)
+        .select(xxhash64(col("event_type")).as("series"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .as[StreamIngest.GaugePoint]
+      val sink = replay(s,
+        StreamIngest.streamingGapfillLocf(pts, BucketUs).toDF(), "stream_gapfill_sink")
+      sink.join(typeDict(s, dir), "series")
+        .select(col("event_type"), col("bucket_us"), col("value"), col("filled"))
+        .orderBy("event_type", "bucket_us")
+    })
+  )
+
+  private val E = "(SELECT event_id, user_id, event_type, value, cast(ts AS TIMESTAMP) AS ts FROM events)"
+
+  def oracleSql: Map[String, String] = Map(
+    // identical to ts_increase's oracle — THE point: stream == batch
+    "stream_increase" ->
+      s"""WITH d AS (
+         |  SELECT event_type, value,
+         |    lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+         |  FROM $E)
+         |SELECT event_type, round(sum(
+         |  CASE WHEN prev IS NULL THEN 0
+         |       WHEN value >= prev THEN value - prev
+         |       ELSE value END), 4) AS increase
+         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS sc,
+        |    sum(CAST(round(value * 100) AS BIGINT)
+        |      * CAST(round(value * 100) AS BIGINT)) AS qc
+        |  FROM events GROUP BY event_type),
+        |j AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    CAST(round(e.value * 100) AS HUGEINT) * n - sc AS num,
+        |    n * qc - sc * sc AS varnum
+        |  FROM events e JOIN s USING (event_type))
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN varnum > 0 THEN num * num > 9 * varnum ELSE FALSE END AS is_outlier
+        |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
+    "stream_gapfill_locf" ->
+      """WITH p AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us, value
+        |  FROM events WHERE user_id < 30),
+        |lastb AS (
+        |  SELECT event_type, (ts_us // 3600000000) * 3600000000 AS bucket_us,
+        |    max_by(value, ts_us) AS v
+        |  FROM p GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        |  FROM (SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+        |        FROM lastb GROUP BY 1)),
+        |j AS (
+        |  SELECT s.event_type, s.bucket_us, l.v
+        |  FROM spine s LEFT JOIN lastb l USING (event_type, bucket_us))
+        |SELECT event_type, bucket_us,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  (v IS NULL) AS filled
+        |FROM j ORDER BY event_type, bucket_us""".stripMargin
+  )
+}
