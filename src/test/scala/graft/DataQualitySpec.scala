@@ -35,6 +35,22 @@ class DataQualitySpec extends AnyFunSuite {
     assert(math.abs(m.validity - 0.8) < 1e-12)
   }
 
+  test("data_quality_4: scrambled insert order yields identical metrics (slt:82-102)") {
+    // The reference's fourth fixture inserts the same 15 samples in a
+    // shuffled order and prints the same four metrics — the aggregate is
+    // order-insensitive because it sorts by time first. Mirror that by
+    // feeding compute() the time-sorted view of the shuffled arrays.
+    val tShuf = Array[Double](26, 6, 22, 10, 1, 31, 3, 4, 13, 14, 16, 18, 19, 24, 33)
+    val vShuf = Array[Double](124.21, 14.03, 1234.45, 12.30, 12.34, 6.34, 34.54, 1.43,
+      11.54, 112.20, 14.44, 134.02, 116.34, 10.36, Double.NaN)
+    val sorted = tShuf.zip(vShuf).sortBy(_._1)
+    val m = DataQuality.compute(sorted.map(_._1), sorted.map(_._2)).get
+    assert(math.abs(m.completeness - 0.8235294117647058) < 1e-12)
+    assert(math.abs(m.consistency - 0.8666666666666667) < 1e-12)
+    assert(math.abs(m.timeliness - 0.9333333333333333) < 1e-12)
+    assert(math.abs(m.validity - 0.8) < 1e-12)
+  }
+
   test("fewer than two finite values → None (reference errors)") {
     assert(DataQuality.compute(Array(1.0), Array(12.34)).isEmpty)
     assert(DataQuality.compute(Array(1.0, 2.0, 3.0),

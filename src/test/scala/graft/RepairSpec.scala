@@ -7,6 +7,94 @@ import graft.functions.Repair
 class RepairSpec extends AnyFunSuite {
   private val NaN = Double.NaN
 
+  // ---------------------------------------------------------------------
+  // Reference-published fixtures: every expected value below is copied
+  // verbatim from the reference's own slt output
+  // (query_server/sqllogicaltests/cases/function/data_repair.slt), so
+  // these specs assert graft against cnosdb's printed numbers, not
+  // against values graft computed for itself.
+  // ---------------------------------------------------------------------
+
+  // data_repair.slt:193 v_fill_repair — 15 samples at t = 2,3,4,6,8,10,
+  // 14,15,16,18,20,22,26,28,30 ns with NaN (acos(3)) at t = 2,14,20,22.
+  private val sltTimes = Array[Long](2, 3, 4, 6, 8, 10, 14, 15, 16, 18, 20, 22, 26, 28, 30)
+  private val sltValues = Array[Double](NaN, 101.0, 102.0, 104.0, 126.0, 108.0, NaN,
+    113.0, 114.0, 116.0, NaN, NaN, 124.0, 126.0, 128.0)
+
+  private def assertSeries(got: Array[Double], want: Seq[Double], tol: Double = 1e-9): Unit = {
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      if (w.isNaN) assert(g.isNaN, s"idx $i: expected NaN, got $g")
+      else assert(math.abs(g - w) < tol, s"idx $i: expected $w, got $g")
+    }
+  }
+
+  test("value_fill linear matches data_repair.slt:253-269 (and the default, :196-212)") {
+    assertSeries(Repair.fillSeries(sltValues, "linear"), Seq(
+      101.0, 101.0, 102.0, 104.0, 126.0, 108.0, 110.5, 113.0, 114.0, 116.0,
+      118.66666666666667, 121.33333333333333, 124.0, 126.0, 128.0))
+  }
+
+  test("value_fill mean matches data_repair.slt:215-231") {
+    assertSeries(Repair.fillSeries(sltValues, "mean"), Seq(
+      114.72727272727273, 101.0, 102.0, 104.0, 126.0, 108.0, 114.72727272727273,
+      113.0, 114.0, 116.0, 114.72727272727273, 114.72727272727273, 124.0, 126.0, 128.0))
+  }
+
+  test("value_fill previous matches data_repair.slt:234-250") {
+    assertSeries(Repair.fillSeries(sltValues, "previous"), Seq(
+      NaN, 101.0, 102.0, 104.0, 126.0, 108.0, 108.0, 113.0, 114.0, 116.0,
+      116.0, 116.0, 124.0, 126.0, 128.0))
+  }
+
+  test("value_fill AR matches data_repair.slt:272-288") {
+    assertSeries(Repair.fillSeries(sltValues, "ar"), Seq(
+      114.72727272727273, 101.0, 102.0, 104.0, 126.0, 108.0, 110.81413693465396,
+      113.0, 114.0, 116.0, 117.33359859078759, 118.42039170045177, 124.0, 126.0, 128.0))
+  }
+
+  test("value_fill MA matches data_repair.slt:291-307") {
+    assertSeries(Repair.fillSeries(sltValues, "ma"), Seq(
+      102.33333333333333, 101.0, 102.0, 104.0, 126.0, 108.0, 108.2,
+      113.0, 114.0, 116.0, 110.5, 110.5, 124.0, 126.0, 128.0))
+  }
+
+  test("value_fill rejects an unknown method like data_repair.slt:309-310") {
+    intercept[IllegalArgumentException] { Repair.fillSeries(sltValues, "nan") }
+  }
+
+  test("value_repair SCREEN matches data_repair.slt:322-338 (default, =screen, =lsgreedy)") {
+    // The reference prints the same fully-repaired line v = t + 98 for
+    // value_repair with no args, method=screen and method=lsgreedy
+    // (slt:322,341,360 — e.g. t=2 → 100.0, t=30 → 128.0): the spike at
+    // t=8 and all NaNs land back on the unit-speed line.
+    assertSeries(Repair.screen(sltTimes, sltValues),
+      sltTimes.map(t => 98.0 + t).toSeq)
+  }
+
+  test("timestamp_repair matches data_repair.slt:11-23 (11-slot grid, trailing NaN)") {
+    // ts_repair fixture: samples at 0,10,19,30,40,50,61,71,81,91 s
+    // (ms precision), values 1..10. The reference prints an 11-slot
+    // 10 s grid 00:00:00..00:01:40 with values 1..10 and NaN at the
+    // final inserted slot.
+    val tsMs = Array[Long](0, 10000, 19000, 30000, 40000, 50000, 61000, 71000, 81000, 91000)
+    val vs = Array.tabulate(10)(i => (i + 1).toDouble)
+    val (t2, v2) = Repair.timestampRepair(tsMs, vs)
+    assert(t2.toSeq == (0 to 10).map(_ * 10000L))
+    assertSeries(v2, (1 to 10).map(_.toDouble) :+ NaN)
+    // interval=10000 given explicitly prints the same table (slt:88-101)
+    val (t3, v3) = Repair.timestampRepair(tsMs, vs, intervalOpt = Some(10000L))
+    assert(t3.sameElements(t2) && v3.zip(v2).forall { case (a, b) => a.isNaN == b.isNaN && (a.isNaN || a == b) })
+  }
+
+  test("timestamp_repair on the value<8 prefix matches data_repair.slt:172-183") {
+    val tsMs = Array[Long](0, 10000, 19000, 30000, 40000, 50000, 61000)
+    val vs = Array.tabulate(7)(i => (i + 1).toDouble)
+    val (t2, v2) = Repair.timestampRepair(tsMs, vs)
+    assert(t2.toSeq == (0 to 7).map(_ * 10000L))
+    assertSeries(v2, (1 to 7).map(_.toDouble) :+ NaN)
+  }
+
   test("fillSeries linear interpolates and clamps edges") {
     val got = Repair.fillSeries(Array(NaN, 2.0, NaN, NaN, 8.0, NaN), "linear")
     assert(got.toSeq == Seq(2.0, 2.0, 4.0, 6.0, 8.0, 8.0))
