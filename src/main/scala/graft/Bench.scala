@@ -69,7 +69,12 @@ object Bench {
     // immediate warm re-run: the artifact separates JIT from plan cost
     // so round-over-round comparisons aren't dominated by cold-start
     // ordering noise.
+    // Optional comma-separated name filter for targeted re-measures
+    // (e.g. the BENCH_SCALING lanes); the driver never sets it, so the
+    // full suite remains the default.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val qseq = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val (firstHalf, secondHalf) = qseq.splitAt(qseq.length / 2)
     val calibA = calibProbe()
     val res1 = firstHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
