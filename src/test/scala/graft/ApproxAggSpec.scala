@@ -77,6 +77,24 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("q_approx_agg plans no percentile buffer keyed on the distinct column") {
+    // Regression guard for the r5 scale fix: countDistinct + exact
+    // percentile in ONE aggregate makes Spark's distinct rewrite key the
+    // partial aggregate on (l_returnflag, l_partkey), carrying a
+    // percentile hash-map buffer per PARTKEY group — ~600k live maps at
+    // sf1 (106 s warm, memory ∝ corpus distinct count). The entry keeps
+    // the lanes in separate branches; this pins that no aggregate node
+    // ever groups on l_partkey while computing a percentile.
+    val df = graft.queries.CoreSql.queries("q_approx_agg")(spark, sf)
+    val offenders = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(_.toString.contains("l_partkey")) &&
+            a.aggregateExpressions.exists(_.toString.toLowerCase.contains("percentile")) => a
+    }
+    assert(offenders.isEmpty,
+      s"percentile carried through the distinct keyspace:\n${offenders.mkString("\n")}")
+  }
+
   test("weightedPercentile matches a hand-computed fixture") {
     import spark.implicits._
     // values 10,20,30,40 with weights 1,1,6,2 (total 10):
