@@ -426,7 +426,37 @@ object TimeSeriesQueries {
     "ts_events_view" -> ((s, dir) =>
       Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value", "ts")
-        .orderBy("event_id").limit(10000))
+        .orderBy("event_id").limit(10000)),
+
+    // Tag/time-only projection shapes: the reference pins that
+    // projecting (time), (time, tag) and (tag, field) subsets of a
+    // series table reads straight without losing duplicate rows
+    // (sqllogicaltests/cases/dql/only_time_col.slt:33-55,
+    // only_tag_col.slt:43-102). Spark analogue: project the tag
+    // columns (user_id, event_type) + time + one field from events;
+    // column pruning reaches the parquet scan.
+    "ts_only_cols_scan" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("ts_us", "event_type", "user_id", "value")
+        .orderBy("ts_us", "event_type", "user_id", "value")),
+
+    // Last-write-wins upsert read: the reference resolves duplicate
+    // (tags, time) keys by keeping the LAST write, stable across
+    // compaction (sqllogicaltests/cases/dql/file_query.slt:46-62 —
+    // inserting 1,1,1 then 2,2,2 at one key reads back 2.0 before AND
+    // after `compact database`). Spark analogue over events, keyed per
+    // (user, event_type, minute) with event_id as the write sequence:
+    // max_by keeps the newest write's value in one hash aggregate —
+    // the keep-LAST mirror of ts_dedup's keep-first.
+    "ts_upsert_lww" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .groupBy(col("user_id"), col("event_type"),
+          expr("ts_us div 60000000").as("minute"))
+        .agg(expr("max_by(value, event_id)").as("value"),
+          max(col("event_id")).as("last_write"))
+        .orderBy("user_id", "event_type", "minute"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -866,6 +896,16 @@ object TimeSeriesQueries {
         |FROM n ORDER BY event_id LIMIT 2000""".stripMargin,
     "ts_events_view" ->
       s"SELECT event_id, user_id, event_type, value, ts FROM $E ORDER BY event_id LIMIT 10000",
+    "ts_only_cols_scan" ->
+      s"""SELECT epoch_us(ts) AS ts_us, event_type, user_id, value
+         |FROM $E
+         |ORDER BY ts_us, event_type, user_id, value""".stripMargin,
+    "ts_upsert_lww" ->
+      s"""SELECT user_id, event_type, epoch_us(ts) // 60000000 AS minute,
+         |  arg_max(value, event_id) AS value, max(event_id) AS last_write
+         |FROM $E
+         |GROUP BY user_id, event_type, minute
+         |ORDER BY user_id, event_type, minute""".stripMargin,
     "ts_zorder_key" ->
       """SELECT event_id,
         |  CAST(sum((((user_id % 65536) >> b.i) & 1)::BIGINT << (2 * b.i)) +
