@@ -65,6 +65,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibProbe() // untimed: JIT-prime the probe's own codegen
+    // Hypervisor steal sampler: /proc/stat's aggregate cpu line, field 8
+    // (jiffies, USER_HZ=100). On a virtualized build box the r4/r5 bench
+    // blowups (warm run2 7-20× slower than run1, a 9 s calibration
+    // probe between two 1 s ones) came with RUNNABLE threads accruing
+    // thread-CPU at ~95% of wall — in a KVM guest preempted-vCPU time
+    // still lands on the running thread's clock, so in-guest profiling
+    // can NOT distinguish steal from real work. Only this counter can:
+    // emitting the per-half steal delta beside the calib probes turns
+    // "this half looks slow" into "the host stole N cpu-seconds during
+    // it". Non-Linux / unreadable → -1 (deltas suppressed).
+    def stealJiffies(): Long =
+      try {
+        val l = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        if (l.length > 8) l(8).toLong else -1L
+      } catch { case _: Throwable => -1L }
     // run1 = arrival order (includes residual per-query JIT), run2 =
     // immediate warm re-run: the artifact separates JIT from plan cost
     // so round-over-round comparisons aren't dominated by cold-start
@@ -76,16 +92,32 @@ object Bench {
     val qseq = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val (firstHalf, secondHalf) = qseq.splitAt(qseq.length / 2)
+    val stealA = stealJiffies()
+    val wall0 = System.nanoTime()
     val calibA = calibProbe()
     val res1 = firstHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
+    val stealB = stealJiffies()
+    val wall1 = System.nanoTime()
     val calibB = calibProbe()
     val res2 = secondHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
+    val stealC = stealJiffies()
+    val wall2 = System.nanoTime()
     val calibC = calibProbe()
     val results = res1 ++ res2
     val calibs = Seq(calibA, calibB, calibC)
     val spread = calibs.max / calibs.min
     val unit = calibs.sorted.apply(1)
-    val noisy = spread >= 1.5
+    // steal per half in cpu-seconds (USER_HZ=100); -1 when unavailable.
+    // A half is steal-noisy when the host took more than 10% of the
+    // cpu-time the bench's own executor pool could have used in it.
+    val steals =
+      if (stealA < 0 || stealB < 0 || stealC < 0) Seq(-1.0, -1.0)
+      else Seq((stealB - stealA) / 100.0, (stealC - stealB) / 100.0)
+    val walls = Seq((wall1 - wall0) / 1e9, (wall2 - wall1) / 1e9)
+    val stealNoisy = steals.zip(walls).exists {
+      case (s, w) => s > 0.10 * w * cpus.toInt
+    }
+    val noisy = spread >= 1.5 || stealNoisy
     // 4-decimal seconds keeps the one-line JSON short enough to survive the
     // driver's fixed-size stdout tail capture (r1's full-precision line was
     // truncated at the front → "parsed": null).
@@ -98,6 +130,7 @@ object Bench {
     val total2 = results.map(_._2._2).sum
     val calibJson = "\"calib\":[" + calibs.map(fmt).mkString(",") + "]," +
       "\"calib_spread\":" + fmt(spread) + ",\"calib_unit\":" + fmt(unit) +
+      ",\"steal_sec\":[" + steals.map(fmt).mkString(",") + "]" +
       ",\"noisy\":" + noisy
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_run2":${fmt(total2)},$calibJson,"queries":$qs,"sf":"$sfName"}"""
