@@ -104,6 +104,49 @@ object StreamQueries {
         .orderBy("event_id").limit(10000)
     }),
 
+    // Watermarked tumbling-window ingest aggregate, streamed (the
+    // landing-zone rollup every TSDB ingest path runs). Append-mode
+    // window aggregates emit a window only once the watermark passes
+    // its end, and the window holding the corpus max event time is
+    // never provably final at stream stop — so BOTH sides keep only
+    // windows strictly before the global max (computed from the same
+    // lake file), making the comparison independent of Spark's
+    // emit-boundary (< vs <=) convention. The hash compares the count
+    // and the cents-exact sum; the operator's avg column is projected
+    // out of the comparison because a quotient of exact operands can
+    // land on a round-half boundary where the engines' decimal
+    // renderings differ by an ulp (seen at sf0.1: 43.4728125).
+    "stream_windowed" -> ((s, dir) => {
+      val src = eventsStream(s, dir)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      val agg = StreamIngest.windowedStats(src, "tstamp", "event_type", "1 hour", "0 seconds")
+      val sink = replay(s, agg, "stream_windowed_sink")
+      val maxUs = Tables(s, dir, "events")
+        .agg(max(expr("ts_ns div 1000"))).head.getLong(0)
+      sink.select(col("event_type"), unix_micros(col("w_start")).as("w_start_us"),
+          col("n"), col("sum_value"))
+        .filter(col("w_start_us") + 3600000000L < maxUs)
+        .orderBy("event_type", "w_start_us")
+    }),
+
+    // Streaming exact dedup: first occurrence per content hash
+    // survives, state bounded by the watermark horizon
+    // (dropDuplicatesWithinWatermark — the streaming analogue of the
+    // batch md5-groupBy dedup). The stream carries ONLY copy-invariant
+    // columns (the text itself, with a text-derived event time), so
+    // WHICH copy survives is unobservable and the single-batch
+    // AvailableNow replay is order-independent; the doubled input
+    // makes every text a dup class. Oracle: DISTINCT.
+    "stream_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = StreamIngest.readEventsStream(s, dir, "documents.parquet", schema)
+      val src = docs.select(col("text"))
+        .unionByName(docs.select(col("text")))
+        .withColumn("tstamp", timestamp_seconds(pmod(xxhash64(col("text")), lit(86400L))))
+      val out = StreamIngest.streamingExactDedup(src, "tstamp", "text", "10 minutes")
+      replay(s, out, "stream_dedup_sink").select("text").orderBy("text")
+    }),
+
     // Continuous downsample + locf gap fill, streamed: per series one
     // row per hour bucket — observed buckets carry the bucket's last
     // sample, interior gaps the carried-forward value. The oracle
@@ -154,6 +197,19 @@ object StreamQueries {
         |SELECT event_id, event_type, value,
         |  CASE WHEN varnum > 0 THEN num * num > 9 * varnum ELSE FALSE END AS is_outlier
         |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
+    "stream_windowed" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |b AS (SELECT event_type,
+         |        (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us, value
+         |      FROM events)
+         |SELECT event_type, w_start_us, count(*) AS n,
+         |  round(sum(value), 4) AS sum_value
+         |FROM b, m
+         |GROUP BY event_type, w_start_us, mx
+         |HAVING w_start_us + 3600000000 < mx
+         |ORDER BY event_type, w_start_us""".stripMargin,
+    "stream_dedup" ->
+      "SELECT DISTINCT text FROM documents ORDER BY text",
     "stream_gapfill_locf" ->
       """WITH p AS (
         |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us, value
