@@ -147,6 +147,43 @@ object StreamQueries {
       replay(s, out, "stream_dedup_sink").select("text").orderBy("text")
     }),
 
+    // Session windows, streamed: Spark's native session_window merges
+    // gap-bounded event runs identically on batch and stream, so the
+    // oracle is ts_session_window's gaps-and-islands SQL. A session's
+    // window end is (last event + gap); as with stream_windowed, both
+    // sides keep only sessions whose end is strictly before the global
+    // max event time, making the comparison independent of the
+    // append-mode emit-boundary convention.
+    "stream_session" -> ((s, dir) => {
+      val src = eventsStream(s, dir)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      val agg = StreamIngest.sessionStats(src, "tstamp", "user_id", "30 minutes", "0 seconds")
+      val sink = replay(s, agg, "stream_session_sink")
+      val maxUs = Tables(s, dir, "events")
+        .agg(max(expr("ts_ns div 1000"))).head.getLong(0)
+      sink.filter(unix_micros(col("w_end")) < maxUs)
+        .select(col("user_id"), unix_micros(col("w_start")).as("session_start_us"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // Streaming near-dup flags: every doc's band hashes are the same
+    // pure minhash_sig mapper as batch LSH; the stateful pass remembers
+    // each (band, bucket)'s first claimant and flags later colliders.
+    // The operator sorts each bucket group by doc_id, so in the
+    // single-batch AvailableNow replay the claimant is the bucket MIN —
+    // exactly the rule the SQL oracle replays from its own signature
+    // computation (same CTEs the green doc_minhash_pairs oracle uses).
+    "stream_neardup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = StreamIngest.readEventsStream(s, dir, "documents.parquet", schema)
+      val out = StreamIngest.streamingNearDupFlags(docs, "doc_id", "text")
+      replay(s, out.toDF(), "stream_neardup_sink")
+        .select(col("doc_id"), col("band").cast("long").as("band"),
+          col("first_id"), col("is_dup"))
+        .orderBy("doc_id", "band")
+    }),
+
     // Continuous downsample + locf gap fill, streamed: per series one
     // row per hour bucket — observed buckets carry the bucket's last
     // sample, interior gaps the carried-forward value. The oracle
@@ -210,6 +247,45 @@ object StreamQueries {
          |ORDER BY event_type, w_start_us""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
+    "stream_session" ->
+      s"""WITH d AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM $E
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, ts, value,
+         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM d),
+         |g AS (SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+         |        count(*) AS n, round(sum(value), 4) AS sum_value
+         |      FROM s GROUP BY user_id, sid),
+         |m AS (SELECT max(ts) AS mx FROM $E)
+         |SELECT user_id, epoch_us(session_start) AS session_start_us, n, sum_value
+         |FROM g, m
+         |WHERE last_ts + INTERVAL 30 MINUTE < mx
+         |ORDER BY user_id, session_start_us""".stripMargin,
+    "stream_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+        |sig AS (
+        |  SELECT doc_id, seed,
+        |    min(substr(md5(sh), seed * 4 + 1) || substr(md5(sh), 1, seed * 4)) AS mh
+        |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) v
+        |  GROUP BY doc_id, seed),
+        |bh AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |    md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
+        |  FROM sig GROUP BY doc_id, seed // 4),
+        |f AS (SELECT band, band_hash, min(doc_id) AS first_id
+        |      FROM bh GROUP BY band, band_hash)
+        |SELECT b.doc_id, b.band, f.first_id, b.doc_id != f.first_id AS is_dup
+        |FROM bh b JOIN f USING (band, band_hash)
+        |ORDER BY b.doc_id, b.band""".stripMargin,
     "stream_gapfill_locf" ->
       """WITH p AS (
         |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us, value
