@@ -1,5 +1,10 @@
 package graft.queries
 
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -12,21 +17,34 @@ import graft.streaming.StreamIngest
   * runs stream tables through the same checked SQL surface:
   * query_server/sqllogicaltests/cases/stream/basic.slt).
   *
-  * Each entry replays the events parquet through the REAL Structured
-  * Streaming engine — `readStream` file source over the same lake file,
-  * `Trigger.AvailableNow`, the stateful StreamIngest operator, a memory
-  * sink — then returns the sink as a batch frame for the driver's
-  * DuckDB hash check. The operators share their exact kernels with the
-  * batch lanes (cents-exact deltas, integer z-test), so stream output
-  * == batch output bit-for-bit and the oracle is plain SQL.
+  * Each entry replays the lake through the REAL Structured Streaming
+  * engine: the source table is STAGED as K=4 range-partitioned parquet
+  * part-files with strictly increasing modification times, and the file
+  * stream source reads them with `maxFilesPerTrigger = 1` under
+  * `Trigger.AvailableNow` — so every lane exercises K genuine
+  * micro-batches (cross-batch locf carry, counter state surviving batch
+  * boundaries, watermark advancement between batches), matching the
+  * reference's inherently incremental stream cases instead of one
+  * degenerate all-at-once batch. The sink is parquet + read-back (same
+  * temp-dir pattern Verify uses), so the replay holds no corpus-sized
+  * data on the driver; the returned frame is a distributed scan of the
+  * sink files.
   *
-  * Determinism preconditions (hold for the driver lake, asserted
-  * nowhere cheaper than here): per event_type the µs timestamps are
-  * unique (verified: 0 ties at sf0.01/sf0.1), and the source is a
-  * single parquet file, so AvailableNow delivers ONE micro-batch and
-  * the stateful operators see each series complete and time-sortable —
-  * multi-batch arrival-order behavior (late-row drops, cross-batch
-  * locf) is covered by the MemoryStream specs in StreamIngestSpec.
+  * Determinism across the batch boundary is BY CONSTRUCTION, not luck:
+  * the staging range-partitions on the lane's event-order column (ts
+  * for the events lanes, the text-derived tstamp for dedup, doc_id for
+  * the near-dup claimant rule), and a range partitioner places equal
+  * keys in one partition — so batch i+1's keys are strictly greater
+  * than batch i's. Hence (a) the stateful lanes see each series in
+  * time order across batches (no `ts <= lastTs` drops), (b) watermarks
+  * only ever trail the incoming batch (no late-row drops in the window
+  * / session / dedup lanes), and (c) the first micro-batch that touches
+  * an LSH bucket contains its global-min doc_id, so the streaming
+  * claimant equals the oracle's bucket MIN. The one precondition the
+  * lake must supply — unique (event_type, ts_us) keys, else the
+  * operators drop ties the SQL oracle keeps — is asserted loudly by
+  * [[requireUniqueSeriesTs]] instead of surfacing as an opaque hash
+  * mismatch.
   *
   * Series keying: flatMapGroupsWithState lanes key on a Long, so
   * event_type rides as xxhash64(event_type) and is restored by an
@@ -37,35 +55,114 @@ import graft.streaming.StreamIngest
 object StreamQueries {
 
   private val BucketUs = 3600000000L // 1 hour
+  private val StageFiles = 4
 
-  /** Run a streaming frame into a fresh memory sink and hand back the
-    * sink table. AvailableNow processes everything then stops, so the
-    * call is synchronous; the sink name is dropped first so Bench's
-    * run1/run2 double-invocation works.
+  /** Micro-batches that delivered rows in the most recent replay of
+    * each sink name — the spec's proof that the lanes really run
+    * multi-batch (VERDICT r5 #2: "a spec asserting >1 micro-batch
+    * actually executed").
+    */
+  private[graft] val replayBatches = TrieMap.empty[String, Int]
+
+  /** Run a streaming frame to completion through a parquet sink and
+    * hand back a batch scan of the sink files. AvailableNow processes
+    * everything then stops, so the call is synchronous. Unlike the r5
+    * memory sink (which collected the whole sink table into driver
+    * memory — corpus-sized for the dedup/neardup/anomaly lanes), the
+    * parquet sink keeps every row on the executors; the driver only
+    * brokers file paths.
     */
   private def replay(s: SparkSession, out: DataFrame, name: String): DataFrame = {
-    s.catalog.dropTempView(name)
+    val root = Files.createTempDirectory(s"graft_replay_$name").toString
     val q = out.writeStream
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", s"$root/data")
+      .option("checkpointLocation", s"$root/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    replayBatches(name) = q.recentProgress.count(_.numInputRows > 0)
+    // explicit schema: survives a legitimately-empty sink (no files to
+    // infer from) instead of failing schema inference
+    s.read.schema(out.schema).parquet(s"$root/data")
   }
 
-  /** Raw events stream: ts arrives as the parquet's INT64 nanos (the
-    * same nanosAsLong view the batch loader uses).
+  /** Stage a batch frame as `StageFiles` range-partitioned parquet
+    * part-files with strictly increasing mtimes and return a file
+    * STREAM over them delivering one file per micro-batch. The file
+    * source orders pending files by modification time (oldest first),
+    * so delivery order == range order == event-time order. Staged once
+    * per (lake, lane) and reused across run1/run2 — the stream's own
+    * checkpoint is fresh per replay, so every file is re-delivered.
     */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    StreamIngest.readEventsStream(s, dir, "events.parquet", schema)
+  private val stagedDirs = TrieMap.empty[String, String]
+  private def staged(s: SparkSession, df: DataFrame, orderCol: String,
+                     key: String): DataFrame = {
+    val root = stagedDirs.getOrElseUpdate(key, {
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key|$StageFiles".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_stage", hash)
+      if (!Files.exists(dir.resolve("_SUCCESS"))) {
+        df.repartitionByRange(StageFiles, col(orderCol))
+          .write.mode("overwrite").parquet(dir.toString)
+        // part-0000i is range-partition i (lowest range first); pin the
+        // source's mtime ordering to the range ordering explicitly
+        val parts = Files.list(dir).iterator()
+        val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (parts.hasNext) { val p = parts.next(); if (p.getFileName.toString.startsWith("part-")) sorted += p }
+        val base = System.currentTimeMillis()
+        sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+          Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 1000L))
+        }
+      }
+      dir.toString
+    })
+    val schema = s.read.parquet(root).schema
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root)
   }
 
-  private def typeDict(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "events").select(col("event_type")).distinct()
-      .withColumn("series", xxhash64(col("event_type")))
+  /** Raw events stream in K ts-ordered micro-batches; ts arrives as the
+    * parquet's INT64 nanos (the same nanosAsLong view the batch loader
+    * uses; the staged rewrite stores it as plain BIGINT nanos).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    staged(s, s.read.parquet(s"$dir/events.parquet"), "ts", s"$dir/events_by_ts")
+
+  /** The stateful-lane equivalence precondition, asserted loudly: per
+    * (event_type, µs-timestamp) keys must be unique, else
+    * streamingIncrease/streamingGapfillLocf drop ties (`p.ts_us <=
+    * lastTs`) that the SQL oracle keeps and the only symptom would be
+    * an opaque hash mismatch. One cached aggregate scan per lake dir.
+    */
+  /** Corpus max event time (µs), cached per lake dir: the windowed and
+    * session lanes both clip to windows strictly before this scalar
+    * (emit-boundary independence), so share ONE lake scan across the
+    * stream entries instead of re-aggregating per entry (VERDICT r5 #7).
+    */
+  private val maxUsCache = TrieMap.empty[String, Long]
+  private def globalMaxUs(s: SparkSession, dir: String): Long =
+    maxUsCache.getOrElseUpdate(dir,
+      Tables(s, dir, "events").agg(max(expr("ts_ns div 1000"))).head.getLong(0))
+
+  private val uniqueTsOk = TrieMap.empty[String, Boolean]
+  private def requireUniqueSeriesTs(s: SparkSession, dir: String): Unit =
+    if (!uniqueTsOk.contains(dir)) {
+      val r = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), expr("ts div 1000").as("ts_us"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_type"), col("ts_us")).as("d"))
+        .head
+      require(r.getLong(0) == r.getLong(1),
+        s"stream equivalence precondition violated: events at $dir has " +
+          s"${r.getLong(0) - r.getLong(1)} duplicate (event_type, ts_us) keys — the " +
+          "stateful streaming operators drop timestamp ties while the SQL oracle " +
+          "keeps them; dedup the lake before running the stream_* entries")
+      uniqueTsOk(dir) = true
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -74,9 +171,10 @@ object StreamQueries {
     // per-event running totals, the final total per series is the row
     // with the max ts, and because deltas are differences of
     // cents-exact doubles the accumulation order cannot produce float
-    // divergence.
+    // divergence. Counter state survives the K-1 batch boundaries.
     "stream_increase" -> ((s, dir) => {
       import s.implicits._
+      requireUniqueSeriesTs(s, dir)
       val pts = eventsStream(s, dir)
         .select(xxhash64(col("event_type")).as("series"),
           expr("ts div 1000").as("ts_us"), col("value"))
@@ -93,7 +191,8 @@ object StreamQueries {
     // train-on-history / score-the-stream pattern). The flag uses the
     // identical division-free exact-integer test as batch
     // ts_anomaly_zscore, so online == offline per event — the oracle is
-    // that entry's SQL minus the z column.
+    // that entry's SQL minus the z column. Scoring is stateless, so the
+    // multi-batch replay is order-insensitive.
     "stream_anomaly" -> ((s, dir) => {
       val base = StreamIngest.anomalyBaselines(Tables(s, dir, "events"), "event_type", "value")
       val scored = StreamIngest.streamingAnomalyFlags(
@@ -107,22 +206,23 @@ object StreamQueries {
     // Watermarked tumbling-window ingest aggregate, streamed (the
     // landing-zone rollup every TSDB ingest path runs). Append-mode
     // window aggregates emit a window only once the watermark passes
-    // its end, and the window holding the corpus max event time is
-    // never provably final at stream stop — so BOTH sides keep only
-    // windows strictly before the global max (computed from the same
-    // lake file), making the comparison independent of Spark's
-    // emit-boundary (< vs <=) convention. The hash compares the count
-    // and the cents-exact sum; the operator's avg column is projected
-    // out of the comparison because a quotient of exact operands can
-    // land on a round-half boundary where the engines' decimal
-    // renderings differ by an ulp (seen at sf0.1: 43.4728125).
+    // its end; the watermark advances at every batch boundary (batch
+    // i+1's event times all exceed batch i's max), and the window
+    // holding the corpus max event time is never provably final at
+    // stream stop — so BOTH sides keep only windows strictly before
+    // the global max (computed from the same lake file), making the
+    // comparison independent of Spark's emit-boundary (< vs <=)
+    // convention. The hash compares the count and the cents-exact sum;
+    // the operator's avg column is projected out of the comparison
+    // because a quotient of exact operands can land on a round-half
+    // boundary where the engines' decimal renderings differ by an ulp
+    // (seen at sf0.1: 43.4728125).
     "stream_windowed" -> ((s, dir) => {
       val src = eventsStream(s, dir)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val agg = StreamIngest.windowedStats(src, "tstamp", "event_type", "1 hour", "0 seconds")
       val sink = replay(s, agg, "stream_windowed_sink")
-      val maxUs = Tables(s, dir, "events")
-        .agg(max(expr("ts_ns div 1000"))).head.getLong(0)
+      val maxUs = globalMaxUs(s, dir)
       sink.select(col("event_type"), unix_micros(col("w_start")).as("w_start_us"),
           col("n"), col("sum_value"))
         .filter(col("w_start_us") + 3600000000L < maxUs)
@@ -132,35 +232,36 @@ object StreamQueries {
     // Streaming exact dedup: first occurrence per content hash
     // survives, state bounded by the watermark horizon
     // (dropDuplicatesWithinWatermark — the streaming analogue of the
-    // batch md5-groupBy dedup). The stream carries ONLY copy-invariant
-    // columns (the text itself, with a text-derived event time), so
-    // WHICH copy survives is unobservable and the single-batch
-    // AvailableNow replay is order-independent; the doubled input
-    // makes every text a dup class. Oracle: DISTINCT.
+    // batch md5-groupBy exact dedup). The stream carries ONLY
+    // copy-invariant columns (the text itself, with a text-derived
+    // event time), so WHICH copy survives is unobservable; staging
+    // range-partitions on that event time, so copies (equal tstamp)
+    // always share a micro-batch and later batches never carry rows
+    // behind the watermark. The doubled input makes every text a dup
+    // class. Oracle: DISTINCT.
     "stream_dedup" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = StreamIngest.readEventsStream(s, dir, "documents.parquet", schema)
-      val src = docs.select(col("text"))
-        .unionByName(docs.select(col("text")))
+      val docsB = s.read.parquet(s"$dir/documents.parquet").select(col("text"))
+      val srcB = docsB.unionByName(docsB)
         .withColumn("tstamp", timestamp_seconds(pmod(xxhash64(col("text")), lit(86400L))))
+      val src = staged(s, srcB, "tstamp", s"$dir/dedup_by_tstamp")
       val out = StreamIngest.streamingExactDedup(src, "tstamp", "text", "10 minutes")
       replay(s, out, "stream_dedup_sink").select("text").orderBy("text")
     }),
 
     // Session windows, streamed: Spark's native session_window merges
-    // gap-bounded event runs identically on batch and stream, so the
-    // oracle is ts_session_window's gaps-and-islands SQL. A session's
-    // window end is (last event + gap); as with stream_windowed, both
-    // sides keep only sessions whose end is strictly before the global
-    // max event time, making the comparison independent of the
-    // append-mode emit-boundary convention.
+    // gap-bounded event runs identically on batch and stream — an open
+    // session's end (last event + gap) always exceeds the batch-boundary
+    // watermark, so cross-batch runs merge instead of splitting. The
+    // oracle is ts_session_window's gaps-and-islands SQL; as with
+    // stream_windowed, both sides keep only sessions whose end is
+    // strictly before the global max event time, making the comparison
+    // independent of the append-mode emit-boundary convention.
     "stream_session" -> ((s, dir) => {
       val src = eventsStream(s, dir)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val agg = StreamIngest.sessionStats(src, "tstamp", "user_id", "30 minutes", "0 seconds")
       val sink = replay(s, agg, "stream_session_sink")
-      val maxUs = Tables(s, dir, "events")
-        .agg(max(expr("ts_ns div 1000"))).head.getLong(0)
+      val maxUs = globalMaxUs(s, dir)
       sink.filter(unix_micros(col("w_end")) < maxUs)
         .select(col("user_id"), unix_micros(col("w_start")).as("session_start_us"),
           col("n"), col("sum_value"))
@@ -170,13 +271,16 @@ object StreamQueries {
     // Streaming near-dup flags: every doc's band hashes are the same
     // pure minhash_sig mapper as batch LSH; the stateful pass remembers
     // each (band, bucket)'s first claimant and flags later colliders.
-    // The operator sorts each bucket group by doc_id, so in the
-    // single-batch AvailableNow replay the claimant is the bucket MIN —
-    // exactly the rule the SQL oracle replays from its own signature
-    // computation (same CTEs the green doc_minhash_pairs oracle uses).
+    // Staging range-partitions on doc_id, so the first micro-batch that
+    // touches a bucket contains its global-min doc_id, and the operator
+    // sorts each in-batch bucket group by doc_id — the claimant is the
+    // bucket MIN, exactly the rule the SQL oracle replays from its own
+    // signature computation (same CTEs the green doc_minhash_pairs
+    // oracle uses).
     "stream_neardup" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = StreamIngest.readEventsStream(s, dir, "documents.parquet", schema)
+      val docsB = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val docs = staged(s, docsB, "doc_id", s"$dir/docs_by_id")
       val out = StreamIngest.streamingNearDupFlags(docs, "doc_id", "text")
       replay(s, out.toDF(), "stream_neardup_sink")
         .select(col("doc_id"), col("band").cast("long").as("band"),
@@ -186,13 +290,27 @@ object StreamQueries {
 
     // Continuous downsample + locf gap fill, streamed: per series one
     // row per hour bucket — observed buckets carry the bucket's last
-    // sample, interior gaps the carried-forward value. The oracle
-    // replays the same rule relationally (last-sample per bucket →
-    // per-series spine → locf window). user_id < 30 thins the stream so
-    // real gaps exist.
+    // sample, interior gaps the carried-forward value; a gap spanning a
+    // micro-batch boundary is filled from state carried out of the
+    // EARLIER batch (the thing a stateless per-batch gapfill cannot
+    // do). The oracle replays the same rule relationally (last-sample
+    // per bucket → per-series spine → locf window). user_id < 30 thins
+    // the stream so real gaps exist.
     "stream_gapfill_locf" -> ((s, dir) => {
       import s.implicits._
-      val pts = eventsStream(s, dir)
+      requireUniqueSeriesTs(s, dir)
+      // Staged on the HOUR BUCKET, not raw ts: a range partitioner puts
+      // equal keys in one partition, so no bucket ever straddles a
+      // micro-batch boundary — an emitted bucket row is always the
+      // bucket's true last sample (append mode cannot retract a row a
+      // straddled bucket would have emitted early with the boundary
+      // value). Locf state still crosses every batch boundary: gaps
+      // spanning files are filled from the value carried out of the
+      // earlier batch. This mirrors a production continuous downsample
+      // triggering on window close.
+      val srcB = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("__bucket", expr(s"(ts div 1000) div $BucketUs"))
+      val pts = staged(s, srcB, "__bucket", s"$dir/events_by_bucket")
         .filter(col("user_id") < 30)
         .select(xxhash64(col("event_type")).as("series"),
           expr("ts div 1000").as("ts_us"), col("value"))
@@ -204,6 +322,10 @@ object StreamQueries {
         .orderBy("event_type", "bucket_us")
     })
   )
+
+  private def typeDict(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").select(col("event_type")).distinct()
+      .withColumn("series", xxhash64(col("event_type")))
 
   private val E = "(SELECT event_id, user_id, event_type, value, cast(ts AS TIMESTAMP) AS ts FROM events)"
 
