@@ -463,7 +463,8 @@ object Dedup {
   def dupGroupsOf(df: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 8, bands: Int = 2, threshold: Double = 0.5,
                   maxBucketSize: Int = 1000, maxIters: Int = 20,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  useStar: Boolean = false): DataFrame = {
     val withH = df.withColumn("__h", md5(col(textCol)))
     val repTbl = withH.select(col("__h"), col(idCol))
       .groupBy("__h").agg(min(col(idCol)).as("__rep"),
@@ -474,7 +475,13 @@ object Dedup {
     val repPairs = minHashNearDupsRaw(
       reps.select(col(idCol), col(textCol)), idCol, textCol,
       numHashes, bands, threshold, maxBucketSize)
-    val repGroups = dupGroups(repPairs, "id_a", "id_b", maxIters, checkpointDir)
+    // CC backend is selectable: min-label (O(diameter) rounds — right
+    // for LSH near-cliques) or large-star/small-star (O(log n) — right
+    // for chain-shaped boilerplate components). Identical (doc_id,
+    // group_id = component min) contract, so callers and oracles are
+    // backend-agnostic.
+    val repGroups = (if (useStar) dupGroupsStar(repPairs, "id_a", "id_b", maxIters, checkpointDir)
+                     else dupGroups(repPairs, "id_a", "id_b", maxIters, checkpointDir))
       .select(col("doc_id").as("__rep2"), col("group_id"))
     val repState = reps.select(col(idCol).as("__rep2"), col("__nclass"), col("__sig"))
       .join(repGroups, Seq("__rep2"), "left")

@@ -92,6 +92,16 @@ object PipelineQueries {
       Dedup.dupGroupsOf(corpus(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Same pipeline through the O(log n) large-star/small-star CC
+    // backend (Kiveris et al. SOCC'14) — the group contract (component
+    // min per doc) is backend-independent, so the oracle is identical
+    // to doc_dup_groups'. Keeps BOTH CC paths oracle-honest: min-label
+    // is the LSH near-clique default, star the chain-shaped-component
+    // scale path.
+    "doc_dup_groups_star" -> ((s, dir) =>
+      Dedup.dupGroupsOf(corpus(s, dir), "doc_id", "text", useStar = true)
+        .orderBy("doc_id")),
+
     // Exact n-per-stratum deterministic sample (hash order within each
     // stratum) — reproducible dataset construction across engines/runs.
     "doc_stratified_sample" -> ((s, dir) =>
@@ -497,6 +507,22 @@ object PipelineQueries {
        |  FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
        |  WHERE inter / (za.sz + zb.sz - inter) >= 0.5)""".stripMargin
 
+  /** Transitive-closure group oracle, shared verbatim by the min-label
+    * and large-star/small-star entries — the backend choice must be
+    * unobservable in the (doc_id, group_id = component min) contract.
+    */
+  private val dupGroupsOracle =
+    s"""WITH RECURSIVE $MINHASH_CTES,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS v, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS v, reach.r FROM reach JOIN edges e ON e.dst = reach.v)
+       |SELECT v AS doc_id, min(r) AS group_id FROM reach
+       |GROUP BY v ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "emb_lsh_ann" -> lshOracle,
     "emb_ivf_ann" -> ivfOracle,
@@ -510,17 +536,9 @@ object PipelineQueries {
       s"""WITH $MINHASH_CTES
          |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
-    "doc_dup_groups" ->
-      s"""WITH RECURSIVE $MINHASH_CTES,
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT src AS v, src AS r FROM edges
-         |  UNION
-         |  SELECT e.src AS v, reach.r FROM reach JOIN edges e ON e.dst = reach.v)
-         |SELECT v AS doc_id, min(r) AS group_id FROM reach
-         |GROUP BY v ORDER BY doc_id""".stripMargin,
+    "doc_dup_groups" -> dupGroupsOracle,
+    // identical oracle by design: the CC backend must not be observable
+    "doc_dup_groups_star" -> dupGroupsOracle,
     "doc_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (
