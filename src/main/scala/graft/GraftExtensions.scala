@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayOverlapCount, BpeTokenCount, CharNgramSet, CharSetCount, MinhashSig, NonAlnumSpaceCount, NumGcd, NumLcm, SimHash60, VecDot, WordSetCount, WordShingleSet, ZorderKey}
+import graft.functions.{Arity, ArrayOverlapCount, BpeTokenCount, CharNgramSet, CharSetCount, MinhashSig, NonAlnumSpaceCount, NumGcd, NumLcm, SimHash60, VecDot, WordSetCount, WordShingleSet, ZorderKey}
 
 /** SparkSessionExtensions hook: registers graft's native expressions
   * permanently in a session built with
@@ -18,53 +18,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String) = new ExpressionInfo("graft", name)
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
-      (c: Seq[Expression]) => VecDot(c.head, c(1))))
+      Arity.binary("vec_dot")(VecDot)))
     ext.injectFunction((FunctionIdentifier("num_gcd"), info("num_gcd"),
-      (c: Seq[Expression]) => NumGcd(c.head, c(1))))
+      Arity.binary("num_gcd")(NumGcd)))
     ext.injectFunction((FunctionIdentifier("num_lcm"), info("num_lcm"),
-      (c: Seq[Expression]) => NumLcm(c.head, c(1))))
+      Arity.binary("num_lcm")(NumLcm)))
     ext.injectFunction((FunctionIdentifier("char_ngram_set"), info("char_ngram_set"),
-      (c: Seq[Expression]) => CharNgramSet(c.head, c(1))))
+      Arity.binary("char_ngram_set")(CharNgramSet)))
     ext.injectFunction((FunctionIdentifier("array_overlap_count"), info("array_overlap_count"),
-      (c: Seq[Expression]) => ArrayOverlapCount(c.head, c(1))))
+      Arity.binary("array_overlap_count")(ArrayOverlapCount)))
     ext.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
-      (c: Seq[Expression]) => MinhashSig(c.head, c(1))))
+      Arity.binary("minhash_sig")(MinhashSig)))
     ext.injectFunction((FunctionIdentifier("word_shingle_set"), info("word_shingle_set"),
-      (c: Seq[Expression]) => WordShingleSet(c.head)))
+      Arity.unary("word_shingle_set")(WordShingleSet)))
     ext.injectFunction((FunctionIdentifier("simhash60"), info("simhash60"),
-      (c: Seq[Expression]) => SimHash60(c.head)))
+      Arity.unary("simhash60")(SimHash60)))
     ext.injectFunction((FunctionIdentifier("word_set_count"), info("word_set_count"),
-      (c: Seq[Expression]) => WordSetCount(c.head, c(1))))
+      Arity.binary("word_set_count")(WordSetCount)))
     ext.injectFunction((FunctionIdentifier("char_set_count"), info("char_set_count"),
-      (c: Seq[Expression]) => CharSetCount(c.head, c(1))))
+      Arity.binary("char_set_count")(CharSetCount)))
     ext.injectFunction((FunctionIdentifier("non_alnum_space_count"), info("non_alnum_space_count"),
-      (c: Seq[Expression]) => NonAlnumSpaceCount(c.head)))
+      Arity.unary("non_alnum_space_count")(NonAlnumSpaceCount)))
     ext.injectFunction((FunctionIdentifier("bpe_token_count"), info("bpe_token_count"),
-      (c: Seq[Expression]) => BpeTokenCount(c.head)))
+      Arity.unary("bpe_token_count")(BpeTokenCount)))
     ext.injectFunction((FunctionIdentifier("zorder_key"), info("zorder_key"),
-      (c: Seq[Expression]) => ZorderKey(c.head, c(1))))
+      Arity.binary("zorder_key")(ZorderKey)))
     ext.injectFunction((FunctionIdentifier("st_distance"), info("st_distance"),
-      (c: Seq[Expression]) => functions.StDistance(c.head, c(1))))
+      Arity.binary("st_distance")(functions.StDistance)))
     ext.injectFunction((FunctionIdentifier("st_intersects"), info("st_intersects"),
-      (c: Seq[Expression]) => functions.StIntersects(c.head, c(1))))
+      Arity.binary("st_intersects")(functions.StIntersects)))
     ext.injectFunction((FunctionIdentifier("st_within"), info("st_within"),
-      (c: Seq[Expression]) => functions.StWithin(c.head, c(1))))
+      Arity.binary("st_within")(functions.StWithin)))
     ext.injectFunction((FunctionIdentifier("st_equals"), info("st_equals"),
-      (c: Seq[Expression]) => functions.StEquals(c.head, c(1))))
+      Arity.binary("st_equals")(functions.StEquals)))
     ext.injectFunction((FunctionIdentifier("st_area"), info("st_area"),
-      (c: Seq[Expression]) => functions.StArea(c.head)))
+      Arity.unary("st_area")(functions.StArea)))
     ext.injectFunction((FunctionIdentifier("st_asbinary"), info("st_asbinary"),
-      (c: Seq[Expression]) => functions.StAsBinary(c.head)))
+      Arity.unary("st_asbinary")(functions.StAsBinary)))
     ext.injectFunction((FunctionIdentifier("st_geomfromwkb"), info("st_geomfromwkb"),
-      (c: Seq[Expression]) => functions.StGeomFromWkb(c.head)))
+      Arity.unary("st_geomfromwkb")(functions.StGeomFromWkb)))
     ext.injectFunction((FunctionIdentifier("st_geomfromwkt"), info("st_geomfromwkt"),
-      (c: Seq[Expression]) => functions.StGeomFromWkt(c.head)))
+      Arity.unary("st_geomfromwkt")(functions.StGeomFromWkt)))
     // derived predicates, same SQL surface as the reference gis/mod.rs:
     // contains = within flipped, disjoint = NOT intersects
     ext.injectFunction((FunctionIdentifier("st_contains"), info("st_contains"),
-      (c: Seq[Expression]) => functions.StWithin(c(1), c.head)))
+      Arity.binary("st_contains")((a, b) => functions.StWithin(b, a))))
     ext.injectFunction((FunctionIdentifier("st_disjoint"), info("st_disjoint"),
-      (c: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.Not(functions.StIntersects(c.head, c(1)))))
+      Arity.binary("st_disjoint")((a, b) =>
+        org.apache.spark.sql.catalyst.expressions.Not(functions.StIntersects(a, b)))))
   }
 }

@@ -159,27 +159,27 @@ object GisExpressions {
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("st_distance",
-      (c: Seq[Expression]) => StDistance(c.head, c(1)), "built-in")
+      Arity.binary("st_distance")(StDistance), "built-in")
     r.createOrReplaceTempFunction("st_intersects",
-      (c: Seq[Expression]) => StIntersects(c.head, c(1)), "built-in")
+      Arity.binary("st_intersects")(StIntersects), "built-in")
     r.createOrReplaceTempFunction("st_within",
-      (c: Seq[Expression]) => StWithin(c.head, c(1)), "built-in")
+      Arity.binary("st_within")(StWithin), "built-in")
     r.createOrReplaceTempFunction("st_equals",
-      (c: Seq[Expression]) => StEquals(c.head, c(1)), "built-in")
+      Arity.binary("st_equals")(StEquals), "built-in")
     r.createOrReplaceTempFunction("st_area",
-      (c: Seq[Expression]) => StArea(c.head), "built-in")
+      Arity.unary("st_area")(StArea), "built-in")
     r.createOrReplaceTempFunction("st_asbinary",
-      (c: Seq[Expression]) => StAsBinary(c.head), "built-in")
+      Arity.unary("st_asbinary")(StAsBinary), "built-in")
     r.createOrReplaceTempFunction("st_geomfromwkb",
-      (c: Seq[Expression]) => StGeomFromWkb(c.head), "built-in")
+      Arity.unary("st_geomfromwkb")(StGeomFromWkb), "built-in")
     r.createOrReplaceTempFunction("st_geomfromwkt",
-      (c: Seq[Expression]) => StGeomFromWkt(c.head), "built-in")
+      Arity.unary("st_geomfromwkt")(StGeomFromWkt), "built-in")
     // derived predicates (reference gis/mod.rs exposes them as first-class
     // SQL names): contains = within with flipped args, disjoint = NOT intersects
     r.createOrReplaceTempFunction("st_contains",
-      (c: Seq[Expression]) => StWithin(c(1), c.head), "built-in")
+      Arity.binary("st_contains")((a, b) => StWithin(b, a)), "built-in")
     r.createOrReplaceTempFunction("st_disjoint",
-      (c: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Not(
-        StIntersects(c.head, c(1))), "built-in")
+      Arity.binary("st_disjoint")((a, b) =>
+        org.apache.spark.sql.catalyst.expressions.Not(StIntersects(a, b))), "built-in")
   }
 }

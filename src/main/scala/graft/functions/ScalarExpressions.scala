@@ -166,10 +166,10 @@ object ScalarExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("num_gcd",
-      (c: Seq[Expression]) => NumGcd(c.head, c(1)), "built-in")
+      Arity.binary("num_gcd")(NumGcd), "built-in")
     reg.createOrReplaceTempFunction("num_lcm",
-      (c: Seq[Expression]) => NumLcm(c.head, c(1)), "built-in")
+      Arity.binary("num_lcm")(NumLcm), "built-in")
     reg.createOrReplaceTempFunction("zorder_key",
-      (c: Seq[Expression]) => ZorderKey(c.head, c(1)), "built-in")
+      Arity.binary("zorder_key")(ZorderKey), "built-in")
   }
 }

@@ -592,26 +592,26 @@ object TextExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("char_ngram_set",
-      (c: Seq[Expression]) => CharNgramSet(c.head, c(1)), "built-in")
+      Arity.binary("char_ngram_set")(CharNgramSet), "built-in")
     reg.createOrReplaceTempFunction("array_overlap_count",
-      (c: Seq[Expression]) => ArrayOverlapCount(c.head, c(1)), "built-in")
+      Arity.binary("array_overlap_count")(ArrayOverlapCount), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
-      (c: Seq[Expression]) => MinhashSig(c.head, c(1)), "built-in")
+      Arity.binary("minhash_sig")(MinhashSig), "built-in")
     reg.createOrReplaceTempFunction("word_shingle_set",
-      (c: Seq[Expression]) => WordShingleSet(c.head), "built-in")
+      Arity.unary("word_shingle_set")(WordShingleSet), "built-in")
     reg.createOrReplaceTempFunction("simhash60",
-      (c: Seq[Expression]) => SimHash60(c.head), "built-in")
+      Arity.unary("simhash60")(SimHash60), "built-in")
     reg.createOrReplaceTempFunction("word_set_count",
-      (c: Seq[Expression]) => WordSetCount(c.head, c(1)), "built-in")
+      Arity.binary("word_set_count")(WordSetCount), "built-in")
     reg.createOrReplaceTempFunction("char_set_count",
-      (c: Seq[Expression]) => CharSetCount(c.head, c(1)), "built-in")
+      Arity.binary("char_set_count")(CharSetCount), "built-in")
     reg.createOrReplaceTempFunction("non_alnum_space_count",
-      (c: Seq[Expression]) => NonAlnumSpaceCount(c.head), "built-in")
+      Arity.unary("non_alnum_space_count")(NonAlnumSpaceCount), "built-in")
     reg.createOrReplaceTempFunction("bpe_token_count",
-      (c: Seq[Expression]) => BpeTokenCount(c.head), "built-in")
+      Arity.unary("bpe_token_count")(BpeTokenCount), "built-in")
     reg.createOrReplaceTempFunction("rep_stats",
-      (c: Seq[Expression]) => RepStats(c.head), "built-in")
+      Arity.unary("rep_stats")(RepStats), "built-in")
     reg.createOrReplaceTempFunction("ws_normalize",
-      (c: Seq[Expression]) => WsNormalize(c.head), "built-in")
+      Arity.unary("ws_normalize")(WsNormalize), "built-in")
   }
 }

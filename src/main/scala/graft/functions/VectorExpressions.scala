@@ -86,6 +86,5 @@ object VectorExpressions {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", (children: Seq[Expression]) => VecDot(children.head, children(1)),
-      "built-in")
+      "vec_dot", Arity.binary("vec_dot")(VecDot), "built-in")
 }

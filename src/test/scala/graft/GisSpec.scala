@@ -146,6 +146,18 @@ class GisSpec extends AnyFunSuite {
     assert(r.getString(7) == "POINT(2.0 2.0)")
     assert(r.getString(8) == "POINT(2.0 2.0)")
     // st_asbinary makes it 10 distinct SQL names exercised above
+
+    // wrong arity surfaces the standard WRONG_NUM_ARGS analysis error,
+    // not an IndexOutOfBoundsException from inside the builder
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT st_contains(pt) FROM gis_sql_probe").head
+    }
+    assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"),
+      s"wanted WRONG_NUM_ARGS, got ${e.getCondition}: ${e.getMessage}")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT st_area(pt, box) FROM gis_sql_probe").head
+    }
+    assert(e1.getCondition != null && e1.getCondition.startsWith("WRONG_NUM_ARGS"))
   }
 
   test("st_* Columns build without any active SparkSession (no registry side effect)") {
