@@ -202,11 +202,12 @@ object StreamIngest {
     * (aggressive) or routes them to a batch confirm join (exact
     * jaccard), mirroring the batch confirm stage.
     *
-    * State is one (first doc id) per DISTINCT bucket seen — the same
-    * cardinality the batch candidate aggregation shuffles. For an
-    * unbounded stream, wrap the source with a watermark-bounded window
-    * upstream or recycle the query periodically; kept timeout-free
-    * here so dedup never silently forgets within a run.
+    * State is one (first doc id) per DISTINCT bucket seen, with NO
+    * timeout — correct for a bounded replay (never silently forgets
+    * within the run), unbounded growth on a production stream. For the
+    * latter use [[streamingNearDupFlagsBounded]], which expires each
+    * bucket's claim a TTL past its newest claim via event-time
+    * timeout.
     */
   def streamingNearDupFlags(docs: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 8, bands: Int = 2): Dataset[BandCollision] = {
@@ -227,6 +228,67 @@ object StreamIngest {
           val first = state.getOption.getOrElse(sorted.head)
           if (!state.exists) state.update(first)
           sorted.iterator.map(id => BandCollision(id, band, first, id != first))
+      }
+  }
+
+  /** Watermark-bounded [[streamingNearDupFlags]] — the production
+    * default for an UNBOUNDED ingest stream, where the timeout-free
+    * overload's one-state-entry-per-distinct-bucket grows without
+    * limit. Each bucket's claim expires `stateTtlMs` after its newest
+    * claim's event time (event-time timeout against the `watermark`ed
+    * `tsCol`), so live state is O(buckets touched within the horizon):
+    * the sliding dedup-horizon semantics real pipelines want, since
+    * near-dups are overwhelmingly temporally clustered (scrapes,
+    * reposts, boilerplate bursts). A doc colliding with an EXPIRED
+    * bucket re-claims it as first — by design, dedup "forgets" content
+    * older than the horizon. Keep the timeout-free overload for
+    * bounded replays where never-forget-within-the-run is the
+    * contract.
+    */
+  def streamingNearDupFlagsBounded(docs: DataFrame, idCol: String, textCol: String,
+                                   tsCol: String, watermark: String,
+                                   stateTtlMs: Long,
+                                   numHashes: Int = 8, bands: Int = 2): Dataset[BandCollision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.TextExpressions.register(spark)
+    val rows = numHashes / bands
+    // the signature + band hashes inline (same kernels as the batch
+    // Dedup pipeline) so the watermarked event-time column rides along
+    val sig = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("__ts"), col(textCol).as("__text"))
+      .withWatermark("__ts", watermark)
+      .withColumn("__sig", call_function("minhash_sig", col("__text"), lit(numHashes)))
+      .filter(col("__sig").isNotNull)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until rows).map(i => element_at(col("__sig"), b * rows + i + 1)): _*))
+          .as("band_hash"))
+    }
+    val bh = sig.select(col("doc_id"), col("__ts"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("__ts"), col("bb.band").as("band"),
+        col("bb.band_hash").as("band_hash"))
+      .as[(Long, java.sql.Timestamp, Int, String)]
+    // state = (first claimant id, expiry epoch-ms); expiry only moves
+    // FORWARD (max with the stored value) so a timer already set is
+    // never pulled behind the current watermark
+    bh.groupByKey { case (_, _, band, h) => (band, h) }
+      .flatMapGroupsWithState[(Long, Long), BandCollision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val sorted = rs.map(_._1).sorted
+            val newest = rs.map(_._2.getTime).max
+            val (first, prevExpire) = state.getOption.getOrElse((sorted.head, 0L))
+            val expire = math.max(prevExpire, newest + stateTtlMs)
+            state.update((first, expire))
+            state.setTimeoutTimestamp(expire)
+            sorted.iterator.map(id => BandCollision(id, band, first, id != first))
+          }
       }
   }
 

@@ -301,6 +301,47 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingNearDupFlagsBounded expires bucket claims past the TTL horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    // watermark 10 min, state TTL 1 h
+    val q = StreamIngest.streamingNearDupFlagsBounded(
+        docs, "doc_id", "text", "ts", "10 minutes", 3600L * 1000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_ttl_test").start()
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // offset from epoch: the initial watermark is 0, and a row AT the
+    // watermark is filtered as late — epoch-0 event times would silently
+    // drop the first batch
+    def ts(min: Long) = new java.sql.Timestamp((1000000 + min) * 60000)
+    try {
+      // t=0: doc 1 claims its buckets
+      mem.addData((1L, ts(0), base)); q.processAllAvailable()
+      // t=5min (inside TTL): exact copy flags against doc 1
+      mem.addData((2L, ts(5), base)); q.processAllAvailable()
+      // advance the watermark far past doc 1's expiry (t=0+1h):
+      // batch 3 moves max event time to t=4h (watermark → 3h50m),
+      // batch 4 gives the timeout a trigger to fire in
+      mem.addData((7L, ts(240), "completely different words entirely here now ok fine"))
+      q.processAllAvailable()
+      mem.addData((8L, ts(245), "yet another unrelated document with its own tokens"))
+      q.processAllAvailable()
+      // t=4h10m: the bucket claim expired — same text RE-claims as first
+      mem.addData((3L, ts(250), base)); q.processAllAvailable()
+      val rows = spark.table("neardup_ttl_test")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_id"),
+          r.getAs[Boolean]("is_dup")))
+      val byDoc = rows.groupBy(_._1)
+      assert(byDoc(1L).forall(!_._3), "first claimant is not a dup")
+      assert(byDoc(2L).forall(r => r._3 && r._2 == 1L), "in-horizon copy flags against doc 1")
+      assert(byDoc(3L).forall(r => !r._3 && r._2 == 3L),
+        s"claim must expire past the TTL and re-seat on doc 3, got ${byDoc(3L).toSeq}")
+    } finally q.stop()
+  }
+
   test("stream equivalence entries execute genuinely multi-batch") {
     // The staged source splits the lake into 4 ts-range files delivered
     // one per trigger, so the stateful replay must cross >1 micro-batch
