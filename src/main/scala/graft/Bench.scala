@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,19 +73,19 @@ object Bench {
     // thread-CPU at ~95% of wall — in a KVM guest preempted-vCPU time
     // still lands on the running thread's clock, so in-guest profiling
     // can NOT distinguish steal from real work. Only this counter can:
-    // emitting the per-half steal delta beside the calib probes turns
-    // "this half looks slow" into "the host stole N cpu-seconds during
-    // it". Non-Linux / unreadable → -1 (deltas suppressed).
+    // emitting the per-window steal delta beside the calib probes turns
+    // "this window looks slow" into "the host stole N cpu-seconds
+    // during it". Non-Linux / unreadable → -1 (deltas suppressed).
     def stealJiffies(): Long =
       try {
         val l = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
         if (l.length > 8) l(8).toLong else -1L
       } catch { case _: Throwable => -1L }
-    // run1 = arrival order (includes residual per-query JIT), run2 =
-    // immediate warm re-run: the artifact separates JIT from plan cost
-    // so round-over-round comparisons aren't dominated by cold-start
-    // ordering noise.
+    // 4-decimal seconds keeps the one-line JSON short enough to survive the
+    // driver's fixed-size stdout tail capture (r1's full-precision line was
+    // truncated at the front → "parsed": null).
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     // Optional comma-separated name filter for targeted re-measures
     // (e.g. the BENCH_SCALING lanes); the driver never sets it, so the
     // full suite remains the default.
@@ -92,48 +93,88 @@ object Bench {
     val qseq = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val (firstHalf, secondHalf) = qseq.splitAt(qseq.length / 2)
-    val stealA = stealJiffies()
-    val wall0 = System.nanoTime()
-    val calibA = calibProbe()
-    val res1 = firstHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
-    val stealB = stealJiffies()
-    val wall1 = System.nanoTime()
-    val calibB = calibProbe()
-    val res2 = secondHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
-    val stealC = stealJiffies()
-    val wall2 = System.nanoTime()
-    val calibC = calibProbe()
-    val results = res1 ++ res2
-    val calibs = Seq(calibA, calibB, calibC)
-    val spread = calibs.max / calibs.min
-    val unit = calibs.sorted.apply(1)
-    // steal per half in cpu-seconds (USER_HZ=100); -1 when unavailable.
-    // A half is steal-noisy when the host took more than 10% of the
-    // cpu-time the bench's own executor pool could have used in it.
-    val steals =
-      if (stealA < 0 || stealB < 0 || stealC < 0) Seq(-1.0, -1.0)
-      else Seq((stealB - stealA) / 100.0, (stealC - stealB) / 100.0)
-    val walls = Seq((wall1 - wall0) / 1e9, (wall2 - wall1) / 1e9)
-    val stealNoisy = steals.zip(walls).exists {
-      case (s, w) => s > 0.10 * w * cpus.toInt
+
+    final case class Attempt(results: Seq[(String, (Double, Double))],
+                             calibs: Seq[Double], steals: Seq[Double],
+                             noisy: Boolean, spread: Double, unit: Double) {
+      def total: Double = results.map(_._2._1).sum
+      def total2: Double = results.map(_._2._2).sum
+      // the compact self-description every attempt (kept or discarded)
+      // contributes to the artifact
+      def summaryJson: String =
+        "{\"value\":" + fmt(total) + ",\"total_run2\":" + fmt(total2) +
+          ",\"calib\":[" + calibs.map(fmt).mkString(",") + "]" +
+          ",\"calib_spread\":" + fmt(spread) + ",\"calib_unit\":" + fmt(unit) +
+          ",\"steal_sec\":[" + steals.map(fmt).mkString(",") + "]" +
+          ",\"noisy\":" + noisy + "}"
     }
-    val noisy = spread >= 1.5 || stealNoisy
-    // 4-decimal seconds keeps the one-line JSON short enough to survive the
-    // driver's fixed-size stdout tail capture (r1's full-precision line was
-    // truncated at the front → "parsed": null).
-    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (r1, r2)) =>
+
+    // run1 = arrival order (includes residual per-query JIT), run2 =
+    // immediate warm re-run: the artifact separates JIT from plan cost
+    // so round-over-round comparisons aren't dominated by cold-start
+    // ordering noise. Four steal readings bracket the three probe
+    // windows (A+half1 | B+half2 | C), so every probe's interval has a
+    // matching steal delta — contention hitting only the final probe
+    // now shows up as steal evidence instead of an unexplained spread.
+    def runSuite(): Attempt = {
+      val stealA = stealJiffies()
+      val wall0 = System.nanoTime()
+      val calibA = calibProbe()
+      val res1 = firstHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
+      val stealB = stealJiffies()
+      val wall1 = System.nanoTime()
+      val calibB = calibProbe()
+      val res2 = secondHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
+      val stealC = stealJiffies()
+      val wall2 = System.nanoTime()
+      val calibC = calibProbe()
+      val stealD = stealJiffies()
+      val wall3 = System.nanoTime()
+      val calibs = Seq(calibA, calibB, calibC)
+      val spread = calibs.max / calibs.min
+      val unit = calibs.sorted.apply(1)
+      // steal per window in cpu-seconds (USER_HZ=100); -1 when
+      // unavailable. A window is steal-noisy when the host took more
+      // than 10% of the cpu-time the bench's own executor pool could
+      // have used in it.
+      val reads = Seq(stealA, stealB, stealC, stealD)
+      val steals =
+        if (reads.exists(_ < 0)) Seq(-1.0, -1.0, -1.0)
+        else reads.zip(reads.tail).map { case (a, b) => (b - a) / 100.0 }
+      val walls = Seq((wall1 - wall0) / 1e9, (wall2 - wall1) / 1e9, (wall3 - wall2) / 1e9)
+      val stealNoisy = steals.zip(walls).exists {
+        case (s, w) => s > 0.10 * w * cpus.toInt
+      }
+      Attempt(res1 ++ res2, calibs, steals, spread >= 1.5 || stealNoisy, spread, unit)
+    }
+
+    // Self-certifying measurement: re-run the whole suite until the
+    // sentinel reads quiet, up to SPARK_GRAFT_BENCH_ATTEMPTS (default
+    // 3) tries — the committed artifact is either a certified-quiet run
+    // or carries the full list of noisy attempts proving the box never
+    // went quiet (r4 was silently garbage, r5 admittedly noisy while a
+    // quiet window existed the same hour; the retry closes that class).
+    // Discarded attempts are recorded in `attempts` (oldest first, the
+    // kept run's summary last) so no measurement is thrown away
+    // invisibly.
+    val maxAttempts = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt)
+    var kept = runSuite()
+    val attempts = scala.collection.mutable.ArrayBuffer(kept.summaryJson)
+    while (kept.noisy && attempts.length < maxAttempts) {
+      kept = runSuite()
+      attempts += kept.summaryJson
+    }
+    val qs = kept.results.map { case (k, (r1, r2)) =>
       s"\"" + k + "\":{\"run1\":" + fmt(r1) + ",\"run2\":" + fmt(r2) +
-        ",\"rel2\":" + fmt(r2 / unit) + "}"
+        ",\"rel2\":" + fmt(r2 / kept.unit) + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    val total2 = results.map(_._2._2).sum
-    val calibJson = "\"calib\":[" + calibs.map(fmt).mkString(",") + "]," +
-      "\"calib_spread\":" + fmt(spread) + ",\"calib_unit\":" + fmt(unit) +
-      ",\"steal_sec\":[" + steals.map(fmt).mkString(",") + "]" +
-      ",\"noisy\":" + noisy
+    val calibJson = "\"calib\":[" + kept.calibs.map(fmt).mkString(",") + "]," +
+      "\"calib_spread\":" + fmt(kept.spread) + ",\"calib_unit\":" + fmt(kept.unit) +
+      ",\"steal_sec\":[" + kept.steals.map(fmt).mkString(",") + "]" +
+      ",\"noisy\":" + kept.noisy +
+      ",\"attempts\":[" + attempts.mkString(",") + "]"
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_run2":${fmt(total2)},$calibJson,"queries":$qs,"sf":"$sfName"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(kept.total)},"unit":"sec","total_run2":${fmt(kept.total2)},$calibJson,"queries":$qs,"sf":"$sfName"}"""
     // Full per-query map goes to the file; stdout gets ONLY a short
     // totals line LAST so it survives any fixed-size tail capture
     // (r1/r2 both had "parsed": null because the 100-query map pushed
@@ -144,6 +185,6 @@ object Bench {
     // suppresses sbt's [success] epilogue, so this is the LITERAL last
     // stdout line — r1-r3 all parsed null because sbt decorated/followed
     // the line.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_run2":${fmt(total2)},$calibJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(kept.total)},"unit":"sec","total_run2":${fmt(kept.total2)},$calibJson,"sf":"$sfName"}""")
   }
 }
