@@ -351,6 +351,16 @@ class IngestSpec extends AnyFunSuite {
     assert(out.count() > 0)
     val batches = graft.queries.StreamQueries.replayBatches("stream_increase_sink")
     assert(batches > 1, s"expected >1 data-bearing micro-batch, got $batches")
+    // same proof for the two lanes whose POINT is cross-batch state:
+    // locf carry across files and dedup state surviving boundaries
+    val gf = graft.queries.StreamQueries.queries("stream_gapfill_locf")(spark, sf)
+    assert(gf.count() > 0)
+    val gfB = graft.queries.StreamQueries.replayBatches("stream_gapfill_sink")
+    assert(gfB > 1, s"gapfill expected >1 data-bearing micro-batch, got $gfB")
+    val dd = graft.queries.StreamQueries.queries("stream_dedup")(spark, sf)
+    assert(dd.count() > 0)
+    val ddB = graft.queries.StreamQueries.replayBatches("stream_dedup_sink")
+    assert(ddB > 1, s"dedup expected >1 data-bearing micro-batch, got $ddB")
   }
 
   test("streamingLastPoint keeps the max-by-time row per key") {
