@@ -7,11 +7,13 @@ import graft.Tables
 import graft.functions.{DataQuality, Gis, Repair}
 
 /** Driver entries for data-quality, repair and GIS operators
-  * (SURVEY.md §2.2). Data-quality/SCREEN/timestamp-repair are iterative
-  * whole-series algorithms with no SQL equivalent → rows-only driver
+  * (SURVEY.md §2.2). Data-quality and timestamp-repair are iterative
+  * whole-series state machines with no SQL equivalent → rows-only driver
   * checks; their semantics are pinned by ScalaTest fixtures from the
-  * reference's own slt cases. value_fill(linear) and all GIS measures
-  * ARE oracle-expressible and get full DuckDB checks.
+  * reference's own slt cases. Everything else — fills (linear/mean/
+  * previous/ar), SCREEN value_repair, MAD outliers, GIS measures — is
+  * hash-checked against DuckDB (the sequential tails of SCREEN and the
+  * AR fill replay as recursive CTEs; see the oracle comments below).
   */
 object QualityGisQueries {
 
@@ -59,17 +61,28 @@ object QualityGisQueries {
         .orderBy("user_id", "t")
     }),
 
-    // AR(1)/MA fills are recursive / accumulator-defined → rows-only
-    // (semantics pinned by RepairSpec fixtures from the reference code)
+    // AR(1) fill is recursive, but on an INTEGER-CENT series every sum in
+    // the fit (acf/factor/mean) is exact — order-insensitive — so theta is
+    // bit-identical in any IEEE engine, and the two genuinely sequential
+    // chains (meanEps accumulation, the fill recurrence) are replayed by
+    // the oracle as recursive CTEs performing the identical op sequence.
+    // Graduated from rows-only to hash-green in r6.
     "ts_value_fill_ar" -> ((s, dir) => {
       val ev = Tables.events(s, dir).filter(col("user_id") < 30)
         .withColumn("v", when(col("event_id") % 17 === 0, lit(Double.NaN))
-          .otherwise(col("value")))
+          .otherwise(round(col("value") * 100)))
       Repair.valueFill(ev, expr("ts_ns div 1000"), col("v"), Seq("user_id"), "ar")
-        .select(col("user_id"), col("t"), round(col("filled"), 6).as("filled"))
+        .select(col("user_id"), col("t"),
+          round(col("filled") / 100.0, 6).as("filled"))
         .orderBy("user_id", "t")
     }),
 
+    // SCREEN is deterministic end-to-end on finite inputs: speed bounds
+    // come from positional medians (exact (a+b)/2 on the two middle order
+    // statistics), each unclamped repair is the exact middle of an odd
+    // candidate multiset (a range self-join away), and only the
+    // clamp-to-previous chain is sequential — a recursive CTE in the
+    // oracle. Graduated from rows-only to hash-green in r6.
     "ts_value_repair" -> ((s, dir) =>
       Repair.valueRepair(
         Tables.events(s, dir).filter(col("user_id") < 10),
@@ -222,8 +235,146 @@ object QualityGisQueries {
          |    (((user_id % 10) + 10) % 10) + 0.5 AS y,
          |    (((user_id % 8) + 8) % 8) + 0.5 AS off
          |  FROM $E WHERE user_id < 50)
-         |ORDER BY event_id""".stripMargin
-    // ts_data_quality / ts_value_repair / ts_timestamp_repair: iterative
-    // per-series algorithms, rows-only + ScalaTest fixtures.
+         |ORDER BY event_id""".stripMargin,
+    // SCREEN value_repair replayed exactly: Scala's med() is avg() of the
+    // one-or-two middle order statistics (never quantile interpolation —
+    // engines differ there), the per-start unclamped repair is the exact
+    // middle of the 2m+1 candidate multiset from a windowed self-join,
+    // and the clamp chain is the one sequential recursion.
+    "ts_value_repair" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT user_id AS uid, epoch_us(cast(ts AS TIMESTAMP)) AS t, value AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(cast(ts AS TIMESTAMP))) AS i
+        |  FROM events WHERE user_id < 10),
+        |iv AS (
+        |  SELECT uid, (lead(t) OVER (PARTITION BY uid ORDER BY i)) - t AS dt,
+        |    (lead(v) OVER (PARTITION BY uid ORDER BY i)) - v AS dv
+        |  FROM e),
+        |ivr AS (
+        |  SELECT uid, CAST(dt AS DOUBLE) AS dt, dv / dt AS sp,
+        |    row_number() OVER (PARTITION BY uid ORDER BY CAST(dt AS DOUBLE)) AS rdt,
+        |    row_number() OVER (PARTITION BY uid ORDER BY dv / dt) AS rsp,
+        |    count(*) OVER (PARTITION BY uid) AS m
+        |  FROM iv WHERE dt IS NOT NULL),
+        |wmed AS (
+        |  SELECT uid,
+        |    (SELECT avg(dt) FROM ivr x WHERE x.uid = ivr.uid
+        |      AND x.rdt IN ((x.m + 1) // 2, (x.m + 2) // 2)) AS med_dt,
+        |    (SELECT avg(sp) FROM ivr x WHERE x.uid = ivr.uid
+        |      AND x.rsp IN ((x.m + 1) // 2, (x.m + 2) // 2)) AS med_sp
+        |  FROM ivr GROUP BY uid),
+        |devr AS (
+        |  SELECT ivr.uid, abs(sp - med_sp) AS dev,
+        |    row_number() OVER (PARTITION BY ivr.uid ORDER BY abs(sp - med_sp)) AS rdev,
+        |    count(*) OVER (PARTITION BY ivr.uid) AS m
+        |  FROM ivr JOIN wmed ON ivr.uid = wmed.uid),
+        |params AS (
+        |  SELECT wmed.uid, 5 * CAST(trunc(med_dt) AS BIGINT) AS w,
+        |    med_sp - 3.0 * 1.4826 * mad AS smin,
+        |    med_sp + 3.0 * 1.4826 * mad AS smax
+        |  FROM wmed JOIN (
+        |    SELECT uid,
+        |      (SELECT avg(dev) FROM devr x WHERE x.uid = devr.uid
+        |        AND x.rdev IN ((x.m + 1) // 2, (x.m + 2) // 2)) AS mad
+        |    FROM devr GROUP BY uid) md ON wmed.uid = md.uid),
+        |cand AS (
+        |  SELECT a.uid, a.i, a.v AS x FROM e a
+        |  UNION ALL
+        |  SELECT a.uid, a.i, b.v + p.s * (a.t - b.t)
+        |  FROM e a
+        |  JOIN e b ON b.uid = a.uid AND b.i > a.i
+        |  JOIN params pr ON pr.uid = a.uid
+        |  CROSS JOIN LATERAL (SELECT unnest([pr.smin, pr.smax]) AS s) p
+        |  WHERE b.t <= a.t + pr.w),
+        |umed AS (
+        |  SELECT uid, i, x,
+        |    row_number() OVER (PARTITION BY uid, i ORDER BY x) AS rx,
+        |    count(*) OVER (PARTITION BY uid, i) AS cnt
+        |  FROM cand),
+        |u AS (
+        |  SELECT uid, i, x AS mdn FROM umed WHERE rx = (cnt + 1) // 2),
+        |rec AS (
+        |  SELECT u.uid, u.i, e.t, e.v, u.mdn AS rep
+        |  FROM u JOIN e ON e.uid = u.uid AND e.i = u.i WHERE u.i = 1
+        |  UNION ALL
+        |  SELECT m.uid, m.i, e.t, e.v,
+        |    greatest(r.rep + p.smin * (e.t - r.t),
+        |             least(r.rep + p.smax * (e.t - r.t), m.mdn))
+        |  FROM rec r
+        |  JOIN u m ON m.uid = r.uid AND m.i = r.i + 1
+        |  JOIN e ON e.uid = m.uid AND e.i = m.i
+        |  JOIN params p ON p.uid = m.uid)
+        |SELECT uid AS user_id, t, v AS original, round(rep, 6) AS repaired
+        |FROM rec ORDER BY user_id, t""".stripMargin,
+    // AR(1) fill on the integer-cent lane: acf/factor/mean are exact
+    // integer sums (order-free), so theta matches Spark bit-for-bit; the
+    // meanEps accumulation and the fill recurrence are the two genuinely
+    // sequential passes, replayed as recursive CTEs with the identical
+    // IEEE op sequence (acc + (v' - theta*v); theta*prev + meanEps).
+    "ts_value_fill_ar" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT user_id AS uid, epoch_us(cast(ts AS TIMESTAMP)) AS t,
+        |    CASE WHEN event_id % 17 = 0 THEN 'NaN'::DOUBLE
+        |         ELSE round(value * 100) END AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(cast(ts AS TIMESTAMP))) AS i
+        |  FROM events WHERE user_id < 30),
+        |fit AS (
+        |  SELECT a.uid,
+        |    sum(CASE WHEN isnan(a.v) THEN 0 ELSE a.v END
+        |      * CASE WHEN isnan(b.v) THEN 0 ELSE b.v END) AS acf,
+        |    sum(CASE WHEN isnan(a.v) THEN 0 ELSE a.v * a.v END) AS factor
+        |  FROM e a JOIN e b ON b.uid = a.uid AND b.i = a.i + 1
+        |  GROUP BY a.uid),
+        |mn AS (
+        |  SELECT uid, sum(CASE WHEN isnan(v) THEN 0 ELSE v END)
+        |    / count(CASE WHEN NOT isnan(v) THEN 1 END) AS mean_v
+        |  FROM e GROUP BY uid),
+        |th AS (SELECT uid, acf / factor AS theta FROM fit),
+        |eps AS (
+        |  SELECT e.uid, e.i, CAST(0.0 AS DOUBLE) + CASE
+        |      WHEN NOT isnan(e.v) AND NOT isnan(b.v) THEN b.v - th.theta * e.v
+        |      ELSE 0 END AS acc,
+        |    CASE WHEN NOT isnan(e.v) AND NOT isnan(b.v)
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS cnt
+        |  FROM e JOIN e b ON b.uid = e.uid AND b.i = 2 JOIN th ON th.uid = e.uid
+        |  WHERE e.i = 1
+        |  UNION ALL
+        |  SELECT p.uid, c.i, CASE
+        |      WHEN NOT isnan(c.v) AND NOT isnan(b.v)
+        |        THEN p.acc + (b.v - th.theta * c.v)
+        |      ELSE p.acc END,
+        |    CASE WHEN NOT isnan(c.v) AND NOT isnan(b.v)
+        |      THEN p.cnt + CAST(1.0 AS DOUBLE) ELSE p.cnt END
+        |  FROM eps p
+        |  JOIN e c ON c.uid = p.uid AND c.i = p.i + 1
+        |  JOIN e b ON b.uid = p.uid AND b.i = c.i + 1
+        |  JOIN th ON th.uid = p.uid),
+        |me AS (
+        |  SELECT uid, acc / cnt AS mean_eps
+        |  FROM (SELECT uid, acc, cnt,
+        |          row_number() OVER (PARTITION BY uid ORDER BY i DESC) AS r
+        |        FROM eps) WHERE r = 1),
+        |fill AS (
+        |  SELECT e.uid, e.i, e.t,
+        |    CASE WHEN NOT isnan(e.v) THEN e.v ELSE mn.mean_v END AS f
+        |  FROM e JOIN mn ON mn.uid = e.uid WHERE e.i = 1
+        |  UNION ALL
+        |  SELECT c.uid, c.i, c.t,
+        |    CASE WHEN NOT isnan(c.v) THEN c.v
+        |         ELSE th.theta * p.f + me.mean_eps END
+        |  FROM fill p
+        |  JOIN e c ON c.uid = p.uid AND c.i = p.i + 1
+        |  JOIN th ON th.uid = c.uid
+        |  JOIN me ON me.uid = c.uid)
+        |SELECT uid AS user_id, t, round(f / 100.0, 6) AS filled
+        |FROM fill ORDER BY user_id, t""".stripMargin
+    // ts_data_quality / ts_timestamp_repair: the windowed anomaly state
+    // machine and the DP grid alignment are genuinely iterative (inner
+    // loops with data-dependent removals / a backtracked cost matrix) —
+    // rows-only + ScalaTest fixtures pinned to the reference's slt.
   )
 }

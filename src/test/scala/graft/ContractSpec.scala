@@ -30,10 +30,14 @@ class ContractSpec extends AnyFunSuite {
     // r4: emb_ivf_ann (exact integer-grid quantizer retrained in SQL),
     // q_approx_agg and ts_sketch_rollup (tolerance-boolean oracles),
     // and ts_lttb (recursive-CTE replay of the sequential selection on
-    // an integer-exact lane) graduated to hash-green; only genuinely
-    // non-recomputable lanes remain (reservoir, iterative repair).
-    val declaredRowsOnly = Set("ts_data_quality", "ts_timestamp_repair",
-      "ts_value_fill_ar", "ts_value_repair")
+    // an integer-exact lane) graduated to hash-green.
+    // r6: ts_value_repair (SCREEN replayed with positional medians + a
+    // clamp-chain recursion) and ts_value_fill_ar (integer-cent lane:
+    // exact fit sums + sequential-chain recursions) graduated too; what
+    // remains is the windowed data-quality state machine and the DP
+    // timestamp alignment — inner loops with data-dependent removals and
+    // a backtracked cost matrix, truly not SQL-replayable.
+    val declaredRowsOnly = Set("ts_data_quality", "ts_timestamp_repair")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == declaredRowsOnly,
       s"rows-only drift: +${actual -- declaredRowsOnly} -${declaredRowsOnly -- actual}")
