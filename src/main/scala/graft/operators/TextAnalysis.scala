@@ -328,6 +328,77 @@ object TextAnalysis {
           / col("n_docs") * 1000000.0) / 1000000.0)
   }
 
+  /** CCNet-style line-level dedup (Wenzek et al. 2020): split every doc
+    * on `delim`, keep each distinct line's FIRST corpus occurrence (the
+    * lexicographic-min (doc, line_no) claimant — also dropping repeats
+    * WITHIN a doc), and reassemble the surviving lines in original order.
+    * Docs whose every line was claimed elsewhere survive with
+    * kept_lines=0 and an empty text, so the output stays total.
+    *
+    * 100 TB shape: explode is a mapper; the claimant table is ONE
+    * partial-aggregable min(struct) aggregate keyed on the line's md5
+    * (so the wide line string never enters the shuffle twice); the
+    * survivor check is an equi-join on that hash; reassembly is one
+    * doc-keyed aggregate. No window over the corpus, no driver state;
+    * both shuffles key on values (line hash, doc id) with cardinality
+    * ≤ input rows.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                delim: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), delim))
+        .as(Seq("__ln", "__line")))
+      .withColumn("__h", md5(col("__line")))
+    val first = lines.groupBy("__h")
+      .agg(min(struct(col(idCol), col("__ln"))).as("__f"))
+      .select(col("__h"), col("__f")(idCol).as("__fid"),
+        col("__f")("__ln").as("__fln"))
+    val kept = lines.join(first, "__h")
+      .filter(col(idCol) === col("__fid") && col("__ln") === col("__fln"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_lines"),
+        concat_ws(delim, transform(
+          array_sort(collect_list(struct(col("__ln"), col("__line")))),
+          x => x("__line"))).as("dedup_text"))
+    df.select(col(idCol),
+        size(split(col(textCol), delim)).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** Concat-and-chunk sequence packing — the training-prep step that
+    * turns a curated corpus into fixed-length training sequences: docs
+    * are concatenated in deterministic (shard, doc id) order and split
+    * at `seqLen`-token boundaries; each doc is accounted to the
+    * sequence where it STARTS. Returns one row per training sequence
+    * with its doc span and token count (the packing manifest a loader
+    * consumes).
+    *
+    * 100 TB shape: sharding bounds the only sequential dependency (the
+    * running token sum) to corpus/`shards` docs; each shard's cumsum is
+    * one sorted-window task after a single shuffle on the shard key, so
+    * parallelism is `shards` — size it to the cluster, independent of
+    * corpus size. Everything after the window is partial-aggregable.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int = 512, shards: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+    df.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(shards)).cast("long").as("shard"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", floor((col("__cum") - col("n_tokens"))
+        / lit(seqLen.toLong)))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
   /** Karp-Rabin winnowing fingerprint over char k-grams: min rolling
     * hash per window — robust doc signature for shift-tolerant matching
     * (spec-tested; not SQL-expressible → rows-only when queried).

@@ -25,6 +25,12 @@ object PipelineQueries {
         .withColumn("text", concat(col("text"), lit(" extra trailing words appended"))))
   }
 
+  // 8-word pseudo-line chunker shared by the doc_line_dedup entry and its
+  // oracle: replace every 8th space with a newline (group 1 = the 8 words,
+  // so word text is preserved and lines carry no trailing space).
+  private val ChunkLineRe = "((\\S+ ){7}\\S+) "
+  private val ChunkLineRepl = "\\1"
+
   private val CORPUS =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -146,6 +152,27 @@ object PipelineQueries {
     "doc_chunk_boilerplate" -> ((s, dir) =>
       TextAnalysis.chunkBoilerplate(corpus(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // CCNet-style line-level dedup over the dup-injected corpus. The
+    // synthetic corpus has no newlines, so the entry first chunks each
+    // doc into 8-word pseudo-lines (replacing every 8th space with \n —
+    // the same rewrite the oracle applies); on real data the operator
+    // consumes actual lines. Exact-dup docs lose every line; near-dup
+    // docs keep only their divergent tail.
+    "doc_line_dedup" -> ((s, dir) => {
+      val ch = corpus(s, dir).withColumn("text",
+        regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
+      TextAnalysis.lineDedup(ch, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Concat-and-chunk sequence packing: the training-prep manifest
+    // (one row per fixed-length training sequence with its doc span),
+    // docs accounted to the sequence where they start.
+    "doc_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables(s, dir, "documents"), "doc_id",
+        "text", 512, 16)
+        .orderBy("shard", "seq_id")),
 
     // Bigram-LM fluency score (the perplexity-filter stand-in): mean
     // corpus conditional probability of each doc's transitions, on an
@@ -712,6 +739,51 @@ object PipelineQueries {
         |    floor(p.bp_chunks / p.n_chunks * 1000000.0) / 1000000.0 END AS bp_ratio
         |FROM corpus d LEFT JOIN p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "doc_line_dedup" ->
+      s"""WITH $CORPUS,
+        |ch AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '$ChunkLineRe', '$ChunkLineRepl' || chr(10), 'g') AS ct
+        |  FROM corpus),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(ct, chr(10))))) - 1 AS ln,
+        |    unnest(string_split(ct, chr(10))) AS line
+        |  FROM ch),
+        |first AS (
+        |  SELECT line, doc_id AS fid, ln AS fln
+        |  FROM (SELECT line, doc_id, ln,
+        |          row_number() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rn
+        |        FROM lines) WHERE rn = 1),
+        |kept AS (
+        |  SELECT l.doc_id, count(*) AS kept_lines,
+        |    string_agg(l.line, chr(10) ORDER BY l.ln) AS dedup_text
+        |  FROM lines l JOIN first f ON f.line = l.line
+        |    AND f.fid = l.doc_id AND f.fln = l.ln
+        |  GROUP BY l.doc_id)
+        |SELECT c.doc_id,
+        |  CAST(len(string_split(ch.ct, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(k.kept_lines, 0) AS BIGINT) AS kept_lines,
+        |  coalesce(k.dedup_text, '') AS dedup_text
+        |FROM corpus c
+        |JOIN ch ON ch.doc_id = c.doc_id
+        |LEFT JOIN kept k ON k.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+    "doc_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 16 AS BIGINT) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT shard, (cum - n_tokens) // 512 AS seq_id,
+        |  count(*) AS n_docs, sum(n_tokens) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY shard, (cum - n_tokens) // 512
+        |ORDER BY shard, seq_id""".stripMargin,
     "doc_bigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id, t[j] AS w1, t[j] || ' ' || t[j+1] AS bg

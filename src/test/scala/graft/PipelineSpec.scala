@@ -984,4 +984,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(groups(Some(dir)) == local,
       "reliable checkpoint() must produce identical components")
   }
+
+  test("lineDedup keeps first corpus occurrence, drops within-doc repeats, reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha"),   // within-doc repeat of alpha
+      (2L, "beta\ngamma"),          // beta already claimed by doc 1
+      (3L, "alpha\nbeta")           // fully claimed -> empty survivor
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "alpha\nbeta"),
+      (2L, 2L, 1L, "gamma"),
+      (3L, 2L, 0L, "")), s"got ${out.toSeq}")
+  }
+
+  test("packSequences bins docs by starting token offset per shard") {
+    import spark.implicits._
+    // one shard (ids all ≡ 1 mod 16); token counts 3,4,5 with seqLen 6:
+    // starts at 0,3,7 -> seq_ids 0,0,1
+    val docs = Seq(
+      (1L, "a b c"), (17L, "d e f g"), (33L, "h i j k l")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", seqLen = 6, shards = 16)
+      .orderBy("shard", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 2L, 7L, 1L, 17L),
+      (1L, 1L, 1L, 5L, 33L, 33L)), s"got ${out.toSeq}")
+  }
 }
