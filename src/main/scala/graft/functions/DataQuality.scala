@@ -235,6 +235,131 @@ object DataQuality {
         col("__r._3").as("median_v"), col("__r._4").as("mad_v")): _*)
   }
 
+  /** The VALIDITY half of [[dataQuality]] as a fully distributed
+    * pipeline — no per-series collect, so one giant series cannot OOM an
+    * executor the way the whole-series metrics aggregate could. Exactly
+    * the reference's value-anomaly semantics (common.rs: NaN linear
+    * repair on TIME with edge extrapolation from the first/last finite
+    * pair, then k=3 median/MAD outlier counts over the repaired values,
+    * their first differences, speeds, and speed changes;
+    * validity = 1 − 0.25·Σcounts/n).
+    *
+    * Engine-exact by construction: every median is POSITIONAL (avg of
+    * the one-or-two middle order statistics — never an engine's
+    * quantile interpolation), interpolations are deterministic per-row
+    * arithmetic, and the MAD product keeps the reference's association
+    * (sigma = 1.4826·med first, then k·sigma) — so a DuckDB oracle
+    * reproduces every double bit-for-bit, which the driver lane
+    * (`ts_validity`) exploits. Equality with the sequential
+    * [[dataQuality]] aggregate is spec-pinned.
+    *
+    * 100 TB shape: the four anomaly series go through ONE shared
+    * outlier kernel as a tall (group, kind, x) frame — two positional-
+    * median rounds (each: one sort-window + one tiny grouped avg joined
+    * back broadcast-style) and a final count; all shuffles key on
+    * (group, kind).
+    */
+  def validityStats(df: DataFrame, tsCol: Column, valueCol: Column,
+                    groupCols: Seq[String], k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val gn = groupCols
+    val w = Window.partitionBy(g: _*).orderBy(col("__t"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    val wAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    val base = df.select(g ++ Seq(tsCol.cast("double").as("__t"),
+      valueCol.cast("double").as("__v0")): _*)
+      .withColumn("__v", when(col("__v0").isNaN || col("__v0") === Double.PositiveInfinity
+        || col("__v0") === Double.NegativeInfinity, lit(null)).otherwise(col("__v0")))
+
+    // prev/next finite neighbour plus the series' first/last finite PAIR
+    // (edge rows interpolate/extrapolate from the pair, mid rows from
+    // their neighbours) — reference common.rs NaN repair.
+    val fin = when(col("__v").isNotNull, struct(col("__t"), col("__v")))
+    val n1 = base
+      .withColumn("__p", last(fin, ignoreNulls = true).over(wPrev))
+      .withColumn("__x", first(fin, ignoreNulls = true).over(wNext))
+    // first two / last two finite samples as per-group scalars
+    val firsts = n1.filter(col("__v").isNotNull)
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__rn", count(lit(1)).over(wAll))
+      .filter(col("__r") <= 2 || col("__r") >= col("__rn") - 1)
+      .groupBy(g: _*)
+      .agg(
+        min(when(col("__r") === 1, struct(col("__t"), col("__v")))).as("__f1"),
+        min(when(col("__r") === 2, struct(col("__t"), col("__v")))).as("__f2"),
+        min(when(col("__r") === col("__rn") - 1, struct(col("__t"), col("__v")))).as("__l1"),
+        min(when(col("__r") === col("__rn"), struct(col("__t"), col("__v")))).as("__l2"))
+    def interp(t: Column, a: Column, b: Column): Column =
+      a("__v") + (b("__v") - a("__v")) * ((t - a("__t")) / (b("__t") - a("__t")))
+    val repaired = n1.join(firsts, gn)
+      .withColumn("__rv",
+        when(col("__v").isNotNull, col("__v"))
+          .when(col("__p").isNull, interp(col("__t"), col("__f1"), col("__f2")))
+          .when(col("__x").isNull, interp(col("__t"), col("__l1"), col("__l2")))
+          .otherwise(interp(col("__t"), col("__p"), col("__x"))))
+      .select(g ++ Seq(col("__t"), col("__rv")): _*)
+
+    // tall (group, kind, x) frame: repaired values, first differences,
+    // speeds, speed changes — one shared outlier kernel for all four.
+    val lagV = lag(col("__rv"), 1).over(w)
+    val lagT = lag(col("__t"), 1).over(w)
+    val vals = repaired.select(g ++ Seq(lit("val").as("__kind"), col("__rv").as("__x")): _*)
+    val diffs = repaired
+      .withColumn("__d", col("__rv") - lagV)
+      .withColumn("__s", (col("__rv") - lagV) / (col("__t") - lagT))
+      .filter(col("__d").isNotNull)
+    val variation = diffs.select(g ++ Seq(lit("var").as("__kind"), col("__d").as("__x")): _*)
+    val speed = diffs.select(g ++ Seq(lit("spd").as("__kind"), col("__s").as("__x")): _*)
+    val spdChg = diffs
+      .withColumn("__sc", col("__s") - lag(col("__s"), 1).over(w))
+      .filter(col("__sc").isNotNull)
+      .select(g ++ Seq(lit("sch").as("__kind"), col("__sc").as("__x")): _*)
+    val tall = vals.unionByName(variation).unionByName(speed).unionByName(spdChg)
+
+    // positional median per (group, kind): avg of the middle one or two
+    // order statistics — the Scala med() spelling, engine-portable.
+    val gk = g :+ col("__kind")
+    val gkn = gn :+ "__kind"
+    def medOf(frame: DataFrame, xCol: String, out: String): DataFrame = {
+      val wx = Window.partitionBy(gk: _*).orderBy(col(xCol))
+      frame
+        .withColumn("__rx", row_number().over(wx))
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(gk: _*)))
+        // integer middle ranks: Spark's `/` on longs is double division
+        .filter(col("__rx") === floor((col("__cnt") + 1) / 2)
+          || col("__rx") === floor((col("__cnt") + 2) / 2))
+        .groupBy(gk: _*).agg(avg(col(xCol)).as(out))
+    }
+    val med1 = medOf(tall, "__x", "__med")
+    val dev = tall.join(med1, gkn)
+      .withColumn("__dev", abs(col("__x") - col("__med")))
+    val mad = medOf(dev, "__dev", "__meddev")
+      .withColumn("__sigma", lit(1.4826) * col("__meddev"))
+    val counts = dev.join(mad, gkn)
+      .groupBy(gk: _*)
+      .agg(count(when(col("__dev") > lit(k) * col("__sigma"), 1)).as("__out"))
+      .groupBy(g: _*)
+      .pivot("__kind", Seq("val", "var", "spd", "sch"))
+      .agg(first(col("__out")))
+    val n = base.groupBy(g: _*).agg(count(lit(1)).as("n"))
+    val cVal = coalesce(col("val"), lit(0L))
+    val cVar = coalesce(col("var"), lit(0L))
+    val cSpd = coalesce(col("spd"), lit(0L))
+    val cSch = coalesce(col("sch"), lit(0L))
+    n.join(counts, gn)
+      .select(g ++ Seq(col("n"),
+        cVal.as("n_value_outliers"),
+        cVar.as("n_variation_outliers"),
+        cSpd.as("n_speed_outliers"),
+        cSch.as("n_speedchange_outliers"),
+        round(lit(1.0) - lit(0.25) * (cVal + cVar + cSpd + cSch)
+          / col("n"), 8).as("validity")): _*)
+  }
+
   def dataQuality(df: DataFrame, tsCol: Column, valueCol: Column,
                   groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)

@@ -24,6 +24,22 @@ object QualityGisQueries {
         col("ts"), col("value"), Seq("user_id"))
         .orderBy("user_id")),
 
+    // The full VALIDITY metric (reference data_quality) as a distributed
+    // pipeline — NaN linear repair on time, then k=3 median/MAD outlier
+    // counts over repaired values / first differences / speeds / speed
+    // changes. Positional medians + µs-integer times keep every double
+    // deterministic, so the oracle replays the whole pipeline in SQL;
+    // equality with the sequential whole-series aggregate is spec-pinned
+    // (DataQualitySpec). Hash-green since r6.
+    "ts_validity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 30)
+        .withColumn("v", when(col("event_id") % 17 === 0, lit(Double.NaN))
+          .otherwise(col("value")))
+      DataQuality.validityStats(ev, expr("ts_ns div 1000").cast("double"),
+        col("v"), Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
     // Median/MAD outlier detection per series (the data-quality validity
     // kernel as a standalone distributed operator): exact-cents medians
     // keep every interpolated value a dyadic rational, so the DuckDB
@@ -144,6 +160,96 @@ object QualityGisQueries {
   private val E = "(SELECT event_id, user_id, event_type, value, cast(events.ts AS TIMESTAMP) AS ts, epoch_us(cast(events.ts AS TIMESTAMP)) AS ts_ns FROM events)"
 
   def oracleSql: Map[String, String] = Map(
+    // validityStats replayed end-to-end: NaN repair from prev/next finite
+    // neighbours (edge rows from the first/last finite PAIR), the four
+    // anomaly series as one tall (uid, kind, x) frame, positional medians
+    // (avg of the one-or-two middle order statistics), sigma = 1.4826·med
+    // then the k·sigma comparison in the reference's association order.
+    "ts_validity" ->
+      s"""WITH b AS (
+         |  SELECT user_id AS uid, CAST(ts_ns AS DOUBLE) AS t,
+         |    CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS v
+         |  FROM $E WHERE user_id < 30),
+         |n1 AS (
+         |  SELECT uid, t, v,
+         |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER pw AS pt,
+         |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER pw AS pv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER nw AS nt,
+         |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER nw AS nv
+         |  FROM b
+         |  WINDOW pw AS (PARTITION BY uid ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  nw AS (PARTITION BY uid ORDER BY t
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         |fins AS (
+         |  SELECT uid, t, v, row_number() OVER (PARTITION BY uid ORDER BY t) AS r,
+         |    count(*) OVER (PARTITION BY uid) AS rn
+         |  FROM b WHERE v IS NOT NULL),
+         |fl AS (
+         |  SELECT uid,
+         |    min(CASE WHEN r = 1 THEN t END) AS f1t, min(CASE WHEN r = 1 THEN v END) AS f1v,
+         |    min(CASE WHEN r = 2 THEN t END) AS f2t, min(CASE WHEN r = 2 THEN v END) AS f2v,
+         |    min(CASE WHEN r = rn - 1 THEN t END) AS l1t, min(CASE WHEN r = rn - 1 THEN v END) AS l1v,
+         |    min(CASE WHEN r = rn THEN t END) AS l2t, min(CASE WHEN r = rn THEN v END) AS l2v
+         |  FROM fins GROUP BY uid),
+         |rep AS (
+         |  SELECT n1.uid, t, CASE
+         |      WHEN v IS NOT NULL THEN v
+         |      WHEN pv IS NULL THEN f1v + (f2v - f1v) * ((t - f1t) / (f2t - f1t))
+         |      WHEN nv IS NULL THEN l1v + (l2v - l1v) * ((t - l1t) / (l2t - l1t))
+         |      ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS rv
+         |  FROM n1 JOIN fl ON fl.uid = n1.uid),
+         |d AS (
+         |  SELECT uid, t, rv,
+         |    rv - lag(rv) OVER w AS dv,
+         |    (rv - lag(rv) OVER w) / (t - lag(t) OVER w) AS sp
+         |  FROM rep WINDOW w AS (PARTITION BY uid ORDER BY t)),
+         |sc AS (
+         |  SELECT uid, sp - lag(sp) OVER (PARTITION BY uid ORDER BY t) AS spc
+         |  FROM d WHERE dv IS NOT NULL),
+         |tall AS (
+         |  SELECT uid, 'val' AS kind, rv AS x FROM rep
+         |  UNION ALL SELECT uid, 'var', dv FROM d WHERE dv IS NOT NULL
+         |  UNION ALL SELECT uid, 'spd', sp FROM d WHERE dv IS NOT NULL
+         |  UNION ALL SELECT uid, 'sch', spc FROM sc WHERE spc IS NOT NULL),
+         |r1 AS (
+         |  SELECT uid, kind, x,
+         |    row_number() OVER (PARTITION BY uid, kind ORDER BY x) AS rx,
+         |    count(*) OVER (PARTITION BY uid, kind) AS cnt
+         |  FROM tall),
+         |m1 AS (
+         |  SELECT uid, kind, avg(x) AS med
+         |  FROM r1 WHERE rx IN ((cnt + 1) // 2, (cnt + 2) // 2) GROUP BY uid, kind),
+         |dev AS (
+         |  SELECT r1.uid, r1.kind, abs(x - med) AS dev
+         |  FROM r1 JOIN m1 USING (uid, kind)),
+         |r2 AS (
+         |  SELECT uid, kind, dev,
+         |    row_number() OVER (PARTITION BY uid, kind ORDER BY dev) AS rx,
+         |    count(*) OVER (PARTITION BY uid, kind) AS cnt
+         |  FROM dev),
+         |m2 AS (
+         |  SELECT uid, kind, 1.4826 * avg(dev) AS sigma
+         |  FROM r2 WHERE rx IN ((cnt + 1) // 2, (cnt + 2) // 2) GROUP BY uid, kind),
+         |cn AS (
+         |  SELECT dev.uid, dev.kind,
+         |    count(CASE WHEN dev > 3.0 * sigma THEN 1 END) AS o
+         |  FROM dev JOIN m2 USING (uid, kind) GROUP BY dev.uid, dev.kind),
+         |p AS (
+         |  SELECT uid,
+         |    CAST(sum(CASE WHEN kind = 'val' THEN o ELSE 0 END) AS BIGINT) AS oval,
+         |    CAST(sum(CASE WHEN kind = 'var' THEN o ELSE 0 END) AS BIGINT) AS ovar,
+         |    CAST(sum(CASE WHEN kind = 'spd' THEN o ELSE 0 END) AS BIGINT) AS ospd,
+         |    CAST(sum(CASE WHEN kind = 'sch' THEN o ELSE 0 END) AS BIGINT) AS osch
+         |  FROM cn GROUP BY uid),
+         |nn AS (SELECT uid, count(*) AS n FROM b GROUP BY uid)
+         |SELECT nn.uid AS user_id, CAST(nn.n AS BIGINT) AS n,
+         |  oval AS n_value_outliers, ovar AS n_variation_outliers,
+         |  ospd AS n_speed_outliers, osch AS n_speedchange_outliers,
+         |  round(CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE)
+         |    * (oval + ovar + ospd + osch) / nn.n, 8) AS validity
+         |FROM nn JOIN p ON p.uid = nn.uid
+         |ORDER BY user_id""".stripMargin,
     "ts_outlier_mad" ->
       """WITH e AS (
         |  SELECT event_type, user_id,

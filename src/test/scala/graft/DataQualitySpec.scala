@@ -73,4 +73,47 @@ class DataQualitySpec extends AnyFunSuite {
     val onePass = canon(DataQuality.madOutliersCompact(ev, Seq("event_type", "user_id"), "value"))
     assert(threePass.nonEmpty && onePass == threePass)
   }
+
+  test("validityStats matches the sequential aggregate's validity on the slt fixture") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = times.zip(values).toSeq.map { case (t, v) => ("s1", t, v) }
+      .toDF("sid", "t", "v")
+    val out = DataQuality.validityStats(df, col("t"), col("v"), Seq("sid"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    // reference slt validity = 0.8 on this fixture (4 counts sum to 12/15·4)
+    assert(r.getAs[Double]("validity") == 0.8, s"got $r")
+    assert(r.getAs[Long]("n") == 15)
+  }
+
+  test("validityStats equals the whole-series aggregate per group on real data") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 30)
+      .withColumn("v", when(col("event_id") % 17 === 0, lit(Double.NaN))
+        .otherwise(col("value")))
+    val seqV = DataQuality.dataQuality(ev, col("ts"), col("v"), Seq("user_id"))
+      .select("user_id", "validity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val distV = DataQuality.validityStats(ev, col("ts").cast("double"), col("v"),
+        Seq("user_id"))
+      .select("user_id", "validity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(seqV.nonEmpty && distV == seqV,
+      s"per-group validity drift: ${distV.toSeq.diff(seqV.toSeq).take(3)}")
+  }
 }
