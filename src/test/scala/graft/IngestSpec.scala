@@ -361,6 +361,12 @@ class IngestSpec extends AnyFunSuite {
     assert(dd.count() > 0)
     val ddB = graft.queries.StreamQueries.replayBatches("stream_dedup_sink")
     assert(ddB > 1, s"dedup expected >1 data-bearing micro-batch, got $ddB")
+    // and for event-time session windows — the lane where watermark
+    // advancement BETWEEN batches merges/closes sessions
+    val ss = graft.queries.StreamQueries.queries("stream_session")(spark, sf)
+    assert(ss.count() > 0)
+    val ssB = graft.queries.StreamQueries.replayBatches("stream_session_sink")
+    assert(ssB > 1, s"session expected >1 data-bearing micro-batch, got $ssB")
   }
 
   test("streamingLastPoint keeps the max-by-time row per key") {
