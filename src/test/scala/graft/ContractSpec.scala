@@ -102,6 +102,28 @@ class ContractSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one exchange (stratum partition), got $exchanges")
   }
 
+  test("packSequences plans one data exchange: the shard shuffle feeds window and agg") {
+    val docs = Tables(spark, sf, "documents")
+    val plan = executedPlan(
+      operators.TextAnalysis.packSequences(docs, "doc_id", "text", 512, 16))
+    // hashpartitioning(shard) satisfies the downstream (shard, seq_id)
+    // grouping, so the window's shuffle must be the ONLY one.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange (the shard shuffle), got $exchanges\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("lineDedup claimant aggregate is partial (map-side combined) on the line hash") {
+    val docs = Tables(spark, sf, "documents")
+    val plan = executedPlan(operators.TextAnalysis.lineDedup(docs, "doc_id", "text", " "))
+    // the min(struct) claimant must partial-aggregate before its exchange
+    // (one narrow row per distinct line per mapper enters the shuffle)
+    assert("partial_min".r.findAllIn(plan).nonEmpty,
+      s"claimant min(struct) should map-side combine\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bucketed lake tables co-locate the join: no exchange on either side") {
     // SURVEY §5: big fact-fact joins co-locate via bucketing. Write both
     // sides bucketed by the join key, then join with broadcast off — the
