@@ -97,8 +97,21 @@ object Bench {
     final case class Attempt(results: Seq[(String, (Double, Double))],
                              calibs: Seq[Double], steals: Seq[Double],
                              noisy: Boolean, spread: Double, unit: Double) {
-      def total: Double = results.map(_._2._1).sum
-      def total2: Double = results.map(_._2._2).sum
+      // A query whose either run threw (the -1.0 sentinel) is EXCLUDED
+      // from the totals and listed by name: r6's artifact summed the
+      // sentinels of 63 crashed lanes into a "47.6 s" headline that read
+      // like a 2.4× speedup. A suite with any error is not a measurement
+      // — `invalid` says so in the artifact itself.
+      def errNames: Seq[String] =
+        results.collect { case (n, (r1, r2)) if r1 < 0 || r2 < 0 => n }
+      def invalid: Boolean = errNames.nonEmpty
+      private def ok = results.filter { case (_, (r1, r2)) => r1 >= 0 && r2 >= 0 }
+      def total: Double = ok.map(_._2._1).sum
+      def total2: Double = ok.map(_._2._2).sum
+      def errJson: String =
+        "\"errors\":" + errNames.length +
+          ",\"error_queries\":[" + errNames.map("\"" + _ + "\"").mkString(",") + "]" +
+          ",\"invalid\":" + invalid
       // the compact self-description every attempt (kept or discarded)
       // contributes to the artifact
       def summaryJson: String =
@@ -106,7 +119,7 @@ object Bench {
           ",\"calib\":[" + calibs.map(fmt).mkString(",") + "]" +
           ",\"calib_spread\":" + fmt(spread) + ",\"calib_unit\":" + fmt(unit) +
           ",\"steal_sec\":[" + steals.map(fmt).mkString(",") + "]" +
-          ",\"noisy\":" + noisy + "}"
+          ",\"noisy\":" + noisy + "," + errJson + "}"
     }
 
     // run1 = arrival order (includes residual per-query JIT), run2 =
@@ -171,7 +184,7 @@ object Bench {
     val calibJson = "\"calib\":[" + kept.calibs.map(fmt).mkString(",") + "]," +
       "\"calib_spread\":" + fmt(kept.spread) + ",\"calib_unit\":" + fmt(kept.unit) +
       ",\"steal_sec\":[" + kept.steals.map(fmt).mkString(",") + "]" +
-      ",\"noisy\":" + kept.noisy +
+      ",\"noisy\":" + (kept.noisy || kept.invalid) + "," + kept.errJson +
       ",\"attempts\":[" + attempts.mkString(",") + "]"
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
     val fullLine = s"""{"metric":"total","value":${fmt(kept.total)},"unit":"sec","total_run2":${fmt(kept.total2)},$calibJson,"queries":$qs,"sf":"$sfName"}"""

@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.EdgeSql.queries ++
       graft.queries.TimeSeriesQueries.queries ++
       graft.queries.QualityGisQueries.queries ++ graft.queries.PipelineQueries.queries ++
-      graft.queries.IngestQueries.queries ++ graft.queries.StreamQueries.queries
+      graft.queries.IngestQueries.queries ++ graft.queries.StreamQueries.queries ++
+      graft.queries.LakeContract.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.queries.EdgeSql.oracleSql ++
       graft.queries.TimeSeriesQueries.oracleSql ++
       graft.queries.QualityGisQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.IngestQueries.oracleSql ++ graft.queries.StreamQueries.oracleSql
+      graft.queries.IngestQueries.oracleSql ++ graft.queries.StreamQueries.oracleSql ++
+      graft.queries.LakeContract.oracleSql
 }

@@ -381,6 +381,14 @@ object TextAnalysis {
     * one sorted-window task after a single shuffle on the shard key, so
     * parallelism is `shards` — size it to the cluster, independent of
     * corpus size. Everything after the window is partial-aggregable.
+    *
+    * WARNING: `shards` CAPS the cumsum stage's parallelism — the default
+    * 16 is a local[32] setting. On a fleet, grow it with the executor
+    * count (e.g. 2-4× total cores); it changes the packing (shard is
+    * part of the sequence key), so pin it per corpus snapshot. For a
+    * FIXED `shards`, output is fully deterministic: the shard hash and
+    * the in-shard `idCol` order are data-derived, so input partitioning
+    * and arrival order cannot change a single manifest row (spec-pinned).
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int = 512, shards: Int = 16): DataFrame = {

@@ -779,8 +779,8 @@ object PipelineQueries {
         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM d)
-        |SELECT shard, (cum - n_tokens) // 512 AS seq_id,
-        |  count(*) AS n_docs, sum(n_tokens) AS seq_tokens,
+        |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY shard, (cum - n_tokens) // 512
         |ORDER BY shard, seq_id""".stripMargin,

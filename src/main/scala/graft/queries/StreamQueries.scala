@@ -126,12 +126,14 @@ object StreamQueries {
       .parquet(root)
   }
 
-  /** Raw events stream in K ts-ordered micro-batches; ts arrives as the
-    * parquet's INT64 nanos (the same nanosAsLong view the batch loader
-    * uses; the staged rewrite stores it as plain BIGINT nanos).
+  /** Raw events stream in K ts-ordered micro-batches; ts arrives as
+    * BIGINT nanos whatever the lake's physical encoding —
+    * [[Tables.eventsNanos]] normalizes before staging, and the staged
+    * rewrite stores plain BIGINT nanos. (Key suffix `_ns`: a staged dir
+    * from a pre-normalization round must not be reused.)
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame =
-    staged(s, s.read.parquet(s"$dir/events.parquet"), "ts", s"$dir/events_by_ts")
+    staged(s, Tables.eventsNanos(s, dir), "ts", s"$dir/events_by_ts_ns")
 
   /** The stateful-lane equivalence precondition, asserted loudly: per
     * (event_type, µs-timestamp) keys must be unique, else
@@ -152,7 +154,7 @@ object StreamQueries {
   private val uniqueTsOk = TrieMap.empty[String, Boolean]
   private def requireUniqueSeriesTs(s: SparkSession, dir: String): Unit =
     if (!uniqueTsOk.contains(dir)) {
-      val r = s.read.parquet(s"$dir/events.parquet")
+      val r = Tables.eventsNanos(s, dir)
         .select(col("event_type"), expr("ts div 1000").as("ts_us"))
         .agg(count(lit(1)).as("n"), countDistinct(col("event_type"), col("ts_us")).as("d"))
         .head
@@ -308,9 +310,9 @@ object StreamQueries {
       // spanning files are filled from the value carried out of the
       // earlier batch. This mirrors a production continuous downsample
       // triggering on window close.
-      val srcB = s.read.parquet(s"$dir/events.parquet")
+      val srcB = Tables.eventsNanos(s, dir)
         .withColumn("__bucket", expr(s"(ts div 1000) div $BucketUs"))
-      val pts = staged(s, srcB, "__bucket", s"$dir/events_by_bucket")
+      val pts = staged(s, srcB, "__bucket", s"$dir/events_by_bucket_ns")
         .filter(col("user_id") < 30)
         .select(xxhash64(col("event_type")).as("series"),
           expr("ts div 1000").as("ts_us"), col("value"))

@@ -199,4 +199,33 @@ class ContractSpec extends AnyFunSuite {
     assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
       s"column pruning failed: $readSchema")
   }
+
+  test("q_lake_contract passes on the driver lake and matches its oracle rows") {
+    val df = queries.LakeContract.queries("q_lake_contract")(spark, sf)
+    val n = queries.LakeContract.expected.map(_._2.size).sum
+    assert(df.count() == n)
+  }
+
+  test("lake contract names the drifted column with expected vs found types") {
+    import spark.implicits._
+    // documents with n_chars retyped string and text missing — the
+    // wrong-typed fixture the r6 postmortem asked for
+    val broken = Seq((1L, "en", "web", "42")).toDF("doc_id", "lang", "source", "n_chars")
+    val v = queries.LakeContract.tableViolations("documents", broken)
+    assert(v.exists(m => m.contains("documents.n_chars") &&
+      m.contains("expected integral") && m.contains("string")), v.mkString("; "))
+    assert(v.exists(m => m.contains("documents.text") && m.contains("MISSING")),
+      v.mkString("; "))
+  }
+
+  test("Tables.events throws a readable error on an un-normalizable ts encoding") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_badlake").toString
+    Seq((1L, "not-a-time", 1L, "t0", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, d))
+    assert(e.getMessage.contains("events.ts") &&
+      e.getMessage.toLowerCase.contains("string"), e.getMessage)
+  }
 }

@@ -1016,4 +1016,18 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 0L, 2L, 7L, 1L, 17L),
       (1L, 1L, 1L, 5L, 33L, 33L)), s"got ${out.toSeq}")
   }
+
+  test("packSequences manifest is invariant to input partitioning and order") {
+    // the determinism claim the scaladoc makes: for a FIXED shards, the
+    // shard key and in-shard order are data-derived, so how the input
+    // arrives (partition count, row order) cannot move a manifest row
+    import org.apache.spark.sql.functions.{col, desc}
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val base = TextAnalysis.packSequences(docs, "doc_id", "text", seqLen = 512, shards = 16)
+    val shuffled = TextAnalysis.packSequences(
+      docs.repartition(7, col("text")).sortWithinPartitions(desc("doc_id")),
+      "doc_id", "text", seqLen = 512, shards = 16)
+    assert(base.exceptAll(shuffled).isEmpty && shuffled.exceptAll(base).isEmpty,
+      "packSequences output moved under a different input partitioning")
+  }
 }
