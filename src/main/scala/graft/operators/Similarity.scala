@@ -489,6 +489,63 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Exact-integer nearest-centroid assignment against centroid
+    * literals — the same mapper [[ivfAnnExact]] uses for its corpus
+    * side, exposed for cluster-scoped operators ([[semanticDedup]]).
+    * Returns (idCol, v: array<double>, cell). Centroid literals mean
+    * ZERO Spark jobs at plan time and no shuffle: assignment is pure
+    * per-row arithmetic in codegen.
+    */
+  def assignExactCells(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[Array[Long]]): DataFrame = {
+    require(centroids.nonEmpty, "assignExactCells needs at least one centroid")
+    centroids.zipWithIndex.foreach { case (cq, i) =>
+      require(cq.map(x => x.toDouble * x).sum <= ExactSdBound,
+        s"assignExactCells: centroid $i has |cq|² past the 2^50 exact-integer budget")
+    }
+    def cellOf(vq: Column, selfDot: Column): Column =
+      if (centroids.length == 1) lit(0L)
+      else least(centroids.zipWithIndex.map { case (cq, i) =>
+        struct(intDist(selfDot, vq, cq).as("d"), lit(i.toLong).as("i"))
+      }: _*).getField("i")
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vq", quantGrid(col("v")))
+      .withColumn("sd", guardedSelfDot(col("vq")))
+      .withColumn("cell", cellOf(col("vq"), col("sd")))
+      .drop("vq", "sd")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication scoped by embedding cluster — assign every vector to
+    * its nearest centroid, find within-cluster pairs with cosine ≥
+    * `threshold`, and keep one representative per duplicate group (the
+    * smallest id, deterministic across engines). Output is one row per
+    * corpus vector: (idCol, cell, kept) — `kept=false` marks the rows a
+    * training pipeline drops.
+    *
+    * 100 TB shape: assignment is a literal-centroid mapper (no
+    * shuffle); the pairwise stage is [[cosineDedupPairs]] keyed on the
+    * cell, so the quadratic work is bounded per cell and the
+    * `maxCellSize` guard fails fast when a cell outgrows the budget.
+    * THE SCALE KNOB IS k (the centroid count): SemDeDup at corpus scale
+    * trains k ∝ n/targetCellSize centroids so cells stay ~constant —
+    * grow k with the corpus, never the cell budget. The keep rule is
+    * one distinct + one left anti-style join on the pair list (orders
+    * smaller than the corpus), mirroring the MinHashLSH keep-set.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Long]], threshold: Double,
+                    maxCellSize: Int = 50000): DataFrame = {
+    val cells = assignExactCells(corpus, idCol, vecCol, centroids)
+    val pairs = cosineDedupPairs(cells, idCol, "v", "cell", threshold, maxCellSize)
+    val drops = pairs.select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    cells.join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        (!coalesce(col("__dup"), lit(false))).as("kept"))
+  }
+
   /** Cluster-composition statistics against K reference vectors (the
     * first `numClusters` corpus ids — deterministic, so the whole
     * operator is oracle-checkable end-to-end, unlike the k-means

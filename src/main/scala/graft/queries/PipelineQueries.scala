@@ -309,6 +309,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
+    // the SAME exact integer-grid quantizer as emb_ivf_ann — the oracle
+    // retrains identical centroids in SQL, replays the cell assignment,
+    // and applies the same within-cell cosine keep rule, so the whole
+    // corpus-pruning decision (vec_id, cell, kept) hash-checks.
+    "emb_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 2, hexBound = Similarity.ivfHexBound(emb.count()))
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
+        .orderBy("vec_id")
+    }),
+
     // REAL image decode: construct genuine 24-bit BMPs from doc_id,
     // decode headers + average the actual pixel bytes; the oracle
     // recomputes geometry, byte size (incl. 4-byte row padding) and the
@@ -428,11 +441,18 @@ object PipelineQueries {
     * hexBound=ivfHexBound(n)) + ivfAnnExact(k=10, nprobe=3) over
     * queries vec_id < 20.
     */
-  private def ivfOracle: String = {
-    val (k, iters, nprobe, topk) = (8, 2, 3, 10)
-    def d(vq: String, cq: String): String =
-      s"CAST(list_dot_product($vq, $vq) - 2 * list_dot_product($vq, $cq)" +
-        s" + list_dot_product($cq, $cq) AS BIGINT)"
+  private def intDistSql(vq: String, cq: String): String =
+    s"CAST(list_dot_product($vq, $vq) - 2 * list_dot_product($vq, $cq)" +
+      s" + list_dot_product($cq, $cq) AS BIGINT)"
+
+  /** The exact-centroid training + corpus cell-assignment CTE chain
+    * (ends in `cc(neighbor_id, c_vec, cell)`), shared by the IVF ANN
+    * oracle and the SemDeDup oracle — both mirror
+    * exactIvfCentroids(k, iters, hexBound=ivfHexBound(n)) +
+    * assignExactCells on the Spark side.
+    */
+  private def ivfCellCtes(k: Int, iters: Int): String = {
+    def d(vq: String, cq: String): String = intDistSql(vq, cq)
     def lloyd(i: Int, prev: String): String =
       s"""a$i AS (
          |  SELECT mh, vq, cell FROM (
@@ -452,7 +472,7 @@ object PipelineQueries {
          |    ON n.cell = p.cell)""".stripMargin
     val rounds = (1 to iters).map(i => lloyd(i, if (i == 1) "init" else s"c${i - 1}"))
       .mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS vq
        |  FROM embeddings),
@@ -477,7 +497,13 @@ object PipelineQueries {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${d("e.vq", "c.cq")}, c.cell) AS rn
        |    FROM q e CROSS JOIN c$iters c)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracle: String = {
+    val (k, iters, nprobe, topk) = (8, 2, 3, 10)
+    def d(vq: String, cq: String): String = intDistSql(vq, cq)
+    s"""WITH ${ivfCellCtes(k, iters)},
        |qp AS (
        |  SELECT query_id, q_vec, cell FROM (
        |    SELECT e.vec_id AS query_id, e.v AS q_vec, c.cell,
@@ -496,6 +522,20 @@ object PipelineQueries {
        |  FROM scored)
        |WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
   }
+
+  /** SemDeDup oracle: shared centroid CTEs + the within-cell cosine
+    * keep rule. The kept flag compares the raw double cosine at the
+    * threshold, same accepted ulp risk as the emb_cosine_dedup oracle.
+    */
+  private def semDedupOracle: String =
+    s"""WITH ${ivfCellCtes(8, 2)},
+       |pr AS (
+       |  SELECT DISTINCT b.neighbor_id AS id_b
+       |  FROM cc a JOIN cc b ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+       |  WHERE list_cosine_similarity(a.c_vec, b.c_vec) >= 0.35)
+       |SELECT cc.neighbor_id AS vec_id, cc.cell, (pr.id_b IS NULL) AS kept
+       |FROM cc LEFT JOIN pr ON pr.id_b = cc.neighbor_id
+       |ORDER BY vec_id""".stripMargin
 
   /** The minhash pipeline as a reusable CTE chain ending in `pairs`
     * (thresholded near-dup pairs with jaccard) — shared by the pair
@@ -553,6 +593,7 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     "emb_lsh_ann" -> lshOracle,
     "emb_ivf_ann" -> ivfOracle,
+    "emb_semantic_dedup" -> semDedupOracle,
     "doc_exact_dedup" ->
       s"""WITH $CORPUS
          |SELECT md5(text) AS h, count(*) AS n,

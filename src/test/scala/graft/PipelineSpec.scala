@@ -1017,6 +1017,34 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 1L, 1L, 5L, 33L, 33L)), s"got ${out.toSeq}")
   }
 
+  test("semanticDedup keeps one representative per within-cluster dup group") {
+    import spark.implicits._
+    // two obvious clusters on the axes; b≈a and d≈c are semantic dups,
+    // e sits between (cos ≈ 0.707 to both) and must survive
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9999f, 1.0e-4f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0e-4f, 0.9999f)),
+      (5L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1000000L, 0L), Array(0L, 1000000L))
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", cents, 0.99)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, true), (2L, 0L, false),
+      (3L, 1L, true), (4L, 1L, false),
+      (5L, 0L, true)), s"got ${out.toSeq}")
+  }
+
+  test("semanticDedup emits exactly one row per corpus vector") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2, hexBound = Similarity.ivfHexBound(emb.count()))
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
+    assert(out.count() == emb.count())
+    assert(out.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("packSequences manifest is invariant to input partitioning and order") {
     // the determinism claim the scaladoc makes: for a FIXED shards, the
     // shard key and in-shard order are data-derived, so how the input
