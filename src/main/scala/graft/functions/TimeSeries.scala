@@ -662,6 +662,45 @@ object TimeSeries {
     */
   def linearTrend(df: DataFrame, groupCols: Seq[String], xCol: Column,
                   yCol: Column): DataFrame = {
+    val (agg, g) = trendCore(df, groupCols, xCol, yCol)
+    val (vx, vy, cxy) = trendMoments
+    agg.select(g ++ Seq(col("n"),
+      when(vx > 0, q6(cxy / vx / 100.0)).as("slope"),
+      when(vx > 0, q6((col("sy").cast("double") / col("n").cast("double")
+        - (cxy / vx) * (col("sx").cast("double") / col("n").cast("double"))) / 100.0))
+        .as("intercept"),
+      when(vx > 0 && vy > 0, q6(cxy * cxy / (vx * vy))).as("r2")): _*)
+  }
+
+  /** PromQL `predict_linear` / stats_agg forecast surface: each series'
+    * least-squares line evaluated `horizon` x-units past its last
+    * sample. The extrapolation is computed FROM the same 1e-6-floored
+    * slope/intercept [[linearTrend]] publishes — one shared double
+    * expression over identical operands, so any engine replaying the
+    * floored values reproduces the prediction bit-for-bit. max(x) rides
+    * the same single partial-aggregable pass (no second scan).
+    */
+  def predictLinear(df: DataFrame, groupCols: Seq[String], xCol: Column,
+                    yCol: Column, horizon: Long): DataFrame = {
+    val (agg, g) = trendCore(df, groupCols, xCol, yCol)
+    val (vx, _, cxy) = trendMoments
+    val quantified = agg.select(g ++ Seq(col("n"), col("mx"),
+      when(vx > 0, q6(cxy / vx / 100.0)).as("slope"),
+      when(vx > 0, q6((col("sy").cast("double") / col("n").cast("double")
+        - (cxy / vx) * (col("sx").cast("double") / col("n").cast("double"))) / 100.0))
+        .as("intercept")): _*)
+    quantified.select(g ++ Seq(col("n"), col("slope"), col("intercept"),
+      (col("mx") + lit(horizon)).as("x_pred"),
+      when(col("slope").isNotNull,
+        q6(col("intercept") + col("slope") * (col("mx") + lit(horizon)).cast("double")))
+        .as("predicted")): _*)
+  }
+
+  private def q6(c: Column): Column = floor(c * lit(1000000.0)) / 1000000.0
+
+  /** Shared exact-decimal regression sums (+ per-group max x). */
+  private def trendCore(df: DataFrame, groupCols: Seq[String], xCol: Column,
+                        yCol: Column): (DataFrame, Seq[Column]) = {
     val g = groupCols.map(col)
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val x = xCol.cast("long")
@@ -673,18 +712,18 @@ object TimeSeries {
         sum(dec(col("__x"))).as("sx"), sum(dec(col("__y"))).as("sy"),
         sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
         sum(dec(col("__y")) * dec(col("__y"))).as("syy"),
-        sum(dec(col("__x")) * dec(col("__y"))).as("sxy"))
+        sum(dec(col("__x")) * dec(col("__y"))).as("sxy"),
+        max(col("__x")).as("mx"))
+    (agg, g)
+  }
+
+  /** (vx, vy, cxy) covariance/variance numerators over [[trendCore]]'s
+    * columns; y stays in cents until the final division.
+    */
+  private def trendMoments: (Column, Column, Column) = {
     val (n, sx, sy, sxx, syy, sxy) =
       (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"),
         col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
-    // covariance/variance numerators; y stays in cents until the end
-    val vx = n * sxx - sx * sx
-    val vy = n * syy - sy * sy
-    val cxy = n * sxy - sx * sy
-    val q6 = (c: Column) => floor(c * lit(1000000.0)) / 1000000.0
-    agg.select(g ++ Seq(col("n"),
-      when(vx > 0, q6(cxy / vx / 100.0)).as("slope"),
-      when(vx > 0, q6((sy / n - (cxy / vx) * (sx / n)) / 100.0)).as("intercept"),
-      when(vx > 0 && vy > 0, q6(cxy * cxy / (vx * vy))).as("r2")): _*)
+    (n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy)
   }
 }

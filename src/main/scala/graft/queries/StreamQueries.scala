@@ -322,6 +322,31 @@ object StreamQueries {
       sink.join(typeDict(s, dir), "series")
         .select(col("event_type"), col("bucket_us"), col("value"), col("filled"))
         .orderBy("event_type", "bucket_us")
+    }),
+
+    // Continuous downsample with LINEAR interpolation, streamed — the
+    // interpolate() half of the reference's gapfill pair. Gap rows are
+    // deferred until the closing sample arrives (state carries the left
+    // endpoint across micro-batch boundaries); interpolated values are
+    // a fixed IEEE op sequence over exact operands, so the relational
+    // oracle (prev/next observed bucket via windows) reproduces them
+    // bit-for-bit.
+    "stream_gapfill_interp" -> ((s, dir) => {
+      import s.implicits._
+      requireUniqueSeriesTs(s, dir)
+      val srcB = Tables.eventsNanos(s, dir)
+        .withColumn("__bucket", expr(s"(ts div 1000) div $BucketUs"))
+      val pts = staged(s, srcB, "__bucket", s"$dir/events_by_bucket_ns")
+        .filter(col("user_id") < 30)
+        .select(xxhash64(col("event_type")).as("series"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .as[StreamIngest.GaugePoint]
+      val sink = replay(s,
+        StreamIngest.streamingGapfillInterpolate(pts, BucketUs).toDF(),
+        "stream_gapfill_interp_sink")
+      sink.join(typeDict(s, dir), "series")
+        .select(col("event_type"), col("bucket_us"), col("value"), col("filled"))
+        .orderBy("event_type", "bucket_us")
     })
   )
 
@@ -429,6 +454,40 @@ object StreamQueries {
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_us
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  (v IS NULL) AS filled
-        |FROM j ORDER BY event_type, bucket_us""".stripMargin
+        |FROM j ORDER BY event_type, bucket_us""".stripMargin,
+    "stream_gapfill_interp" ->
+      """WITH p AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us, value
+        |  FROM events WHERE user_id < 30),
+        |lastb AS (
+        |  SELECT event_type, (ts_us // 3600000000) * 3600000000 AS bucket_us,
+        |    max_by(value, ts_us) AS v
+        |  FROM p GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        |  FROM (SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+        |        FROM lastb GROUP BY 1)),
+        |j AS (
+        |  SELECT s.event_type, s.bucket_us, l.v
+        |  FROM spine s LEFT JOIN lastb l USING (event_type, bucket_us)),
+        |w AS (
+        |  SELECT event_type, bucket_us, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS vp,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+        |      OVER wp AS bp,
+        |    first_value(v IGNORE NULLS) OVER wn AS vn,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+        |      OVER wn AS bn
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY bucket_us
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket_us,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE vp + (vn - vp) * (CAST(bucket_us - bp AS DOUBLE)
+        |         / CAST(bn - bp AS DOUBLE)) END AS value,
+        |  (v IS NULL) AS filled
+        |FROM w ORDER BY event_type, bucket_us""".stripMargin
   )
 }

@@ -249,6 +249,15 @@ object TimeSeriesQueries {
           expr("ts_ns div 1000000000") - lit(1704067200L), col("value"))
         .orderBy("event_type")),
 
+    // PromQL predict_linear: the per-series trend line evaluated 1 hour
+    // past each series' last sample; extrapolates from the published
+    // (1e-6-floored) slope/intercept so both engines evaluate one
+    // identical double expression.
+    "ts_predict_linear" -> ((s, dir) =>
+      TimeSeries.predictLinear(Tables.events(s, dir), Seq("event_type"),
+          expr("ts_ns div 1000000000") - lit(1704067200L), col("value"), 3600L)
+        .orderBy("event_type")),
+
     // Per-point 3σ anomaly flags; the boolean test is cleared to exact
     // integer arithmetic so it cannot flip on a float boundary.
     "ts_anomaly_zscore" -> ((s, dir) =>
@@ -848,6 +857,36 @@ object TimeSeriesQueries {
         |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000.0) / 1000000.0
         |    END AS r2
         |FROM a ORDER BY event_type""".stripMargin,
+    // same sums as ts_linreg + max(x); predicted re-uses the FLOORED
+    // slope/intercept so the extrapolation is one identical double
+    // expression in both engines
+    "ts_predict_linear" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 1000000000 - 1704067200 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(max(x) AS BIGINT) AS mx
+        |  FROM p GROUP BY event_type),
+        |s AS (
+        |  SELECT event_type, n, mx,
+        |    CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      floor((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * 1000000.0)
+        |        / 1000000.0 END AS slope,
+        |    CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      floor((sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n))
+        |        / 100.0 * 1000000.0) / 1000000.0 END AS intercept
+        |  FROM a)
+        |SELECT event_type, n, slope, intercept, mx + 3600 AS x_pred,
+        |  CASE WHEN slope IS NOT NULL THEN
+        |    floor((intercept + slope * CAST(mx + 3600 AS DOUBLE)) * 1000000.0)
+        |      / 1000000.0 END AS predicted
+        |FROM s ORDER BY event_type""".stripMargin,
     "ts_twa" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) AS ts_us,

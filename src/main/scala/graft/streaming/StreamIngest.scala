@@ -171,6 +171,62 @@ object StreamIngest {
       }
   }
 
+  final case class InterpBucket(series: Long, bucket_us: Long, value: Double, filled: Boolean)
+
+  /** Continuous downsample with LINEAR interpolation — the streaming
+    * counterpart of `time_window_gapfill + interpolate()` (reference
+    * gapfill.rs/interpolate.rs), completing the locf/interpolate pair
+    * on the stream side. Interpolation needs a gap's RIGHT endpoint, so
+    * gap rows are deferred until the sample that closes the gap arrives
+    * — possibly micro-batches later; the per-series state is the same
+    * O(1) (lastBucket, lastTs, lastVal) tuple as locf, and a gap
+    * spanning K batch boundaries emits all its interior buckets in the
+    * batch that closes it. Interpolated values are `vp + (vn-vp)·frac`
+    * with frac a quotient of exact bucket longs — one fixed IEEE op
+    * order, so a SQL replay reproduces them bit-for-bit. Same
+    * `maxBucketsPerGap` fail-fast densification guard as locf.
+    */
+  def streamingGapfillInterpolate(points: Dataset[GaugePoint], bucketUs: Long,
+                                  maxBucketsPerGap: Long = 1000000L): Dataset[InterpBucket] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[GapfillState, InterpBucket](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series, rows, state: GroupState[GapfillState]) =>
+          val out = Vector.newBuilder[InterpBucket]
+          var st = state.getOption.orNull
+          val perBucket = rows.toSeq.sortBy(_.ts_us)
+            .filter(p => st == null || p.ts_us > st.lastTs)
+            .map(p => (Math.floorDiv(p.ts_us, bucketUs) * bucketUs, p.ts_us, p.value))
+            .foldLeft(Vector.empty[(Long, Long, Double)]) { case (acc, r) =>
+              if (acc.nonEmpty && acc.last._1 == r._1) acc.init :+ r else acc :+ r
+            }
+          perBucket.foreach { case (b, ts, v) =>
+            if (st == null) {
+              out += InterpBucket(series, b, v, filled = false)
+            } else if (b > st.lastBucket) {
+              val gaps = (b - st.lastBucket) / bucketUs - 1
+              if (gaps > maxBucketsPerGap)
+                throw new IllegalStateException(
+                  s"streamingGapfillInterpolate: series $series gap of $gaps buckets " +
+                    s"exceeds maxBucketsPerGap=$maxBucketsPerGap — widen the bucket or " +
+                    "raise the cap")
+              var g = st.lastBucket + bucketUs
+              while (g < b) {
+                val frac = (g - st.lastBucket).toDouble / (b - st.lastBucket).toDouble
+                out += InterpBucket(series, g,
+                  st.lastVal + (v - st.lastVal) * frac, filled = true)
+                g += bucketUs
+              }
+              out += InterpBucket(series, b, v, filled = false)
+            }
+            st = GapfillState(b, ts, v)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup for a document ingest lane: first occurrence
     * of each content hash survives; `dropDuplicatesWithinWatermark`
     * bounds the dedup state by the watermark horizon, so memory is

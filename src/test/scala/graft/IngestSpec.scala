@@ -155,6 +155,32 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingGapfillInterpolate defers gaps until the closing sample, across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.GaugePoint]
+    val q = StreamIngest.streamingGapfillInterpolate(mem.toDS(), bucketUs = 10L)
+      .writeStream.outputMode("append").format("memory").queryName("interp_test").start()
+    try {
+      // batch 1 ends at bucket 20 (value 2.0); batch 2's sample at
+      // bucket 50 (value 8.0) CLOSES the 30/40 gap — interior buckets
+      // interpolate toward it: 30 → 4.0, 40 → 6.0 (exact thirds of a
+      // span of 6.0 over 3 buckets), proving the left endpoint crossed
+      // the micro-batch boundary in state
+      mem.addData(StreamIngest.GaugePoint(1L, 0L, 1.0), StreamIngest.GaugePoint(1L, 25L, 2.0))
+      q.processAllAvailable()
+      mem.addData(StreamIngest.GaugePoint(1L, 55L, 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("interp_test").orderBy("bucket_us")
+        .collect().map(r => (r.getAs[Long]("bucket_us"), r.getAs[Double]("value"),
+          r.getAs[Boolean]("filled")))
+      assert(rows.toSeq == Seq(
+        (0L, 1.0, false), (10L, 1.5, true), (20L, 2.0, false),
+        (30L, 4.0, true), (40L, 6.0, true), (50L, 8.0, false)))
+    } finally q.stop()
+  }
+
   test("windowed OHLC candlestick runs unchanged on a watermarked stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
