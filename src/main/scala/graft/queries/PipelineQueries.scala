@@ -316,8 +316,13 @@ object PipelineQueries {
     // corpus-pruning decision (vec_id, cell, kept) hash-checks.
     "emb_semantic_dedup" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
+      val n = emb.count()
+      // k grows with the corpus (target ~2500 vectors/cell) so the
+      // quadratic within-cell stage stays decade-bounded; the oracle's
+      // kv CTE derives the identical k from its own count(*)
+      val k = math.max(8, math.ceil(n / 2500.0).toInt)
       val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
-        k = 8, iters = 2, hexBound = Similarity.ivfHexBound(emb.count()))
+        k = k, iters = 2, hexBound = Similarity.ivfHexBound(n))
       Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
         .orderBy("vec_id")
     }),
@@ -451,7 +456,7 @@ object PipelineQueries {
     * exactIvfCentroids(k, iters, hexBound=ivfHexBound(n)) +
     * assignExactCells on the Spark side.
     */
-  private def ivfCellCtes(k: Int, iters: Int): String = {
+  private def ivfCellCtes(kSql: String, iters: Int, extraCtes: String = ""): String = {
     def d(vq: String, cq: String): String = intDistSql(vq, cq)
     def lloyd(i: Int, prev: String): String =
       s"""a$i AS (
@@ -482,14 +487,14 @@ object PipelineQueries {
        |    ELSE printf('%08x', GREATEST(1, CAST(floor(4096.0 * 4294967296.0
        |      / count(*)) AS BIGINT))) END AS hb
        |  FROM q),
-       |samp AS (
+       |${extraCtes}samp AS (
        |  SELECT md5(CAST(vec_id AS VARCHAR)) AS mh, vq
        |  FROM q, bnd WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, len(bnd.hb))
        |    < bnd.hb),
        |init AS (
        |  SELECT cell, vq AS cq FROM (
        |    SELECT CAST(row_number() OVER (ORDER BY mh) - 1 AS BIGINT) AS cell, vq
-       |    FROM samp) WHERE cell < $k),
+       |    FROM samp) WHERE cell < $kSql),
        |$rounds,
        |cc AS (
        |  SELECT neighbor_id, c_vec, cell FROM (
@@ -501,9 +506,9 @@ object PipelineQueries {
   }
 
   private def ivfOracle: String = {
-    val (k, iters, nprobe, topk) = (8, 2, 3, 10)
+    val (iters, nprobe, topk) = (2, 3, 10)
     def d(vq: String, cq: String): String = intDistSql(vq, cq)
-    s"""WITH ${ivfCellCtes(k, iters)},
+    s"""WITH ${ivfCellCtes("8", iters)},
        |qp AS (
        |  SELECT query_id, q_vec, cell FROM (
        |    SELECT e.vec_id AS query_id, e.v AS q_vec, c.cell,
@@ -526,9 +531,13 @@ object PipelineQueries {
   /** SemDeDup oracle: shared centroid CTEs + the within-cell cosine
     * keep rule. The kept flag compares the raw double cosine at the
     * threshold, same accepted ulp risk as the emb_cosine_dedup oracle.
+    * k is CORPUS-DERIVED (max(8, ceil(n/2500)) — the kv CTE) exactly as
+    * the Spark entry derives it, so cells stay ~2500 vectors at any sf
+    * and the quadratic within-cell stage never outgrows a decade.
     */
   private def semDedupOracle: String =
-    s"""WITH ${ivfCellCtes(8, 2)},
+    s"""WITH ${ivfCellCtes("(SELECT kk FROM kv)", 2,
+         "kv AS (\n  SELECT GREATEST(8, CAST(ceil(count(*) / 2500.0) AS BIGINT)) AS kk\n  FROM q),\n")},
        |pr AS (
        |  SELECT DISTINCT b.neighbor_id AS id_b
        |  FROM cc a JOIN cc b ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
