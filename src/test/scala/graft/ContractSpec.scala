@@ -200,6 +200,14 @@ class ContractSpec extends AnyFunSuite {
       s"column pruning failed: $readSchema")
   }
 
+  test("predictLinear is one scan — max(x) rides the regression aggregate") {
+    val plan = executedPlan(functions.TimeSeries.predictLinear(
+      Tables.events(spark, sf), Seq("event_type"),
+      expr("ts_ns div 1000000000"), col("value"), 3600L))
+    val scans = plan.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 1, s"expected a single events scan, plan had $scans")
+  }
+
   test("q_lake_contract passes on the driver lake and matches its oracle rows") {
     val df = queries.LakeContract.queries("q_lake_contract")(spark, sf)
     val n = queries.LakeContract.expected.map(_._2.size).sum

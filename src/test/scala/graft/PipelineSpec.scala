@@ -1036,6 +1036,26 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 0L, true)), s"got ${out.toSeq}")
   }
 
+  test("semanticDedup plan construction launches no Spark jobs (centroids are literals)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding", 8, 2, "8")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val plan = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
+    assert(tracker.getJobIdsForGroup(null).length == before,
+      "building the semanticDedup plan must not run any job")
+    assert(plan.columns.toSeq == Seq("vec_id", "cell", "kept"))
+  }
+
+  test("semanticDedup plans no cartesian product (cell equijoin only)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding", 8, 2, "8")
+    val plan = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "within-cell pairing must stay a cell equijoin")
+  }
+
   test("semanticDedup emits exactly one row per corpus vector") {
     val emb = Tables(spark, sf, "embeddings")
     val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
