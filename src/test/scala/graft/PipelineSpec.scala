@@ -1056,6 +1056,29 @@ class PipelineSpec extends AnyFunSuite {
       "within-cell pairing must stay a cell equijoin")
   }
 
+  test("assignExactCells broadcast-join path (k>16) matches a driver-side argmin") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
+      k = 20, iters = 2, hexBound = "g")
+    assert(cents.length == 20)
+    val got = Similarity.assignExactCells(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: plain-Scala exact-integer argmin over the
+    // same 1e-6 quantization grid, same (distance, cell) tie-break
+    val want = emb.select("vec_id", "embedding").collect().map { r =>
+      val id = r.getLong(0)
+      val vq = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray
+      val cell = cents.zipWithIndex.map { case (cq, i) =>
+        var d = 0L; var j = 0
+        while (j < vq.length) { val t = vq(j) - cq(j); d += t * t; j += 1 }
+        (d, i.toLong)
+      }.min._2
+      id -> cell
+    }.toMap
+    assert(got == want, "join-path cell assignment diverged from the reference argmin")
+  }
+
   test("semanticDedup emits exactly one row per corpus vector") {
     val emb = Tables(spark, sf, "embeddings")
     val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
