@@ -318,6 +318,46 @@ object TextKernels {
     new GenericArrayData(Array[Any]((toks.length - 1).toLong, dup, top))
   }
 
+  /** winnow_set(text) → sorted distinct window-min Karp-Rabin char
+    * 8-gram hashes (w=8, B=131, M=1e9+7) — MOSS winnowing fingerprint
+    * selection (Schleimer et al. SIGMOD'03) as ONE per-doc pass.
+    * Code-point based so the value matches a SQL ord()/substr
+    * polynomial replay exactly; a doc shorter than one full window
+    * selects the single all-grams minimum (Scala `sliding` semantics).
+    */
+  def winnowSet(t: UTF8String): ArrayData = {
+    val cps = t.toString.codePoints().toArray
+    val k = 8; val w = 8; val B = 131L; val M = 1000000007L
+    if (cps.length < k) return new GenericArrayData(Array.empty[Any])
+    val H = cps.length - k + 1
+    val hashes = new Array[Long](H)
+    var pow = 1L; var h = 0L; var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; if (i < k - 1) pow = (pow * B) % M; i += 1 }
+    hashes(0) = h
+    i = k
+    while (i < cps.length) {
+      h = ((h - (cps(i - k) * pow) % M + M) % M * B + cps(i)) % M
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val nWin = math.max(H - w + 1, 1)
+    var j = 0
+    while (j < nWin) {
+      var m = Long.MaxValue
+      var x = j
+      val end = math.min(j + w, H)
+      while (x < end) { if (hashes(x) < m) m = hashes(x); x += 1 }
+      sel.add(m)
+      j += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
 }
 
 private[functions] trait StaticCallExpr { self: BinaryExpression =>
@@ -585,6 +625,30 @@ case class RepStats(child: Expression)
   override def prettyName: String = "rep_stats"
 }
 
+/** winnow_set(text) → sorted distinct winnowing fingerprints
+  * (array<long>; empty when the doc has no char 8-gram).
+  */
+case class WinnowSet(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_set requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.winnowSet(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      t => s"${ev.value} = graft.functions.TextKernels.winnowSet($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "winnow_set"
+}
+
 object TextExpressions {
   /** Idempotent per-session registration (same pattern as
     * VectorExpressions.register).
@@ -613,5 +677,7 @@ object TextExpressions {
       Arity.unary("rep_stats")(RepStats), "built-in")
     reg.createOrReplaceTempFunction("ws_normalize",
       Arity.unary("ws_normalize")(WsNormalize), "built-in")
+    reg.createOrReplaceTempFunction("winnow_set",
+      Arity.unary("winnow_set")(WinnowSet), "built-in")
   }
 }

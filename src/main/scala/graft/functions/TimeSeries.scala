@@ -644,6 +644,38 @@ object TimeSeries {
       .drop("__c")
   }
 
+  /** Truncated exponential moving average (EWMA, decay 3/4 over the
+    * last `depth` samples) per series — the PromQL/TimescaleDB
+    * smoothing surface with the tail truncated so the operator is a
+    * fixed lag window, not a sequential scan: integer weights
+    * wᵢ = 3ⁱ·4^(depth−1−i) (geometric ratio 3/4) renormalize over the
+    * lags that exist at the series head. Numerator and denominator are
+    * exact integers (cents × integer weights); the value floats in ONE
+    * mirrored expression (num/den/100·1e6, floored), so both engines
+    * see identical IEEE operands and the output is bit-stable. One sort
+    * shuffle on the series key — the same shape as any lag window at
+    * 100 TB, no per-series state.
+    */
+  def ewma(df: DataFrame, seriesCols: Seq[String], orderCols: Seq[String],
+           valueCol: String, depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"ewma depth must be in [1,16], got $depth")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val weights = (0 until depth).map(i =>
+      math.pow(3, i).toLong * math.pow(4, depth - 1 - i).toLong)
+    val terms = (0 until depth).map { i =>
+      val lv = if (i == 0) col("__c") else lag(col("__c"), i).over(w)
+      (when(lv.isNotNull, lit(weights(i))).otherwise(lit(0L)),
+        when(lv.isNotNull, lv * weights(i)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._2).reduce(_ + _)
+    val den = terms.map(_._1).reduce(_ + _)
+    df.withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .withColumn("ewma",
+        floor(num.cast("double") / den.cast("double") / 100.0 * 1000000.0) / 1000000.0)
+      .drop("__c")
+  }
+
   /** Per-series least-squares linear trend — the `stats_agg` 2-D
     * regression surface (slope / intercept / r² / n) with ENGINE-EXACT
     * accumulation: x (integer time units) and y (exact integer cents)

@@ -407,9 +407,75 @@ object TextAnalysis {
         max(col(idCol)).as("last_doc"))
   }
 
-  /** Karp-Rabin winnowing fingerprint over char k-grams: min rolling
-    * hash per window — robust doc signature for shift-tolerant matching
-    * (spec-tested; not SQL-expressible → rows-only when queried).
+  /** Gopher-class document quality FILTER (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A — the rule SET; bounds adapted to the
+    * synthetic corpus so each rule is non-vacuous): per-doc boolean
+    * rules over whitespace tokens and newline lines, every ratio
+    * comparison cleared to an exact integer cross-multiplication so no
+    * boolean can flip on a float boundary across engines. keep = AND of
+    * all rules. Pure mapper — one corpus pass, stays in whole-stage
+    * codegen; at 100 TB this is the ingest-path gate that runs before
+    * any shuffle-bearing dedup.
+    *
+    * Rules (token = split on ' '; line = split on '\n'):
+    *  - r_word_count:    minWords ≤ n_words ≤ maxWords
+    *  - r_mean_word_len: 3 ≤ (non-space chars)/n_words ≤ 10
+    *  - r_symbol:        '#' chars ≤ 10% of words
+    *  - r_ellipsis:      lines ending "..." ≤ 30% of lines
+    *  - r_bullet:        lines starting "- " ≤ 50% of lines
+    *  - r_alpha:         words containing a letter ≥ 80% of words
+    *  - r_stopword:      ≥ 2 occurrences from the en stopword list
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 25, maxWords: Int = 100000): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    val t = col(textCol)
+    val base = df.select(
+      col(idCol),
+      size(split(t, " ")).cast("long").as("n_words"),
+      size(split(t, "\n")).cast("long").as("n_lines"),
+      length(regexp_replace(t, " ", "")).cast("long").as("n_chars_ns"),
+      (length(t) - length(regexp_replace(t, "#", ""))).cast("long").as("n_hash"),
+      size(filter(split(t, "\n"), l => l.endsWith("..."))).cast("long").as("n_ellipsis"),
+      size(filter(split(t, "\n"), l => l.startsWith("- "))).cast("long").as("n_bullet"),
+      size(filter(split(t, " "), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      call_function("word_set_count", t, lit("the,and,of,to,a,in,is,it"))
+        .cast("long").as("n_stop"))
+    val rules = base
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_word_len",
+        col("n_chars_ns") >= col("n_words") * 3 && col("n_chars_ns") <= col("n_words") * 10)
+      .withColumn("r_symbol", col("n_hash") * 10 <= col("n_words"))
+      .withColumn("r_ellipsis", col("n_ellipsis") * 10 <= col("n_lines") * 3)
+      .withColumn("r_bullet", col("n_bullet") * 10 <= col("n_lines") * 5)
+      .withColumn("r_alpha", col("n_alpha") * 5 >= col("n_words") * 4)
+      .withColumn("r_stopword", col("n_stop") >= 2)
+    rules.withColumn("keep",
+      col("r_word_count") && col("r_mean_word_len") && col("r_symbol") &&
+        col("r_ellipsis") && col("r_bullet") && col("r_alpha") && col("r_stopword"))
+  }
+
+  /** Per-doc winnowing fingerprint summary (MOSS selection, Schleimer
+    * et al. SIGMOD'03): distinct selected-hash count + an md5 digest of
+    * the sorted fingerprint list, via the native `winnow_set` kernel
+    * (one per-doc pass, k=w=8, Karp-Rabin mod 1e9+7). Hash-checkable —
+    * a SQL oracle replays the same polynomial hashes and window-min
+    * selection. Pure mapper: only (id, count, digest) leave the scan,
+    * so nothing doc-length-dependent ever shuffles at 100 TB. Docs with
+    * no char 8-gram are dropped (no fingerprint exists).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    df.select(col(idCol), call_function("winnow_set", col(textCol)).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col(idCol), size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws(",", transform(col("fps"), v => v.cast("string")))).as("fp_digest"))
+  }
+
+  /** Karp-Rabin winnowing fingerprint over char k-grams (plain-Scala
+    * reference form of the `winnow_set` kernel; UTF-16 positions — kept
+    * for the shift-tolerance spec).
     */
   def winnow(text: String, k: Int = 8, window: Int = 8): Seq[Long] = {
     if (text.length < k) return Seq.empty

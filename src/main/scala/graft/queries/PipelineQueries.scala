@@ -81,6 +81,30 @@ object PipelineQueries {
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
         .orderBy("doc_id")),
 
+    // MOSS winnowing fingerprints (Schleimer et al. SIGMOD'03): the
+    // per-doc selected-hash set, summarized as (count, md5 digest of
+    // the sorted list) so the whole selection hash-checks against a SQL
+    // replay of the identical Karp-Rabin polynomial + window-min rule.
+    "doc_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Gopher-class rule filter (Rae et al. 2021): the corpus is
+    // decorated deterministically on BOTH sides (bullet lines /
+    // ellipsis tails / '#' runs / truncation, keyed on doc_id) so every
+    // rule fires non-vacuously; all ratio tests are exact integer
+    // cross-multiplications, so the booleans cannot drift.
+    "doc_gopher_filter" -> ((s, dir) => {
+      val dec = Tables(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 19 === 0, substring(col("text"), 1, 40))
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              lit("\n- bullet one\n- bullet two\n- bullet three")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit(" tail one... line...")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit(" ##### ## ###")).otherwise(lit("")))))
+      TextAnalysis.gopherFilter(dec, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // Decontamination: benchmark = documents with doc_id < 50; corpus =
     // the dup-injected corpus, whose exact (+1e6) and near (+2e6)
     // copies of benchmark docs must flag true.
@@ -738,6 +762,65 @@ object PipelineQueries {
         |  len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_winnow" ->
+      """WITH ch AS (
+        |  SELECT doc_id, j,
+        |    (  CAST(ord(substr(text, j,     1)) AS BIGINT) * 617266377
+        |     + CAST(ord(substr(text, j + 1, 1)) AS BIGINT) * 913108910
+        |     + CAST(ord(substr(text, j + 2, 1)) AS BIGINT) * 579489385
+        |     + CAST(ord(substr(text, j + 3, 1)) AS BIGINT) * 294499921
+        |     + CAST(ord(substr(text, j + 4, 1)) AS BIGINT) * 2248091
+        |     + CAST(ord(substr(text, j + 5, 1)) AS BIGINT) * 17161
+        |     + CAST(ord(substr(text, j + 6, 1)) AS BIGINT) * 131
+        |     + CAST(ord(substr(text, j + 7, 1)) AS BIGINT)) % 1000000007 AS h
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS j) u),
+        |wm AS (
+        |  SELECT doc_id, j,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY j
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM ch),
+        |sel AS (SELECT DISTINCT doc_id, m FROM wm WHERE j <= greatest(nh - 7, 1))
+        |SELECT doc_id, count(*) AS n_fp,
+        |  md5(array_to_string(list(m ORDER BY m), ',')) AS fp_digest
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_gopher_filter" ->
+      """WITH dec AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 19 = 0 THEN substr(text, 1, 40)
+        |    ELSE text
+        |      || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet one' || chr(10)
+        |           || '- bullet two' || chr(10) || '- bullet three' ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0 THEN ' tail one... line...' ELSE '' END
+        |      || CASE WHEN doc_id % 13 = 0 THEN ' ##### ## ###' ELSE '' END
+        |    END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    length(replace(text, ' ', '')) AS n_chars_ns,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    len(list_filter(string_split(text, chr(10)), l -> l LIKE '%...')) AS n_ellipsis,
+        |    len(list_filter(string_split(text, chr(10)), l -> l LIKE '- %')) AS n_bullet,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it)\b')) AS n_stop
+        |  FROM dec)
+        |SELECT *, (r_word_count AND r_mean_word_len AND r_symbol AND r_ellipsis
+        |    AND r_bullet AND r_alpha AND r_stopword) AS keep
+        |FROM (
+        |  SELECT doc_id, n_words, n_lines, n_chars_ns, n_hash, n_ellipsis, n_bullet,
+        |    n_alpha, n_stop,
+        |    (n_words >= 25 AND n_words <= 100000) AS r_word_count,
+        |    (n_chars_ns >= n_words * 3 AND n_chars_ns <= n_words * 10) AS r_mean_word_len,
+        |    (n_hash * 10 <= n_words) AS r_symbol,
+        |    (n_ellipsis * 10 <= n_lines * 3) AS r_ellipsis,
+        |    (n_bullet * 10 <= n_lines * 5) AS r_bullet,
+        |    (n_alpha * 5 >= n_words * 4) AS r_alpha,
+        |    (n_stop >= 2) AS r_stopword
+        |  FROM m)
+        |ORDER BY doc_id""".stripMargin,
     "doc_decontaminate" ->
       s"""WITH $CORPUS,
          |bsh AS (

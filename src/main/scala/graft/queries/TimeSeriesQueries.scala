@@ -309,6 +309,16 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value", lag = 10)
         .orderBy("event_type")),
 
+    // Truncated EWMA smoothing per series (decay 3/4 over the last 4
+    // samples, integer-weight renormalization at the series head) —
+    // exact-integer num/den, one mirrored float expression.
+    "ts_ewma" -> ((s, dir) =>
+      TimeSeries.ewma(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), Seq("ts_us", "event_id"), "value")
+        .select("event_id", "event_type", "ewma")
+        .orderBy("event_id").limit(10000)),
+
     // Centered ±3-row moving average per series (deterministic frame
     // order on the unique (ts_ns, event_id) key).
     "ts_moving_avg" -> ((s, dir) =>
@@ -805,6 +815,22 @@ object TimeSeriesQueries {
         |      / CAST(n * (n * q - s * s) AS DOUBLE) * 1000000.0) / 1000000.0
         |  END AS acf_10
         |FROM a ORDER BY event_type""".stripMargin,
+    "ts_ewma" ->
+      """SELECT event_id, event_type,
+        |  floor(CAST(64 * c
+        |      + CASE WHEN lag(c, 1) OVER w IS NULL THEN 0 ELSE 48 * lag(c, 1) OVER w END
+        |      + CASE WHEN lag(c, 2) OVER w IS NULL THEN 0 ELSE 36 * lag(c, 2) OVER w END
+        |      + CASE WHEN lag(c, 3) OVER w IS NULL THEN 0 ELSE 27 * lag(c, 3) OVER w END
+        |      AS DOUBLE)
+        |    / CAST(64
+        |      + CASE WHEN lag(c, 1) OVER w IS NULL THEN 0 ELSE 48 END
+        |      + CASE WHEN lag(c, 2) OVER w IS NULL THEN 0 ELSE 36 END
+        |      + CASE WHEN lag(c, 3) OVER w IS NULL THEN 0 ELSE 27 END AS DOUBLE)
+        |    / 100.0 * 1000000.0) / 1000000.0 AS ewma
+        |FROM (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c,
+        |  epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+        |ORDER BY event_id LIMIT 10000""".stripMargin,
     "ts_moving_avg" ->
       """SELECT event_id, event_type,
         |  floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)

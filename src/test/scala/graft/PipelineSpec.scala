@@ -1101,4 +1101,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(base.exceptAll(shuffled).isEmpty && shuffled.exceptAll(base).isEmpty,
       "packSequences output moved under a different input partitioning")
   }
+
+  test("gopherFilter: each rule fails on its designed fixture and keep ANDs them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val good = ("the quick brown fox and the lazy dog of it jumps over " * 3).trim
+    val docs = Seq(
+      1L -> good,                                  // all rules pass
+      2L -> "one two three",                       // word count
+      3L -> ("a " * 40).trim,                      // mean word len < 3
+      4L -> (good + " " + ("#### " * 20).trim),    // symbol ratio
+      5L -> (good + "\nline one...\nline two..."), // ellipsis lines > 30%
+      6L -> (good + "\n- b1\n- b2\n- b3\n- b4"),   // bullet lines > 50%
+      7L -> (("42 " * 40).trim + " the the"),      // alpha words < 80%
+      8L -> ("quick brown fox jumps over lazy dog " * 4).trim // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("r_word_count") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("r_mean_word_len"))
+    assert(!out(4L).getAs[Boolean]("r_symbol"))
+    assert(!out(5L).getAs[Boolean]("r_ellipsis"))
+    assert(!out(6L).getAs[Boolean]("r_bullet"))
+    assert(!out(7L).getAs[Boolean]("r_alpha"))
+    assert(!out(8L).getAs[Boolean]("r_stopword"))
+  }
+
+  test("winnow_set kernel matches the plain-Scala winnowing reference on ASCII text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col}
+    graft.functions.TextExpressions.register(spark)
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "short", "exactly8", "abcdefghi",
+      ("lorem ipsum dolor sit amet " * 10).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"), call_function("winnow_set", col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = TextAnalysis.winnow(t).distinct.sorted
+      assert(got(i.toLong) == want, s"winnow_set mismatch on '$t'")
+    }
+  }
+
+  test("ewma: exact renormalized weights at the series head") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0))
+      .toDF("series", "t", "value")
+    val out = graft.functions.TimeSeries.ewma(df, Seq("series"), Seq("t"), "value")
+      .orderBy("t").select("ewma").collect().map(_.getDouble(0))
+    // cents: 100,200,300; weights 64,48,36,27 renormalized over lags present
+    assert(out(0) == 1.0)
+    assert(out(1) == math.floor((64.0 * 200 + 48 * 100) / 112.0 / 100.0 * 1e6) / 1e6)
+    assert(out(2) == math.floor((64.0 * 300 + 48 * 200 + 36 * 100) / 148.0 / 100.0 * 1e6) / 1e6)
+  }
 }
