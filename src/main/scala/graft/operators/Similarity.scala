@@ -672,4 +672,124 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), (floor(col("cos") * 1e4) / 1e4).as("cos"))
   }
+
+  /** Product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * space split into `m` contiguous subspaces, each trained with the
+    * SAME engine-reproducible integer-grid Lloyd trainer as
+    * [[exactIvfCentroids]] on the sliced vectors — so a SQL oracle can
+    * retrain every codebook bit-for-bit. Returns m codebooks of k
+    * quantized (dims/m)-component centroids. Training is m bounded
+    * driver computations over the shared md5-prefix sample; at 100 TB
+    * this runs once offline and the codebooks ship as literals.
+    */
+  def pqTrainExact(corpus: DataFrame, idCol: String, vecCol: String,
+                   m: Int, k: Int, dims: Int, iters: Int = 2,
+                   hexBound: String = "8"): Array[Array[Array[Long]]] = {
+    require(m >= 1 && dims % m == 0, s"pqTrainExact: dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    Array.tabulate(m) { j =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub).as("__sub"))
+      exactIvfCentroids(sliced, idCol, "__sub", k, iters, hexBound)
+    }
+  }
+
+  /** PQ encoding: per subspace, the exact-integer argmin code against
+    * codebook literals — a pure mapper (no shuffle, no UDF; the same
+    * least(struct) shape as [[assignExactCells]]' literal path, k per
+    * subspace kept ≤ 16 so codegen stays in budget). `recon_err` is the
+    * summed subspace quantization distances — the loss metric stored
+    * alongside the codes. Output: (idCol, code_0..code_{m-1},
+    * recon_err), all exact integers. The m codes replace the full
+    * vector downstream: 64 floats → 4 bytes is the PQ storage win.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Long]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "pqEncode: empty codebook")
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    codebooks.foreach(_.zipWithIndex.foreach { case (cq, i) =>
+      require(cq.length == sub, s"pqEncode: ragged codebook at centroid $i")
+      require(cq.map(x => x.toDouble * x).sum <= ExactSdBound,
+        s"pqEncode: centroid $i has |cq|² past the 2^50 exact-integer budget")
+    })
+    var df = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    (0 until m).foreach { j =>
+      df = df.withColumn(s"__vq$j", quantGrid(slice(col("__v"), j * sub + 1, sub)))
+        .withColumn(s"__sd$j", guardedSelfDot(col(s"__vq$j")))
+        .withColumn(s"__b$j", least(codebooks(j).zipWithIndex.map { case (cq, i) =>
+          struct(intDist(col(s"__sd$j"), col(s"__vq$j"), cq).as("d"), lit(i.toLong).as("i"))
+        }: _*))
+    }
+    df.select(
+      col(idCol) +:
+        ((0 until m).map(j => col(s"__b$j").getField("i").as(s"code_$j")) :+
+          (0 until m).map(j => col(s"__b$j").getField("d")).reduce(_ + _).as("recon_err")): _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k ANN: each query precomputes a
+    * per-subspace distance TABLE (k exact-integer entries against the
+    * codebook literals) and broadcasts it; every corpus row's
+    * approximate distance is then m array lookups + adds over its
+    * STORED CODES — no vector arithmetic touches the corpus at query
+    * time, which is the PQ compute/storage win at 100 TB (the scan
+    * reads m small ints per row, not dims floats). Every distance is an
+    * exact integer, so the (adist, neighbor_id) ranking is engine-stable
+    * and the whole lane hash-checks — no cosine-ulp caveat.
+    *
+    * `rerank` > topk enables the standard IVFADC refinement: the ADC
+    * pass keeps its top-`rerank` candidates per query, then ONE
+    * id-keyed join back to the vector table rescores just those
+    * |Q|·rerank rows by exact quantized L2 (coarse codebooks tie many
+    * rows at the same code distance; without refinement the id
+    * tie-break decides and recall collapses). The rerank join is
+    * broadcast-candidate sized — the corpus-wide work is still the
+    * code-only ADC scan.
+    */
+  def pqAnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+            codebooks: Array[Array[Array[Long]]], topk: Int,
+            rerank: Int = 0): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val enc = pqEncode(corpus, idCol, vecCol, codebooks)
+      .withColumnRenamed(idCol, "neighbor_id").drop("recon_err")
+    var q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    (0 until m).foreach { j =>
+      q = q.withColumn(s"__vq$j", quantGrid(slice(col("__v"), j * sub + 1, sub)))
+        .withColumn(s"__sd$j", guardedSelfDot(col(s"__vq$j")))
+        .withColumn(s"__dt$j", array(codebooks(j).map(cq =>
+          intDist(col(s"__sd$j"), col(s"__vq$j"), cq)): _*))
+    }
+    val qTab = broadcast(q.select(col("query_id") +:
+      (0 until m).map(j => col(s"__dt$j")): _*))
+    val scored = enc.join(qTab, col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", (0 until m).map(j =>
+        element_at(col(s"__dt$j"), (col(s"code_$j") + 1).cast("int"))).reduce(_ + _))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    val adc = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= topk) {
+      adc.filter(col("rank") <= topk)
+        .select(col("query_id"), col("neighbor_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+    } else {
+      val cand = adc.filter(col("rank") <= rerank).select("query_id", "neighbor_id")
+      val cVec = corpus.select(col(idCol).as("neighbor_id"),
+          quantGrid(col(vecCol).cast("array<double>")).as("__cvq"))
+        .withColumn("__csd", guardedSelfDot(col("__cvq")))
+      val qVec = queries.select(col(idCol).as("query_id"),
+          quantGrid(col(vecCol).cast("array<double>")).as("__qvq"))
+        .withColumn("__qsd", guardedSelfDot(col("__qvq")))
+      val exact = cVec.join(broadcast(cand), Seq("neighbor_id"))
+        .join(broadcast(qVec), Seq("query_id"))
+        .withColumn("adist",
+          (col("__csd") - dot(col("__cvq"), col("__qvq")) * 2.0 + col("__qsd")).cast("long"))
+      val w2 = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= topk)
+        .select(col("query_id"), col("neighbor_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+    }
+  }
 }

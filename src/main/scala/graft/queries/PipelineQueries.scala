@@ -351,6 +351,30 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // Product quantization (Jégou et al. TPAMI'11): m=4 subspace
+    // codebooks from the SAME exact integer-grid Lloyd trainer as
+    // emb_ivf_ann — the oracle retrains all four codebooks in SQL and
+    // replays the per-subspace argmin encode, so codes AND the summed
+    // reconstruction error hash-check end to end.
+    "emb_pq_quantize" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val books = Similarity.pqTrainExact(emb, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, iters = 2, hexBound = Similarity.ivfHexBound(emb.count()))
+      Similarity.pqEncode(emb, "vec_id", "embedding", books).orderBy("vec_id")
+    }),
+
+    // PQ asymmetric-distance top-k ANN with exact rerank of the ADC
+    // top-100 (the IVFADC refinement step): corpus-wide work is the
+    // code-lookup scan; only |Q|·100 candidate rows see vectors again.
+    // All integers — the ranking itself hash-checks (no cosine-ulp risk).
+    "emb_pq_ann" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val books = Similarity.pqTrainExact(emb, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, iters = 2, hexBound = Similarity.ivfHexBound(emb.count()))
+      Similarity.pqAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        books, topk = 10, rerank = 100).orderBy("query_id", "rank")
+    }),
+
     // REAL image decode: construct genuine 24-bit BMPs from doc_id,
     // decode headers + average the actual pixel bytes; the oracle
     // recomputes geometry, byte size (incl. 4-byte row padding) and the
@@ -570,6 +594,135 @@ object PipelineQueries {
        |FROM cc LEFT JOIN pr ON pr.id_b = cc.neighbor_id
        |ORDER BY vec_id""".stripMargin
 
+  /** One PQ subspace's full relational program: slice+quantize →
+    * md5-prefix sample → md5-ordered init → `iters` unrolled Lloyd
+    * rounds → per-vector argmin encode (`asg$j(vec_id, code, d)`).
+    * Mirrors pqTrainExact/pqEncode for subspace j over columns
+    * [a..b] (1-based inclusive — DuckDB list slice = Spark `slice`).
+    */
+  private def pqSubCtes(j: Int, a: Int, b: Int, k: Int, iters: Int): String = {
+    def d(vq: String, cq: String): String = intDistSql(vq, cq)
+    def lloyd(i: Int, prev: String): String =
+      s"""a${j}_$i AS MATERIALIZED (
+         |  SELECT mh, vq, cell FROM (
+         |    SELECT s.mh, s.vq, c.cell,
+         |      row_number() OVER (PARTITION BY s.mh
+         |        ORDER BY ${d("s.vq", "c.cq")}, c.cell) AS rn
+         |    FROM samp$j s CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |r${j}_$i AS MATERIALIZED (
+         |  SELECT cell, jj, floor(sum(vq[jj]) / count(*)) AS cj
+         |  FROM a${j}_$i, LATERAL (SELECT unnest(generate_series(1, len(vq))) AS jj) u
+         |  GROUP BY cell, jj),
+         |c${j}_$i AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(n.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT cell, list(cj ORDER BY jj) AS cq FROM r${j}_$i GROUP BY cell) n
+         |    ON n.cell = p.cell)""".stripMargin
+    val rounds = (1 to iters).map(i => lloyd(i, if (i == 1) s"init$j" else s"c${j}_${i - 1}"))
+      .mkString(",\n")
+    s"""qs$j AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform((embedding::DOUBLE[])[$a:$b], x -> floor(x * 1000000.0)) AS vq
+       |  FROM embeddings),
+       |samp$j AS MATERIALIZED (
+       |  SELECT md5(CAST(vec_id AS VARCHAR)) AS mh, vq
+       |  FROM qs$j, bnd WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, len(bnd.hb))
+       |    < bnd.hb),
+       |init$j AS MATERIALIZED (
+       |  SELECT cell, vq AS cq FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY mh) - 1 AS BIGINT) AS cell, vq
+       |    FROM samp$j) WHERE cell < $k),
+       |$rounds,
+       |asg$j AS MATERIALIZED (
+       |  SELECT vec_id, code, d FROM (
+       |    SELECT e.vec_id, c.cell AS code, ${d("e.vq", "c.cq")} AS d,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d("e.vq", "c.cq")}, c.cell) AS rn
+       |    FROM qs$j e CROSS JOIN c${j}_$iters c)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** The shipped PQ config: m=8 subspaces × k=16 codes over 64 dims,
+    * ADC top-100 rerank. Chosen on the clustered synthetic corpus
+    * (recall@10 0.76 vs 0.28 at m=4/k=8/rerank=50 — tight clusters tie
+    * coarse codes, so finer codebooks + refinement carry the recall).
+    */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqIters = 2
+  private val PqRerank = 100
+
+  /** Shared PQ preamble: sample bound + the m subspace programs + the
+    * joined per-vector code row.
+    */
+  private def pqCtes(m: Int, k: Int, iters: Int): String = {
+    val sub = 64 / m
+    val subs = (0 until m).map(j => pqSubCtes(j, j * sub + 1, (j + 1) * sub, k, iters))
+      .mkString(",\n")
+    val codeCols = (0 until m).map(j => s"a$j.code AS code_$j").mkString(", ")
+    val reconSum = (0 until m).map(j => s"a$j.d").mkString(" + ")
+    val joins = "asg0 a0" + (1 until m).map(j => s" JOIN asg$j a$j USING (vec_id)").mkString
+    s"""bnd AS MATERIALIZED (
+       |  SELECT CASE WHEN floor(4096.0 * 4294967296.0 / count(*)) >= 4294967296.0
+       |    THEN 'g'
+       |    ELSE printf('%08x', GREATEST(1, CAST(floor(4096.0 * 4294967296.0
+       |      / count(*)) AS BIGINT))) END AS hb
+       |  FROM embeddings),
+       |$subs,
+       |codes AS MATERIALIZED (
+       |  SELECT a0.vec_id, $codeCols,
+       |    $reconSum AS recon_err
+       |  FROM $joins)""".stripMargin
+  }
+
+  private def pqQuantizeOracle: String = {
+    val codeCols = (0 until PqM).map(j => s"code_$j").mkString(", ")
+    s"""WITH ${pqCtes(PqM, PqK, PqIters)}
+       |SELECT vec_id, $codeCols, recon_err
+       |FROM codes ORDER BY vec_id""".stripMargin
+  }
+
+  private def pqAnnOracle: String = {
+    def d(vq: String, cq: String): String = intDistSql(vq, cq)
+    val dts = (0 until PqM).map(j =>
+      s"""dt$j AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.cell AS code, ${d("q.vq", "c.cq")} AS d
+         |  FROM qs$j q CROSS JOIN c${j}_$PqIters c WHERE q.vec_id < 20)""".stripMargin)
+      .mkString(",\n")
+    val adistSum = (0 until PqM).map(j => s"d$j.d").mkString(" + ")
+    val dtJoins = "JOIN dt0 d0 ON d0.code = c.code_0" +
+      (1 until PqM).map(j =>
+        s"\n  JOIN dt$j d$j ON d$j.query_id = d0.query_id AND d$j.code = c.code_$j").mkString
+    s"""WITH ${pqCtes(PqM, PqK, PqIters)},
+       |$dts,
+       |scored AS MATERIALIZED (
+       |  SELECT d0.query_id, c.vec_id AS neighbor_id,
+       |    $adistSum AS adist
+       |  FROM codes c
+       |  $dtJoins
+       |  WHERE c.vec_id <> d0.query_id),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arank
+       |    FROM scored)
+       |  WHERE arank <= $PqRerank),
+       |qf AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS vq
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT c.query_id, c.neighbor_id, ${d("cv.vq", "qv.vq")} AS adist
+       |  FROM cand c
+       |  JOIN qf cv ON cv.vec_id = c.neighbor_id
+       |  JOIN qf qv ON qv.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id, adist, rank FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM ex)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The minhash pipeline as a reusable CTE chain ending in `pairs`
     * (thresholded near-dup pairs with jaccard) — shared by the pair
     * oracle and the recursive-CTE dup-groups oracle.
@@ -627,6 +780,8 @@ object PipelineQueries {
     "emb_lsh_ann" -> lshOracle,
     "emb_ivf_ann" -> ivfOracle,
     "emb_semantic_dedup" -> semDedupOracle,
+    "emb_pq_quantize" -> pqQuantizeOracle,
+    "emb_pq_ann" -> pqAnnOracle,
     "doc_exact_dedup" ->
       s"""WITH $CORPUS
          |SELECT md5(text) AS h, count(*) AS n,

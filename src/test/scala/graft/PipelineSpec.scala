@@ -1102,6 +1102,66 @@ class PipelineSpec extends AnyFunSuite {
       "packSequences output moved under a different input partitioning")
   }
 
+  test("pqEncode codes match a driver-side argmin over the same codebooks") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sf, "embeddings")
+    val books = Similarity.pqTrainExact(emb, "vec_id", "embedding",
+      m = 8, k = 16, dims = 64, iters = 2, hexBound = Similarity.ivfHexBound(emb.count()))
+    val got = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until 8).map(j => r.getAs[Long](s"code_$j"))).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until 8).map { j =>
+        val vq = v.slice(j * 8, (j + 1) * 8).map(x => math.floor(x * 1e6).toLong).toArray
+        books(j).zipWithIndex.map { case (cq, i) =>
+          (vq.zip(cq).map { case (a, b) => val t = a - b; t * t }.sum, i.toLong)
+        }.min._2
+      }
+      assert(got(id) == want, s"pq code mismatch for vec $id")
+    }
+  }
+
+  test("pqAnn recall vs exact quantized-L2 top-k (ADC is lossy but usable)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val books = Similarity.pqTrainExact(emb, "vec_id", "embedding",
+      m = 8, k = 16, dims = 64, iters = 2, hexBound = Similarity.ivfHexBound(emb.count()))
+    val approx = Similarity.pqAnn(emb, queries, "vec_id", "embedding", books,
+        topk = 10, rerank = 100)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact L2 truth on the same integer grid, driver-side (corpus is tiny at sf0.001)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray).toMap
+    val truth = (0L until 10L).flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (v.zip(qv).map { case (a, b) => val t = a - b; t * t }.sum, id) }
+        .sortBy(identity).take(10).map(p => (qid, p._2))
+    }.toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    info(s"PQ ADC recall@10: $recall")
+    assert(recall > 0.5, s"PQ ADC + rerank should recover most L2 neighbors, got $recall")
+  }
+
+  test("pqAnn plan construction launches no Spark jobs (codebooks are literals)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sf, "embeddings")
+    val books = Similarity.pqTrainExact(emb, "vec_id", "embedding",
+      m = 8, k = 16, dims = 64, iters = 2, hexBound = "g")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val plan = Similarity.pqAnn(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", books, topk = 10)
+    val mid = tracker.getJobIdsForGroup(null).length
+    assert(mid == before, "building the pqAnn plan must not run any job")
+    assert(plan.columns.contains("adist"))
+  }
+
   test("gopherFilter: each rule fails on its designed fixture and keep ANDs them") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
