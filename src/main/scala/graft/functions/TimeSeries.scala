@@ -644,6 +644,53 @@ object TimeSeries {
       .drop("__c")
   }
 
+  /** Mergeable quantile-sketch rollup — the TimescaleDB-toolkit
+    * `percentile_agg`/UddSketch surface made engine-exact: hour-level
+    * (series, bin) counts MERGE into day level without rescanning raw
+    * rows (the same two-level shape as the HLL sketch rollup), and
+    * p50/p95 come off the merged bins as the first bin whose cumulative
+    * count reaches the exact integer rank. Bin id = digits·100 +
+    * two-leading-digits of the cent value — monotone in value, ≤ 90
+    * bins per decade (≲5% relative error), and every step is integer
+    * arithmetic both engines reproduce bit-for-bit (no log()). At
+    * 100 TB only (series, day, bin) partial rows shuffle; the raw scan
+    * is touched once at hour level. Requires positive values (cents
+    * ≥ 1) — a non-positive row raises rather than silently mis-binning.
+    */
+  def quantileRollup(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+                     valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val base = df
+      .withColumn("__c", when(cents >= 1, cents).otherwise(expr(
+        "CAST(raise_error('quantileRollup: needs positive values (cents >= 1); " +
+          "shift or split the series') AS BIGINT)")))
+      .withColumn("__d", length(col("__c").cast("string")).cast("long"))
+      .withColumn("__div",
+        pow(lit(10.0), greatest(col("__d") - 2, lit(0L)).cast("double")).cast("long"))
+      .withColumn("__bid", col("__d") * 100 + expr("__c div __div"))
+      .withColumn("hour_us", unix_micros(date_trunc("hour", col(tsCol))))
+      .withColumn("day_us", unix_micros(date_trunc("day", col(tsCol))))
+    val hourly = base
+      .groupBy((seriesCols.map(col) :+ col("day_us") :+ col("hour_us") :+ col("__bid")): _*)
+      .agg(count(lit(1)).as("hn"))
+    val daily = hourly
+      .groupBy((seriesCols.map(col) :+ col("day_us") :+ col("__bid")): _*)
+      .agg(sum(col("hn")).as("bn"))
+    val part = Window.partitionBy((seriesCols.map(col) :+ col("day_us")): _*)
+    val cum = daily
+      .withColumn("cum", sum(col("bn")).over(part.orderBy(col("__bid"))))
+      .withColumn("__n", sum(col("bn")).over(part))
+    cum.groupBy((seriesCols.map(col) :+ col("day_us")): _*)
+      .agg(
+        min(col("__n")).as("n"),
+        min(when(col("cum") >= expr("(__n + 1) div 2"), col("__bid"))).as("p50_bid"),
+        min(when(col("cum") >= expr("(__n * 19 + 19) div 20"), col("__bid"))).as("p95_bid"))
+      .withColumn("p50_lo_cents", expr(
+        "(p50_bid % 100) * CAST(pow(10, greatest(p50_bid div 100 - 2, 0)) AS BIGINT)"))
+      .withColumn("p95_lo_cents", expr(
+        "(p95_bid % 100) * CAST(pow(10, greatest(p95_bid div 100 - 2, 0)) AS BIGINT)"))
+  }
+
   /** Truncated exponential moving average (EWMA, decay 3/4 over the
     * last `depth` samples) per series — the PromQL/TimescaleDB
     * smoothing surface with the tail truncated so the operator is a

@@ -456,6 +456,36 @@ object TextAnalysis {
         col("r_ellipsis") && col("r_bullet") && col("r_alpha") && col("r_stopword"))
   }
 
+  /** DSIR-style hashed importance weight (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via
+    * Importance Resampling"): tokens hash into 256 md5 buckets; each
+    * bucket's weight is the integer-quantized target/raw frequency
+    * ratio floor(1e6·(t_b+1)/(r_b+1)) (add-one smoothed); a doc's score
+    * sums its tokens' bucket weights and `dsir_score` is the per-token
+    * floor average — ratio-of-counts importance sampling on a hashed
+    * feature space, exact integers end to end. Shape at 100 TB: token
+    * explode → two 256-row aggregates → broadcast weight join → per-doc
+    * sum — the same vocab-bounded pattern as [[tokenRarity]]; the
+    * target set is benchmark-sized and scans once.
+    */
+  def dsirWeights(corpus: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame): DataFrame = {
+    def bucket(tok: Column): Column =
+      conv(substring(md5(tok), 1, 2), 16, 10).cast("long")
+    val toks = corpus.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("b", bucket(col("tok")))
+    val tToks = target.select(explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("b", bucket(col("tok")))
+    val rCnt = toks.groupBy("b").agg(count(lit(1)).as("r_b"))
+    val tCnt = tToks.groupBy("b").agg(count(lit(1)).as("t_b"))
+    val wtab = rCnt.join(tCnt, Seq("b"), "left")
+      .withColumn("w", expr("(coalesce(t_b, 0) + 1) * 1000000 div (r_b + 1)"))
+    toks.join(broadcast(wtab.select("b", "w")), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+      .withColumn("dsir_score", expr("score div n_tokens"))
+  }
+
   /** Per-doc winnowing fingerprint summary (MOSS selection, Schleimer
     * et al. SIGMOD'03): distinct selected-hash count + an md5 digest of
     * the sorted fingerprint list, via the native `winnow_set` kernel

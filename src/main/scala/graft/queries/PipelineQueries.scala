@@ -81,6 +81,15 @@ object PipelineQueries {
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
         .orderBy("doc_id")),
 
+    // DSIR importance weights (Xie et al. 2023): target = docs with
+    // doc_id < 50 (the decontaminate convention), raw = full corpus;
+    // add-one-smoothed integer bucket ratios, per-doc summed.
+    "doc_dsir_weight" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.dsirWeights(docs, "doc_id", "text", docs.filter(col("doc_id") < 50))
+        .orderBy("doc_id")
+    }),
+
     // MOSS winnowing fingerprints (Schleimer et al. SIGMOD'03): the
     // per-doc selected-hash set, summarized as (count, md5 digest of
     // the sorted list) so the whole selection hash-checks against a SQL
@@ -917,6 +926,27 @@ object PipelineQueries {
         |  len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_dsir_weight" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |tt AS (
+        |  SELECT (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS b
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |        WHERE doc_id < 50)),
+        |r AS (SELECT b, count(*) AS r_b FROM toks GROUP BY b),
+        |t AS (SELECT b, count(*) AS t_b FROM tt GROUP BY b),
+        |w AS (
+        |  SELECT r.b, (coalesce(t.t_b, 0) + 1) * 1000000 // (r.r_b + 1) AS w
+        |  FROM r LEFT JOIN t ON t.b = r.b)
+        |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w.w) AS BIGINT) AS score,
+        |  CAST(sum(w.w) AS BIGINT) // CAST(count(*) AS BIGINT) AS dsir_score
+        |FROM toks JOIN w ON w.b = toks.b
+        |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin,
     "doc_winnow" ->
       """WITH ch AS (
         |  SELECT doc_id, j,

@@ -435,6 +435,14 @@ object TimeSeriesQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Mergeable quantile rollup (percentile_agg/UddSketch surface):
+    // hour bins merge to day, p50/p95 read off the merged histogram —
+    // all integer arithmetic, fully hash-checked (unlike HLL no
+    // tolerance boolean is needed: the sketch itself is deterministic).
+    "ts_quantile_rollup" -> ((s, dir) =>
+      TimeSeries.quantileRollup(Tables.events(s, dir), Seq("event_type"), "ts", "value")
+        .orderBy("event_type", "day_us")),
+
     // Pins the shared-truncation contract between Tables.events (Spark:
     // parquet nanos → ts_ns, ts = timestamp_micros(ts_ns div 1000)) and
     // the oracle view E (DuckDB: cast(ts AS TIMESTAMP)) over REAL rows.
@@ -1041,6 +1049,39 @@ object TimeSeriesQueries {
          |SELECT b.user_id, b.t + 1704067200000000 AS ts_us, b.v / 100.0 AS value
          |FROM kept k JOIN p b ON b.user_id = k.user_id AND b.idx = k.idx
          |ORDER BY b.user_id, ts_us, value""".stripMargin,
+    "ts_quantile_rollup" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    epoch_us(date_trunc('day', ts)) AS day_us,
+         |    epoch_us(date_trunc('hour', ts)) AS hour_us,
+         |    length(CAST(c AS VARCHAR)) * 100
+         |      + c // CAST(power(10, GREATEST(length(CAST(c AS VARCHAR)) - 2, 0))
+         |          AS BIGINT) AS bid
+         |  FROM (SELECT event_type, ts, CAST(round(value * 100) AS BIGINT) AS c
+         |        FROM $E)),
+         |h AS (
+         |  SELECT event_type, day_us, hour_us, bid, count(*) AS hn
+         |  FROM b GROUP BY event_type, day_us, hour_us, bid),
+         |d AS (
+         |  SELECT event_type, day_us, bid, CAST(sum(hn) AS BIGINT) AS bn
+         |  FROM h GROUP BY event_type, day_us, bid),
+         |cumt AS (
+         |  SELECT event_type, day_us, bid, bn,
+         |    CAST(sum(bn) OVER (PARTITION BY event_type, day_us ORDER BY bid)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(bn) OVER (PARTITION BY event_type, day_us) AS BIGINT) AS n
+         |  FROM d)
+         |SELECT event_type, day_us, CAST(min(n) AS BIGINT) AS n,
+         |  min(CASE WHEN cum >= (n + 1) // 2 THEN bid END) AS p50_bid,
+         |  min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN bid END) AS p95_bid,
+         |  (min(CASE WHEN cum >= (n + 1) // 2 THEN bid END) % 100)
+         |    * CAST(power(10, GREATEST(min(CASE WHEN cum >= (n + 1) // 2 THEN bid END)
+         |        // 100 - 2, 0)) AS BIGINT) AS p50_lo_cents,
+         |  (min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN bid END) % 100)
+         |    * CAST(power(10, GREATEST(min(CASE WHEN cum >= (n * 19 + 19) // 20
+         |        THEN bid END) // 100 - 2, 0)) AS BIGINT) AS p95_lo_cents
+         |FROM cumt GROUP BY event_type, day_us
+         |ORDER BY event_type, day_us""".stripMargin,
     // Sketch bytes are engine-specific; each engine hashes its OWN
     // |approx − exact|/exact ≤ 0.05 boolean + the exact distincts.
     "ts_sketch_rollup" ->

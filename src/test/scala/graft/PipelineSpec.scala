@@ -1162,6 +1162,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.columns.contains("adist"))
   }
 
+  test("dsirWeights: docs sharing target vocabulary score higher") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "zulu yankee xray whiskey victor")).toDF("doc_id", "text")
+    val target = Seq((9L, "alpha beta alpha beta gamma gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(corpus, "doc_id", "text", target)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_score")).toMap
+    assert(out(1L) > out(2L),
+      s"target-vocab doc must outscore disjoint-vocab doc, got $out")
+  }
+
   test("gopherFilter: each rule fails on its designed fixture and keep ANDs them") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -313,6 +313,32 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
       Seq(1.5, 2.0, 3.0, 4.0, 4.5))
   }
 
+  test("quantileRollup: exact integer ranks on a known distribution; partition-invariant") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // 100 values 1.00..100.00 across 4 hours of one day → cents 100..10000
+    val rows = (1 to 100).map(i =>
+      ("s", 1704067200000000L + (i % 4) * 3600000000L + i * 1000000L, i.toDouble))
+    val df = rows.toDF("g", "us", "value").withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeSeries.quantileRollup(df, Seq("g"), "ts", "value").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 100)
+    // rank 50 → 50.00 → bin lower bound exactly 5000 cents; rank 95 → 9500
+    assert(r.getAs[Long]("p50_lo_cents") == 5000L)
+    assert(r.getAs[Long]("p95_lo_cents") == 9500L)
+    val shuffled = TimeSeries.quantileRollup(
+      df.repartition(7, col("value")), Seq("g"), "ts", "value").collect().head
+    assert(shuffled.getAs[Long]("p50_bid") == r.getAs[Long]("p50_bid") &&
+      shuffled.getAs[Long]("p95_bid") == r.getAs[Long]("p95_bid"),
+      "merged quantiles moved under a different input partitioning")
+    // non-positive values must raise, not mis-bin
+    val bad = Seq(("s", 1704067200000000L, 0.0)).toDF("g", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    intercept[Exception] {
+      TimeSeries.quantileRollup(bad, Seq("g"), "ts", "value").collect()
+    }
+  }
+
   test("twa is the trapezoidal time-weighted mean, not the sample mean") {
     // series a: hold 1.0 for 10s, then 2.0 for 20s →
     //   integral = 10*(1+2)/2 + 20*(2+2)/2 = 55, span 30 → twa 1.8333…
