@@ -318,6 +318,52 @@ object TextKernels {
     new GenericArrayData(Array[Any]((toks.length - 1).toLong, dup, top))
   }
 
+  /** alpha_word_count(text) → tokens (split on ' ') containing at
+    * least one ASCII letter — the Gopher alpha-word rule's counter as
+    * one pass (the lambda-filter + per-token rlike it replaces is an
+    * interpreted HOF running a regex per token: the measured hot spot
+    * of doc_gopher_filter at sf1).
+    */
+  def alphaWordCount(t: UTF8String): Long = {
+    val s = t.toString
+    var count = 0L
+    var hasAlpha = false
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (hasAlpha) count += 1
+        hasAlpha = false
+      } else {
+        val c = s.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** dsir_score(text, weightsCsv) → [n_tokens, score]: sum of the
+    * per-token bucket weights, bucket = first md5 byte (= the first two
+    * hex chars the SQL oracle decodes). One digest per token, one pass
+    * per doc — the 256-weight table arrives as a bounded literal, so
+    * DSIR scoring is a pure mapper and nothing doc-shaped shuffles.
+    */
+  def dsirScore(t: UTF8String, csv: UTF8String): ArrayData = {
+    val w = csv.toString.split(",").map(java.lang.Long.parseLong)
+    val toks = t.toString.split(" ", -1)
+    val md = MessageDigest.getInstance("MD5")
+    var score = 0L
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val b = md.digest(toks(i).getBytes("UTF-8"))(0) & 0xff
+      score += w(b)
+      i += 1
+    }
+    new GenericArrayData(Array[Any](toks.length.toLong, score))
+  }
+
   /** winnow_set(text) → sorted distinct window-min Karp-Rabin char
     * 8-gram hashes (w=8, B=131, M=1e9+7) — MOSS winnowing fingerprint
     * selection (Schleimer et al. SIGMOD'03) as ONE per-doc pass.
@@ -340,21 +386,30 @@ object TextKernels {
       hashes(i - k + 1) = h
       i += 1
     }
-    val sel = new java.util.TreeSet[java.lang.Long]()
+    // primitive mins buffer → sort → in-place dedup (no boxing: this
+    // runs once per doc over ~|text| windows, and a boxed TreeSet was
+    // the measured hot spot at sf1)
     val nWin = math.max(H - w + 1, 1)
+    val mins = new Array[Long](nWin)
     var j = 0
     while (j < nWin) {
       var m = Long.MaxValue
       var x = j
       val end = math.min(j + w, H)
       while (x < end) { if (hashes(x) < m) m = hashes(x); x += 1 }
-      sel.add(m)
+      mins(j) = m
       j += 1
     }
-    val out = new Array[Any](sel.size)
-    val it = sel.iterator()
+    java.util.Arrays.sort(mins)
+    var uniq = 1
+    var r = 1
+    while (r < nWin) {
+      if (mins(r) != mins(r - 1)) { mins(uniq) = mins(r); uniq += 1 }
+      r += 1
+    }
+    val out = new Array[Any](uniq)
     var o = 0
-    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    while (o < uniq) { out(o) = mins(o); o += 1 }
     new GenericArrayData(out)
   }
 
@@ -625,6 +680,50 @@ case class RepStats(child: Expression)
   override def prettyName: String = "rep_stats"
 }
 
+/** alpha_word_count(text) → count of tokens containing a letter. */
+case class AlphaWordCount(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"alpha_word_count requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.alphaWordCount(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      t => s"${ev.value} = graft.functions.TextKernels.alphaWordCount($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "alpha_word_count"
+}
+
+/** dsir_score(text, weights_csv) → array<long> [n_tokens, score]. */
+case class DsirScore(left: Expression, right: Expression)
+  extends BinaryExpression with StaticCallExpr {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected val kernel = "graft.functions.TextKernels"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check("dsir_score", "(string, string)",
+      (l, r) => l == StringType && r == StringType)
+
+  override def nullSafeEval(t: Any, w: Any): Any =
+    TextKernels.dsirScore(t.asInstanceOf[UTF8String], w.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w) => s"${ev.value} = $kernel.dsirScore($t, $w);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dsir_score"
+}
+
 /** winnow_set(text) → sorted distinct winnowing fingerprints
   * (array<long>; empty when the doc has no char 8-gram).
   */
@@ -679,5 +778,9 @@ object TextExpressions {
       Arity.unary("ws_normalize")(WsNormalize), "built-in")
     reg.createOrReplaceTempFunction("winnow_set",
       Arity.unary("winnow_set")(WinnowSet), "built-in")
+    reg.createOrReplaceTempFunction("dsir_score",
+      Arity.binary("dsir_score")(DsirScore), "built-in")
+    reg.createOrReplaceTempFunction("alpha_word_count",
+      Arity.unary("alpha_word_count")(AlphaWordCount), "built-in")
   }
 }

@@ -654,15 +654,17 @@ object TimeSeries {
     * bins per decade (≲5% relative error), and every step is integer
     * arithmetic both engines reproduce bit-for-bit (no log()). At
     * 100 TB only (series, day, bin) partial rows shuffle; the raw scan
-    * is touched once at hour level. Requires positive values (cents
-    * ≥ 1) — a non-positive row raises rather than silently mis-binning.
+    * is touched once at hour level. Requires non-negative values
+    * (c = 0 bins naturally: digits("0")=1, prefix 0 → bid 100, below
+    * every positive bid) — a negative row raises rather than silently
+    * mis-binning (its digit string would start with '-').
     */
   def quantileRollup(df: DataFrame, seriesCols: Seq[String], tsCol: String,
                      valueCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100).cast("long")
     val base = df
-      .withColumn("__c", when(cents >= 1, cents).otherwise(expr(
-        "CAST(raise_error('quantileRollup: needs positive values (cents >= 1); " +
+      .withColumn("__c", when(cents >= 0, cents).otherwise(expr(
+        "CAST(raise_error('quantileRollup: needs non-negative values; " +
           "shift or split the series') AS BIGINT)")))
       .withColumn("__d", length(col("__c").cast("string")).cast("long"))
       .withColumn("__div",

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst dot product over two array<double> columns.
   *
@@ -79,12 +80,109 @@ case class VecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** pq_encode(vec, booksSpec) → array<long> [code_0..code_{m-1},
+  * d_0..d_{m-1}]: the nearest-codebook-entry argmin per contiguous
+  * subspace on the 1e-6 integer grid — the WHOLE product-quantization
+  * encode as one tight primitive loop. The r7 first cut composed it
+  * from m least()-over-k-structs Catalyst expressions; evaluating that
+  * tree cost ~200 µs/row (encode alone 4.6 s at sf1, 20k vectors).
+  * This kernel computes the identical exact-integer argmin (ties →
+  * lower code) in a fraction of a µs/row and stays inside whole-stage
+  * codegen: the codebooks parse ONCE per expression instance from the
+  * literal spec ("m;k;sub;flat-comma-list") and ship into generated
+  * code as a reference object, never per row. The full-vector |vq|²
+  * 2⁵⁰ exactness budget is re-checked per row (the guardedSelfDot
+  * contract) so a rogue vector raises instead of silently voiding the
+  * bit-exact guarantee.
+  */
+case class PqEncodeCodes(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires (array<double>, string), got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  // the spec is a literal: parse once per expression instance
+  @transient private lazy val parsed: (Int, Int, Int, Array[Long]) = {
+    val parts = right.eval(null).asInstanceOf[UTF8String].toString.split(";")
+    (parts(0).toInt, parts(1).toInt, parts(2).toInt,
+      parts(3).split(",").map(java.lang.Long.parseLong))
+  }
+
+  override def nullSafeEval(v: Any, spec: Any): Any = {
+    val (m, k, sub, flat) = parsed
+    VectorKernels.pqEncode(v.asInstanceOf[ArrayData], m, k, sub, flat)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (m, k, sub, flat) = parsed
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.VectorKernels.pqEncode($v, $m, $k, $sub, $flatRef);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_encode"
+}
+
+object VectorKernels {
+  /** See [[PqEncodeCodes]]. Exact integer arithmetic throughout: q and
+    * codebook components are ≤1e6-grid ints, per-subspace distances ≤
+    * sub·(2e6)² fit a Long with room to spare.
+    */
+  def pqEncode(v: ArrayData, m: Int, k: Int, sub: Int, flat: Array[Long]): ArrayData = {
+    if (v.numElements() != m * sub) throw new IllegalArgumentException(
+      s"pq_encode: vector has ${v.numElements()} dims, codebooks cover ${m * sub}")
+    val out = new Array[Any](2 * m)
+    val q = new Array[Long](sub)
+    var sdTotal = 0.0
+    var j = 0
+    while (j < m) {
+      var x = 0
+      var sd = 0L
+      while (x < sub) {
+        val c = math.floor(v.getDouble(j * sub + x) * 1e6).toLong
+        q(x) = c
+        sd += c * c
+        x += 1
+      }
+      sdTotal += sd.toDouble
+      var best = 0
+      var bd = Long.MaxValue
+      var cc = 0
+      while (cc < k) {
+        var d = 0L
+        var y = 0
+        val base = (j * k + cc) * sub
+        while (y < sub) { val t = q(y) - flat(base + y); d += t * t; y += 1 }
+        if (d < bd) { bd = d; best = cc }
+        cc += 1
+      }
+      out(j) = best.toLong
+      out(m + j) = bd
+      j += 1
+    }
+    if (sdTotal > 1125899906842624.0) throw new IllegalArgumentException(
+      "pq_encode: a vector's quantized |v|^2 exceeds the 2^50 exact-integer " +
+        "budget — rescale/normalize the embedding column")
+    new GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   /** Idempotent per-session registration so `call_function("vec_dot")`
     * resolves. Temp-function scope keeps the engine a library — no
     * SparkSessionExtensions wiring required of the caller.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", Arity.binary("vec_dot")(VecDot), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", Arity.binary("pq_encode")(PqEncodeCodes), "built-in")
+  }
 }

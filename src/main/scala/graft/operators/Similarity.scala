@@ -375,6 +375,16 @@ object Similarity {
       s"exactIvfCentroids: sampled components reach |q|=$maxAbsQ after the 1e6 grid — " +
         "dims·maxAbsQ² exceeds the 2^50 exact-integer budget; normalize or rescale the " +
         "vectors (the bit-exact guarantee would silently break otherwise)")
+    lloydExact(samples, k, iters)
+  }
+
+  /** The deterministic Lloyd loop shared by [[exactIvfCentroids]] and
+    * [[pqTrainExact]]: init = first k of the md5-ordered sample, assign
+    * by exact integer squared distance (ties → lower cell), re-center
+    * floor(sum/count) — the relational program the SQL oracles replay.
+    */
+  private def lloydExact(samples: Array[Array[Long]], k: Int,
+                         iters: Int): Array[Array[Long]] = {
     val dims = samples.head.length
     val kEff = math.min(k, samples.length)
     var cents = samples.take(kEff).map(_.clone())
@@ -679,53 +689,75 @@ object Similarity {
     * SAME engine-reproducible integer-grid Lloyd trainer as
     * [[exactIvfCentroids]] on the sliced vectors — so a SQL oracle can
     * retrain every codebook bit-for-bit. Returns m codebooks of k
-    * quantized (dims/m)-component centroids. Training is m bounded
-    * driver computations over the shared md5-prefix sample; at 100 TB
+    * quantized (dims/m)-component centroids. Training is ONE bounded
+    * scan: the full-vector md5-prefix sample collects once and the m
+    * subspace samples are driver-side slices (the 1e-6 floor grid
+    * commutes with slicing, so this is bit-identical to per-subspace
+    * sampling — and the SQL oracle's per-subspace replay). At 100 TB
     * this runs once offline and the codebooks ship as literals.
     */
   def pqTrainExact(corpus: DataFrame, idCol: String, vecCol: String,
                    m: Int, k: Int, dims: Int, iters: Int = 2,
-                   hexBound: String = "8"): Array[Array[Array[Long]]] = {
+                   hexBound: String = "8",
+                   maxSample: Int = 8192): Array[Array[Array[Long]]] = {
     require(m >= 1 && dims % m == 0, s"pqTrainExact: dims=$dims not divisible by m=$m")
     val sub = dims / m
-    Array.tabulate(m) { j =>
-      val sliced = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub).as("__sub"))
-      exactIvfCentroids(sliced, idCol, "__sub", k, iters, hexBound)
-    }
+    val rows = corpus
+      .filter(substring(md5(col(idCol).cast("string")), 1, hexBound.length) < hexBound)
+      .select(col(idCol).cast("string").as("sid"), quantGrid(col(vecCol)).as("vq"))
+      .limit(maxSample + 1)
+      .collect()
+    require(rows.nonEmpty, "pqTrainExact: md5-prefix sample is empty — widen hexBound")
+    require(rows.length <= maxSample,
+      s"pqTrainExact: the md5-prefix sample exceeds maxSample=$maxSample rows — " +
+        "lengthen the hexBound prefix or raise the cap deliberately")
+    val samples = rows.map { r =>
+      (md5Hex(r.getString(0)), r.getSeq[Double](1).map(_.toLong).toArray)
+    }.sortBy(_._1).map(_._2)
+    require(samples.head.length == dims,
+      s"pqTrainExact: vectors have ${samples.head.length} dims, expected $dims")
+    val maxAbsQ = math.max(1L, samples.iterator.flatMap(_.iterator).map(math.abs).max)
+    require(dims.toDouble * maxAbsQ.toDouble * maxAbsQ.toDouble <= ExactSdBound,
+      s"pqTrainExact: sampled components reach |q|=$maxAbsQ after the 1e6 grid — " +
+        "dims·maxAbsQ² exceeds the 2^50 exact-integer budget; normalize or rescale")
+    Array.tabulate(m)(j =>
+      lloydExact(samples.map(_.slice(j * sub, (j + 1) * sub)), k, iters))
   }
 
   /** PQ encoding: per subspace, the exact-integer argmin code against
-    * codebook literals — a pure mapper (no shuffle, no UDF; the same
-    * least(struct) shape as [[assignExactCells]]' literal path, k per
-    * subspace kept ≤ 16 so codegen stays in budget). `recon_err` is the
-    * summed subspace quantization distances — the loss metric stored
-    * alongside the codes. Output: (idCol, code_0..code_{m-1},
-    * recon_err), all exact integers. The m codes replace the full
-    * vector downstream: 64 floats → 4 bytes is the PQ storage win.
+    * the codebooks — a pure mapper via the native `pq_encode` kernel
+    * (ONE tight loop per row; the composed least(struct) expression
+    * tree it replaces cost ~200 µs/row — VectorExpressions scaladoc).
+    * `recon_err` is the summed subspace quantization distances — the
+    * loss metric stored alongside the codes. Output: (idCol,
+    * code_0..code_{m-1}, recon_err), all exact integers. The m codes
+    * replace the full vector downstream: 64 floats → 8 bytes is the PQ
+    * storage win.
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Array[Long]]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "pqEncode: empty codebook")
     val m = codebooks.length
+    val k = codebooks.head.length
     val sub = codebooks.head.head.length
-    codebooks.foreach(_.zipWithIndex.foreach { case (cq, i) =>
-      require(cq.length == sub, s"pqEncode: ragged codebook at centroid $i")
-      require(cq.map(x => x.toDouble * x).sum <= ExactSdBound,
-        s"pqEncode: centroid $i has |cq|² past the 2^50 exact-integer budget")
-    })
-    var df = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    (0 until m).foreach { j =>
-      df = df.withColumn(s"__vq$j", quantGrid(slice(col("__v"), j * sub + 1, sub)))
-        .withColumn(s"__sd$j", guardedSelfDot(col(s"__vq$j")))
-        .withColumn(s"__b$j", least(codebooks(j).zipWithIndex.map { case (cq, i) =>
-          struct(intDist(col(s"__sd$j"), col(s"__vq$j"), cq).as("d"), lit(i.toLong).as("i"))
-        }: _*))
+    codebooks.foreach { book =>
+      require(book.length == k, "pqEncode: ragged codebook (unequal k across subspaces)")
+      book.zipWithIndex.foreach { case (cq, i) =>
+        require(cq.length == sub, s"pqEncode: ragged codebook at centroid $i")
+        require(cq.map(x => x.toDouble * x).sum <= ExactSdBound,
+          s"pqEncode: centroid $i has |cq|² past the 2^50 exact-integer budget")
+      }
     }
-    df.select(
-      col(idCol) +:
-        ((0 until m).map(j => col(s"__b$j").getField("i").as(s"code_$j")) :+
-          (0 until m).map(j => col(s"__b$j").getField("d")).reduce(_ + _).as("recon_err")): _*)
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val spec = lit(s"$m;$k;$sub;" + codebooks.flatten.flatten.mkString(","))
+    corpus
+      .select(col(idCol),
+        call_function("pq_encode", col(vecCol).cast("array<double>"), spec).as("__pq"))
+      .select(
+        col(idCol) +:
+          ((0 until m).map(j => element_at(col("__pq"), j + 1).as(s"code_$j")) :+
+            (0 until m).map(j => element_at(col("__pq"), m + j + 1)).reduce(_ + _)
+              .as("recon_err")): _*)
   }
 
   /** PQ asymmetric-distance (ADC) top-k ANN: each query precomputes a

@@ -438,7 +438,7 @@ object TextAnalysis {
       (length(t) - length(regexp_replace(t, "#", ""))).cast("long").as("n_hash"),
       size(filter(split(t, "\n"), l => l.endsWith("..."))).cast("long").as("n_ellipsis"),
       size(filter(split(t, "\n"), l => l.startsWith("- "))).cast("long").as("n_bullet"),
-      size(filter(split(t, " "), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      call_function("alpha_word_count", t).as("n_alpha"),
       call_function("word_set_count", t, lit("the,and,of,to,a,in,is,it"))
         .cast("long").as("n_stop"))
     val rules = base
@@ -464,25 +464,35 @@ object TextAnalysis {
     * sums its tokens' bucket weights and `dsir_score` is the per-token
     * floor average — ratio-of-counts importance sampling on a hashed
     * feature space, exact integers end to end. Shape at 100 TB: token
-    * explode → two 256-row aggregates → broadcast weight join → per-doc
-    * sum — the same vocab-bounded pattern as [[tokenRarity]]; the
-    * target set is benchmark-sized and scans once.
+    * explode → two 256-row count aggregates → the 256-entry weight
+    * table COLLECTS (bounded by construction) and ships back as a
+    * literal into the `dsir_score` kernel, so the scoring pass is a
+    * pure mapper — no doc-shaped rows ever shuffle (the r7 first cut
+    * joined the exploded tokens against a broadcast weight table and
+    * re-aggregated per doc: 7.0 s at sf1 vs 1.3 s for the kernel).
     */
   def dsirWeights(corpus: DataFrame, idCol: String, textCol: String,
                   target: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(corpus.sparkSession)
     def bucket(tok: Column): Column =
       conv(substring(md5(tok), 1, 2), 16, 10).cast("long")
-    val toks = corpus.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val toks = corpus.select(explode(split(col(textCol), " ")).as("tok"))
       .withColumn("b", bucket(col("tok")))
     val tToks = target.select(explode(split(col(textCol), " ")).as("tok"))
       .withColumn("b", bucket(col("tok")))
     val rCnt = toks.groupBy("b").agg(count(lit(1)).as("r_b"))
     val tCnt = tToks.groupBy("b").agg(count(lit(1)).as("t_b"))
-    val wtab = rCnt.join(tCnt, Seq("b"), "left")
+    val weights = new Array[Long](256) // buckets absent from the corpus keep weight 0
+    rCnt.join(tCnt, Seq("b"), "left")
       .withColumn("w", expr("(coalesce(t_b, 0) + 1) * 1000000 div (r_b + 1)"))
-    toks.join(broadcast(wtab.select("b", "w")), Seq("b"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+      .select("b", "w").collect()
+      .foreach(r => weights(r.getAs[Long]("b").toInt) = r.getAs[Long]("w"))
+    val csv = lit(weights.mkString(","))
+    corpus
+      .withColumn("__s", call_function("dsir_score", col(textCol), csv))
+      .select(col(idCol),
+        element_at(col("__s"), 1).as("n_tokens"),
+        element_at(col("__s"), 2).as("score"))
       .withColumn("dsir_score", expr("score div n_tokens"))
   }
 

@@ -331,8 +331,12 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(shuffled.getAs[Long]("p50_bid") == r.getAs[Long]("p50_bid") &&
       shuffled.getAs[Long]("p95_bid") == r.getAs[Long]("p95_bid"),
       "merged quantiles moved under a different input partitioning")
-    // non-positive values must raise, not mis-bin
-    val bad = Seq(("s", 1704067200000000L, 0.0)).toDF("g", "us", "value")
+    // zero bins below every positive bid; negative values must raise
+    val zero = Seq(("s", 1704067200000000L, 0.0), ("s", 1704067201000000L, 1.0))
+      .toDF("g", "us", "value").withColumn("ts", timestamp_micros(col("us")))
+    val zr = TimeSeries.quantileRollup(zero, Seq("g"), "ts", "value").collect().head
+    assert(zr.getAs[Long]("p50_bid") == 100L && zr.getAs[Long]("p50_lo_cents") == 0L)
+    val bad = Seq(("s", 1704067200000000L, -1.0)).toDF("g", "us", "value")
       .withColumn("ts", timestamp_micros(col("us")))
     intercept[Exception] {
       TimeSeries.quantileRollup(bad, Seq("g"), "ts", "value").collect()
