@@ -189,6 +189,25 @@ object StreamQueries {
         .orderBy("event_type")
     }),
 
+    // Streaming untruncated EWMA: the full eₜ = ⌊(cₜ+3eₜ₋₁)/4⌋
+    // recursion per series, smoothing state surviving the K-1 batch
+    // boundaries; the oracle replays the identical integer recursion
+    // with a recursive CTE (the ts_value_fill_ar precedent). Exact
+    // integers end to end — the lane hash-checks with no rounding.
+    "stream_ewma" -> ((s, dir) => {
+      import s.implicits._
+      requireUniqueSeriesTs(s, dir)
+      val pts = eventsStream(s, dir)
+        .select(xxhash64(col("event_type")).as("series"),
+          expr("ts div 1000").as("ts_us"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .as[StreamIngest.EwmaPoint]
+      val sink = replay(s, StreamIngest.streamingEwma(pts).toDF(), "stream_ewma_sink")
+      sink.join(typeDict(s, dir), "series")
+        .select(col("event_id"), col("event_type"), col("ewma_q"))
+        .orderBy("event_id").limit(10000)
+    }),
+
     // Streaming anomaly scoring against batch-trained baselines (the
     // train-on-history / score-the-stream pattern). The flag uses the
     // identical division-free exact-integer test as batch
@@ -368,6 +387,21 @@ object StreamQueries {
          |       WHEN value >= prev THEN value - prev
          |       ELSE value END), 4) AS increase
          |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the exact integer recursion the stream lane runs, replayed as a
+    // recursive CTE ordered by (ts, event_id) per series
+    "stream_ewma" ->
+      s"""WITH RECURSIVE
+         |p AS MATERIALIZED (
+         |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+         |  FROM $E),
+         |r AS (
+         |  SELECT event_type, event_id, i, c AS e FROM p WHERE i = 1
+         |  UNION ALL
+         |  SELECT p.event_type, p.event_id, p.i, (p.c + 3 * r.e) // 4
+         |  FROM r JOIN p ON p.event_type = r.event_type AND p.i = r.i + 1)
+         |SELECT event_id, event_type, e AS ewma_q FROM r
+         |ORDER BY event_id LIMIT 10000""".stripMargin,
     "stream_anomaly" ->
       """WITH s AS (
         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,

@@ -76,6 +76,45 @@ object StreamIngest {
         col("n"), col("sum_value"))
   }
 
+  final case class EwmaPoint(series: Long, ts_us: Long, event_id: Long, cents: Long)
+  final case class EwmaState(lastTs: Long, lastId: Long, ewmaQ: Long, seeded: Boolean)
+  final case class EwmaOut(series: Long, event_id: Long, ewma_q: Long)
+
+  /** Streaming UNTRUNCATED exponential smoothing (α = 1/4) — the full
+    * per-series recursion eₜ = ⌊(cₜ + 3·eₜ₋₁)/4⌋ over exact integer
+    * cents, seeded with the first sample. The floor at every step keeps
+    * the state a single integer, so the recursion is deterministic and
+    * a SQL oracle replays it exactly with a recursive CTE — and state
+    * crossing micro-batch boundaries is precisely what the batch lag
+    * window (`TimeSeries.ewma`, truncated by design) cannot express:
+    * this is the streaming half of the EWMA pair. O(series) state; late
+    * rows at or before the held (ts, id) are dropped, matching the
+    * other stateful lanes' watermark analogue.
+    */
+  def streamingEwma(points: Dataset[EwmaPoint]): Dataset[EwmaOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series, rows, state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(
+            EwmaState(Long.MinValue, Long.MinValue, 0L, seeded = false))
+          val out = rows.toSeq.sortBy(p => (p.ts_us, p.event_id)).flatMap { p =>
+            val late = p.ts_us < st.lastTs ||
+              (p.ts_us == st.lastTs && p.event_id <= st.lastId)
+            if (late) None
+            else {
+              val e = if (!st.seeded) p.cents
+                else Math.floorDiv(p.cents + 3 * st.ewmaQ, 4L)
+              st = EwmaState(p.ts_us, p.event_id, e, seeded = true)
+              Some(EwmaOut(series, p.event_id, e))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class CounterPoint(series: Long, ts_us: Long, value: Double)
   final case class IncreaseState(lastTs: Long, lastVal: Double, total: Double)
   final case class IncreaseOut(series: Long, ts_us: Long, increase: Double)

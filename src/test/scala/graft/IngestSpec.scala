@@ -131,6 +131,29 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingEwma carries smoothing state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.EwmaPoint]
+    val q = StreamIngest.streamingEwma(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ewma_test").start()
+    try {
+      // batch 1: seed 100, then floor((200+300)/4)=125
+      mem.addData(StreamIngest.EwmaPoint(7L, 1L, 1L, 100L),
+        StreamIngest.EwmaPoint(7L, 2L, 2L, 200L))
+      q.processAllAvailable()
+      // batch 2 continues FROM 125: floor((400+375)/4)=193 — a fresh
+      // state would instead seed at 400; a late duplicate is dropped
+      mem.addData(StreamIngest.EwmaPoint(7L, 3L, 3L, 400L),
+        StreamIngest.EwmaPoint(7L, 1L, 1L, 999L))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_test").orderBy("event_id")
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("ewma_q")))
+      assert(rows.toSeq == Seq((1L, 100L), (2L, 125L), (3L, 193L)))
+    } finally q.stop()
+  }
+
   test("streamingGapfillLocf fills gaps across micro-batch boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
