@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -692,6 +692,55 @@ object TimeSeries {
       .withColumn("p95_lo_cents", expr(
         "(p95_bid % 100) * CAST(pow(10, greatest(p95_bid div 100 - 2, 0)) AS BIGINT)"))
   }
+
+  /** Per-series Holt DOUBLE exponential smoothing (level + trend,
+    * α=β=1/4 — the TimescaleDB-toolkit/PromQL `holt_winters` surface
+    * without seasonality): every step floor-quantizes to integer
+    * cents, so the two-variable recursion
+    * lₜ=(cₜ+3(lₜ₋₁+bₜ₋₁)) quot 4, bₜ=(lₜ−lₜ₋₁+3bₜ₋₁) quot 4 (seeds
+    * l₁=c₁, b₁=0) is deterministic and a recursive CTE replays it
+    * exactly. Quantization is TRUNCATING division (Java `/`), not
+    * floorDiv: the trend goes negative and DuckDB's `//` truncates
+    * toward zero on negatives — the two engines must round the same
+    * way. `forecast_q` =
+    * lₜ+bₜ is the one-step-ahead prediction. Whole-series sequential
+    * algorithm → the Repair shape: collect_list per bounded series,
+    * one scalar pass, explode back out.
+    */
+  private val holtUdf = udf { series: Seq[Row] =>
+    val n = series.length
+    val out = new Array[(Long, Long)](n)
+    var l = 0L
+    var b = 0L
+    var i = 0
+    while (i < n) {
+      val c = series(i).getLong(2)
+      if (i == 0) { l = c; b = 0L }
+      else {
+        val lNew = (c + 3L * (l + b)) / 4L
+        b = (lNew - l + 3L * b) / 4L
+        l = lNew
+      }
+      out(i) = (l, b)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  def holtSmooth(df: DataFrame, seriesCols: Seq[String], tsUsCol: String,
+                 idCol: String, valueCol: String): DataFrame =
+    df.withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(tsUsCol).cast("long").as("t"),
+        col(idCol).cast("long").as("id"), col("__c").as("c")))).as("__s"))
+      .withColumn("__h", holtUdf(col("__s")))
+      .select(seriesCols.map(col) :+
+        posexplode(arrays_zip(col("__s"), col("__h"))).as(Seq("__i", "__z")): _*)
+      .select(seriesCols.map(col) ++ Seq(
+        col("__z.__s.id").as(idCol),
+        col("__z.__h._1").as("level_q"),
+        col("__z.__h._2").as("trend_q")): _*)
+      .withColumn("forecast_q", col("level_q") + col("trend_q"))
 
   /** Truncated exponential moving average (EWMA, decay 3/4 over the
     * last `depth` samples) per series — the PromQL/TimescaleDB

@@ -309,6 +309,15 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value", lag = 10)
         .orderBy("event_type")),
 
+    // Holt double-exponential smoothing (level+trend, α=β=1/4) —
+    // integer-floored two-variable recursion, recursive-CTE oracle.
+    "ts_holt_winters" -> ((s, dir) =>
+      TimeSeries.holtSmooth(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), "ts_us", "event_id", "value")
+        .select("event_id", "event_type", "level_q", "trend_q", "forecast_q")
+        .orderBy("event_id").limit(10000)),
+
     // Truncated EWMA smoothing per series (decay 3/4 over the last 4
     // samples, integer-weight renormalization at the series head) —
     // exact-integer num/den, one mirrored float expression.
@@ -823,6 +832,24 @@ object TimeSeriesQueries {
         |      / CAST(n * (n * q - s * s) AS DOUBLE) * 1000000.0) / 1000000.0
         |  END AS acf_10
         |FROM a ORDER BY event_type""".stripMargin,
+    "ts_holt_winters" ->
+      s"""WITH RECURSIVE
+         |p AS MATERIALIZED (
+         |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id) AS i
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, event_id, i, c AS l, CAST(0 AS BIGINT) AS b
+         |  FROM p WHERE i = 1
+         |  UNION ALL
+         |  SELECT p.event_type, p.event_id, p.i,
+         |    (p.c + 3 * (r.l + r.b)) // 4,
+         |    ((p.c + 3 * (r.l + r.b)) // 4 - r.l + 3 * r.b) // 4
+         |  FROM r JOIN p ON p.event_type = r.event_type AND p.i = r.i + 1)
+         |SELECT event_id, event_type, l AS level_q, b AS trend_q,
+         |  l + b AS forecast_q
+         |FROM r ORDER BY event_id LIMIT 10000""".stripMargin,
     "ts_ewma" ->
       """SELECT event_id, event_type,
         |  floor(CAST(64 * c

@@ -81,8 +81,8 @@ object StreamIngest {
   final case class EwmaOut(series: Long, event_id: Long, ewma_q: Long)
 
   /** Streaming UNTRUNCATED exponential smoothing (α = 1/4) — the full
-    * per-series recursion eₜ = ⌊(cₜ + 3·eₜ₋₁)/4⌋ over exact integer
-    * cents, seeded with the first sample. The floor at every step keeps
+    * per-series recursion eₜ = (cₜ + 3·eₜ₋₁) quot 4 over exact integer
+    * cents, seeded with the first sample. The quantization at each step keeps
     * the state a single integer, so the recursion is deterministic and
     * a SQL oracle replays it exactly with a recursive CTE — and state
     * crossing micro-batch boundaries is precisely what the batch lag
@@ -104,8 +104,10 @@ object StreamIngest {
               (p.ts_us == st.lastTs && p.event_id <= st.lastId)
             if (late) None
             else {
+              // truncating division (Java `/`), matching the oracle's
+              // DuckDB `//` (which truncates toward zero on negatives)
               val e = if (!st.seeded) p.cents
-                else Math.floorDiv(p.cents + 3 * st.ewmaQ, 4L)
+                else (p.cents + 3 * st.ewmaQ) / 4L
               st = EwmaState(p.ts_us, p.event_id, e, seeded = true)
               Some(EwmaOut(series, p.event_id, e))
             }

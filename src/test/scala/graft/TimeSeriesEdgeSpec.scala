@@ -313,6 +313,17 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
       Seq(1.5, 2.0, 3.0, 4.0, 4.5))
   }
 
+  test("holtSmooth: integer level/trend recursion matches hand computation") {
+    val df = Seq(("s", 1L, 10L, 1.0), ("s", 2L, 11L, 2.0), ("s", 3L, 12L, 3.0))
+      .toDF("g", "t", "id", "value")
+    val out = graft.functions.TimeSeries.holtSmooth(df, Seq("g"), "t", "id", "value")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("level_q"), r.getAs[Long]("trend_q"),
+        r.getAs[Long]("forecast_q")))
+    // cents 100,200,300: l=[100,125,173], b=[0,6,16] (floored each step)
+    assert(out.toSeq == Seq((100L, 0L, 100L), (125L, 6L, 131L), (173L, 16L, 189L)))
+  }
+
   test("quantileRollup: exact integer ranks on a known distribution; partition-invariant") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     // 100 values 1.00..100.00 across 4 hours of one day → cents 100..10000
