@@ -179,6 +179,55 @@ object Dedup {
     cross.unionByName(withinPairs)
   }
 
+  /** INCREMENTAL near-dedup — the production ingest shape: flag each
+    * INCOMING doc whose LSH band bucket collides with an
+    * EXISTING-corpus doc and whose confirmed shingle jaccard clears
+    * `threshold`. At 100 TB the existing side's (band, band_hash)
+    * index and shingle sets are the precomputed artifact (built once
+    * per corpus snapshot, reused across every incoming batch); the
+    * incoming batch — orders smaller than the corpus — maps to
+    * signatures, equijoins the bucket index, and confirms against ONLY
+    * the collided existing docs (candidate pairs broadcast into the
+    * two id-keyed set lookups, so neither corpus rescans). Returns one
+    * row per incoming doc: (idCol, is_dup, match_id, jaccard) with the
+    * best match = highest raw jaccard, ties to the lowest existing id;
+    * rounding happens after selection so the tie-break is exact.
+    * Incoming docs with no 3-token shingle (no signature) flag false —
+    * same contract as [[minHashNearDups]]'s `__sig3` rule.
+    */
+  def incrementalNearDupFlags(existing: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 8, bands: Int = 2,
+                              threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextExpressions.register(existing.sparkSession)
+    val bhE = lshBandHashes(minhashSignature(existing, idCol, textCol, numHashes),
+      idCol, numHashes, bands).withColumnRenamed(idCol, "__eid")
+    val bhI = lshBandHashes(minhashSignature(incoming, idCol, textCol, numHashes),
+      idCol, numHashes, bands).withColumnRenamed(idCol, "__iid")
+    val cand = bhI.join(bhE, Seq("band", "band_hash"))
+      .select(col("__iid"), col("__eid")).distinct()
+    val shE = existing.select(col(idCol).as("__eid"),
+      call_function("word_shingle_set", col(textCol)).as("__she"))
+    val shI = incoming.select(col(idCol).as("__iid"),
+      call_function("word_shingle_set", col(textCol)).as("__shi"))
+    val conf = shI.join(broadcast(cand), Seq("__iid"))
+      .join(shE.join(broadcast(cand.select("__eid").distinct()), Seq("__eid")), Seq("__eid"))
+      .withColumn("__inter",
+        call_function("array_overlap_count", col("__shi"), col("__she")))
+      .withColumn("__j",
+        col("__inter") / (size(col("__shi")) + size(col("__she")) - col("__inter")))
+      .filter(col("__j") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__iid").orderBy(col("__j").desc, col("__eid"))
+    val best = conf.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("__iid"), col("__eid").as("match_id"),
+        round(col("__j"), 6).as("jaccard"))
+    incoming.select(col(idCol))
+      .join(best, col(idCol) === col("__iid"), "left")
+      .select(col(idCol), col("match_id").isNotNull.as("is_dup"),
+        col("match_id"), col("jaccard"))
+  }
+
   /** The direct (no exact-collapse) pipeline — runs once per input row;
     * [[minHashNearDups]] wraps it in representative space.
     */

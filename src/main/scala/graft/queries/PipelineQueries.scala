@@ -81,6 +81,24 @@ object PipelineQueries {
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
         .orderBy("doc_id")),
 
+    // Incremental near-dedup: flag an INCOMING batch against the
+    // EXISTING corpus index — exact copies (+5e6), near copies with an
+    // appended tail (+6e6), and 60-char truncations (+7e6, mostly
+    // below threshold) keyed on doc_id, mirrored in the oracle.
+    "doc_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 5000000)
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 6000000)
+          .withColumn("text", concat(col("text"), lit(" fresh appended tail words"))))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 7000000)
+          .withColumn("text", substring(col("text"), 1, 60)))
+      Dedup.incrementalNearDupFlags(docs, incoming, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): target = docs with
     // doc_id < 50 (the decontaminate convention), raw = full corpus;
     // add-one-smoothed integer bucket ratios, per-doc summed.
@@ -732,6 +750,60 @@ object PipelineQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** One side's minhash chain (tokens → shingles → rotated-digest
+    * signatures → band hashes → shingle-set sizes), CTE names suffixed
+    * `p` — the two-corpus generalization of MINHASH_CTES for the
+    * incremental-dedup oracle.
+    */
+  private def minhashChain(src: String, p: String): String =
+    s"""toks$p AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |sh$p AS (
+       |  SELECT DISTINCT doc_id,
+       |    t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+       |  FROM toks$p, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+       |sig$p AS (
+       |  SELECT doc_id, seed,
+       |    min(substr(md5(sh), seed * 4 + 1) || substr(md5(sh), 1, seed * 4)) AS mh
+       |  FROM sh$p, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) v
+       |  GROUP BY doc_id, seed),
+       |bh$p AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |    md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
+       |  FROM sig$p GROUP BY doc_id, seed // 4),
+       |sz$p AS (SELECT doc_id, count(*) AS sz FROM sh$p GROUP BY doc_id)""".stripMargin
+
+  private def incrementalDedupOracle: String =
+    s"""WITH inc AS (
+       |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 6000000, text || ' fresh appended tail words'
+       |    FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 7000000, substr(text, 1, 60)
+       |    FROM documents WHERE doc_id % 7 = 0),
+       |${minhashChain("documents", "E")},
+       |${minhashChain("inc", "I")},
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS iid, e.doc_id AS eid
+       |  FROM bhI i JOIN bhE e ON i.band = e.band AND i.band_hash = e.band_hash),
+       |intr AS (
+       |  SELECT c.iid, c.eid, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shI si ON si.doc_id = c.iid
+       |  JOIN shE se ON se.doc_id = c.eid AND si.sh = se.sh
+       |  GROUP BY c.iid, c.eid),
+       |conf AS (
+       |  SELECT i.iid, i.eid, inter / (zi.sz + ze.sz - inter) AS j
+       |  FROM intr i JOIN szI zi ON zi.doc_id = i.iid
+       |    JOIN szE ze ON ze.doc_id = i.eid
+       |  WHERE inter / (zi.sz + ze.sz - inter) >= 0.5),
+       |best AS (
+       |  SELECT iid, eid, j,
+       |    row_number() OVER (PARTITION BY iid ORDER BY j DESC, eid) AS rn
+       |  FROM conf)
+       |SELECT inc.doc_id, (b.iid IS NOT NULL) AS is_dup, b.eid AS match_id,
+       |  round(b.j, 6) AS jaccard
+       |FROM inc LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.iid = inc.doc_id
+       |ORDER BY inc.doc_id""".stripMargin
+
   /** The minhash pipeline as a reusable CTE chain ending in `pairs`
     * (thresholded near-dup pairs with jaccard) — shared by the pair
     * oracle and the recursive-CTE dup-groups oracle.
@@ -790,6 +862,7 @@ object PipelineQueries {
     "emb_ivf_ann" -> ivfOracle,
     "emb_semantic_dedup" -> semDedupOracle,
     "emb_pq_quantize" -> pqQuantizeOracle,
+    "doc_incremental_dedup" -> incrementalDedupOracle,
     "emb_pq_ann" -> pqAnnOracle,
     "doc_exact_dedup" ->
       s"""WITH $CORPUS

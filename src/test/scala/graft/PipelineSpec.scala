@@ -1162,6 +1162,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.columns.contains("adist"))
   }
 
+  test("incrementalNearDupFlags: exact copy flags with jaccard 1, novel doc does not") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 1
+      (11L, "completely different words about nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.incrementalNearDupFlags(existing, incoming, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_dup"), Option(r.getAs[java.lang.Long]("match_id")))).toMap
+    assert(out(10L) == (true, Some(1L)))
+    assert(out(11L) == (false, None))
+  }
+
   test("dsirWeights: docs sharing target vocabulary score higher") {
     import spark.implicits._
     val corpus = Seq(
