@@ -693,6 +693,26 @@ object TimeSeries {
         "(p95_bid % 100) * CAST(pow(10, greatest(p95_bid div 100 - 2, 0)) AS BIGINT)"))
   }
 
+  /** PromQL `resets`/`changes` counter inspection per series: resets =
+    * adjacent drops (vₜ < vₜ₋₁), changes = adjacent inequalities —
+    * compared on exact integer cents so no float-equality boundary can
+    * flip a count. One lag window + one partial-aggregable count; the
+    * standard per-series shuffle shape.
+    */
+  def resetsChanges(df: DataFrame, seriesCols: Seq[String], orderCols: Seq[String],
+                    valueCol: String): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__p", lag(col("__c"), 1).over(w))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__p").isNotNull && col("__c") < col("__p"), 1L)
+          .otherwise(0L)).as("resets"),
+        sum(when(col("__p").isNotNull && col("__c") =!= col("__p"), 1L)
+          .otherwise(0L)).as("changes"))
+  }
+
   /** Per-series Holt DOUBLE exponential smoothing (level + trend,
     * α=β=1/4 — the TimescaleDB-toolkit/PromQL `holt_winters` surface
     * without seasonality): every step floor-quantizes to integer

@@ -309,6 +309,15 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value", lag = 10)
         .orderBy("event_type")),
 
+    // PromQL `resets` + `changes` counter inspection per series —
+    // adjacent-sample comparisons on exact cents (no float equality),
+    // one lag window + one aggregate.
+    "ts_resets_changes" -> ((s, dir) =>
+      TimeSeries.resetsChanges(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), Seq("ts_us", "event_id"), "value")
+        .orderBy("event_type")),
+
     // Holt double-exponential smoothing (level+trend, α=β=1/4) —
     // integer-floored two-variable recursion, recursive-CTE oracle.
     "ts_holt_winters" -> ((s, dir) =>
@@ -832,6 +841,18 @@ object TimeSeriesQueries {
         |      / CAST(n * (n * q - s * s) AS DOUBLE) * 1000000.0) / 1000000.0
         |  END AS acf_10
         |FROM a ORDER BY event_type""".stripMargin,
+    "ts_resets_changes" ->
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         |    lag(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY event_type
+         |      ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id) AS p
+         |  FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN p IS NOT NULL AND c < p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS resets,
+         |  CAST(sum(CASE WHEN p IS NOT NULL AND c <> p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS changes
+         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ts_holt_winters" ->
       s"""WITH RECURSIVE
          |p AS MATERIALIZED (
