@@ -846,6 +846,36 @@ object TimeSeries {
         .as("predicted")): _*)
   }
 
+  /** TimescaleDB-toolkit `heartbeat_agg` liveness surface: each
+    * heartbeat asserts its series is live for the next `livenessUs`
+    * microseconds; overlapping assertions merge into covered intervals
+    * (the reference's stream-table health view computes the same
+    * covered-time rollup over ingest heartbeats). Per series:
+    * heartbeat count, merged live-interval count, total live µs
+    * (exact integer: Σ min(nextₜ−tₜ, L) over interior points + L for
+    * the last), gap count and total dead µs inside [first, last].
+    *
+    * 100 TB shape: ONE sort shuffle on the series key serves both the
+    * lead() window and the aggregate; all arithmetic is exact integer
+    * µs so the result is engine-stable. Duplicate timestamps are safe:
+    * adjacent gaps of a sorted multiset don't depend on the order of
+    * equal keys (ties contribute gap 0).
+    */
+  def heartbeatAgg(df: DataFrame, seriesCols: Seq[String], tsUsCol: String,
+                   livenessUs: Long): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(tsUsCol))
+    val L = lit(livenessUs)
+    df.withColumn("__gap", lead(col(tsUsCol), 1).over(w) - col(tsUsCol))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_heartbeats"),
+        (sum(when(col("__gap") > L, 1L).otherwise(0L)) + lit(1L)).as("n_intervals"),
+        (sum(when(col("__gap").isNotNull, least(col("__gap"), L)).otherwise(0L)) + L)
+          .as("live_us"),
+        sum(when(col("__gap") > L, col("__gap") - L).otherwise(0L)).as("dead_us"))
+      .withColumn("n_gaps", col("n_intervals") - lit(1L))
+  }
+
   private def q6(c: Column): Column = floor(c * lit(1000000.0)) / 1000000.0
 
   /** Shared exact-decimal regression sums (+ per-group max x). */

@@ -318,6 +318,14 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value")
         .orderBy("event_type")),
 
+    // heartbeat_agg liveness rollup: each event asserts 30 min of
+    // liveness; merged covered intervals, exact-integer µs uptime.
+    "ts_heartbeat" -> ((s, dir) =>
+      TimeSeries.heartbeatAgg(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), "ts_us", livenessUs = 1800000000L)
+        .orderBy("event_type")),
+
     // Holt double-exponential smoothing (level+trend, α=β=1/4) —
     // integer-floored two-variable recursion, recursive-CTE oracle.
     "ts_holt_winters" -> ((s, dir) =>
@@ -853,6 +861,23 @@ object TimeSeriesQueries {
          |  CAST(sum(CASE WHEN p IS NOT NULL AND c <> p THEN 1 ELSE 0 END) AS BIGINT)
          |    AS changes
          |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_heartbeat" ->
+      s"""WITH p AS (
+         |  SELECT event_type, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+         |w AS (
+         |  SELECT event_type, ts_us,
+         |    lead(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us) - ts_us AS gap
+         |  FROM p)
+         |SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n_heartbeats,
+         |  CAST(sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         |    AS n_intervals,
+         |  CAST(sum(CASE WHEN gap IS NOT NULL THEN least(gap, 1800000000)
+         |    ELSE 0 END) + 1800000000 AS BIGINT) AS live_us,
+         |  CAST(sum(CASE WHEN gap > 1800000000 THEN gap - 1800000000
+         |    ELSE 0 END) AS BIGINT) AS dead_us,
+         |  CAST(sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ts_holt_winters" ->
       s"""WITH RECURSIVE
          |p AS MATERIALIZED (

@@ -370,4 +370,25 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(b.getAs[Long]("span") == 0)
     assert(b.getAs[Double]("twa") == 7.5)
   }
+
+  test("heartbeatAgg merges overlapping liveness and counts gaps exactly") {
+    // L = 10 µs. series a beats at 0,5,8,30,35: gaps 5,3,22,5 →
+    //   intervals: [0..18],[30..45] → live = 5+3+10 + 5+10 = 33,
+    //   dead = 22-10 = 12, n_intervals 2, n_gaps 1.
+    // series b: single beat → live L, 1 interval, 0 gaps.
+    // series c: duplicate timestamps (gap 0) must not split intervals.
+    val df = Seq(("a", 0L), ("a", 5L), ("a", 8L), ("a", 30L), ("a", 35L),
+      ("b", 100L), ("c", 7L), ("c", 7L), ("c", 9L)).toDF("g", "ts_us")
+    val out = TimeSeries.heartbeatAgg(df, Seq("g"), "ts_us", livenessUs = 10L)
+      .orderBy("g").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_heartbeats") == 5 && a.getAs[Long]("n_intervals") == 2)
+    assert(a.getAs[Long]("live_us") == 33 && a.getAs[Long]("dead_us") == 12)
+    assert(a.getAs[Long]("n_gaps") == 1)
+    val b = out(1)
+    assert(b.getAs[Long]("n_intervals") == 1 && b.getAs[Long]("live_us") == 10)
+    assert(b.getAs[Long]("dead_us") == 0 && b.getAs[Long]("n_gaps") == 0)
+    val c = out(2)
+    assert(c.getAs[Long]("n_intervals") == 1 && c.getAs[Long]("live_us") == 12)
+  }
 }
