@@ -368,6 +368,55 @@ object TextAnalysis {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** Exact-substring span dedup (Lee et al. 2022, arXiv:2107.06499 —
+    * "Deduplicating Training Data Makes Language Models Better", the
+    * ExactSubstr dedup): every k-token window whose text occurs
+    * elsewhere in the corpus (or earlier in the same doc) keeps only
+    * its FIRST occurrence — the minimum (doc, pos) claimant — and each
+    * token covered by any later duplicate window is REMOVED; docs are
+    * reassembled from the surviving tokens in order (so a duplicated
+    * span ≥ k vanishes from every copy but the first, while novel
+    * prefixes/suffixes around it survive). The paper builds a corpus
+    * suffix array; the Spark-first equivalent is a k-window hash
+    * claimant — identical removal decisions for duplicated spans ≥ k,
+    * no giant sequential index.
+    *
+    * 100 TB shape: window hashing is a pure mapper (one md5 per token
+    * position; only (id, pos, hash) reaches the shuffle, never window
+    * text); the claimant table is ONE partial-aggregable min of the
+    * packed (doc·1e7+pos) key grouped by hash; coverage expansion is
+    * k-bounded per dup window; reassembly is one doc-keyed aggregate.
+    * No corpus-wide window sort, no driver state.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val wins = toks.select(col(idCol), posexplode(expr(
+        s"""CASE WHEN size(__toks) >= $k THEN
+           |  transform(sequence(0, size(__toks) - $k),
+           |    p -> md5(concat_ws(' ', slice(__toks, p + 1, $k))))
+           |ELSE array() END""".stripMargin)).as(Seq("__p", "__h")))
+      .withColumn("__packed", col(idCol) * lit(10000000L) + col("__p"))
+    val claim = wins.groupBy("__h").agg(min(col("__packed")).as("__fmin"))
+    val covered = wins.join(claim, "__h")
+      .filter(col("__packed") =!= col("__fmin"))
+      .select(col(idCol), explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__q"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__q", "__tok")))
+      .join(covered, Seq(idCol, "__q"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__q"), col("__tok")))),
+          x => x("__tok"))).as("dedup_text"))
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Concat-and-chunk sequence packing — the training-prep step that
     * turns a curated corpus into fixed-length training sequences: docs
     * are concatenated in deterministic (shard, doc id) order and split

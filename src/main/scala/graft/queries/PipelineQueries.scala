@@ -217,6 +217,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact-substring span dedup (Lee et al. 2022 ExactSubstr) over the
+    // dup-injected corpus: duplicated 8-token spans keep only their
+    // first corpus occurrence; exact-dup docs collapse to empty, the
+    // appended-tail dups keep only their novel tails.
+    "doc_substring_dedup" -> ((s, dir) =>
+      TextAnalysis.substringDedup(corpus(s, dir), "doc_id", "text", 8)
+        .orderBy("doc_id")),
+
     // Concat-and-chunk sequence packing: the training-prep manifest
     // (one row per fixed-length training sequence with its doc span),
     // docs accounted to the sequence where they start.
@@ -1160,6 +1168,34 @@ object PipelineQueries {
         |JOIN ch ON ch.doc_id = c.doc_id
         |LEFT JOIN kept k ON k.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+    "doc_substring_dedup" ->
+      s"""WITH $CORPUS,
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |w AS (
+        |  SELECT doc_id, u.p,
+        |    md5(array_to_string(toks[u.p + 1 : u.p + 8], ' ')) AS h,
+        |    doc_id * 10000000 + u.p AS packed
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - 8)) AS p) u
+        |  WHERE len(toks) >= 8),
+        |f AS (SELECT h, min(packed) AS fmin FROM w GROUP BY h),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, w.p + u.i AS q
+        |  FROM w JOIN f USING (h),
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS i) u
+        |  WHERE w.packed <> f.fmin),
+        |tok AS (
+        |  SELECT doc_id, u.q, toks[u.q + 1] AS tk
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - 1)) AS q) u),
+        |kept AS (
+        |  SELECT tk.doc_id, count(*) AS kept_tokens,
+        |    string_agg(tk.tk, ' ' ORDER BY tk.q) AS dedup_text
+        |  FROM tok tk LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.q = tk.q
+        |  WHERE c.doc_id IS NULL GROUP BY tk.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  coalesce(k.dedup_text, '') AS dedup_text
+        |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "doc_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

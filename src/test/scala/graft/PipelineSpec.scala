@@ -1001,6 +1001,24 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 2L, 0L, "")), s"got ${out.toSeq}")
   }
 
+  test("substringDedup removes covered spans, keeps novel flanks and short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),     // claimant for every shared window
+      (2L, "a b c d e f g h i j"),     // exact dup -> fully covered
+      (3L, "x a b c d e f g h z"),     // dup window at p=1 -> keeps "x z"
+      (4L, "p q r")                    // < k tokens -> untouched
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 10L, "a b c d e f g h i j"),
+      (2L, 10L, 0L, ""),
+      (3L, 10L, 2L, "x z"),
+      (4L, 3L, 3L, "p q r")), s"got ${out.toSeq}")
+  }
+
   test("packSequences bins docs by starting token offset per shard") {
     import spark.implicits._
     // one shard (ids all ≡ 1 mod 16); token counts 3,4,5 with seqLen 6:
