@@ -289,6 +289,27 @@ object StreamQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Streaming OHLC candlestick: the continuous market-data rollup.
+    // Deterministic open/close come from min/max over a
+    // (ts, event_id, value) struct — the batch candlestick's
+    // partial-aggregable min_by/max_by shape — so the watermark-closed
+    // windows hash-match the batch SQL exactly (unique (event_type,
+    // ts_us) keys asserted, so arg_min/arg_max on ts suffice oracle-side).
+    // Same emit-boundary clip as stream_windowed.
+    "stream_candlestick" -> ((s, dir) => {
+      requireUniqueSeriesTs(s, dir)
+      val src = eventsStream(s, dir)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      val agg = StreamIngest.candlestickStats(src, "tstamp", "event_type",
+        "event_id", "value", "1 hour", "0 seconds")
+      val sink = replay(s, agg, "stream_candlestick_sink")
+      val maxUs = globalMaxUs(s, dir)
+      sink.select(col("event_type"), unix_micros(col("w_start")).as("bucket_us"),
+          col("n"), col("open"), col("high"), col("low"), col("close"), col("volume"))
+        .filter(col("bucket_us") + lit(BucketUs) < maxUs)
+        .orderBy("event_type", "bucket_us")
+    }),
+
     // Streaming near-dup flags: every doc's band hashes are the same
     // pure minhash_sig mapper as batch LSH; the stateful pass remembers
     // each (band, bucket)'s first claimant and flags later colliders.
@@ -430,6 +451,22 @@ object StreamQueries {
          |ORDER BY event_type, w_start_us""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
+    "stream_candlestick" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |e AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         |    value, CAST(round(value * 100) AS BIGINT) AS cents,
+         |    epoch_us(ts) AS tus
+         |  FROM events)
+         |SELECT event_type, bucket_us, CAST(count(*) AS BIGINT) AS n,
+         |  arg_min(value, tus) AS open, max(value) AS high, min(value) AS low,
+         |  arg_max(value, tus) AS close,
+         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS volume
+         |FROM e, m
+         |GROUP BY event_type, bucket_us, mx
+         |HAVING bucket_us + 3600000000 < mx
+         |ORDER BY event_type, bucket_us""".stripMargin,
     "stream_session" ->
       s"""WITH d AS (
          |  SELECT user_id, ts, value,

@@ -30,6 +30,32 @@ object StreamIngest {
         col("sum_value"), col("avg_value"))
   }
 
+  /** Streaming OHLC candlestick per (key, window) — the continuous
+    * market-data/metrics rollup, the streaming half of the batch
+    * `TimeSeries.candlestick`. Deterministic open/close come from
+    * min/max over a (ts, tiebreak, value) struct — the same
+    * partial-aggregable min_by/max_by shape the batch operator uses, so
+    * the two sides agree row-for-row; volume sums exact cents. Works on
+    * batch or streaming frames alike (the equivalence oracle runs the
+    * identical code in batch mode).
+    */
+  def candlestickStats(events: DataFrame, tsCol: String, keyCol: String,
+                       tiebreakCol: String, valueCol: String,
+                       win: String, watermark: String): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    wm.withColumn("__cents", round(col(valueCol) * 100).cast("long"))
+      .groupBy(window(col(tsCol), win).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col(tsCol), col(tiebreakCol), col(valueCol)))
+          .getField(valueCol).as("open"),
+        max(col(valueCol)).as("high"), min(col(valueCol)).as("low"),
+        max(struct(col(tsCol), col(tiebreakCol), col(valueCol)))
+          .getField(valueCol).as("close"),
+        (sum(col("__cents")).cast("double") / 100.0).as("volume"))
+      .select(col(keyCol), col("w.start").as("w_start"), col("n"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+  }
+
   /** File-source streaming reader over a parquet directory (the lake's
     * landing zone at scale; a single file locally via pathGlobFilter).
     */

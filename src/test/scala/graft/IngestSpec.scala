@@ -418,6 +418,21 @@ class IngestSpec extends AnyFunSuite {
     assert(ssB > 1, s"session expected >1 data-bearing micro-batch, got $ssB")
   }
 
+  test("candlestickStats in batch mode equals the batch candlestick operator") {
+    val events = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val streamShaped = StreamIngest.candlestickStats(events, "ts", "event_type",
+        "event_id", "value", "1 hour", "0 seconds")
+      .select(col("event_type"), unix_micros(col("w_start")).as("bucket_us"),
+        col("n"), col("open"), col("high"), col("low"), col("close"), col("volume"))
+    val batch = graft.functions.TimeSeries.candlestick(events, Seq("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))), Seq("ts_us", "event_id"), "value")
+      .select(col("event_type"), col("bucket").as("bucket_us"),
+        col("n"), col("open"), col("high"), col("low"), col("close"), col("volume"))
+    assert(streamShaped.count() == batch.count())
+    assert(streamShaped.exceptAll(batch).isEmpty && batch.exceptAll(streamShaped).isEmpty)
+  }
+
   test("streamingLastPoint keeps the max-by-time row per key") {
     import spark.implicits._
     val pts = Seq(
