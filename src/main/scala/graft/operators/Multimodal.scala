@@ -328,6 +328,120 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeWavFeatures(id, bytes) })
   }
 
+  final case class FrameMeta(doc_id: Long, frame_idx: Int, width: Int,
+                             height: Int, n_frames: Long, mean_y: Double)
+
+  /** Encode REAL YUV4MPEG2 (.y4m) video — the uncompressed interchange
+    * format ffmpeg/mplayer consume: ASCII stream header, then per frame
+    * a FRAME marker + raw planar data. C444 keeps the plane math
+    * trivial (Y, U, V each w·h bytes). Luma row y of frame f is
+    * `lum(f, y)`; chroma planes sit at neutral 128.
+    */
+  def encodeY4m(width: Int, height: Int, frames: Int,
+                lum: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && frames >= 0)
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val plane = width * height
+    val b = ByteBuffer.allocate(header.length + frames * (marker.length + 3 * plane))
+    b.put(header)
+    var f = 0
+    while (f < frames) {
+      b.put(marker)
+      var y = 0
+      while (y < height) {
+        val v = (lum(f, y) & 0xff).toByte
+        var x = 0
+        while (x < width) { b.put(v); x += 1 }
+        y += 1
+      }
+      var c = 0
+      while (c < 2 * plane) { b.put(128.toByte); c += 1 }
+      f += 1
+    }
+    b.array()
+  }
+
+  /** Decode a real .y4m stream and SAMPLE every `every`-th frame — the
+    * video half of the multimodal lane set (brief: decode /
+    * feature-extract / resize / frame-sample): parses the ASCII stream
+    * header (tag soup, order-free), walks FRAME markers (tolerating
+    * per-frame parameters), and averages each sampled frame's actual
+    * luma plane — proof the payload is decoded, not just the header.
+    * Emits one row per SAMPLED frame; skipped frames are seeked over
+    * without reading (what makes sparse sampling cheap at 100 TB).
+    */
+  def decodeY4mFrames(docId: Long, bytes: Array[Byte], every: Int): Seq[FrameMeta] = {
+    require(every > 0)
+    var p = 0
+    def line(): String = {
+      val start = p
+      while (p < bytes.length && bytes(p) != '\n') p += 1
+      val s = new String(bytes, start, p - start, "US-ASCII")
+      p += 1 // consume the newline
+      s
+    }
+    val head = line().split(' ')
+    require(head.head == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+    var width = 0; var height = 0; var cs = "C420"
+    head.tail.foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => width = t.substring(1).toInt
+        case 'H' => height = t.substring(1).toInt
+        case 'C' => cs = t
+        case _   => ()
+      }
+    }
+    require(width > 0 && height > 0, "missing geometry")
+    require(cs == "C444", s"only C444 supported, got $cs")
+    val plane = width * height
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrameMeta]
+    var f = 0
+    while (p < bytes.length) {
+      require(line().startsWith("FRAME"), s"frame $f: bad marker")
+      require(p + 3 * plane <= bytes.length, s"frame $f: truncated payload")
+      if (f % every == 0) {
+        var sum = 0L
+        var i = 0
+        while (i < plane) { sum += bytes(p + i) & 0xff; i += 1 }
+        out += FrameMeta(docId, f, width, height, 0L, sum.toDouble / plane)
+      }
+      p += 3 * plane
+      f += 1
+    }
+    out.toSeq.map(_.copy(n_frames = f.toLong))
+  }
+
+  /** Attach a REAL .y4m video binary derived from the id column:
+    * geometry id%16+1 × id%12+1, id%10+1 frames, luma row y of frame f
+    * = (id + 7f + y) % 256 — a generating formula whose per-frame means
+    * the oracle recomputes in SQL.
+    */
+  def withY4mBinary(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 16 + 1).toInt
+        val h = (id % 12 + 1).toInt
+        val n = (id % 10 + 1).toInt
+        (id, encodeY4m(w, h, n, (f, y) => ((id + 7L * f + y) % 256).toInt))
+      })
+      .toDF(idCol, "media")
+  }
+
+  /** Batch frame-sampling lane: (id, media) → one row per sampled
+    * frame, same mapPartitions shape as the other decoders (flatMap
+    * per row — a video fans out to its sampled frames).
+    */
+  def extractY4mFrames(df: DataFrame, idCol: String, every: Int): Dataset[FrameMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => decodeY4mFrames(id, bytes, every) })
+  }
+
   /** Attach a REAL PCM16 WAV binary derived from the id column:
     * sample rate 8000 + id%8 · 1000, id%50 + 1 samples, sample i =
     * (id·31 + i·7) % 2001 − 1000 — a generating formula whose

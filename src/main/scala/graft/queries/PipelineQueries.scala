@@ -464,6 +464,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL video frame-sampling: construct genuine YUV4MPEG2 streams
+    // from doc_id, walk the FRAME markers, and average the luma plane
+    // of every 2nd frame (skipped frames are seeked, not read); the
+    // oracle recomputes geometry, frame count and sampled-frame means
+    // from the same generating formula.
+    "mm_video_frames" -> ((s, dir) => {
+      val withVid = Multimodal.withY4mBinary(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractY4mFrames(withVid, "doc_id", every = 2).toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_frames"),
+          round(col("mean_y"), 6).as("mean_y"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "mm_binary_meta" -> ((s, dir) => {
       val docs = Multimodal.withFakeBinary(Tables(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractMeta(docs, "doc_id").toDF()
@@ -1437,6 +1453,16 @@ object PipelineQueries {
         |  floor(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) * 1000000.0)
         |    / 1000000.0 AS rms
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_video_frames" ->
+      """SELECT d.doc_id, f.f AS frame_idx,
+        |  d.doc_id % 16 + 1 AS width,
+        |  d.doc_id % 12 + 1 AS height,
+        |  d.doc_id % 10 + 1 AS n_frames,
+        |  round(avg((d.doc_id + 7 * f.f + u.y) % 256), 6) AS mean_y
+        |FROM documents d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.doc_id % 10, 2)) AS f) f,
+        |  LATERAL (SELECT unnest(generate_series(0, d.doc_id % 12)) AS y) u
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  doc_id % 640 + 1 AS width,

@@ -1001,6 +1001,22 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 2L, 0L, "")), s"got ${out.toSeq}")
   }
 
+  test("y4m frame sampling decodes real luma planes and seeks skipped frames") {
+    val bytes = Multimodal.encodeY4m(4, 3, 5, (f, y) => 10 * f + y)
+    val frames = Multimodal.decodeY4mFrames(7L, bytes, every = 2)
+    assert(frames.map(_.frame_idx) == Seq(0, 2, 4))
+    assert(frames.forall(m => m.n_frames == 5 && m.width == 4 && m.height == 3))
+    // frame f rows are 10f, 10f+1, 10f+2 → plane mean 10f + 1
+    assert(frames.map(_.mean_y) == Seq(1.0, 21.0, 41.0))
+    // unsupported colorspace and truncated payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4mFrames(1L, "YUV4MPEG2 W4 H3 C420\n".getBytes("US-ASCII"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4mFrames(1L, bytes.dropRight(1), 1)
+    }
+  }
+
   test("substringDedup removes covered spans, keeps novel flanks and short docs") {
     import spark.implicits._
     val docs = Seq(
