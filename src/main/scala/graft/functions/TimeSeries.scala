@@ -876,6 +876,42 @@ object TimeSeries {
       .withColumn("n_gaps", col("n_intervals") - lit(1L))
   }
 
+  /** Seasonal-naive decomposition by hour-of-day (the STL-lite surface
+    * behind "is this spike load or just 9am?"): per point, seasonal =
+    * its (series, hour-of-day) mean minus the series mean, residual =
+    * value minus the hour-of-day mean. Both quantities stay exact
+    * integer-cents cross-products (DECIMAL(38,0) — no overflow at 100 TB
+    * row counts) until ONE mirrored float expression, so the oracle
+    * reproduces them bit-for-bit.
+    *
+    * 100 TB shape: two partial-aggregable rollups (per (series, hod) —
+    * ≤ 24× series rows — and per series), both BROADCAST back into the
+    * scan; no window, no corpus shuffle beyond the two tiny aggregates.
+    */
+  def seasonalDecompose(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+                        valueCol: String): DataFrame = {
+    val g = seriesCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val withH = df.withColumn("__hod", hour(col(tsCol)).cast("long"))
+      .withColumn("__c", round(col(valueCol) * 100).cast("long"))
+    val byHod = withH.groupBy(g :+ col("__hod"): _*)
+      .agg(count(lit(1)).as("__nh"), sum(dec(col("__c"))).as("__sh"))
+    val bySeries = withH.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(dec(col("__c"))).as("__s"))
+    withH
+      .join(broadcast(byHod), seriesCols :+ "__hod")
+      .join(broadcast(bySeries), seriesCols)
+      .withColumn("hod", col("__hod"))
+      .withColumn("seasonal_q", q6(
+        (dec(col("__sh")) * dec(col("__n")) - dec(col("__s")) * dec(col("__nh")))
+          .cast("double")
+          / (dec(col("__nh")) * dec(col("__n"))).cast("double") / 100.0))
+      .withColumn("residual_q", q6(
+        (dec(col("__c")) * dec(col("__nh")) - dec(col("__sh"))).cast("double")
+          / col("__nh").cast("double") / 100.0))
+      .drop("__hod", "__c", "__nh", "__sh", "__n", "__s")
+  }
+
   private def q6(c: Column): Column = floor(c * lit(1000000.0)) / 1000000.0
 
   /** Shared exact-decimal regression sums (+ per-group max x). */

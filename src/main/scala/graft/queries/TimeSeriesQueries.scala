@@ -318,6 +318,14 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value")
         .orderBy("event_type")),
 
+    // Seasonal-naive hour-of-day decomposition: per point, the series'
+    // hod-mean offset (seasonal) and the deviation from it (residual),
+    // exact cross-products until one mirrored float expression.
+    "ts_seasonal" -> ((s, dir) =>
+      TimeSeries.seasonalDecompose(Tables.events(s, dir), Seq("event_type"), "ts", "value")
+        .select("event_id", "event_type", "hod", "seasonal_q", "residual_q")
+        .orderBy("event_id").limit(10000)),
+
     // heartbeat_agg liveness rollup: each event asserts 30 min of
     // liveness; merged covered intervals, exact-integer µs uptime.
     "ts_heartbeat" -> ((s, dir) =>
@@ -861,6 +869,30 @@ object TimeSeriesQueries {
          |  CAST(sum(CASE WHEN p IS NOT NULL AND c <> p THEN 1 ELSE 0 END) AS BIGINT)
          |    AS changes
          |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_seasonal" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         |    CAST(extract(hour FROM cast(ts AS TIMESTAMP)) AS BIGINT) AS hod
+         |  FROM events),
+         |h AS (
+         |  SELECT event_type, hod, CAST(count(*) AS HUGEINT) AS nh,
+         |    CAST(sum(c) AS HUGEINT) AS sh
+         |  FROM e GROUP BY event_type, hod),
+         |s AS (
+         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(c) AS HUGEINT) AS sc
+         |  FROM e GROUP BY event_type)
+         |SELECT e.event_id, e.event_type, e.hod,
+         |  floor(CAST(h.sh * s.n - s.sc * h.nh AS DOUBLE)
+         |    / CAST(h.nh * s.n AS DOUBLE) / 100.0 * 1000000.0) / 1000000.0
+         |    AS seasonal_q,
+         |  floor(CAST(CAST(e.c AS HUGEINT) * h.nh - h.sh AS DOUBLE)
+         |    / CAST(h.nh AS DOUBLE) / 100.0 * 1000000.0) / 1000000.0
+         |    AS residual_q
+         |FROM e
+         |JOIN h ON h.event_type = e.event_type AND h.hod = e.hod
+         |JOIN s ON s.event_type = e.event_type
+         |ORDER BY event_id LIMIT 10000""".stripMargin,
     "ts_heartbeat" ->
       s"""WITH p AS (
          |  SELECT event_type, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),

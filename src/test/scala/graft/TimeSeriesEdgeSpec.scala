@@ -371,6 +371,22 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(b.getAs[Double]("twa") == 7.5)
   }
 
+  test("seasonalDecompose splits hod offset from residual exactly") {
+    // hod 0 holds {1.00, 3.00} (mean 2), hod 1 holds {5.00}; series
+    // mean 3 → seasonal -1 / +2, residuals -1, +1, 0.
+    val df = Seq((1L, 0L, 1.0: java.lang.Double), (2L, 120L, 3.0: java.lang.Double),
+        (3L, 3600L, 5.0: java.lang.Double))
+      .toDF("event_id", "ts_s", "v")
+      .select(col("event_id"), lit("a").as("g"),
+        timestamp_seconds(col("ts_s")).as("ts"), col("v"))
+    val out = TimeSeries.seasonalDecompose(df, Seq("g"), "ts", "v")
+      .orderBy("event_id")
+      .select("event_id", "hod", "seasonal_q", "residual_q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 0L, -1.0, -1.0), (2L, 0L, -1.0, 1.0),
+      (3L, 1L, 2.0, 0.0)), s"got ${out.toSeq}")
+  }
+
   test("heartbeatAgg merges overlapping liveness and counts gaps exactly") {
     // L = 10 µs. series a beats at 0,5,8,30,35: gaps 5,3,22,5 →
     //   intervals: [0..18],[30..45] → live = 5+3+10 + 5+10 = 33,
