@@ -318,6 +318,22 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value")
         .orderBy("event_type")),
 
+    // Cohort retention matrix (ClickHouse retention() surface): users
+    // by first-seen day × came-back-at-offset counts, exact integers.
+    "ts_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.retention(
+          Tables.events(s, dir), "user_id", "ts", Seq(1, 3, 7))
+        .orderBy("cohort_day")),
+
+    // Ordered funnel (ClickHouse windowFunnel greedy rule, unbounded
+    // window): users performing signup → view → purchase in strict
+    // timestamp order; one min-agg + user equijoin per step.
+    "ts_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("signup", "view", "purchase"))
+        .orderBy("step")),
+
     // Seasonal-naive hour-of-day decomposition: per point, the series'
     // hod-mean offset (seasonal) and the deviation from it (residual),
     // exact cross-products until one mirrored float expression.
@@ -869,6 +885,39 @@ object TimeSeriesQueries {
          |  CAST(sum(CASE WHEN p IS NOT NULL AND c <> p THEN 1 ELSE 0 END) AS BIGINT)
          |    AS changes
          |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_retention" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id, CAST(cast(ts AS TIMESTAMP) AS DATE) AS day
+         |  FROM events),
+         |f AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id),
+         |o AS (
+         |  SELECT d.user_id, f.cohort_day, d.day - f.cohort_day AS off
+         |  FROM days d JOIN f ON f.user_id = d.user_id)
+         |SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS BIGINT) AS d1,
+         |  CAST(count(DISTINCT CASE WHEN off = 3 THEN user_id END) AS BIGINT) AS d3,
+         |  CAST(count(DISTINCT CASE WHEN off = 7 THEN user_id END) AS BIGINT) AS d7
+         |FROM o GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    "ts_funnel" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(ts) AS t FROM events
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |s2 AS (
+         |  SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s1 ON s1.user_id = e.user_id
+         |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+         |s3 AS (
+         |  SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s2 ON s2.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+         |    CAST(count(*) AS BIGINT) AS n_users FROM s1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'view',
+         |    CAST(count(*) AS BIGINT) FROM s2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+         |    CAST(count(*) AS BIGINT) FROM s3)
+         |ORDER BY step""".stripMargin,
     "ts_seasonal" ->
       s"""WITH e AS (
          |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c,

@@ -371,6 +371,38 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(b.getAs[Double]("twa") == 7.5)
   }
 
+  test("retention buckets users by first-seen day and offset activity") {
+    val day = 86400L
+    val df = Seq((1L, 0L), (1L, day), (1L, 7 * day),   // u1: d0, d1, d7
+        (2L, 10L),                                      // u2: d0 only
+        (3L, day), (3L, 4 * day))                       // u3: first d1, back d3
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"))
+    val out = graft.operators.EventAnalytics.retention(df, "user_id", "ts", Seq(1, 3, 7))
+      .orderBy("cohort_day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("1970-01-01", 2L, 1L, 0L, 1L),
+      ("1970-01-02", 1L, 0L, 1L, 0L)), s"got ${out.toSeq}")
+  }
+
+  test("funnel counts strictly-ordered step chains per user") {
+    val df = Seq(
+      (1L, 1L, "signup"), (1L, 2L, "view"), (1L, 3L, "purchase"), // full chain
+      (2L, 5L, "signup"), (2L, 4L, "view"),                       // view BEFORE signup
+      (3L, 1L, "view"), (3L, 2L, "purchase"),                     // never signed up
+      (4L, 1L, "signup"), (4L, 2L, "view"), (4L, 2L, "purchase")  // purchase ties view
+    ).toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"), col("event_type"))
+    val out = graft.operators.EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+      .orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "signup", 3L), (2L, "view", 2L),
+      (3L, "purchase", 1L)), s"got ${out.toSeq}")
+  }
+
   test("seasonalDecompose splits hod offset from residual exactly") {
     // hod 0 holds {1.00, 3.00} (mean 2), hod 1 holds {5.00}; series
     // mean 3 → seasonal -1 / +2, residuals -1, +1, 0.
