@@ -876,6 +876,40 @@ object TimeSeries {
       .withColumn("n_gaps", col("n_intervals") - lit(1L))
   }
 
+  /** SAX symbolization (Lin et al. 2003 Symbolic Aggregate
+    * approXimation, the time-series indexing/motif sketch): each series
+    * is piecewise-aggregate-approximated over fixed time buckets, the
+    * per-bucket means binned into `nsym` equi-width symbols over the
+    * series' own [min, max], and the symbols concatenated in bucket
+    * order into one word per series. Classic SAX z-normalizes with
+    * Gaussian breakpoints; the equi-width variant keeps EVERY step in
+    * exact integer arithmetic (truncating div on nonnegative operands ≡
+    * floor, mirrored by DuckDB's `//`), so the whole word hash-checks.
+    *
+    * 100 TB shape: one partial-aggregable (series, bucket) rollup →
+    * tiny per-series stats broadcast back → one word-assembly aggregate
+    * keyed on series. Bucket count bounds word length; no corpus sort.
+    */
+  def sax(df: DataFrame, seriesCols: Seq[String], tsUsCol: String,
+          valueCol: String, bucketUs: Long, nsym: Int = 4): DataFrame = {
+    val g = seriesCols.map(col)
+    val paa = df
+      .withColumn("__b", expr(s"$tsUsCol div $bucketUs"))
+      .withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__c")).as("__sc"), count(lit(1)).as("__n"))
+      .withColumn("__paa", expr("__sc div __n"))
+    val stats = paa.groupBy(g: _*)
+      .agg(min(col("__paa")).as("__mn"), max(col("__paa")).as("__mx"))
+    paa.join(broadcast(stats), seriesCols)
+      .withColumn("__sym", expr(s"((__paa - __mn) * $nsym) div (__mx - __mn + 1)"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("__b"), expr("char(97 + __sym)").as("__ch")))),
+          x => x("__ch"))).as("sax_word"))
+  }
+
   /** Seasonal-naive decomposition by hour-of-day (the STL-lite surface
     * behind "is this spike load or just 9am?"): per point, seasonal =
     * its (series, hour-of-day) mean minus the series mean, residual =

@@ -318,6 +318,14 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value")
         .orderBy("event_type")),
 
+    // SAX symbolization: hourly PAA + 4-symbol equi-width binning per
+    // series, concatenated into one motif word — all exact integers.
+    "ts_sax" -> ((s, dir) =>
+      TimeSeries.sax(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), "ts_us", "value", bucketUs = 3600000000L, nsym = 4)
+        .orderBy("event_type")),
+
     // Cohort retention matrix (ClickHouse retention() surface): users
     // by first-seen day × came-back-at-offset counts, exact integers.
     "ts_retention" -> ((s, dir) =>
@@ -885,6 +893,23 @@ object TimeSeriesQueries {
          |  CAST(sum(CASE WHEN p IS NOT NULL AND c <> p THEN 1 ELSE 0 END) AS BIGINT)
          |    AS changes
          |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_sax" ->
+      s"""WITH p AS (
+         |  SELECT event_type,
+         |    epoch_us(cast(ts AS TIMESTAMP)) // 3600000000 AS b,
+         |    CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events),
+         |paa AS (
+         |  SELECT event_type, b, CAST(sum(c) AS BIGINT) // count(*) AS paa
+         |  FROM p GROUP BY event_type, b),
+         |st AS (
+         |  SELECT event_type, min(paa) AS mn, max(paa) AS mx
+         |  FROM paa GROUP BY event_type)
+         |SELECT paa.event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  string_agg(chr(CAST(97 + (paa.paa - st.mn) * 4 // (st.mx - st.mn + 1)
+         |    AS INT)), '' ORDER BY paa.b) AS sax_word
+         |FROM paa JOIN st USING (event_type)
+         |GROUP BY paa.event_type ORDER BY paa.event_type""".stripMargin,
     "ts_retention" ->
       s"""WITH days AS (
          |  SELECT DISTINCT user_id, CAST(cast(ts AS TIMESTAMP) AS DATE) AS day

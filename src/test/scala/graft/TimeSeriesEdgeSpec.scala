@@ -371,6 +371,18 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(b.getAs[Double]("twa") == 7.5)
   }
 
+  test("sax words bin bucket means equi-width over the series range") {
+    // bucket 10 µs: paa cents 200, 900, 500 → range [200,900] width 701
+    // → symbols 0,3,1 → "adb"; constant series degenerates to all-'a'.
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 11L, 9.0), ("a", 21L, 5.0),
+        ("k", 1L, 2.0), ("k", 15L, 2.0))
+      .toDF("g", "ts_us", "value")
+    val out = TimeSeries.sax(df, Seq("g"), "ts_us", "value", bucketUs = 10L, nsym = 4)
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(("a", 3L, "adb"), ("k", 2L, "aa")), s"got ${out.toSeq}")
+  }
+
   test("retention buckets users by first-seen day and offset activity") {
     val day = 86400L
     val df = Seq((1L, 0L), (1L, day), (1L, 7 * day),   // u1: d0, d1, d7
