@@ -876,6 +876,35 @@ object TimeSeries {
       .withColumn("n_gaps", col("n_intervals") - lit(1L))
   }
 
+  /** PromQL-style bucketed counter rate: reset-aware adjacent deltas
+    * (the `increase` rule: a drop contributes the new value) summed per
+    * (series, time bucket), each delta attributed to its CURRENT
+    * sample's bucket, plus the per-second rate. Deltas stay exact
+    * integer cents; the rate is one mirrored float expression.
+    * Completes the PromQL counter family: `increase` (whole series),
+    * `resets`/`changes` (inspection), `rate` (bucketed).
+    *
+    * 100 TB shape: the standard per-series sort shuffle serves the lag
+    * window AND the (series, bucket) aggregate (bucket derives from ts
+    * map-side) — one exchange, partial-aggregable on top.
+    */
+  def rateBucketed(df: DataFrame, seriesCols: Seq[String], orderCols: Seq[String],
+                   tsUsCol: String, valueCol: String, bucketUs: Long): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__p", lag(col("__c"), 1).over(w))
+      .withColumn("__d", when(col("__p").isNull, lit(null).cast("long"))
+        .when(col("__c") >= col("__p"), col("__c") - col("__p"))
+        .otherwise(col("__c")))
+      .withColumn("bucket_us", expr(s"($tsUsCol div $bucketUs) * $bucketUs"))
+      .groupBy(seriesCols.map(col) :+ col("bucket_us"): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__d")).cast("double") / 100.0).as("inc"),
+        q6(sum(col("__d")).cast("double") / 100.0 / lit(bucketUs / 1000000.0))
+          .as("rate_q"))
+  }
+
   /** SAX symbolization (Lin et al. 2003 Symbolic Aggregate
     * approXimation, the time-series indexing/motif sketch): each series
     * is piecewise-aggregate-approximated over fixed time buckets, the

@@ -318,6 +318,15 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value")
         .orderBy("event_type")),
 
+    // PromQL bucketed rate(): reset-aware deltas per (series, hour)
+    // plus per-second rate — exact cents until one mirrored float.
+    "ts_rate_bucket" -> ((s, dir) =>
+      TimeSeries.rateBucketed(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), Seq("ts_us", "event_id"), "ts_us", "value",
+          bucketUs = 3600000000L)
+        .orderBy("event_type", "bucket_us")),
+
     // SAX symbolization: hourly PAA + 4-symbol equi-width binning per
     // series, concatenated into one motif word — all exact integers.
     "ts_sax" -> ((s, dir) =>
@@ -893,6 +902,24 @@ object TimeSeriesQueries {
          |  CAST(sum(CASE WHEN p IS NOT NULL AND c <> p THEN 1 ELSE 0 END) AS BIGINT)
          |    AS changes
          |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_rate_bucket" ->
+      s"""WITH d AS (
+         |  SELECT event_type, event_id, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS c,
+         |    lag(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY event_type
+         |      ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id) AS p
+         |  FROM events),
+         |x AS (
+         |  SELECT event_type, (ts_us // 3600000000) * 3600000000 AS bucket_us,
+         |    CASE WHEN p IS NULL THEN NULL
+         |         WHEN c >= p THEN c - p ELSE c END AS dd
+         |  FROM d)
+         |SELECT event_type, bucket_us, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(dd) AS DOUBLE) / 100.0 AS inc,
+         |  floor(CAST(sum(dd) AS DOUBLE) / 100.0 / 3600.0 * 1000000.0) / 1000000.0
+         |    AS rate_q
+         |FROM x GROUP BY event_type, bucket_us
+         |ORDER BY event_type, bucket_us""".stripMargin,
     "ts_sax" ->
       s"""WITH p AS (
          |  SELECT event_type,

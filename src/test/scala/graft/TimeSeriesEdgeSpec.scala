@@ -371,6 +371,19 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(b.getAs[Double]("twa") == 7.5)
   }
 
+  test("rateBucketed attributes reset-aware deltas to the current bucket") {
+    // bucket 10 µs; series: ts 1,5 in b0, 11,15 in b1, values 1,3,2,6:
+    // deltas: null, 2.00, 2.00 (reset: drop 3→2 contributes 2), 4.00
+    // → b0 inc 2.00 (null delta skipped), b1 inc 6.00
+    val df = Seq((1L, 1L, 1.0), (2L, 5L, 3.0), (3L, 11L, 2.0), (4L, 15L, 6.0))
+      .toDF("event_id", "ts_us", "value").withColumn("g", lit("a"))
+    val out = TimeSeries.rateBucketed(df, Seq("g"), Seq("ts_us", "event_id"),
+        "ts_us", "value", bucketUs = 10L)
+      .orderBy("bucket_us")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 2L, 2.0), (10L, 2L, 6.0)), s"got ${out.toSeq}")
+  }
+
   test("sax words bin bucket means equi-width over the series range") {
     // bucket 10 µs: paa cents 200, 900, 500 → range [200,900] width 701
     // → symbols 0,3,1 → "adb"; constant series degenerates to all-'a'.
