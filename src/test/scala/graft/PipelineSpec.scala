@@ -1035,6 +1035,17 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 3L, 3L, "p q r")), s"got ${out.toSeq}")
   }
 
+  test("substringDedup plan shape: no window sort, no cartesian, partial-agg claimant") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = TextAnalysis.substringDedup(docs, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "corpus-wide window sort crept in")
+    assert(!plan.contains("Cartesian"), "cartesian product crept in")
+    assert(plan.contains("partial_min"),
+      "claimant min must be a partial (map-side combinable) aggregate")
+  }
+
   test("packSequences bins docs by starting token offset per shard") {
     import spark.implicits._
     // one shard (ids all ≡ 1 mod 16); token counts 3,4,5 with seqLen 6:
