@@ -581,6 +581,39 @@ object Similarity {
         (!coalesce(col("__dup"), lit(false))).as("kept"))
   }
 
+  /** Cell-scoped k-NN GRAPH construction — the corpus-wide neighbor
+    * lists that graph-based dedup/clustering and diversity sampling
+    * consume (every vector is a query, unlike the query-set ANN lanes).
+    * Each vector's candidates are its own quantizer cell (nprobe=1):
+    * within-cell pairs are scored once (the [[cosineDedupPairs]]
+    * kernel, threshold −1 keeps all), symmetrized, and ranked per
+    * source by (1e-4-quantized cosine DESC, neighbor id) — the
+    * quantized rank keeps the ordering off raw float ulps.
+    *
+    * 100 TB shape: pairwise work is quadratic per cell, NEVER corpus-
+    * wide — the scale knob is the centroid count (k ∝ n/targetCellSize,
+    * the SemDeDup rule), which keeps per-cell work constant as the
+    * corpus grows; the rank window partitions on the source vector, so
+    * its sort is cell-bounded. maxCellSize fails fast on a runaway
+    * cell. Singleton-cell vectors legitimately have no edges.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Long]], k: Int,
+               maxCellSize: Int = 50000): DataFrame = {
+    val cells = assignExactCells(corpus, idCol, vecCol, centroids)
+    val pairs = cosineDedupPairs(cells, idCol, "v", "cell", -1.0, maxCellSize)
+    val edges = pairs
+      .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as(idCol), col("id_a").as("neighbor_id"), col("cos")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    edges.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** Cluster-composition statistics against K reference vectors (the
     * first `numClusters` corpus ids — deterministic, so the whole
     * operator is oracle-checkable end-to-end, unlike the k-means

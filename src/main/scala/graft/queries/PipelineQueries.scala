@@ -386,6 +386,21 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // Cell-scoped k-NN graph over the whole corpus (every vector a
+    // query): same exact integer-grid quantizer, cells sized ~300 via
+    // corpus-derived k so per-cell quadratic work stays constant; the
+    // oracle retrains the centroids and replays pairing + quantized
+    // ranking.
+    "emb_knn_graph" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val n = emb.count()
+      val k = math.max(8, math.ceil(n / 300.0).toInt)
+      val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
+        k = k, iters = 2, hexBound = Similarity.ivfHexBound(n))
+      Similarity.knnGraph(emb, "vec_id", "embedding", cents, 5)
+        .orderBy("vec_id", "rank")
+    }),
+
     // Product quantization (Jégou et al. TPAMI'11): m=4 subspace
     // codebooks from the SAME exact integer-grid Lloyd trainer as
     // emb_ivf_ann — the oracle retrains all four codebooks in SQL and
@@ -645,6 +660,26 @@ object PipelineQueries {
        |FROM cc LEFT JOIN pr ON pr.id_b = cc.neighbor_id
        |ORDER BY vec_id""".stripMargin
 
+  /** k-NN graph oracle: shared centroid training + cell assignment,
+    * then within-cell pairing and (quantized cosine DESC, neighbor)
+    * ranking — k derived from count(*) by the same n/300 rule as the
+    * Spark entry. Ranking on the 1e-4-floored cosine mirrors the Spark
+    * side exactly (same accepted grid-boundary ulp risk as the other
+    * emb_* oracles).
+    */
+  private def knnGraphOracle: String =
+    s"""WITH ${ivfCellCtes("(SELECT kk FROM kv)", 2,
+         "kv AS (\n  SELECT GREATEST(8, CAST(ceil(count(*) / 300.0) AS BIGINT)) AS kk\n  FROM q),\n")},
+       |e AS (
+       |  SELECT a.neighbor_id AS vec_id, b.neighbor_id AS nbr,
+       |    floor(list_cosine_similarity(a.c_vec, b.c_vec) * 1e4) / 1e4 AS cos
+       |  FROM cc a JOIN cc b ON b.cell = a.cell AND b.neighbor_id <> a.neighbor_id)
+       |SELECT vec_id, rank, nbr AS neighbor_id, cos FROM (
+       |  SELECT vec_id, nbr, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |  FROM e)
+       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
   /** One PQ subspace's full relational program: slice+quantize →
     * md5-prefix sample → md5-ordered init → `iters` unrolled Lloyd
     * rounds → per-vector argmin encode (`asg$j(vec_id, code, d)`).
@@ -885,6 +920,7 @@ object PipelineQueries {
     "emb_lsh_ann" -> lshOracle,
     "emb_ivf_ann" -> ivfOracle,
     "emb_semantic_dedup" -> semDedupOracle,
+    "emb_knn_graph" -> knnGraphOracle,
     "emb_pq_quantize" -> pqQuantizeOracle,
     "doc_incremental_dedup" -> incrementalDedupOracle,
     "emb_pq_ann" -> pqAnnOracle,

@@ -1062,6 +1062,26 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 1L, 1L, 5L, 33L, 33L)), s"got ${out.toSeq}")
   }
 
+  test("knnGraph builds cell-bounded neighbor lists with rank order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9999f, 1.0e-4f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0e-4f, 0.9999f)), (5L, Array(0.3f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1000000L, 0L), Array(0L, 1000000L))
+    val out = Similarity.knnGraph(df, "vec_id", "embedding", cents, 2)
+      .orderBy("vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // cell {1,2} yields one edge each; cell {3,4,5} two each → 8 rows
+    assert(out.length == 8, s"got ${out.toSeq}")
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(2L))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq(1L))
+    // 5 = (0.3, 0.95) is closer to 4 ≈ (0, 1) than… both 3 and 4 are ~(0,1):
+    // ranks must be 1,2 and neighbors drawn from the same cell only
+    val n5 = out.filter(_._1 == 5L)
+    assert(n5.map(_._2).toSeq == Seq(1L, 2L) && n5.map(_._3).toSet == Set(3L, 4L))
+  }
+
   test("semanticDedup keeps one representative per within-cluster dup group") {
     import spark.implicits._
     // two obvious clusters on the axes; b≈a and d≈c are semantic dups,
