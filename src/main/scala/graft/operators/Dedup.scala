@@ -582,6 +582,36 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Broder CONTAINMENT per doc pair — the asymmetric near-dup measure
+    * (|A∩B|/|A| vs |A∩B|/|B|) that separates "B extends A" from "A and
+    * B overlap": a tail-extended copy contains its original at ~1.0
+    * while the reverse containment shrinks with the added text, a
+    * distinction symmetric Jaccard cannot make. Pairs are (id, id +
+    * `offset`) — the [[ngramJaccardPairs]] demo-pairing convention;
+    * candidate generation at scale rides the same LSH buckets as the
+    * minhash pipeline. Empty shingle sets (docs under 3 words) yield
+    * NULL, stated explicitly for ANSI mode.
+    *
+    * 100 TB shape: the native `word_shingle_set` kernel is a pure
+    * mapper (no shingle explode reaches the shuffle); one pair
+    * equijoin; codegen'd `array_overlap_count` confirm.
+    */
+  def shingleContainment(df: DataFrame, idCol: String, textCol: String,
+                         offset: Long): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    val g = df.select(col(idCol).as("__id"),
+      call_function("word_shingle_set", col(textCol)).as("__sh"))
+    val a = g.select(col("__id").as("doc_a"), col("__sh").as("sa"))
+    val b = g.select((col("__id") - offset).as("doc_a"), col("__sh").as("sb"))
+    a.join(b, Seq("doc_a"))
+      .withColumn("inter", call_function("array_overlap_count", col("sa"), col("sb")))
+      .select(col("doc_a"), (col("doc_a") + offset).as("doc_b"),
+        when(size(col("sa")) === 0, lit(null).cast("double"))
+          .otherwise(round(col("inter") / size(col("sa")), 6)).as("containment_a"),
+        when(size(col("sb")) === 0, lit(null).cast("double"))
+          .otherwise(round(col("inter") / size(col("sb")), 6)).as("containment_b"))
+  }
+
   /** 60-bit SimHash as a 15-hex-char string, via the native `simhash60`
     * kernel: one codegen'd projection per doc — a pure mapper, no token
     * explode, no shuffle (r1's 60-vote-column aggregation exchanged one

@@ -456,6 +456,31 @@ object TextAnalysis {
         max(col(idCol)).as("last_doc"))
   }
 
+  /** Per-doc packing OFFSETS — the companion manifest to
+    * [[packSequences]]: where inside its sequence each doc STARTS (the
+    * attention-reset / loss-mask boundaries a training loader consumes;
+    * a doc crossing a seqLen boundary continues into the next sequence,
+    * which is exactly what the offset + n_tokens pair lets the loader
+    * reconstruct). Same shard-bounded cumsum as packSequences — one
+    * window after one shuffle on the shard key — so the two manifests
+    * are guaranteed consistent.
+    */
+  def packOffsets(df: DataFrame, idCol: String, textCol: String,
+                  seqLen: Int = 512, shards: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+    df.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(shards)).cast("long").as("shard"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", floor((col("__cum") - col("n_tokens"))
+        / lit(seqLen.toLong)))
+      .withColumn("start_off",
+        col("__cum") - col("n_tokens") - col("seq_id") * lit(seqLen.toLong))
+      .select(col("shard"), col("seq_id"), col(idCol), col("start_off"),
+        col("n_tokens"))
+  }
+
   /** Gopher-class document quality FILTER (Rae et al. 2021,
     * arXiv:2112.11446 Appendix A — the rule SET; bounds adapted to the
     * synthetic corpus so each rule is non-vacuous): per-doc boolean

@@ -57,6 +57,13 @@ object PipelineQueries {
       Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
+    // Broder containment over (original, tail-extended copy) pairs from
+    // the dup-injected corpus: containment_a ≈ 1 (the copy contains the
+    // original), containment_b < 1 — the asymmetry Jaccard can't see.
+    "doc_containment" -> ((s, dir) =>
+      Dedup.shingleContainment(corpus(s, dir), "doc_id", "text", 2000000L)
+        .orderBy("doc_a")),
+
     "doc_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -232,6 +239,14 @@ object PipelineQueries {
       TextAnalysis.packSequences(Tables(s, dir, "documents"), "doc_id",
         "text", 512, 16)
         .orderBy("shard", "seq_id")),
+
+    // Packing OFFSETS manifest: where each doc starts inside its
+    // sequence (the loss-mask boundaries), same shard-bounded cumsum as
+    // doc_pack_sequences so the two manifests stay consistent.
+    "doc_pack_offsets" -> ((s, dir) =>
+      TextAnalysis.packOffsets(Tables(s, dir, "documents"), "doc_id",
+        "text", 512, 16)
+        .orderBy("shard", "seq_id", "doc_id")),
 
     // Bigram-LM fluency score (the perplexity-filter stand-in): mean
     // corpus conditional probability of each doc's transitions, on an
@@ -960,6 +975,25 @@ object PipelineQueries {
         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    "doc_containment" ->
+      s"""WITH $CORPUS,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb
+        |  FROM sz a JOIN sz b ON b.doc_id = a.doc_id + 2000000),
+        |i AS (
+        |  SELECT a.doc_id AS doc_a, count(*) AS inter
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 2000000 AND b.sh = a.sh
+        |  GROUP BY a.doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(coalesce(i.inter, 0) / CAST(p.sza AS DOUBLE), 6) AS containment_a,
+        |  round(coalesce(i.inter, 0) / CAST(p.szb AS DOUBLE), 6) AS containment_b
+        |FROM pairs p LEFT JOIN i ON i.doc_a = p.doc_a
+        |ORDER BY p.doc_a""".stripMargin,
     "doc_simhash_pairs" ->
       s"""WITH $CORPUS,
         |toks AS (
@@ -1248,6 +1282,21 @@ object PipelineQueries {
         |  coalesce(k.dedup_text, '') AS dedup_text
         |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "doc_pack_offsets" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 16 AS BIGINT) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id, doc_id,
+        |  CAST(cum - n_tokens - ((cum - n_tokens) // 512) * 512 AS BIGINT)
+        |    AS start_off,
+        |  n_tokens
+        |FROM c ORDER BY shard, seq_id, doc_id""".stripMargin,
     "doc_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -1062,6 +1062,20 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 1L, 1L, 5L, 33L, 33L)), s"got ${out.toSeq}")
   }
 
+  test("shingleContainment is asymmetric under tail extension, NULL on empty sets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (101L, "a b c d e x y z"), // extension: 3 vs 6 shingles
+      (2L, "p q"), (102L, "p q")                    // < 3 words: empty sets
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.shingleContainment(docs, "doc_id", "text", 100L)
+      .orderBy("doc_a").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getDouble(2) == 1.0
+      && out(0).getDouble(3) == 0.5, s"got ${out.toSeq}")
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
   test("knnGraph builds cell-bounded neighbor lists with rank order") {
     import spark.implicits._
     val df = Seq(
@@ -1080,6 +1094,20 @@ class PipelineSpec extends AnyFunSuite {
     // ranks must be 1,2 and neighbors drawn from the same cell only
     val n5 = out.filter(_._1 == 5L)
     assert(n5.map(_._2).toSeq == Seq(1L, 2L) && n5.map(_._3).toSet == Set(3L, 4L))
+  }
+
+  test("packOffsets places each doc at its in-sequence start boundary") {
+    import spark.implicits._
+    // one shard; token counts 3,4,5 with seqLen 6: starts 0,3,7 →
+    // (seq 0, off 0), (seq 0, off 3), (seq 1, off 1)
+    val docs = Seq(
+      (1L, "a b c"), (17L, "d e f g"), (33L, "h i j k l")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packOffsets(docs, "doc_id", "text", seqLen = 6, shards = 16)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 0L), (0L, 17L, 3L), (1L, 33L, 1L)),
+      s"got ${out.toSeq}")
   }
 
   test("semanticDedup keeps one representative per within-cluster dup group") {
