@@ -122,6 +122,35 @@ object TimeSeries {
         max(when(col("__rn") === col("__cnt"), valueCol - col("__prev"))).as("idelta_right"))
   }
 
+  /** PromQL `irate`: instantaneous per-second rate from the LAST TWO
+    * samples of each series, counter-reset aware (a drop contributes
+    * the new value — the `increase` rule). The delta stays exact
+    * integer cents over the exact µs gap; the rate is one mirrored
+    * float expression. Same windowed tail-selection shape as [[idelta]]
+    * — one per-series sort exchange. Series with < 2 samples or a
+    * zero gap yield NULL rate.
+    */
+  def irate(df: DataFrame, tsUsCol: String, tiebreak: Column, valueCol: Column,
+            groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(tsUsCol), tiebreak)
+    val n = Window.partitionBy(groupCols.map(col): _*)
+    val delta = when(col("__c") >= col("__pc"), col("__c") - col("__pc"))
+      .otherwise(col("__c"))
+    df.withColumn("__c", round(valueCol * 100).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(n))
+      .withColumn("__pc", lag(col("__c"), 1).over(w))
+      .withColumn("__pt", lag(col(tsUsCol), 1).over(w))
+      .filter(col("__rn") === col("__cnt") && col("__cnt") >= 2)
+      .select(groupCols.map(col) :+
+        (delta.cast("double") / 100.0).as("idelta") :+
+        (col(tsUsCol) - col("__pt")).as("dt_us") :+
+        when(col(tsUsCol) - col("__pt") > 0,
+          q6(delta.cast("double") / 100.0
+            / ((col(tsUsCol) - col("__pt")).cast("double") / 1000000.0)))
+          .as("irate_q"): _*)
+  }
+
   /** `topk(v, k)` / `bottom(v, k)` selectors (selector_function/):
     * per-group rank-and-filter. rank() over a per-partition TopK sort —
     * AQE inserts partial limits; deterministic via tiebreak column.

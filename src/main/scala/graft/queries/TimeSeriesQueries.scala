@@ -318,6 +318,14 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value")
         .orderBy("event_type")),
 
+    // PromQL irate(): per-second rate from each series' last two
+    // samples, reset-aware; exact cents over the exact µs gap.
+    "ts_irate" -> ((s, dir) =>
+      TimeSeries.irate(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          "ts_us", col("event_id"), col("value"), Seq("event_type"))
+        .orderBy("event_type")),
+
     // PromQL bucketed rate(): reset-aware deltas per (series, hour)
     // plus per-second rate — exact cents until one mirrored float.
     "ts_rate_bucket" -> ((s, dir) =>
@@ -902,6 +910,26 @@ object TimeSeriesQueries {
          |  CAST(sum(CASE WHEN p IS NOT NULL AND c <> p THEN 1 ELSE 0 END) AS BIGINT)
          |    AS changes
          |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_irate" ->
+      s"""WITH d AS (
+         |  SELECT event_type, event_id, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS c,
+         |    row_number() OVER w AS rn, count(*) OVER (PARTITION BY event_type) AS cnt,
+         |    lag(CAST(round(value * 100) AS BIGINT)) OVER w AS pc,
+         |    lag(epoch_us(cast(ts AS TIMESTAMP))) OVER w AS pt
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY event_type
+         |    ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id))
+         |SELECT event_type,
+         |  CAST(CASE WHEN c >= pc THEN c - pc ELSE c END AS DOUBLE) / 100.0
+         |    AS idelta,
+         |  ts_us - pt AS dt_us,
+         |  CASE WHEN ts_us - pt > 0 THEN
+         |    floor(CAST(CASE WHEN c >= pc THEN c - pc ELSE c END AS DOUBLE) / 100.0
+         |      / (CAST(ts_us - pt AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0
+         |  END AS irate_q
+         |FROM d WHERE rn = cnt AND cnt >= 2
+         |ORDER BY event_type""".stripMargin,
     "ts_rate_bucket" ->
       s"""WITH d AS (
          |  SELECT event_type, event_id, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us,

@@ -371,6 +371,21 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(b.getAs[Double]("twa") == 7.5)
   }
 
+  test("irate uses only the last two samples, reset-aware") {
+    // series a: ..., 7.00@t=2_000_000, 3.00@t=4_000_000 (reset) →
+    //   delta 3.00 over 2 s → 1.5/s; earlier samples must not matter.
+    // series b: single sample → no row.
+    val df = Seq((1L, 0L, "a", 1.0), (2L, 2000000L, "a", 7.0), (3L, 4000000L, "a", 3.0),
+        (4L, 0L, "b", 9.0))
+      .toDF("event_id", "ts_us", "g", "value")
+    val out = TimeSeries.irate(df, "ts_us", col("event_id"), col("value"), Seq("g"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "a" && out(0).getDouble(1) == 3.0
+      && out(0).getLong(2) == 2000000L && out(0).getDouble(3) == 1.5,
+      s"got ${out.toSeq}")
+  }
+
   test("rateBucketed attributes reset-aware deltas to the current bucket") {
     // bucket 10 µs; series: ts 1,5 in b0, 11,15 in b1, values 1,3,2,6:
     // deltas: null, 2.00, 2.00 (reset: drop 3→2 contributes 2), 4.00
