@@ -310,6 +310,24 @@ object StreamQueries {
         .orderBy("event_type", "bucket_us")
     }),
 
+    // Streaming windowed top-k heavy hitters: top-3 (value, event_id)
+    // per closed (event_type, hour) window — sort+slice over the
+    // collected set, so batch boundaries can't change the answer; the
+    // oracle is a per-bucket row_number. Same emit clip as
+    // stream_windowed.
+    "stream_topk" -> ((s, dir) => {
+      val src = eventsStream(s, dir)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      val agg = StreamIngest.windowedTopK(src, "tstamp", "event_type",
+        "event_id", "value", "1 hour", "0 seconds", 3)
+      val sink = replay(s, agg, "stream_topk_sink")
+      val maxUs = globalMaxUs(s, dir)
+      sink.select(col("event_type"), unix_micros(col("w_start")).as("bucket_us"),
+          col("rank"), col("event_id"), col("value"))
+        .filter(col("bucket_us") + lit(BucketUs) < maxUs)
+        .orderBy("event_type", "bucket_us", "rank")
+    }),
+
     // Streaming near-dup flags: every doc's band hashes are the same
     // pure minhash_sig mapper as batch LSH; the stateful pass remembers
     // each (band, bucket)'s first claimant and flags later colliders.
@@ -451,6 +469,20 @@ object StreamQueries {
          |ORDER BY event_type, w_start_us""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
+    "stream_topk" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |e AS (
+         |  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         |    event_id, value, CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, bucket_us, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type, bucket_us
+         |      ORDER BY c DESC, event_id) AS rank
+         |  FROM e)
+         |SELECT event_type, bucket_us, CAST(rank AS BIGINT) AS rank, event_id, value
+         |FROM r, m WHERE rank <= 3 AND bucket_us + 3600000000 < mx
+         |ORDER BY event_type, bucket_us, rank""".stripMargin,
     "stream_candlestick" ->
       s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
          |e AS (

@@ -56,6 +56,33 @@ object StreamIngest {
         col("open"), col("high"), col("low"), col("close"), col("volume"))
   }
 
+  /** Streaming windowed TOP-K: the per-window heavy hitters (largest
+    * values with deterministic (value DESC, tiebreak ASC) order) as an
+    * append-mode windowed aggregate — top-k selection is expressed as
+    * sort+slice over a collected (−cents, tiebreak) struct list, so the
+    * result is a pure function of the window's row SET (arrival order
+    * and batch boundaries cannot change it). One row per (key, window,
+    * rank). Works on batch or streaming frames alike.
+    *
+    * State per open window is the full value list, bounded by window
+    * row count — the exact-top-k cost; a quantile-sketch variant would
+    * trade exactness for O(k) state.
+    */
+  def windowedTopK(events: DataFrame, tsCol: String, keyCol: String,
+                   tiebreakCol: String, valueCol: String,
+                   win: String, watermark: String, k: Int): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    wm.withColumn("__neg", -round(col(valueCol) * 100).cast("long"))
+      .groupBy(window(col(tsCol), win).as("w"), col(keyCol))
+      .agg(slice(array_sort(collect_list(
+        struct(col("__neg"), col(tiebreakCol).as("__tb")))), 1, k).as("__top"))
+      .select(col(keyCol), col("w.start").as("w_start"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col(keyCol), col("w_start"), (col("__i") + 1).cast("long").as("rank"),
+        col("__e.__tb").as(tiebreakCol),
+        (-col("__e.__neg").cast("double") / 100.0).as(valueCol))
+  }
+
   /** File-source streaming reader over a parquet directory (the lake's
     * landing zone at scale; a single file locally via pathGlobFilter).
     */

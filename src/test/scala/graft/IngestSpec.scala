@@ -433,6 +433,23 @@ class IngestSpec extends AnyFunSuite {
     assert(streamShaped.exceptAll(batch).isEmpty && batch.exceptAll(streamShaped).isEmpty)
   }
 
+  test("windowedTopK ranks by (value desc, tiebreak) independent of arrival order") {
+    import spark.implicits._
+    val rows = Seq((1L, "2024-01-01 00:10:00", 5.0), (2L, "2024-01-01 00:20:00", 9.0),
+      (3L, "2024-01-01 00:30:00", 9.0), (4L, "2024-01-01 00:40:00", 1.0))
+    def run(sq: Seq[(Long, String, Double)]) =
+      StreamIngest.windowedTopK(
+          sq.toDF("event_id", "t", "value")
+            .select(col("event_id"), to_timestamp(col("t")).as("ts"),
+              col("value"), lit("k").as("g")),
+          "ts", "g", "event_id", "value", "1 hour", "0 seconds", 3)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val expect = Seq((1L, 2L, 9.0), (2L, 3L, 9.0), (3L, 1L, 5.0))
+    assert(run(rows) == expect, s"got ${run(rows)}")
+    assert(run(rows.reverse) == expect, "arrival order changed the top-k")
+  }
+
   test("streamingLastPoint keeps the max-by-time row per key") {
     import spark.implicits._
     val pts = Seq(
