@@ -310,6 +310,33 @@ object StreamQueries {
         .orderBy("event_type", "bucket_us")
     }),
 
+    // REAL-TIME funnel: per-user O(1) state advances on next-step
+    // events in event-time order; level is monotone so the sink's max
+    // per user equals the batch earliest-chain rule — the oracle IS
+    // ts_funnel's SQL.
+    "stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val steps = Seq("signup", "view", "purchase")
+      val pts = eventsStream(s, dir)
+        .filter(col("event_type").isin(steps: _*))
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          when(col("event_type") === "signup", 0)
+            .when(col("event_type") === "view", 1)
+            .otherwise(2).cast("int").as("step"))
+        .as[StreamIngest.FunnelPoint]
+      val sink = replay(s, StreamIngest.streamingFunnel(pts, 3).toDF(),
+        "stream_funnel_sink")
+      sink.groupBy("user_id").agg(max("level").as("lvl"))
+        .filter(col("lvl") >= 1)
+        .select(explode(expr("sequence(1, lvl)")).as("step"))
+        .groupBy("step").agg(count(lit(1)).as("n_users"))
+        .select(col("step").cast("long").as("step"),
+          element_at(array(steps.map(lit): _*), col("step").cast("int"))
+            .as("event_type"),
+          col("n_users"))
+        .orderBy("step")
+    }),
+
     // Streaming windowed top-k heavy hitters: top-3 (value, event_id)
     // per closed (event_type, hour) window — sort+slice over the
     // collected set, so batch boundaries can't change the answer; the
@@ -469,6 +496,8 @@ object StreamQueries {
          |ORDER BY event_type, w_start_us""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
+    // identical to ts_funnel's oracle — THE point: stream == batch
+    "stream_funnel" -> TimeSeriesQueries.oracleSql("ts_funnel"),
     "stream_topk" ->
       s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
          |e AS (

@@ -205,6 +205,38 @@ object StreamIngest {
       }
   }
 
+  final case class FunnelPoint(user_id: Long, ts_us: Long, step: Int)
+  final case class FunnelState(level: Int, t: Long)
+  final case class FunnelLevel(user_id: Long, level: Int)
+
+  /** REAL-TIME ordered funnel — the streaming half of
+    * [[graft.operators.EventAnalytics.funnel]]: per user, O(1) state
+    * (current level + the earliest time it was reached); an event for
+    * the NEXT step strictly after that time advances the level. Greedy
+    * processing in event-time order computes exactly the batch
+    * earliest-chain rule, and level is monotone, so the sink's max per
+    * user equals the batch funnel whenever each user's events arrive in
+    * ts order across batches (the staged replay's range-partition
+    * guarantee; same-ts ties are immune — strict `>` rejects them in
+    * any order). Emits the user's level each batch it changes state.
+    */
+  def streamingFunnel(points: Dataset[FunnelPoint], numSteps: Int): Dataset[FunnelLevel] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelLevel](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          rows.toSeq.sortBy(p => (p.ts_us, p.step)).foreach { p =>
+            if (st.level < numSteps && p.step == st.level
+                && (st.level == 0 || p.ts_us > st.t))
+              st = FunnelState(st.level + 1, p.ts_us)
+          }
+          state.update(st)
+          Iterator.single(FunnelLevel(user, st.level))
+      }
+  }
+
   final case class GaugePoint(series: Long, ts_us: Long, value: Double)
   final case class GapfillState(lastBucket: Long, lastTs: Long, lastVal: Double)
   final case class FilledBucket(series: Long, bucket_us: Long, value: Double, filled: Boolean)

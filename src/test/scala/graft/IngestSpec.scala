@@ -433,6 +433,29 @@ class IngestSpec extends AnyFunSuite {
     assert(streamShaped.exceptAll(batch).isEmpty && batch.exceptAll(streamShaped).isEmpty)
   }
 
+  test("streamingFunnel advances per-user level across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.FunnelPoint]
+    val q = StreamIngest.streamingFunnel(mem.toDS(), 3)
+      .writeStream.outputMode("append").format("memory").queryName("funnel_test").start()
+    try {
+      // batch 1: u1 signup, u2 view-without-signup (ignored)
+      mem.addData(StreamIngest.FunnelPoint(1L, 10L, 0), StreamIngest.FunnelPoint(2L, 10L, 1))
+      q.processAllAvailable()
+      // batch 2: u1 view then purchase (chain crosses the batch
+      // boundary from state), u2 signup at last
+      mem.addData(StreamIngest.FunnelPoint(1L, 20L, 1), StreamIngest.FunnelPoint(1L, 30L, 2),
+        StreamIngest.FunnelPoint(2L, 20L, 0))
+      q.processAllAvailable()
+      val last = spark.table("funnel_test").groupBy("user_id")
+        .agg(max("level").as("lvl")).orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(last.toSeq == Seq((1L, 3), (2L, 1)), s"got ${last.toSeq}")
+    } finally q.stop()
+  }
+
   test("windowedTopK ranks by (value desc, tiebreak) independent of arrival order") {
     import spark.implicits._
     val rows = Seq((1L, "2024-01-01 00:10:00", 5.0), (2L, "2024-01-01 00:20:00", 9.0),
