@@ -122,6 +122,42 @@ object TimeSeries {
         max(when(col("__rn") === col("__cnt"), valueCol - col("__prev"))).as("idelta_right"))
   }
 
+  /** TimescaleDB `counter_agg` composite: the counter summary struct —
+    * first/last (time, value), reset count, reset-corrected total
+    * increase (`idelta` ≡ PromQL increase), and the mean per-second
+    * rate over the observed span — in ONE per-series pass. Everything
+    * but the final rate stays exact integer cents/µs; the rate is one
+    * mirrored float expression. One sort exchange serves the lag window
+    * and the aggregate (the resetsChanges shape).
+    */
+  def counterAgg(df: DataFrame, seriesCols: Seq[String], orderCols: Seq[String],
+                 tsUsCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val delta = when(col("__p").isNull, lit(0L))
+      .when(col("__c") >= col("__p"), col("__c") - col("__p"))
+      .otherwise(col("__c"))
+    df.withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__p", lag(col("__c"), 1).over(w))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(tsUsCol)).as("first_time_us"),
+        min(struct(col(tsUsCol), col("__c"))).getField("__c").as("__fc"),
+        max(col(tsUsCol)).as("last_time_us"),
+        max(struct(col(tsUsCol), col("__c"))).getField("__c").as("__lc"),
+        sum(when(col("__p").isNotNull && col("__c") < col("__p"), 1L)
+          .otherwise(0L)).as("num_resets"),
+        sum(delta).as("__inc"))
+      .select(seriesCols.map(col) :+ col("n") :+
+        col("first_time_us") :+ (col("__fc").cast("double") / 100.0).as("first_val") :+
+        col("last_time_us") :+ (col("__lc").cast("double") / 100.0).as("last_val") :+
+        col("num_resets") :+ (col("__inc").cast("double") / 100.0).as("increase") :+
+        when(col("last_time_us") > col("first_time_us"),
+          q6(col("__inc").cast("double") / 100.0
+            / ((col("last_time_us") - col("first_time_us")).cast("double")
+              / 1000000.0))).as("rate_q"): _*)
+  }
+
   /** PromQL `irate`: instantaneous per-second rate from the LAST TWO
     * samples of each series, counter-reset aware (a drop contributes
     * the new value — the `increase` rule). The delta stays exact

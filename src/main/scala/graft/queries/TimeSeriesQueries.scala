@@ -318,6 +318,14 @@ object TimeSeriesQueries {
           Seq("event_type"), Seq("ts_us", "event_id"), "value")
         .orderBy("event_type")),
 
+    // TimescaleDB counter_agg composite: first/last, resets, corrected
+    // increase and mean rate in one per-series pass.
+    "ts_counter_agg" -> ((s, dir) =>
+      TimeSeries.counterAgg(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), Seq("ts_us", "event_id"), "ts_us", "value")
+        .orderBy("event_type")),
+
     // PromQL irate(): per-second rate from each series' last two
     // samples, reset-aware; exact cents over the exact µs gap.
     "ts_irate" -> ((s, dir) =>
@@ -909,6 +917,29 @@ object TimeSeriesQueries {
          |    AS resets,
          |  CAST(sum(CASE WHEN p IS NOT NULL AND c <> p THEN 1 ELSE 0 END) AS BIGINT)
          |    AS changes
+         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_counter_agg" ->
+      s"""WITH d AS (
+         |  SELECT event_type, event_id, epoch_us(cast(ts AS TIMESTAMP)) AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS c,
+         |    lag(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY event_type
+         |      ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id) AS p
+         |  FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  min(ts_us) AS first_time_us,
+         |  CAST(arg_min(c, ts_us) AS DOUBLE) / 100.0 AS first_val,
+         |  max(ts_us) AS last_time_us,
+         |  CAST(arg_max(c, ts_us) AS DOUBLE) / 100.0 AS last_val,
+         |  CAST(sum(CASE WHEN p IS NOT NULL AND c < p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS num_resets,
+         |  CAST(sum(CASE WHEN p IS NULL THEN 0
+         |    WHEN c >= p THEN c - p ELSE c END) AS DOUBLE) / 100.0 AS increase,
+         |  CASE WHEN max(ts_us) > min(ts_us) THEN
+         |    floor(CAST(sum(CASE WHEN p IS NULL THEN 0
+         |      WHEN c >= p THEN c - p ELSE c END) AS DOUBLE) / 100.0
+         |      / (CAST(max(ts_us) - min(ts_us) AS DOUBLE) / 1000000.0)
+         |      * 1000000.0) / 1000000.0
+         |  END AS rate_q
          |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ts_irate" ->
       s"""WITH d AS (

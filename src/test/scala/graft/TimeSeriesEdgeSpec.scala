@@ -371,6 +371,19 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(b.getAs[Double]("twa") == 7.5)
   }
 
+  test("counterAgg composes first/last, resets and corrected increase") {
+    // 1→4 (delta 3), reset to 1 (delta 1), →3 (delta 2): increase 6,
+    // 1 reset, span 3 s → rate 2/s
+    val df = Seq((1L, 0L, 1.0), (2L, 1000000L, 4.0), (3L, 2000000L, 1.0),
+        (4L, 3000000L, 3.0))
+      .toDF("event_id", "ts_us", "value").withColumn("g", lit("a"))
+    val out = TimeSeries.counterAgg(df, Seq("g"), Seq("ts_us", "event_id"),
+      "ts_us", "value").head()
+    assert(out.getAs[Long]("n") == 4 && out.getAs[Long]("num_resets") == 1)
+    assert(out.getAs[Double]("first_val") == 1.0 && out.getAs[Double]("last_val") == 3.0)
+    assert(out.getAs[Double]("increase") == 6.0 && out.getAs[Double]("rate_q") == 2.0)
+  }
+
   test("irate uses only the last two samples, reset-aware") {
     // series a: ..., 7.00@t=2_000_000, 3.00@t=4_000_000 (reset) →
     //   delta 3.00 over 2 s → 1.5/s; earlier samples must not matter.
