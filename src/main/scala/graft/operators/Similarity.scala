@@ -581,6 +581,79 @@ object Similarity {
         (!coalesce(col("__dup"), lit(false))).as("kept"))
   }
 
+  /** IVFADC (Jégou et al. TPAMI'11 §IV — the composed system): coarse
+    * IVF cells bound WHICH rows are scored (nprobe cells per query),
+    * PQ ADC bounds HOW each row is scored (m code lookups, no vector
+    * math), and the exact quantized-L2 rerank of the ADC top-`rerank`
+    * restores recall. This is the standard billion-scale ANN serving
+    * shape: at 100 TB the scan reads m small ints per row for
+    * ~nprobe/k of the corpus, and both quantizers trained once offline
+    * ship as literals. (Codebooks here are global, not per-cell
+    * residual — the simplification keeps every distance on the shared
+    * exact-integer grid, so ranking hash-checks end to end.)
+    *
+    * All distances — cell selection, ADC, rerank — are exact integers:
+    * the whole lane is engine-stable with no cosine-ulp caveat.
+    */
+  def ivfadcAnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Long]], codebooks: Array[Array[Array[Long]]],
+                topk: Int, nprobe: Int = 3, rerank: Int = 100): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    // corpus side: one scan → cell (literal-mapper) + stored PQ codes
+    val cells = assignExactCells(corpus, idCol, vecCol, centroids)
+    val encCell = pqEncode(cells, idCol, "v", codebooks).drop("recon_err")
+      .join(cells.select(col(idCol), col("cell")), Seq(idCol))
+      .withColumnRenamed(idCol, "neighbor_id")
+    // query side: nprobe nearest cells + per-subspace ADC distance
+    // tables, all broadcast
+    var q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__vq", quantGrid(col("__v")))
+      .withColumn("__sd", guardedSelfDot(col("__vq")))
+    (0 until m).foreach { j =>
+      q = q.withColumn(s"__vq$j", quantGrid(slice(col("__v"), j * sub + 1, sub)))
+        .withColumn(s"__sd$j", guardedSelfDot(col(s"__vq$j")))
+        .withColumn(s"__dt$j", array(codebooks(j).map(cq =>
+          intDist(col(s"__sd$j"), col(s"__vq$j"), cq)): _*))
+    }
+    val centDists = centroids.zipWithIndex.map { case (cq, i) =>
+      struct(intDist(col("__sd"), col("__vq"), cq).as("d"), lit(i.toLong).as("cell"))
+    }
+    val probes = broadcast {
+      val exploded = q.select(col("query_id") +:
+        (0 until m).map(j => col(s"__dt$j")) :+
+        explode(array(centDists: _*)).as("cd"): _*)
+      val w = Window.partitionBy("query_id").orderBy(col("cd.d"), col("cd.cell"))
+      exploded.withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= nprobe)
+        .select(col("query_id") +: col("cd").getField("cell").as("cell") +:
+          (0 until m).map(j => col(s"__dt$j")): _*)
+    }
+    val scored = encCell.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", (0 until m).map(j =>
+        element_at(col(s"__dt$j"), (col(s"code_$j") + 1).cast("int"))).reduce(_ + _))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    val cand = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= rerank).select("query_id", "neighbor_id")
+    val cVec = corpus.select(col(idCol).as("neighbor_id"),
+        quantGrid(col(vecCol).cast("array<double>")).as("__cvq"))
+      .withColumn("__csd", guardedSelfDot(col("__cvq")))
+    val qVec = queries.select(col(idCol).as("query_id"),
+        quantGrid(col(vecCol).cast("array<double>")).as("__qvq"))
+      .withColumn("__qsd", guardedSelfDot(col("__qvq")))
+    val exact = cVec.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("adist",
+        (col("__csd") - dot(col("__cvq"), col("__qvq")) * 2.0 + col("__qsd")).cast("long"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Cell-scoped k-NN GRAPH construction — the corpus-wide neighbor
     * lists that graph-based dedup/clustering and diversity sampling
     * consume (every vector is a query, unlike the query-set ANN lanes).

@@ -401,6 +401,22 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // IVFADC composed ANN (Jégou §IV): coarse cells bound WHICH rows
+    // are scored, PQ codes bound HOW, exact rerank restores recall —
+    // every distance an exact integer, so cells, codes AND the final
+    // ranking all hash-check against the retrained-in-SQL oracle.
+    "emb_ivfadc_ann" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val hex = Similarity.ivfHexBound(emb.count())
+      val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 2, hexBound = hex)
+      val books = Similarity.pqTrainExact(emb, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, iters = 2, hexBound = hex)
+      Similarity.ivfadcAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        cents, books, topk = 10, nprobe = 3, rerank = 100)
+        .orderBy("query_id", "rank")
+    }),
+
     // Cell-scoped k-NN graph over the whole corpus (every vector a
     // query): same exact integer-grid quantizer, cells sized ~300 via
     // corpus-derived k so per-cell quadratic work stays constant; the
@@ -757,20 +773,25 @@ object PipelineQueries {
   /** Shared PQ preamble: sample bound + the m subspace programs + the
     * joined per-vector code row.
     */
-  private def pqCtes(m: Int, k: Int, iters: Int): String = {
+  private def pqCtes(m: Int, k: Int, iters: Int, includeBnd: Boolean = true): String = {
     val sub = 64 / m
     val subs = (0 until m).map(j => pqSubCtes(j, j * sub + 1, (j + 1) * sub, k, iters))
       .mkString(",\n")
     val codeCols = (0 until m).map(j => s"a$j.code AS code_$j").mkString(", ")
     val reconSum = (0 until m).map(j => s"a$j.d").mkString(" + ")
     val joins = "asg0 a0" + (1 until m).map(j => s" JOIN asg$j a$j USING (vec_id)").mkString
-    s"""bnd AS MATERIALIZED (
-       |  SELECT CASE WHEN floor(4096.0 * 4294967296.0 / count(*)) >= 4294967296.0
-       |    THEN 'g'
-       |    ELSE printf('%08x', GREATEST(1, CAST(floor(4096.0 * 4294967296.0
-       |      / count(*)) AS BIGINT))) END AS hb
-       |  FROM embeddings),
-       |$subs,
+    // `bnd` is byte-identical to ivfCellCtes' bnd (same count, same
+    // rule); the composed IVFADC oracle includes it only once
+    val bnd = if (includeBnd)
+      s"""bnd AS MATERIALIZED (
+         |  SELECT CASE WHEN floor(4096.0 * 4294967296.0 / count(*)) >= 4294967296.0
+         |    THEN 'g'
+         |    ELSE printf('%08x', GREATEST(1, CAST(floor(4096.0 * 4294967296.0
+         |      / count(*)) AS BIGINT))) END AS hb
+         |  FROM embeddings),
+         |""".stripMargin
+    else ""
+    s"""$bnd$subs,
        |codes AS MATERIALIZED (
        |  SELECT a0.vec_id, $codeCols,
        |    $reconSum AS recon_err
@@ -822,6 +843,62 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
        |  FROM ex)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVFADC composed oracle: coarse training + cell assignment
+    * (ivfCellCtes, which also supplies `bnd`) + PQ codebook training /
+    * encode (pqCtes without its duplicate `bnd`) + query probes + ADC
+    * within probed cells + exact rerank. Every distance exact-integer.
+    */
+  private def ivfadcOracle: String = {
+    val (iters, nprobe, topk) = (2, 3, 10)
+    def d(vq: String, cq: String): String = intDistSql(vq, cq)
+    val dts = (0 until PqM).map(j =>
+      s"""dt$j AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.cell AS code, ${d("q.vq", "c.cq")} AS d
+         |  FROM qs$j q CROSS JOIN c${j}_$PqIters c WHERE q.vec_id < 20)""".stripMargin)
+      .mkString(",\n")
+    val adistSum = (0 until PqM).map(j => s"d$j.d").mkString(" + ")
+    val dtJoins = "JOIN dt0 d0 ON d0.query_id = p.query_id AND d0.code = c.code_0" +
+      (1 until PqM).map(j =>
+        s"\n  JOIN dt$j d$j ON d$j.query_id = p.query_id AND d$j.code = c.code_$j").mkString
+    s"""WITH ${ivfCellCtes("8", iters)},
+       |${pqCtes(PqM, PqK, PqIters, includeBnd = false)},
+       |$dts,
+       |qp AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d("e.vq", "c.cq")}, c.cell) AS rn
+       |    FROM q e CROSS JOIN c$iters c WHERE e.vec_id < 20)
+       |  WHERE rn <= $nprobe),
+       |scored AS MATERIALIZED (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, $adistSum AS adist
+       |  FROM qp p
+       |  JOIN cc ON cc.cell = p.cell
+       |  JOIN codes c ON c.vec_id = cc.neighbor_id
+       |  $dtJoins
+       |  WHERE c.vec_id <> p.query_id),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adist, neighbor_id) AS arank
+       |    FROM scored)
+       |  WHERE arank <= $PqRerank),
+       |qf AS MATERIALIZED (
+       |  SELECT vec_id, vq FROM q),
+       |ex AS (
+       |  SELECT c.query_id, c.neighbor_id, ${d("cv.vq", "qv.vq")} AS adist
+       |  FROM cand c
+       |  JOIN qf cv ON cv.vec_id = c.neighbor_id
+       |  JOIN qf qv ON qv.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id, adist, rank FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id)
+       |      AS rank
+       |  FROM ex)
+       |WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
   }
 
   /** One side's minhash chain (tokens → shingles → rotated-digest
@@ -936,6 +1013,7 @@ object PipelineQueries {
     "emb_ivf_ann" -> ivfOracle,
     "emb_semantic_dedup" -> semDedupOracle,
     "emb_knn_graph" -> knnGraphOracle,
+    "emb_ivfadc_ann" -> ivfadcOracle,
     "emb_pq_quantize" -> pqQuantizeOracle,
     "doc_incremental_dedup" -> incrementalDedupOracle,
     "emb_pq_ann" -> pqAnnOracle,

@@ -1241,6 +1241,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.5, s"PQ ADC + rerank should recover most L2 neighbors, got $recall")
   }
 
+  test("ivfadcAnn recall vs exact quantized-L2 (probing + ADC compose losses)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val hex = Similarity.ivfHexBound(emb.count())
+    val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2, hexBound = hex)
+    val books = Similarity.pqTrainExact(emb, "vec_id", "embedding",
+      m = 8, k = 16, dims = 64, iters = 2, hexBound = hex)
+    val approx = Similarity.ivfadcAnn(emb, queries, "vec_id", "embedding",
+        cents, books, topk = 10, nprobe = 3, rerank = 100)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray).toMap
+    val truth = (0L until 10L).flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (v.zip(qv).map { case (a, b) => val t = a - b; t * t }.sum, id) }
+        .sortBy(identity).take(10).map(p => (qid, p._2))
+    }.toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    info(s"IVFADC recall@10: $recall")
+    assert(recall > 0.4, s"IVFADC should recover a usable fraction, got $recall")
+  }
+
   test("pqAnn plan construction launches no Spark jobs (codebooks are literals)") {
     import org.apache.spark.sql.functions.col
     val emb = Tables(spark, sf, "embeddings")
