@@ -582,6 +582,27 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Edit-distance confirmation per candidate pair — the
+    * character-level near-dup measure (catches single-char edits that
+    * word-shingle Jaccard treats as whole-shingle changes). Levenshtein
+    * is the standard Wagner–Fischer DP in BOTH engines, so the distance
+    * is an exact integer and the lane hash-checks. Pairing is the
+    * (id, id+offset) demo convention; at scale the pair list comes from
+    * LSH/simhash candidates — the DP is O(|a|·|b|) per pair, which is
+    * exactly why it runs as the CONFIRM stage on a bounded candidate
+    * list, never corpus-wide.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        offset: Long): DataFrame = {
+    val a = df.select(col(idCol).as("doc_a"), col(textCol).as("ta"))
+    val b = df.select((col(idCol) - offset).as("doc_a"), col(textCol).as("tb"))
+    a.join(b, Seq("doc_a"))
+      .select(col("doc_a"), (col("doc_a") + offset).as("doc_b"),
+        length(col("ta")).cast("long").as("len_a"),
+        length(col("tb")).cast("long").as("len_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+  }
+
   /** Broder CONTAINMENT per doc pair — the asymmetric near-dup measure
     * (|A∩B|/|A| vs |A∩B|/|B|) that separates "B extends A" from "A and
     * B overlap": a tail-extended copy contains its original at ~1.0

@@ -57,6 +57,12 @@ object PipelineQueries {
       Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
+    // Edit-distance confirm over (original, tail-extended copy) pairs:
+    // the appended tail costs exactly its length in edits.
+    "doc_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(corpus(s, dir), "doc_id", "text", 2000000L)
+        .orderBy("doc_a")),
+
     // Broder containment over (original, tail-extended copy) pairs from
     // the dup-injected corpus: containment_a ≈ 1 (the copy contains the
     // original), containment_b < 1 — the asymmetry Jaccard can't see.
@@ -1052,6 +1058,14 @@ object PipelineQueries {
         |  round(len(list_intersect(a.g, b.g))
         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "doc_edit_distance" ->
+      s"""WITH $CORPUS
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(length(a.text) AS BIGINT) AS len_a,
+        |  CAST(length(b.text) AS BIGINT) AS len_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 2000000
         |ORDER BY doc_a""".stripMargin,
     "doc_containment" ->
       s"""WITH $CORPUS,
