@@ -709,6 +709,82 @@ object TimeSeries {
       .drop("__c")
   }
 
+  /** Bollinger bands per series over a trailing ROWS frame (`lookback`
+    * preceding rows + current): mid = frame mean, upper/lower = mid ±
+    * k·σ(population). The volatility-envelope surface TA stacks and
+    * metric dashboards share. Engine-stable by construction: the frame
+    * accumulates exact integer cents (S = Σc, Q = Σc²; n·Q − S² ≥ 0),
+    * and each band is ONE mirrored float expression over those exact
+    * integers — (S ± k·√(nQ−S²))/n — so the DuckDB oracle reproduces
+    * every band bit-for-bit. One sort shuffle per series serves all
+    * three window sums; at 100 TB the frame never leaves its partition
+    * (ROWS frames are computed inside the sorted run, no extra
+    * exchange).
+    */
+  def bollingerBands(df: DataFrame, seriesCols: Seq[String], orderCols: Seq[String],
+                     valueCol: String, lookback: Int = 19, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, 0)
+    val cents = round(col(valueCol) * 100).cast("long")
+    def q6(c: Column): Column = floor(c / 100.0 * 1000000.0) / 1000000.0
+    df.withColumn("__c", cents)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__c")).over(w))
+      .withColumn("__q", sum(col("__c") * col("__c")).over(w))
+      // √(nQ−S²) of exact integers: deterministic IEEE on both engines
+      .withColumn("__sd",
+        sqrt((col("__n") * col("__q") - col("__s") * col("__s")).cast("double")))
+      .withColumn("mid", q6(col("__s").cast("double") / col("__n")))
+      .withColumn("upper", q6((col("__s") + lit(k) * col("__sd")) / col("__n")))
+      .withColumn("lower", q6((col("__s") - lit(k) * col("__sd")) / col("__n")))
+      .drop("__c", "__n", "__s", "__q", "__sd")
+  }
+
+  /** PromQL `histogram_quantile(q, ...)` read-off over le-bucketed
+    * cumulative counts — the Prometheus histogram surface: per (series,
+    * day), counts accumulate into fixed le thresholds (cents), the
+    * target bucket is the first whose cumulative count covers rank q·n,
+    * and the quantile interpolates linearly inside that bucket. One
+    * partial-aggregable pass: each cumulative bucket count is a
+    * conditional sum (c ≤ le), so the whole histogram is ONE hash
+    * aggregate with map-side combine — no explode, no window; at 100 TB
+    * only (series, day, 8 longs) partials shuffle. Bucket choice is an
+    * exact integer comparison (100·cum ≥ q100·n) and the interpolation
+    * is one mirrored float expression over exact integers, so the lane
+    * hash-checks.
+    */
+  def histogramQuantile(df: DataFrame, seriesCols: Seq[String], bucket: Column,
+                        valueCol: String, les: Seq[Long], q100: Int): DataFrame = {
+    require(les.nonEmpty && les == les.sorted, s"le thresholds must be ascending: $les")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val bucketCols = les.zipWithIndex.map { case (le, i) =>
+      sum(when(cents <= le, 1L).otherwise(0L)).as(s"cum_$i")
+    }
+    val aggd = df.groupBy(seriesCols.map(col) :+ bucket.as("bucket"): _*)
+      .agg(bucketCols.head, bucketCols.tail :+ count(lit(1)).as("n"): _*)
+    // First bucket with 100·cum ≥ q100·n; rows above the last le (none
+    // with these thresholds ≥ max) would fall through to the last
+    // bucket, PromQL's +Inf→highest-finite-upper rule.
+    val target = lit(q100) * col("n")
+    val chosen = les.indices.foldRight(
+      struct(lit(les.last).as("lo"), lit(les.last).as("hi"),
+        col(s"cum_${les.size - 1}").as("cp"), lit(1L).as("cb"))) { (i, elseCol) =>
+      val cumPrev = if (i == 0) lit(0L) else col(s"cum_${i - 1}")
+      val lo = if (i == 0) lit(0L) else lit(les(i - 1))
+      when(col(s"cum_$i") * 100 >= target,
+        struct(lo.as("lo"), lit(les(i)).as("hi"), cumPrev.as("cp"),
+          (col(s"cum_$i") - cumPrev).as("cb"))).otherwise(elseCol)
+    }
+    aggd.withColumn("__b", chosen)
+      .withColumn("quantile",
+        floor((col("__b.lo") * lit(1.0)
+          + (col("__b.hi") - col("__b.lo")) * (target - lit(100L) * col("__b.cp"))
+            / (lit(100.0) * col("__b.cb")))
+          / 100.0 * 1000000.0) / 1000000.0)
+      .select(seriesCols.map(col) :+ col("bucket") :+ col("n") :+ col("quantile"): _*)
+  }
+
   /** Mergeable quantile-sketch rollup — the TimescaleDB-toolkit
     * `percentile_agg`/UddSketch surface made engine-exact: hour-level
     * (series, bin) counts MERGE into day level without rescanning raw

@@ -136,6 +136,46 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Sign-bit binary quantization: bit i of the BIGINT signature is set
+    * iff v[i] > 0. The 32×-compression step binary-embedding stores use
+    * (64 float dims → one 8-byte word): a pure codegen'd projection, no
+    * shuffle — the 100 TB signature pass is embarrassingly parallel,
+    * and downstream distance is XOR+popcount on one machine word.
+    */
+  def binarySig(vec: Column, dims: Int): Column = {
+    require(dims > 0 && dims <= 64, s"binarySig packs into one 64-bit word, got dims=$dims")
+    (0 until dims).map { i =>
+      when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming-distance ANN over sign-bit signatures: for each query, the
+    * k corpus vectors with the fewest differing sign bits (ties to the
+    * smaller id — the ranking is exact integers end to end, so it
+    * hash-checks with no cosine-ulp caveat). Corpus-side work is one
+    * signature mapper + a broadcast-query XOR/popcount scan; only the
+    * per-query top-k rows survive the rank window. This is the
+    * cheapest-per-candidate filter of the ANN family (one word per
+    * vector, one popcount per pair) — the shape billion-scale binary
+    * indexes (e.g. faiss IndexBinaryFlat) run before an exact rerank.
+    */
+  def hammingAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, dims: Int, k: Int): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), binarySig(vec, dims).as("q_sig")))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), binarySig(vec, dims).as("sig"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", bit_count(col("q_sig").bitwiseXOR(col("sig"))).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Plain-Scala Lloyd's k-means over a BOUNDED driver-side sample —
     * the IVF coarse quantizer. Deterministic: init picks evenly spaced
     * sample points (sample is id-ordered), fixed iteration count, no

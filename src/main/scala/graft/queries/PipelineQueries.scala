@@ -462,6 +462,17 @@ object PipelineQueries {
         books, topk = 10, rerank = 100).orderBy("query_id", "rank")
     }),
 
+    // Sign-bit binary quantization + Hamming ANN (the faiss
+    // IndexBinaryFlat shape): 64 float dims pack into ONE BIGINT via a
+    // pure mapper; distance is XOR+popcount, ranking (hamming, id) is
+    // exact integers end to end so the whole lane hash-checks.
+    "emb_hamming_ann" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hammingAnn(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dims = 64, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // REAL image decode: construct genuine 24-bit BMPs from doc_id,
     // decode headers + average the actual pixel bytes; the oracle
     // recomputes geometry, byte size (incl. 4-byte row padding) and the
@@ -1581,6 +1592,25 @@ object PipelineQueries {
         |      c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "emb_hamming_ann" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN embedding[u.i + 1] > 0
+        |      THEN CASE WHEN u.i = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+        |        ELSE CAST(CAST(1 AS BIGINT) << u.i AS HUGEINT) END
+        |      ELSE CAST(0 AS HUGEINT) END)
+        |      AS BIGINT) AS sig
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY vec_id)
+        |SELECT query_id, neighbor_id, hamming, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS rank
+        |  FROM s q JOIN s c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "emb_cosine_dedup" ->
       """SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,

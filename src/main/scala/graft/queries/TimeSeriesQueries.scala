@@ -241,6 +241,27 @@ object TimeSeriesQueries {
         .withColumnRenamed("bucket", "bucket_us")
         .orderBy("event_type", "bucket_us")),
 
+    // Bollinger bands per series (trailing 20-row frame): exact-integer
+    // frame sums (S, Q, n), each band ONE mirrored float expression
+    // (S ± 2·√(nQ−S²))/n — the TA volatility envelope, engine-stable.
+    "ts_bollinger" -> ((s, dir) =>
+      TimeSeries.bollingerBands(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+          Seq("event_type"), Seq("ts_us", "event_id"), "value")
+        .select("event_id", "event_type", "mid", "upper", "lower")
+        .orderBy("event_id").limit(10000)),
+
+    // PromQL histogram_quantile(0.95) per (event_type, day) over fixed
+    // le buckets in cents: ONE conditional-sum hash aggregate (no
+    // explode/window), exact-integer bucket choice, mirrored
+    // interpolation.
+    "ts_histogram_quantile" -> ((s, dir) =>
+      TimeSeries.histogramQuantile(Tables.events(s, dir), Seq("event_type"),
+          unix_micros(date_trunc("day", col("ts"))),
+          "value", Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L, 64000L), 95)
+        .withColumnRenamed("bucket", "bucket_us")
+        .orderBy("event_type", "bucket_us")),
+
     // Least-squares trend per series over (seconds-since-epoch, value):
     // slope / intercept / r² from exact decimal sums (stats_agg 2-D
     // regression surface).
@@ -1113,6 +1134,81 @@ object TimeSeriesQueries {
         |  ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id
         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         |ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_bollinger" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c,
+        |    epoch_us(cast(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |w AS (
+        |  SELECT event_id, event_type,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(c) OVER w AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER w AS BIGINT) AS q
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type,
+        |  floor(CAST(s AS DOUBLE) / n / 100.0 * 1000000.0) / 1000000.0 AS mid,
+        |  floor((s + 2 * sqrt(CAST(n * q - s * s AS DOUBLE))) / n
+        |    / 100.0 * 1000000.0) / 1000000.0 AS upper,
+        |  floor((s - 2 * sqrt(CAST(n * q - s * s AS DOUBLE))) / n
+        |    / 100.0 * 1000000.0) / 1000000.0 AS lower
+        |FROM w ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_histogram_quantile" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('day', cast(ts AS TIMESTAMP))) AS bucket_us,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, bucket_us,
+        |    CAST(sum(CASE WHEN c <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS cum0,
+        |    CAST(sum(CASE WHEN c <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS cum1,
+        |    CAST(sum(CASE WHEN c <= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS cum2,
+        |    CAST(sum(CASE WHEN c <= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS cum3,
+        |    CAST(sum(CASE WHEN c <= 16000 THEN 1 ELSE 0 END) AS BIGINT) AS cum4,
+        |    CAST(sum(CASE WHEN c <= 32000 THEN 1 ELSE 0 END) AS BIGINT) AS cum5,
+        |    CAST(sum(CASE WHEN c <= 64000 THEN 1 ELSE 0 END) AS BIGINT) AS cum6,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN cum0 * 100 >= 95 * n THEN 0
+        |         WHEN cum1 * 100 >= 95 * n THEN 1000
+        |         WHEN cum2 * 100 >= 95 * n THEN 2000
+        |         WHEN cum3 * 100 >= 95 * n THEN 4000
+        |         WHEN cum4 * 100 >= 95 * n THEN 8000
+        |         WHEN cum5 * 100 >= 95 * n THEN 16000
+        |         WHEN cum6 * 100 >= 95 * n THEN 32000
+        |         ELSE 64000 END AS lo,
+        |    CASE WHEN cum0 * 100 >= 95 * n THEN 1000
+        |         WHEN cum1 * 100 >= 95 * n THEN 2000
+        |         WHEN cum2 * 100 >= 95 * n THEN 4000
+        |         WHEN cum3 * 100 >= 95 * n THEN 8000
+        |         WHEN cum4 * 100 >= 95 * n THEN 16000
+        |         WHEN cum5 * 100 >= 95 * n THEN 32000
+        |         WHEN cum6 * 100 >= 95 * n THEN 64000
+        |         ELSE 64000 END AS hi,
+        |    CASE WHEN cum0 * 100 >= 95 * n THEN 0
+        |         WHEN cum1 * 100 >= 95 * n THEN cum0
+        |         WHEN cum2 * 100 >= 95 * n THEN cum1
+        |         WHEN cum3 * 100 >= 95 * n THEN cum2
+        |         WHEN cum4 * 100 >= 95 * n THEN cum3
+        |         WHEN cum5 * 100 >= 95 * n THEN cum4
+        |         WHEN cum6 * 100 >= 95 * n THEN cum5
+        |         ELSE cum6 END AS cp,
+        |    CASE WHEN cum0 * 100 >= 95 * n THEN cum0
+        |         WHEN cum1 * 100 >= 95 * n THEN cum1 - cum0
+        |         WHEN cum2 * 100 >= 95 * n THEN cum2 - cum1
+        |         WHEN cum3 * 100 >= 95 * n THEN cum3 - cum2
+        |         WHEN cum4 * 100 >= 95 * n THEN cum4 - cum3
+        |         WHEN cum5 * 100 >= 95 * n THEN cum5 - cum4
+        |         WHEN cum6 * 100 >= 95 * n THEN cum6 - cum5
+        |         ELSE 1 END AS cb
+        |  FROM a)
+        |SELECT event_type, bucket_us, n,
+        |  floor((lo * 1.0 + (hi - lo) * (95 * n - 100 * cp) / (100.0 * cb))
+        |    / 100.0 * 1000000.0) / 1000000.0 AS quantile
+        |FROM b ORDER BY event_type, bucket_us""".stripMargin,
     "ts_candlestick" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -1352,6 +1352,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingAnn: sign-bit distances on a fixture incl. the top (63rd) bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def v(signs: Int*): Array[Double] = {
+      val base = Array.fill(64)(-1.0)
+      signs.foreach(i => base(i) = 1.0)
+      base
+    }
+    // 0: bits {0,1}; 1: bits {0}; 2: bits {0,1,63}; 3: bits {}
+    val df = Seq((0L, v(0, 1)), (1L, v(0)), (2L, v(0, 1, 63)), (3L, v()))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hammingAnn(df, df.filter(col("vec_id") === 0), "vec_id",
+        "embedding", dims = 64, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("hamming")))
+    // d(0,1)=1, d(0,2)=1 (bit 63 only), d(0,3)=2; tie (1 vs 2) → smaller id
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
   test("ewma: exact renormalized weights at the series head") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0))

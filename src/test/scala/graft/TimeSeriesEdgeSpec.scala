@@ -492,4 +492,47 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     val c = out(2)
     assert(c.getAs[Long]("n_intervals") == 1 && c.getAs[Long]("live_us") == 12)
   }
+
+  test("bollingerBands: constant series collapses to mid, hand-computed bands otherwise") {
+    val df = Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0),
+        ("v", 1L, 1.0), ("v", 2L, 3.0))
+      .toDF("sid", "t", "value")
+    val out = TimeSeries.bollingerBands(df, Seq("sid"), Seq("t"), "value", lookback = 19, k = 2)
+      .orderBy("sid", "t").collect()
+    // constant series: σ = 0 → all three bands equal the value
+    out.take(3).foreach { r =>
+      assert(r.getAs[Double]("mid") == 5.0)
+      assert(r.getAs[Double]("upper") == 5.0)
+      assert(r.getAs[Double]("lower") == 5.0)
+    }
+    // v series row 2: cents 100,300 → n=2 S=400 Q=100000; nQ−S²=40000, √=200
+    val r = out(4)
+    assert(r.getAs[Double]("mid") == 2.0)
+    assert(r.getAs[Double]("upper") == math.floor((400 + 2.0 * 200) / 2 / 100.0 * 1e6) / 1e6)
+    assert(r.getAs[Double]("lower") == math.floor((400 - 2.0 * 200) / 2 / 100.0 * 1e6) / 1e6)
+  }
+
+  test("histogramQuantile: interpolation inside the chosen bucket and the +Inf fallback") {
+    // 20 rows, values 1..20 cents·100 → cents 100..2000 with les 500/1000/2000:
+    // p95 target 95·20=1900; cum(500)=5·100<1900, cum(1000)=10·100<1900,
+    // cum(2000)=20·100≥1900 → bucket (1000,2000], cp=10, cb=10
+    val rows = (1 to 20).map(i => ("a", i.toLong, i.toDouble))
+    val df = rows.toDF("sid", "t", "value")
+      .select(col("sid"), timestamp_seconds(col("t")).as("ts"), col("value"))
+    val out = TimeSeries.histogramQuantile(df, Seq("sid"),
+        unix_micros(date_trunc("day", col("ts"))), "value", Seq(500L, 1000L, 2000L), 95)
+      .collect()
+    assert(out.length == 1)
+    val want = math.floor((1000 * 1.0 + (2000 - 1000) * (95 * 20 - 100 * 10) / (100.0 * 10))
+      / 100.0 * 1e6) / 1e6
+    assert(out(0).getAs[Double]("quantile") == want)
+    // all mass above the last le: PromQL's +Inf rule returns the last
+    // finite upper bound
+    val high = Seq(("a", 1L, 100.0)).toDF("sid", "t", "value")
+      .select(col("sid"), timestamp_seconds(col("t")).as("ts"), col("value"))
+    val out2 = TimeSeries.histogramQuantile(high, Seq("sid"),
+        unix_micros(date_trunc("day", col("ts"))), "value", Seq(500L, 1000L), 95)
+      .collect()
+    assert(out2(0).getAs[Double]("quantile") == 10.0) // le=1000 cents
+  }
 }
