@@ -530,6 +530,40 @@ object TextAnalysis {
         col("r_ellipsis") && col("r_bullet") && col("r_alpha") && col("r_stopword"))
   }
 
+  /** C4-style page cleaning (Raffel et al. 2020, §2.2 "Colossal Clean
+    * Crawled Corpus" heuristics) — the other canonical pre-training
+    * corpus gate next to [[gopherFilter]]. Line level: keep only lines
+    * that end in a terminal punctuation mark (. ! ? ") AND have ≥ 5
+    * words; page level: drop pages whose CLEANED text has < 3
+    * sentences, or whose raw text contains "lorem ipsum" or a curly
+    * brace (code). Returns per doc the rule counters, the keep flag and
+    * the cleaned text itself (kept lines rejoined), so an oracle checks
+    * the actual output corpus, not just the booleans. Pure mapper —
+    * line split/filter/rejoin are codegen'd higher-order functions, no
+    * explode, nothing doc-shaped shuffles; like the Gopher gate this
+    * runs before any shuffle-bearing dedup at 100 TB.
+    */
+  def c4Filter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val keptLines = filter(split(t, "\n"), l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(split(trim(l), " ")) >= 5)
+    df.select(
+        col(idCol), t.as("__t"),
+        size(split(t, "\n")).cast("long").as("n_lines"),
+        keptLines.as("__kept"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("cleaned", array_join(col("__kept"), "\n"))
+      .withColumn("n_sentences",
+        (length(col("cleaned"))
+          - length(translate(col("cleaned"), ".!?", ""))).cast("long"))
+      .withColumn("has_lorem", lower(col("__t")).contains("lorem ipsum"))
+      .withColumn("has_brace", col("__t").contains("{"))
+      .withColumn("keep",
+        col("n_sentences") >= 3 && !col("has_lorem") && !col("has_brace"))
+      .drop("__t", "__kept")
+  }
+
   /** DSIR-style hashed importance weight (Xie et al. 2023,
     * arXiv:2302.03169 "Data Selection for Language Models via
     * Importance Resampling"): tokens hash into 256 md5 buckets; each

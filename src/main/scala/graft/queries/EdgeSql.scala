@@ -286,7 +286,41 @@ object EdgeSql {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Array-function zoo over ordered per-user value arrays — the
+    * DataFusion array surface beyond array_agg (element access incl.
+    * negative index, contains, sort+slice, distinct, fold-sum,
+    * reverse). Arrays hold exact integer cents so every derived value
+    * is engine-stable; the sorted-slice is serialized to CSV for the
+    * compare (array-typed columns don't survive the driver's row-sort
+    * hasher — the emb_quantize precedent). One hash aggregate builds
+    * each user's array; everything after is a pure projection.
+    */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id") < 40)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val arr = e.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("c"))))
+        .as("rows"))
+      .withColumn("a", transform(col("rows"), r => r.getField("c")))
+    arr.select(
+        col("user_id"),
+        size(col("a")).cast("long").as("n"),
+        element_at(col("a"), 1).as("first_c"),
+        element_at(col("a"), -1).as("last_c"),
+        array_contains(col("a"), 100L).as("has_100"),
+        concat_ws(",", transform(slice(sort_array(col("a"), asc = false), 1, 3),
+          x => x.cast("string"))).as("top3"),
+        size(array_distinct(col("a"))).cast("long").as("n_distinct"),
+        aggregate(col("a"), lit(0L), (acc, x) => acc + x).as("sum_c"),
+        when(size(col("a")) >= 2, element_at(reverse(col("a")), 2))
+          .as("second_last_c"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_funcs" -> qArrayFuncs,
     "q_json_extract" -> qJsonExtract,
     "q_tlp_partition" -> qTlpPartition,
     "q_bit_bool_agg" -> qBitBoolAgg,
@@ -307,6 +341,24 @@ object EdgeSql {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_array_funcs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS c,
+        |    epoch_us(cast(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE user_id < 40),
+        |a AS (
+        |  SELECT user_id, array_agg(c ORDER BY ts_us, event_id) AS a
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(len(a) AS BIGINT) AS n,
+        |  a[1] AS first_c,
+        |  a[-1] AS last_c,
+        |  list_contains(a, 100) AS has_100,
+        |  array_to_string(list_sort(a, 'DESC')[1:3], ',') AS top3,
+        |  CAST(len(list_distinct(a)) AS BIGINT) AS n_distinct,
+        |  CAST(list_sum(a) AS BIGINT) AS sum_c,
+        |  CASE WHEN len(a) >= 2 THEN list_reverse(a)[2] END AS second_last_c
+        |FROM a ORDER BY user_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k,

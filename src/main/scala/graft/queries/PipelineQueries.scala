@@ -145,6 +145,29 @@ object PipelineQueries {
       TextAnalysis.gopherFilter(dec, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // C4-style page cleaning (Raffel et al. 2020 §2.2): the corpus is
+    // decorated deterministically on BOTH sides (terminal-punct
+    // sentences appended, no-punct / short / lorem-ipsum / curly-brace
+    // lines keyed on doc_id) so every line and page rule fires; the
+    // CLEANED TEXT itself is compared, not just the booleans.
+    "doc_c4_filter" -> ((s, dir) => {
+      val dec = Tables(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          lit("only one good sentence stands here today."))
+          .otherwise(concat(
+            col("text"),
+            lit(". This line has a second sentence with enough words." +
+              " And here follows a third sentence too."),
+            when(col("doc_id") % 5 === 0,
+              lit("\nno terminal punctuation in this line")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit("\nTiny line.")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              lit("\ncode block { x equals one }")).otherwise(lit("")))))
+      TextAnalysis.c4Filter(dec, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // Decontamination: benchmark = documents with doc_id < 50; corpus =
     // the dup-injected corpus, whose exact (+1e6) and near (+2e6)
     // copies of benchmark docs must flag true.
@@ -1240,6 +1263,48 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_fp,
         |  md5(array_to_string(list(m ORDER BY m), ',')) AS fp_digest
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_c4_filter" ->
+      """WITH dec AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN 'only one good sentence stands here today.'
+        |    ELSE text
+        |      || '. This line has a second sentence with enough words.'
+        |      || ' And here follows a third sentence too.'
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN chr(10) || 'no terminal punctuation in this line'
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0
+        |           THEN chr(10) || 'Tiny line.' ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0
+        |           THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 13 = 0
+        |           THEN chr(10) || 'code block { x equals one }' ELSE '' END
+        |    END AS t
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, t,
+        |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |        OR ends_with(l, '"'))
+        |      AND len(string_split(trim(l), ' ')) >= 5) AS kept
+        |  FROM dec),
+        |c AS (
+        |  SELECT doc_id, t, n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    array_to_string(kept, chr(10)) AS cleaned
+        |  FROM k)
+        |SELECT doc_id, n_lines, n_kept, cleaned,
+        |  CAST(length(cleaned) - length(translate(cleaned, '.!?', ''))
+        |    AS BIGINT) AS n_sentences,
+        |  contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |  contains(t, '{') AS has_brace,
+        |  length(cleaned) - length(translate(cleaned, '.!?', '')) >= 3
+        |    AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{') AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
     "doc_gopher_filter" ->
       """WITH dec AS (
         |  SELECT doc_id, CASE WHEN doc_id % 19 = 0 THEN substr(text, 1, 40)

@@ -1352,6 +1352,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("c4Filter: per-rule fixtures (line punct/length, sentence count, lorem, brace)") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 good sentences on 2 kept lines + one dropped (no punct) + one dropped (short)
+      (1L, "A first good sentence right here. And then a second one follows.\n" +
+        "this line has no terminal punctuation\nTiny.\n" +
+        "Finally a third full sentence arrives here!"),
+      (2L, "Only two sentences live here today. The second one is this.\n"),
+      (3L, "Three fine sentences fill this page. Here is the second sentence. " +
+        "And here is the third. lorem IPSUM hides within."),
+      (4L, "Three fine sentences fill this page. Here is the second sentence. " +
+        "And a code brace { lurks } here.")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_lines") == 4 && d1.getAs[Long]("n_kept") == 2)
+    assert(d1.getAs[Long]("n_sentences") == 3 && d1.getAs[Boolean]("keep"))
+    assert(d1.getAs[String]("cleaned") ==
+      "A first good sentence right here. And then a second one follows.\n" +
+        "Finally a third full sentence arrives here!")
+    assert(!out(1).getAs[Boolean]("keep")) // < 3 sentences
+    val d3 = out(2)
+    assert(d3.getAs[Boolean]("has_lorem") && !d3.getAs[Boolean]("keep"))
+    val d4 = out(3)
+    assert(d4.getAs[Boolean]("has_brace") && !d4.getAs[Boolean]("keep"))
+  }
+
   test("hammingAnn: sign-bit distances on a fixture incl. the top (63rd) bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
