@@ -310,6 +310,33 @@ object StreamQueries {
         .orderBy("event_type", "bucket_us")
     }),
 
+    // Streaming quantile sketch: each closed (event_type, hour) window
+    // emits its deterministic log-histogram bins (O(bins) state, the
+    // UddSketch/percentile_agg continuous shape); the p50/p95 read-off
+    // is a batch query over the sink's merged bins. The oracle replays
+    // binning + read-off in SQL over the raw lake with the same
+    // emit-boundary clip as stream_windowed.
+    "stream_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = eventsStream(s, dir)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      val sk = StreamIngest.quantileSketch(src, "tstamp", "event_type", "value",
+        "1 hour", "0 seconds")
+      val sink = replay(s, sk, "stream_quantile_sink")
+      val maxUs = globalMaxUs(s, dir)
+      val clipped = sink.withColumn("bucket_us", unix_micros(col("w_start")))
+        .filter(col("bucket_us") + lit(BucketUs) < maxUs)
+      val part = Window.partitionBy("event_type", "bucket_us")
+      clipped
+        .withColumn("cum", sum(col("bn")).over(part.orderBy("bid")))
+        .withColumn("__n", sum(col("bn")).over(part))
+        .groupBy("event_type", "bucket_us")
+        .agg(min(col("__n")).as("n"),
+          min(when(col("cum") >= expr("(__n + 1) div 2"), col("bid"))).as("p50_bid"),
+          min(when(col("cum") >= expr("(__n * 19 + 19) div 20"), col("bid"))).as("p95_bid"))
+        .orderBy("event_type", "bucket_us")
+    }),
+
     // REAL-TIME funnel: per-user O(1) state advances on next-step
     // events in event-time order; level is monotone so the sink's max
     // per user equals the batch earliest-chain rule — the oracle IS
@@ -494,6 +521,31 @@ object StreamQueries {
          |GROUP BY event_type, w_start_us, mx
          |HAVING w_start_us + 3600000000 < mx
          |ORDER BY event_type, w_start_us""".stripMargin,
+    "stream_quantile" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |b AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         |    length(CAST(c AS VARCHAR)) * 100
+         |      + c // CAST(power(10, GREATEST(length(CAST(c AS VARCHAR)) - 2, 0))
+         |          AS BIGINT) AS bid
+         |  FROM (SELECT event_type, ts, CAST(round(value * 100) AS BIGINT) AS c
+         |        FROM $E)),
+         |d AS (
+         |  SELECT event_type, bucket_us, bid, CAST(count(*) AS BIGINT) AS bn
+         |  FROM b, m WHERE bucket_us + 3600000000 < mx
+         |  GROUP BY event_type, bucket_us, bid),
+         |cumt AS (
+         |  SELECT event_type, bucket_us, bid, bn,
+         |    CAST(sum(bn) OVER (PARTITION BY event_type, bucket_us ORDER BY bid)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(bn) OVER (PARTITION BY event_type, bucket_us) AS BIGINT) AS n
+         |  FROM d)
+         |SELECT event_type, bucket_us, CAST(min(n) AS BIGINT) AS n,
+         |  min(CASE WHEN cum >= (n + 1) // 2 THEN bid END) AS p50_bid,
+         |  min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN bid END) AS p95_bid
+         |FROM cumt GROUP BY event_type, bucket_us
+         |ORDER BY event_type, bucket_us""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
     // identical to ts_funnel's oracle — THE point: stream == batch

@@ -83,6 +83,36 @@ object StreamIngest {
         (-col("__e.__neg").cast("double") / 100.0).as(valueCol))
   }
 
+  /** Streaming windowed QUANTILE SKETCH per (key, window): each closed
+    * window emits its deterministic log-histogram bins ((bid, count)
+    * rows — the same two-significant-digit binning as the batch
+    * `TimeSeries.quantileRollup`, ≤90 bins/decade, ≲5% relative error,
+    * no log() so both engines bin identically). The streaming state per
+    * open window is the bin histogram — O(bins), not O(rows) (the
+    * sketch-tradeoff windowedTopK documents: exact top-k holds the
+    * row list, a quantile sketch holds a bounded histogram), and the
+    * emitted partials are MERGEABLE: a downstream consumer unions bins
+    * and reads any quantile off the cumulative counts without touching
+    * raw rows — the continuous percentile-dashboard shape at 100 TB.
+    * Works on batch or streaming frames alike. Requires non-negative
+    * values (raises on negative, like the batch rollup).
+    */
+  def quantileSketch(events: DataFrame, tsCol: String, keyCol: String,
+                     valueCol: String, win: String, watermark: String): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    wm.withColumn("__c0", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__c", when(col("__c0") >= 0, col("__c0")).otherwise(expr(
+        "CAST(raise_error('quantileSketch: needs non-negative values; " +
+          "shift or split the series') AS BIGINT)")))
+      .withColumn("__d", length(col("__c").cast("string")).cast("long"))
+      .withColumn("__div",
+        pow(lit(10.0), greatest(col("__d") - 2, lit(0L)).cast("double")).cast("long"))
+      .withColumn("bid", col("__d") * 100 + expr("__c div __div"))
+      .groupBy(window(col(tsCol), win).as("w"), col(keyCol), col("bid"))
+      .agg(count(lit(1)).as("bn"))
+      .select(col(keyCol), col("w.start").as("w_start"), col("bid"), col("bn"))
+  }
+
   /** File-source streaming reader over a parquet directory (the lake's
     * landing zone at scale; a single file locally via pathGlobFilter).
     */

@@ -473,6 +473,27 @@ class IngestSpec extends AnyFunSuite {
     assert(run(rows.reverse) == expect, "arrival order changed the top-k")
   }
 
+  test("quantileSketch bins are mergeable and read-off matches exact percentile binning") {
+    import spark.implicits._
+    // 20 values 1..20 (cents 100..2000) in one window: bids are
+    // deterministic; p50 rank ceil(21/2)=10 (wait: (n+1) div 2 = 10),
+    // p95 rank (20*19+19) div 20 = 19
+    val rows = (1 to 20).map(i => (i.toLong, "2024-01-01 00:%02d:00".format(i), i.toDouble))
+    val bins = StreamIngest.quantileSketch(
+        rows.toDF("event_id", "t", "value")
+          .select(to_timestamp(col("t")).as("ts"), col("value"), lit("k").as("g")),
+        "ts", "g", "value", "1 hour", "0 seconds")
+      .collect().map(r => (r.getAs[Long]("bid"), r.getAs[Long]("bn")))
+    // state is O(bins): 20 rows collapse into ≤ 20 bins, each a count
+    assert(bins.map(_._2).sum == 20)
+    val cum = bins.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (bid, bn)) => (bid, acc + bn) }.tail
+    val p50 = cum.find(_._2 >= 10).get._1
+    val p95 = cum.find(_._2 >= 19).get._1
+    // cents 1000 → d=4, div=100, bid=410; cents 1900 → bid=419
+    assert(p50 == 410L, s"p50 bid $p50")
+    assert(p95 == 419L, s"p95 bid $p95")
+  }
+
   test("streamingLastPoint keeps the max-by-time row per key") {
     import spark.implicits._
     val pts = Seq(
