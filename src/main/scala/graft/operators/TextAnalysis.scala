@@ -530,6 +530,38 @@ object TextAnalysis {
         col("r_ellipsis") && col("r_bullet") && col("r_alpha") && col("r_stopword"))
   }
 
+  /** N-gram NOVELTY quality signal: the fraction of a doc's distinct
+    * word-3-grams whose first corpus occurrence (min doc_id claimant)
+    * is this doc — exact copies score 0, fresh text scores near 1e6;
+    * the "how much of this page is new to the corpus" curation signal
+    * (the per-doc view of the same claimant idea CCNet line dedup and
+    * ExactSubstr span dedup apply destructively). Shape at 100 TB:
+    * shingling is the codegen'd `word_shingle_set` mapper, grams travel
+    * as md5 (wide strings stay out of the claimant shuffle — the
+    * line-dedup precedent), the claimant is ONE partial-aggregable min
+    * per gram, and the score is a per-doc count agg — linear in tokens,
+    * two gram-keyed exchanges, no corpus-wide window. Docs too short to
+    * shingle keep n_grams = 0 with a NULL score (quantized ratio is
+    * guarded, no divide-by-zero under ANSI).
+    */
+  def ngramNovelty(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextExpressions.register(corpus.sparkSession)
+    val sh = corpus
+      .select(col(idCol),
+        explode(call_function("word_shingle_set", col(textCol))).as("sh"))
+      .withColumn("h", md5(col("sh")))
+    val claim = sh.groupBy("h").agg(min(col(idCol)).as("claimant"))
+    val scored = sh.join(claim, Seq("h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("claimant") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    corpus.select(idCol).join(scored, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_q",
+        when(col("n_grams") > 0, expr("n_novel * 1000000 div n_grams")))
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020, §2.2 "Colossal Clean
     * Crawled Corpus" heuristics) — the other canonical pre-training
     * corpus gate next to [[gopherFilter]]. Line level: keep only lines

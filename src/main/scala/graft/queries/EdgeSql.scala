@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -319,7 +320,48 @@ object EdgeSql {
       .orderBy("user_id")
   }
 
+  /** Table-function / LATERAL surface (DataFusion unnest): posexplode
+    * of a derived array vs UNNEST WITH ORDINALITY — each user's ordered
+    * cent array re-exploded with positions, then filtered on the
+    * ordinal so the lateral correlation is observable. The explode is
+    * map-side (no shuffle beyond the building aggregate).
+    */
+  def qUnnest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id") < 15)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    e.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("c"))))
+        .as("rows"))
+      .withColumn("a", transform(col("rows"), r => r.getField("c")))
+      .select(col("user_id"), posexplode(col("a")).as(Seq("i0", "c")))
+      .withColumn("ordinal", (col("i0") + 1).cast("long"))
+      .filter(col("ordinal") <= 5)
+      .select("user_id", "ordinal", "c")
+      .orderBy("user_id", "ordinal")
+  }
+
+  /** ntile window bucketing (the one rank-family function q_window_rank
+    * leaves out): quartile assignment over a unique deterministic
+    * order key, exercising the uneven-bucket rule (first n % 4 tiles
+    * get the extra row).
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .groupBy("event_type", "tile")
+      .agg(count(lit(1)).as("n"), min("event_id").as("first_id"),
+        max("event_id").as("last_id"))
+      .orderBy("event_type", "tile")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unnest" -> qUnnest,
+    "q_ntile" -> qNtile,
     "q_array_funcs" -> qArrayFuncs,
     "q_json_extract" -> qJsonExtract,
     "q_tlp_partition" -> qTlpPartition,
@@ -341,6 +383,30 @@ object EdgeSql {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_unnest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS c,
+        |    epoch_us(cast(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE user_id < 15),
+        |a AS (
+        |  SELECT user_id, array_agg(c ORDER BY ts_us, event_id) AS a
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(u.ord AS BIGINT) AS ordinal, u.c AS c
+        |FROM a, LATERAL (
+        |  SELECT unnest(a) AS c,
+        |    generate_subscripts(a, 1) AS ord) u
+        |WHERE u.ord <= 5
+        |ORDER BY user_id, ordinal""".stripMargin,
+    "q_ntile" ->
+      """WITH t AS (
+        |  SELECT event_type, event_id,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id) AS tile
+        |  FROM events)
+        |SELECT event_type, CAST(tile AS BIGINT) AS tile, count(*) AS n,
+        |  min(event_id) AS first_id, max(event_id) AS last_id
+        |FROM t GROUP BY event_type, tile
+        |ORDER BY event_type, tile""".stripMargin,
     "q_array_funcs" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS c,

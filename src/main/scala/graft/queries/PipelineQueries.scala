@@ -145,6 +145,13 @@ object PipelineQueries {
       TextAnalysis.gopherFilter(dec, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // N-gram novelty over the dup-injected corpus: exact copies score
+    // 0, originals keep their grams, tail-extended copies score only
+    // the appended grams — the intended gradient.
+    "doc_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(corpus(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // C4-style page cleaning (Raffel et al. 2020 §2.2): the corpus is
     // decorated deterministically on BOTH sides (terminal-punct
     // sentences appended, no-punct / short / lorem-ipsum / curly-brace
@@ -1263,6 +1270,25 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_fp,
         |  md5(array_to_string(list(m ORDER BY m), ',')) AS fp_digest
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_ngram_novelty" ->
+      s"""WITH $CORPUS,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |shg AS (
+        |  SELECT DISTINCT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+        |cl AS (SELECT sh, min(doc_id) AS claimant FROM shg GROUP BY sh),
+        |sc AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN c.claimant = s.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM shg s JOIN cl c ON s.sh = c.sh GROUP BY s.doc_id)
+        |SELECT c.doc_id,
+        |  coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_novel, 0) AS n_novel,
+        |  CASE WHEN coalesce(n_grams, 0) > 0
+        |    THEN CAST(n_novel * 1000000 // n_grams AS BIGINT) END AS novelty_q
+        |FROM corpus c LEFT JOIN sc ON sc.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "doc_c4_filter" ->
       """WITH dec AS (
         |  SELECT doc_id,

@@ -1352,6 +1352,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramNovelty: copies score 0, originals full, tail-extensions only the new grams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // 3 distinct 3-grams, all novel
+      (2L, "alpha beta gamma delta epsilon"),          // exact copy → 0 novel
+      (3L, "alpha beta gamma delta epsilon zeta eta"), // extension → 2 new grams of 5
+      (4L, "one two")).toDF("doc_id", "text")          // too short → 0 grams, NULL score
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_grams") == 3 && out(0).getAs[Long]("n_novel") == 3)
+    assert(out(0).getAs[Long]("novelty_q") == 1000000L)
+    assert(out(1).getAs[Long]("n_novel") == 0 && out(1).getAs[Long]("novelty_q") == 0L)
+    assert(out(2).getAs[Long]("n_grams") == 5 && out(2).getAs[Long]("n_novel") == 2)
+    assert(out(3).getAs[Long]("n_grams") == 0 && out(3).isNullAt(out(3).fieldIndex("novelty_q")))
+  }
+
   test("c4Filter: per-rule fixtures (line punct/length, sentence count, lorem, brace)") {
     import spark.implicits._
     val docs = Seq(
