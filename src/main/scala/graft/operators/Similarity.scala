@@ -176,11 +176,97 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  private[graft] final case class MmrRow(query_id: Long, kind: Int,
+                                         x: Long, y: Long, v: Long)
+  private[graft] final case class MmrPick(query_id: Long, rank: Long,
+                                          vec_id: Long, mmr_q: Long)
+
+  /** Maximal Marginal Relevance diversity selection (Carbonell &
+    * Goldstein, SIGIR'98) — the diverse-subset sampler retrieval and
+    * training-data curation share: per query, greedily pick k items
+    * maximizing λ·rel(d) − (1−λ)·max sim(d, already-picked), so the
+    * result covers the neighborhood instead of returning k near-copies.
+    *
+    * Engine-stable by construction: relevance and pairwise similarity
+    * are 1e-4-floor-quantized cosines (the knnGraph discipline), the
+    * MMR score is the exact integer `lam10·rel_q − (10−lam10)·maxSim_q`
+    * with ties to the smaller id, so the greedy sequence is
+    * deterministic and a DuckDB recursive CTE replays it pick by pick.
+    *
+    * Shape at 100 TB: the candidate POOL bounds everything — per query
+    * a top-`poolSize` relevance scan (broadcast queries, corpus stays
+    * mapper-only), then poolSize² pair scores per query, then the
+    * inherently sequential greedy runs per-query in ONE flatMapGroups
+    * over bounded integer rows (the Repair/Holt whole-series
+    * precedent) — the corpus is never touched again and no step is
+    * quadratic in anything but the constant pool.
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, poolSize: Int, k: Int,
+                lam10: Int = 7): DataFrame = {
+    require(lam10 >= 0 && lam10 <= 10, s"lam10 is tenths in [0,10], got $lam10")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec"))))
+    val c = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val scored = c.crossJoin(q)
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("rel_q",
+        floor(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")) * 1e4)
+          .cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("rel_q").desc, col("cand_id"))
+    val pool = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolSize)
+      .select("query_id", "cand_id", "rel_q", "c_vec", "c_norm")
+    val pa = pool.select(col("query_id"), col("cand_id").as("a"),
+      col("c_vec").as("va"), col("c_norm").as("na"))
+    val pb = pool.select(col("query_id"), col("cand_id").as("b"),
+      col("c_vec").as("vb"), col("c_norm").as("nb"))
+    val pairs = pa.join(pb, Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim_q",
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e4).cast("long"))
+      .select("query_id", "a", "b", "sim_q")
+    val rows = pool.select(col("query_id"), lit(0).as("kind"),
+        col("cand_id").as("x"), lit(0L).as("y"), col("rel_q").as("v"))
+      .unionByName(pairs.select(col("query_id"), lit(1).as("kind"),
+        col("a").as("x"), col("b").as("y"), col("sim_q").as("v")))
+      .as[MmrRow]
+    rows.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
+      val all = it.toArray
+      val rel = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      all.filter(_.kind == 0).sortBy(_.x).foreach(r => rel(r.x) = r.v)
+      val sim = all.filter(_.kind == 1).map(r => (r.x, r.y) -> r.v).toMap
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      while (chosen.size < k && chosen.size < rel.size) {
+        var bestId = -1L
+        var bestScore = Long.MinValue
+        rel.foreach { case (id, r) =>
+          if (!chosen.contains(id)) {
+            val maxSim = if (chosen.isEmpty) 0L
+              else chosen.map(s => sim.getOrElse((id, s), 0L)).max
+            val score = lam10 * r - (10 - lam10) * maxSim
+            if (score > bestScore || (score == bestScore && id < bestId)) {
+              bestId = id; bestScore = score
+            }
+          }
+        }
+        chosen += bestId
+        out += MmrPick(qid, chosen.size.toLong, bestId, bestScore)
+      }
+      out
+    }.toDF()
+  }
+
   /** Plain-Scala Lloyd's k-means over a BOUNDED driver-side sample —
     * the IVF coarse quantizer. Deterministic: init picks evenly spaced
     * sample points (sample is id-ordered), fixed iteration count, no
-    * RNG. The sample is capped (default 512 vectors), so this is a
-    * constant-size driver computation like the LSH plane literals, not
+    * RNG. The sample is capped (default 512 vectors), not
     * a collect() of the corpus.
     */
   def kmeansCentroids(samples: Array[Array[Double]], k: Int,

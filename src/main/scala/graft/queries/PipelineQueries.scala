@@ -492,6 +492,17 @@ object PipelineQueries {
         books, topk = 10, rerank = 100).orderBy("query_id", "rank")
     }),
 
+    // MMR diversity selection (Carbonell & Goldstein SIGIR'98): greedy
+    // diverse top-8 from a 20-candidate pool per query. Scores are
+    // exact integers over 1e-4-quantized cosines, so the sequential
+    // greedy replays pick-by-pick in the oracle's recursive CTE.
+    "emb_mmr_diverse" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        poolSize = 20, k = 8, lam10 = 7)
+        .orderBy("query_id", "rank")
+    }),
+
     // Sign-bit binary quantization + Hamming ANN (the faiss
     // IndexBinaryFlat shape): 64 float dims pack into ONE BIGINT via a
     // pure mapper; distance is XOR+popcount, ranking (hamming, id) is
@@ -1684,6 +1695,60 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 5)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "emb_mmr_diverse" ->
+      """WITH RECURSIVE cand0 AS MATERIALIZED (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |    CAST(floor(list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]) * 10000) AS BIGINT) AS rel_q
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5),
+        |cand AS MATERIALIZED (
+        |  SELECT query_id, id, rel_q FROM (
+        |    SELECT query_id, id, rel_q,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rel_q DESC, id) AS rn
+        |    FROM cand0)
+        |  WHERE rn <= 20),
+        |p AS MATERIALIZED (
+        |  SELECT a.query_id, a.id AS pa, b.id AS pb,
+        |    CAST(floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |      eb.embedding::DOUBLE[]) * 10000) AS BIGINT) AS sim_q
+        |  FROM cand a
+        |  JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
+        |  JOIN embeddings ea ON ea.vec_id = a.id
+        |  JOIN embeddings eb ON eb.vec_id = b.id),
+        |sel AS (
+        |  SELECT query_id, CAST(1 AS BIGINT) AS rank, id AS vec_id,
+        |    [id] AS chosen, CAST(7 * rel_q AS BIGINT) AS mmr_q
+        |  FROM (SELECT query_id, id, rel_q,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rel_q DESC, id) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  -- joins + nested aggregation only: correlated subqueries and
+        |  -- LATERAL inside the recursion silently lose the s.chosen
+        |  -- correlation in DuckDB 1.0, zeroing every diversity penalty;
+        |  -- argmax is max over a (score, -id) struct (ties → lower id)
+        |  SELECT t.query_id, t.rank + 1, -(t.m).nid,
+        |    list_append(t.chosen, -(t.m).nid), (t.m).score
+        |  FROM (
+        |    SELECT g.query_id, g.rank, g.chosen,
+        |      max(struct_pack(score := g.score, nid := -g.id)) AS m
+        |    FROM (
+        |      SELECT s.query_id, s.rank, s.chosen, c.id,
+        |        CAST(7 * c.rel_q - 3 * coalesce(
+        |          max(CASE WHEN list_contains(s.chosen, p.pb)
+        |            THEN p.sim_q END), 0) AS BIGINT) AS score
+        |      FROM sel s
+        |      JOIN cand c ON c.query_id = s.query_id
+        |        AND NOT list_contains(s.chosen, c.id)
+        |      LEFT JOIN p ON p.query_id = c.query_id AND p.pa = c.id
+        |      WHERE s.rank < 8
+        |      GROUP BY s.query_id, s.rank, s.chosen, c.id, c.rel_q) g
+        |    GROUP BY g.query_id, g.rank, g.chosen) t)
+        |SELECT query_id, rank, vec_id, mmr_q FROM sel
+        |ORDER BY query_id, rank""".stripMargin,
     "emb_hamming_ann" ->
       """WITH s AS (
         |  SELECT vec_id,

@@ -1352,6 +1352,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mmrSelect: diversity penalty breaks up a near-duplicate cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def vec(a: Double, b: Double): Array[Double] =
+      Array(a, b) ++ Array.fill(62)(0.0)
+    // query at (1,0); cluster A = two near-copies close to the query;
+    // B = slightly less relevant but orthogonal-ish direction
+    val rows = Seq(
+      (0L, vec(1.0, 0.0)),       // query
+      (1L, vec(1.0, 0.05)),      // A1 (most relevant)
+      (2L, vec(1.0, 0.06)),      // A2 (near-copy of A1)
+      (3L, vec(0.7, 0.7))).toDF("vec_id", "embedding") // B
+    val picks = Similarity.mmrSelect(rows, rows.filter(col("vec_id") === 0),
+        "vec_id", "embedding", poolSize = 3, k = 2, lam10 = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    // rank 1 = A1 by relevance; at λ=0.3 the sim(A2,A1)≈0.9999 penalty
+    // must skip the near-copy A2 and take B — pure top-k returns (1, 2)
+    assert(picks == Seq(1L, 3L), s"got $picks")
+    // with diversity off (λ=1.0) the near-copy wins again
+    val rel = Similarity.mmrSelect(rows, rows.filter(col("vec_id") === 0),
+        "vec_id", "embedding", poolSize = 3, k = 2, lam10 = 10)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(rel == Seq(1L, 2L), s"got $rel")
+  }
+
   test("ngramNovelty: copies score 0, originals full, tail-extensions only the new grams") {
     import spark.implicits._
     val docs = Seq(
