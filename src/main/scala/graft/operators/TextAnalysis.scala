@@ -530,6 +530,69 @@ object TextAnalysis {
         col("r_ellipsis") && col("r_bullet") && col("r_alpha") && col("r_stopword"))
   }
 
+  /** BPE merge LEARNING (Sennrich et al. ACL'16 — the tokenizer-training
+    * step an LLM data pipeline runs over its corpus): `rounds` byte-pair
+    * merges learned greedily — each round counts adjacent token pairs
+    * over the VOCABULARY (distinct words × frequency, the standard BPE
+    * trick: corpus-size-independent after one distinct-word aggregate),
+    * picks the most frequent pair (ties lexicographic), and applies the
+    * merge left-to-right non-overlapping (space-sentinel `replace`,
+    * identical semantics in Spark and DuckDB, so an oracle replays every
+    * round bit-for-bit).
+    *
+    * Returns one row per round: (round, pair, cnt, vocab_tokens_after)
+    * — the learned merge table plus the shrinking token count that
+    * certifies each merge actually applied.
+    *
+    * Shape at 100 TB: the corpus is touched ONCE (word explode → count
+    * agg); every learning round runs on the vocab (|V| rows), pair
+    * counting is a bounded explode + partial agg, and the only driver
+    * actions are `rounds` 1-row top-pair collects (the exactIvfCentroids
+    * bounded-action precedent). Word-frequency weighting means the
+    * result is exactly what full-corpus BPE would learn.
+    */
+  def bpeLearn(corpus: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vocab = corpus
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // ' c h a r s ' with sentinel spaces so merges are token-boundary-safe
+      .withColumn("s", concat(lit(" "),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")))
+      .select("s", "cnt")
+      .cache()
+    var cur = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val toks = cur.withColumn("t", split(trim(col("s")), " "))
+        .filter(size(col("t")) >= 2) // single-token words carry no pairs
+      val top = toks
+        .select(col("cnt"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect()
+      require(top.nonEmpty, s"bpeLearn: vocabulary exhausted at round $r")
+      val (pair, n) = (top(0).getString(0), top(0).getLong(1))
+      // two plain-replace passes = canonical greedy left-to-right BPE:
+      // one pass misses an occurrence whose leading space was consumed
+      // by the previous match, and such missed occurrences are never
+      // adjacent (a taken match sits between them), so pass 2 gets them
+      // all — identical non-overlapping semantics in DuckDB's replace()
+      val search = lit(s" $pair ")
+      val repl = lit(s" ${pair.replace(" ", "")} ")
+      cur = cur.withColumn("s", replace(replace(col("s"), search, repl), search, repl))
+      val total = cur
+        .select(sum((size(split(trim(col("s")), " ")) * col("cnt")).cast("long")))
+        .head.getLong(0)
+      merges += ((r.toLong, pair, n, total))
+    }
+    merges.toSeq.toDF("round", "pair", "cnt", "vocab_tokens_after")
+  }
+
   /** N-gram NOVELTY quality signal: the fraction of a doc's distinct
     * word-3-grams whose first corpus occurrence (min doc_id claimant)
     * is this doc — exact copies score 0, fresh text scores near 1e6;

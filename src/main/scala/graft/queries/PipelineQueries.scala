@@ -145,6 +145,13 @@ object PipelineQueries {
       TextAnalysis.gopherFilter(dec, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // BPE merge learning (Sennrich et al. ACL'16): 4 greedy merges over
+    // the frequency-weighted vocabulary; the oracle replays every
+    // round's pair count, tie-broken top pick and double-pass merge.
+    "doc_bpe_learn" -> ((s, dir) =>
+      TextAnalysis.bpeLearn(Tables(s, dir, "documents"), "text", 4)
+        .orderBy("round")),
+
     // N-gram novelty over the dup-injected corpus: exact copies score
     // 0, originals keep their grams, tail-extended copies score only
     // the appended grams — the intended gradient.
@@ -1281,6 +1288,41 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_fp,
         |  md5(array_to_string(list(m ORDER BY m), ',')) AS fp_digest
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_bpe_learn" -> {
+      // one CTE block per learned merge: pair counts over the current
+      // vocab state → tie-broken top pick → double-pass replace (the
+      // operator's canonical-greedy trick, see TextAnalysis.bpeLearn)
+      def round(k: Int): String = {
+        val prev = s"v${k - 1}"
+        s"""p$k AS (SELECT t[j] || ' ' || t[j+1] AS pair, cnt
+           |  FROM (SELECT string_split(trim(s), ' ') AS t, cnt FROM $prev),
+           |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) u),
+           |a$k AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p$k GROUP BY pair),
+           |t$k AS MATERIALIZED (SELECT pair, n FROM a$k ORDER BY n DESC, pair LIMIT 1),
+           |v$k AS MATERIALIZED (SELECT
+           |  replace(replace(s, ' ' || (SELECT pair FROM t$k) || ' ',
+           |      ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' '),
+           |    ' ' || (SELECT pair FROM t$k) || ' ',
+           |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' ') AS s, cnt
+           |  FROM $prev)""".stripMargin
+      }
+      def outRow(k: Int): String =
+        s"""SELECT CAST($k AS BIGINT) AS round, (SELECT pair FROM t$k) AS pair,
+           |  (SELECT n FROM t$k) AS cnt,
+           |  (SELECT CAST(sum(len(string_split(trim(s), ' ')) * cnt) AS BIGINT)
+           |   FROM v$k) AS vocab_tokens_after""".stripMargin
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s, cnt
+         |  FROM (
+         |    SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |    WHERE length(w) > 0 GROUP BY w)),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 4).map(outRow).mkString("\nUNION ALL\n")}
+         |) ORDER BY round""".stripMargin
+    },
     "doc_ngram_novelty" ->
       s"""WITH $CORPUS,
         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),

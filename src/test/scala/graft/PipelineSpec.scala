@@ -1352,6 +1352,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeLearn: hand-computed merges incl. the run case and frequency weighting") {
+    import spark.implicits._
+    // vocab: aaab ×2, ab ×1
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeLearn(docs, "text", 3)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("vocab_tokens_after")))
+    // r1: 'a a' ×4 (run a,a,a merges greedily left-to-right → aa,a);
+    // r2: 'a b' ×3; r3: 'aa ab' ×2 → vocab fully merged
+    assert(out(0) == (("a a", 4L, 8L)), s"r1 ${out(0)}")
+    assert(out(1) == (("a b", 3L, 5L)), s"r2 ${out(1)}")
+    assert(out(2) == (("aa ab", 2L, 3L)), s"r3 ${out(2)}")
+    // a further round has no pairs left → loud failure, not a silent row
+    val ex = intercept[Exception] {
+      TextAnalysis.bpeLearn(docs, "text", 4).collect()
+    }
+    assert(ex.getMessage.contains("vocabulary exhausted"))
+  }
+
   test("mmrSelect: diversity penalty breaks up a near-duplicate cluster") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
