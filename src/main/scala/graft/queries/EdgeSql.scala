@@ -359,7 +359,34 @@ object EdgeSql {
       .orderBy("event_type", "tile")
   }
 
+  /** Date/interval arithmetic zoo (DataFusion time_functions surface
+    * beyond q_time_funcs' extraction set): day/month offsets with
+    * month-end clamping, month boundaries, day diffs, calendar fields,
+    * ISO week truncation — ops with bit-identical cross-engine
+    * semantics (Spark's Sunday=1 dayofweek is shifted to DuckDB's
+    * Sunday=0). Pure projection.
+    */
+  def qTimeArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 30)
+      .withColumn("d", to_date(col("ts")))
+      .select(
+        col("event_id"),
+        col("d"),
+        date_add(col("d"), 7).as("plus7"),
+        add_months(col("d"), 2).as("plus2m"),
+        last_day(col("d")).as("month_end"),
+        datediff(col("d"), lit(java.sql.Date.valueOf("1995-01-01")))
+          .cast("long").as("days_since"),
+        (dayofweek(col("d")) - 1).cast("long").as("dow_sun0"),
+        quarter(col("d")).cast("long").as("q"),
+        date_trunc("week", col("ts")).as("week_start"),
+        hour(col("ts")).cast("long").as("hh"),
+        minute(col("ts")).cast("long").as("mi"))
+      .orderBy("event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_arith" -> qTimeArith,
     "q_unnest" -> qUnnest,
     "q_ntile" -> qNtile,
     "q_array_funcs" -> qArrayFuncs,
@@ -383,6 +410,19 @@ object EdgeSql {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_time_arith" ->
+      """SELECT event_id, CAST(ts AS DATE) AS d,
+        |  CAST(ts AS DATE) + 7 AS plus7,
+        |  CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  last_day(CAST(ts AS DATE)) AS month_end,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS days_since,
+        |  CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow_sun0,
+        |  CAST(quarter(CAST(ts AS DATE)) AS BIGINT) AS q,
+        |  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week_start,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hh,
+        |  CAST(minute(CAST(ts AS TIMESTAMP)) AS BIGINT) AS mi
+        |FROM events WHERE user_id < 30 ORDER BY event_id""".stripMargin,
     "q_unnest" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS c,
