@@ -593,6 +593,31 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "pair", "cnt", "vocab_tokens_after")
   }
 
+  /** BPE segmentation APPLY — the tokenizer-serving path: every word
+    * segmented by an ordered merge list (each merge the same double-pass
+    * canonical-greedy replace as [[bpeLearn]]), returning per-doc BPE
+    * token and word counts. PURE MAPPER: the merge table rides into the
+    * plan as literals and all work is codegen'd higher-order
+    * string/array functions — at 100 TB tokenization is the
+    * embarrassingly parallel pass it should be, no shuffle, no state.
+    */
+  def bpeApply(corpus: DataFrame, idCol: String, textCol: String,
+               merges: Seq[String]): DataFrame = {
+    val words = split(col(textCol), " ")
+    val seg = transform(words, w => {
+      val spaced = concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
+      merges.foldLeft(spaced) { (acc, pair) =>
+        val search = lit(s" $pair ")
+        val repl = lit(s" ${pair.replace(" ", "")} ")
+        replace(replace(acc, search, repl), search, repl)
+      }
+    })
+    corpus.select(col(idCol),
+      aggregate(seg, lit(0L),
+        (acc, x) => acc + size(split(trim(x), " ")).cast("long")).as("n_tokens_bpe"),
+      size(words).cast("long").as("n_words"))
+  }
+
   /** N-gram NOVELTY quality signal: the fraction of a doc's distinct
     * word-3-grams whose first corpus occurrence (min doc_id claimant)
     * is this doc — exact copies score 0, fresh text scores near 1e6;

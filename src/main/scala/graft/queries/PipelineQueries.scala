@@ -31,6 +31,37 @@ object PipelineQueries {
   private val ChunkLineRe = "((\\S+ ){7}\\S+) "
   private val ChunkLineRepl = "\\1"
 
+  /** v0 = the frequency-weighted spaced vocabulary both BPE oracles
+    * start from (doc_bpe_learn / doc_bpe_apply).
+    */
+  private val BpeV0 =
+    """v0 AS MATERIALIZED (
+      |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS s, cnt
+      |  FROM (
+      |    SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |    WHERE length(w) > 0 GROUP BY w))""".stripMargin
+
+  /** One BPE learning round as CTEs: pair counts over vocab state
+    * v(k−1) → tie-broken top pick t(k) → double-pass merge into v(k)
+    * (the canonical-greedy trick, see TextAnalysis.bpeLearn).
+    */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = s"v${k - 1}"
+    s"""p$k AS (SELECT t[j] || ' ' || t[j+1] AS pair, cnt
+       |  FROM (SELECT string_split(trim(s), ' ') AS t, cnt FROM $prev),
+       |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) u),
+       |a$k AS MATERIALIZED (
+       |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p$k GROUP BY pair),
+       |t$k AS MATERIALIZED (SELECT pair, n FROM a$k ORDER BY n DESC, pair LIMIT 1),
+       |v$k AS MATERIALIZED (SELECT
+       |  replace(replace(s, ' ' || (SELECT pair FROM t$k) || ' ',
+       |      ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' '),
+       |    ' ' || (SELECT pair FROM t$k) || ' ',
+       |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' ') AS s, cnt
+       |  FROM $prev)""".stripMargin
+  }
+
   private val CORPUS =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -151,6 +182,15 @@ object PipelineQueries {
     "doc_bpe_learn" -> ((s, dir) =>
       TextAnalysis.bpeLearn(Tables(s, dir, "documents"), "text", 4)
         .orderBy("round")),
+
+    // BPE APPLY: the serving path — learn the 4 merges, then segment
+    // the whole corpus as a pure mapper (merge table as literals).
+    "doc_bpe_apply" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = TextAnalysis.bpeLearn(docs, "text", 4).orderBy("round")
+        .collect().map(_.getAs[String]("pair")).toSeq
+      TextAnalysis.bpeApply(docs, "doc_id", "text", merges).orderBy("doc_id")
+    }),
 
     // N-gram novelty over the dup-injected corpus: exact copies score
     // 0, originals keep their grams, tail-extended copies score only
@@ -1289,39 +1329,35 @@ object PipelineQueries {
         |  md5(array_to_string(list(m ORDER BY m), ',')) AS fp_digest
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_bpe_learn" -> {
-      // one CTE block per learned merge: pair counts over the current
-      // vocab state → tie-broken top pick → double-pass replace (the
-      // operator's canonical-greedy trick, see TextAnalysis.bpeLearn)
-      def round(k: Int): String = {
-        val prev = s"v${k - 1}"
-        s"""p$k AS (SELECT t[j] || ' ' || t[j+1] AS pair, cnt
-           |  FROM (SELECT string_split(trim(s), ' ') AS t, cnt FROM $prev),
-           |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) u),
-           |a$k AS MATERIALIZED (
-           |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p$k GROUP BY pair),
-           |t$k AS MATERIALIZED (SELECT pair, n FROM a$k ORDER BY n DESC, pair LIMIT 1),
-           |v$k AS MATERIALIZED (SELECT
-           |  replace(replace(s, ' ' || (SELECT pair FROM t$k) || ' ',
-           |      ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' '),
-           |    ' ' || (SELECT pair FROM t$k) || ' ',
-           |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' ') AS s, cnt
-           |  FROM $prev)""".stripMargin
-      }
       def outRow(k: Int): String =
         s"""SELECT CAST($k AS BIGINT) AS round, (SELECT pair FROM t$k) AS pair,
            |  (SELECT n FROM t$k) AS cnt,
            |  (SELECT CAST(sum(len(string_split(trim(s), ' ')) * cnt) AS BIGINT)
            |   FROM v$k) AS vocab_tokens_after""".stripMargin
-      s"""WITH v0 AS MATERIALIZED (
-         |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s, cnt
-         |  FROM (
-         |    SELECT w, CAST(count(*) AS BIGINT) AS cnt
-         |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |    WHERE length(w) > 0 GROUP BY w)),
-         |${(1 to 4).map(round).mkString(",\n")}
+      s"""WITH $BpeV0,
+         |${(1 to 4).map(bpeRoundSql).mkString(",\n")}
          |SELECT * FROM (
          |${(1 to 4).map(outRow).mkString("\nUNION ALL\n")}
          |) ORDER BY round""".stripMargin
+    },
+    "doc_bpe_apply" -> {
+      // segment every word with the 4 learned merges in order (each a
+      // double-pass replace, same canonical-greedy trick as learning)
+      def app(inner: String, k: Int): String = {
+        val pat = s"' ' || (SELECT pair FROM t$k) || ' '"
+        val rep = s"' ' || replace((SELECT pair FROM t$k), ' ', '') || ' '"
+        s"replace(replace($inner, $pat, $rep), $pat, $rep)"
+      }
+      val sExpr = (1 to 4).foldLeft(
+        "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '")(app)
+      s"""WITH $BpeV0,
+         |${(1 to 4).map(bpeRoundSql).mkString(",\n")},
+         |wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |seg AS (SELECT doc_id, $sExpr AS s FROM wds)
+         |SELECT doc_id,
+         |  CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(count(*) AS BIGINT) AS n_words
+         |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "doc_ngram_novelty" ->
       s"""WITH $CORPUS,

@@ -1372,6 +1372,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("vocabulary exhausted"))
   }
 
+  test("bpeApply: segmentation counts follow the merge list order") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab ab"), (2L, "xyz")).toDF("doc_id", "text")
+    // merges learned on the bpeLearn fixture: 'a a' → 'a b' → 'aa ab'
+    val out = TextAnalysis.bpeApply(docs, "doc_id", "text",
+        Seq("a a", "a b", "aa ab"))
+      .orderBy("doc_id").collect()
+    // aaab → aa,a,b → aa,ab → aaab (1 token); ab → ab (1 token)
+    assert(out(0).getAs[Long]("n_tokens_bpe") == 2 && out(0).getAs[Long]("n_words") == 2)
+    // xyz: no merges apply → 3 char tokens
+    assert(out(1).getAs[Long]("n_tokens_bpe") == 3 && out(1).getAs[Long]("n_words") == 1)
+  }
+
   test("mmrSelect: diversity penalty breaks up a near-duplicate cluster") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
