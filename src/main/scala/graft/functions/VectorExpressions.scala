@@ -130,7 +130,64 @@ case class PqEncodeCodes(left: Expression, right: Expression)
   override def prettyName: String = "pq_encode"
 }
 
+/** bin_sig(vec) → BIGINT sign-bit signature: bit i set iff v[i] > 0.
+  * One tight primitive pass over the raw float/double array — no
+  * array cast, no 64-term CASE chain. The composed-expression form
+  * (64 when/element_at terms over a per-term array cast) measured
+  * 13 µs/pair at sf10 because Catalyst collapsed the projection ABOVE
+  * the broadcast join and re-evaluated it per (query, row) pair; the
+  * kernel is ~100 ns/row wherever the optimizer puts it — the same
+  * composed-tree-vs-kernel lesson as [[PqEncodeCodes]].
+  */
+case class BinarySignature(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bin_sig requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    VectorKernels.binSig(v, isFloat)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.binSig($v, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bin_sig"
+}
+
 object VectorKernels {
+  /** See [[BinarySignature]]. Capped at 64 dims (one machine word);
+    * longer vectors raise rather than silently truncating.
+    */
+  def binSig(v: ArrayData, isFloat: Boolean): Long = {
+    val n = v.numElements()
+    if (n > 64) throw new IllegalArgumentException(
+      s"bin_sig packs into one 64-bit word, got $n dims")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      if (x > 0) s |= (1L << i)
+      i += 1
+    }
+    s
+  }
+
   /** See [[PqEncodeCodes]]. Exact integer arithmetic throughout: q and
     * codebook components are ≤1e6-grid ints, per-subspace distances ≤
     * sub·(2e6)² fit a Long with room to spare.
@@ -184,5 +241,7 @@ object VectorExpressions {
       "vec_dot", Arity.binary("vec_dot")(VecDot), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", Arity.binary("pq_encode")(PqEncodeCodes), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bin_sig", Arity.unary("bin_sig")(BinarySignature), "built-in")
   }
 }
