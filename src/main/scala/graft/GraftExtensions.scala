@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Arity, ArrayOverlapCount, BinarySignature, BpeTokenCount, CharNgramSet, CharSetCount, MinhashSig, NonAlnumSpaceCount, NumGcd, NumLcm, SimHash60, VecDot, WordSetCount, WordShingleSet, ZorderKey}
+import graft.functions.{Arity, ArrayOverlapCount, BinarySignature, BpeSegCount, BpeTokenCount, CharNgramSet, CharSetCount, MinhashSig, NonAlnumSpaceCount, NumGcd, NumLcm, SimHash60, VecDot, WordSetCount, WordShingleSet, ZorderKey}
 
 /** SparkSessionExtensions hook: registers graft's native expressions
   * permanently in a session built with
@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Arity.binary("vec_dot")(VecDot)))
     ext.injectFunction((FunctionIdentifier("bin_sig"), info("bin_sig"),
       Arity.unary("bin_sig")(BinarySignature)))
+    ext.injectFunction((FunctionIdentifier("bpe_seg_count"), info("bpe_seg_count"),
+      Arity.binary("bpe_seg_count")(BpeSegCount)))
     ext.injectFunction((FunctionIdentifier("num_gcd"), info("num_gcd"),
       Arity.binary("num_gcd")(NumGcd)))
     ext.injectFunction((FunctionIdentifier("num_lcm"), info("num_lcm"),

@@ -250,6 +250,42 @@ object TextKernels {
     * one per letter run, one per digit run, one per other
     * non-whitespace char (\s = Java/RE2 default [ \t\n\x0B\f\r]).
     */
+  /** See [[BpeSegCount]]: canonical greedy left-to-right merge per
+    * word, counts only (the serving path never materializes segment
+    * strings it won't ship).
+    */
+  def bpeSegCount(t: UTF8String, merges: Array[(String, String)]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = t.toString.split(" ", -1)
+    var total = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.isEmpty) total += 1 // composed-path trim/split quirk
+      else {
+        var toks: Array[String] = new Array[String](w.length)
+        var ci = 0
+        while (ci < w.length) { toks(ci) = String.valueOf(w.charAt(ci)); ci += 1 }
+        var mi = 0
+        while (mi < merges.length) {
+          val (x, y) = merges(mi)
+          val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+              out += x + y; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.toArray
+          mi += 1
+        }
+        total += toks.length
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](total, words.length.toLong))
+  }
+
   def bpeTokenCount(t: UTF8String): Int = {
     val s = t.toString
     var count = 0
@@ -631,6 +667,54 @@ case class BpeTokenCount(child: Expression)
   override def prettyName: String = "bpe_token_count"
 }
 
+/** bpe_seg_count(text, mergesSpec) → array<long> [n_tokens_bpe,
+  * n_words]: every space-separated word segmented to characters and
+  * merged by the ordered BPE merge list (canonical greedy
+  * left-to-right, the same result as TextAnalysis.bpeApply's
+  * double-pass replace chain), counts summed per doc. The composed
+  * transform/replace formulation is interpreted (HOFs have no codegen)
+  * and re-allocates per merge per word — this kernel is one pass per
+  * word with the merge table parsed ONCE per expression instance from
+  * the literal spec ("x y;ab c;…"), the PqEncodeCodes discipline.
+  * Empty words count one token (the composed path's trim/split quirk,
+  * preserved for bit-equality).
+  */
+case class BpeSegCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"bpe_seg_count requires (string, string), got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  // the merge spec is a literal: parse once per expression instance
+  @transient private lazy val merges: Array[(String, String)] = {
+    val s = right.eval(null).asInstanceOf[UTF8String].toString
+    if (s.isEmpty) Array.empty
+    else s.split(";", -1).map { m =>
+      val i = m.indexOf(' ')
+      require(i > 0, s"bpe_seg_count: malformed merge '$m'")
+      (m.substring(0, i), m.substring(i + 1))
+    }
+  }
+
+  override def nullSafeEval(t: Any, spec: Any): Any =
+    TextKernels.bpeSegCount(t.asInstanceOf[UTF8String], merges)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mergesRef = ctx.addReferenceObj("bpeMerges", merges, "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.TextKernels.bpeSegCount($t, $mergesRef);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "bpe_seg_count"
+}
+
 /** ws_normalize(text) → text with every whitespace run collapsed to one
   * space (single-pass regexp_replace(text, '\s+', ' ')).
   */
@@ -782,5 +866,7 @@ object TextExpressions {
       Arity.binary("dsir_score")(DsirScore), "built-in")
     reg.createOrReplaceTempFunction("alpha_word_count",
       Arity.unary("alpha_word_count")(AlphaWordCount), "built-in")
+    reg.createOrReplaceTempFunction("bpe_seg_count",
+      Arity.binary("bpe_seg_count")(BpeSegCount), "built-in")
   }
 }

@@ -602,7 +602,29 @@ object TextAnalysis {
     * embarrassingly parallel pass it should be, no shuffle, no state.
     */
   def bpeApply(corpus: DataFrame, idCol: String, textCol: String,
-               merges: Seq[String]): DataFrame = {
+               merges: Seq[String]): DataFrame =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        // native kernel: one pass per word, merge table parsed once —
+        // the composed HOF chain below is interpreted and measured 6×
+        // slower at sf10 (58.8 s vs the kernel)
+        graft.functions.TextExpressions.register(s)
+        require(merges.forall(m => !m.contains(";")),
+          s"bpeApply: merge tokens must not contain the ';' spec separator")
+        val spec = lit(merges.mkString(";"))
+        corpus.select(col(idCol),
+          element_at(call_function("bpe_seg_count", col(textCol), spec), 1)
+            .as("n_tokens_bpe"),
+          element_at(call_function("bpe_seg_count", col(textCol), spec), 2)
+            .as("n_words"))
+      case None => bpeApplyComposed(corpus, idCol, textCol, merges)
+    }
+
+  /** Sessionless fallback for [[bpeApply]] — the pure-functions
+    * formulation the kernel must agree with (pinned by spec).
+    */
+  private[graft] def bpeApplyComposed(corpus: DataFrame, idCol: String, textCol: String,
+                                      merges: Seq[String]): DataFrame = {
     val words = split(col(textCol), " ")
     val seg = transform(words, w => {
       val spaced = concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))

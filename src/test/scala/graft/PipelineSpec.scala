@@ -1372,6 +1372,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("vocabulary exhausted"))
   }
 
+  test("bpe_seg_count kernel ≡ the composed transform/replace chain") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab ab aa a"), (2L, "xyz"), (3L, "queue bb bbb bbbb"))
+      .toDF("doc_id", "text")
+    val merges = Seq("a a", "a b", "aa ab", "b b")
+    val k = TextAnalysis.bpeApply(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val c = TextAnalysis.bpeApplyComposed(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(k == c, s"kernel $k vs composed $c")
+    // real corpus sample too
+    val real = Tables(spark, sf, "documents").limit(50)
+    val rk = TextAnalysis.bpeApply(real, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val rc = TextAnalysis.bpeApplyComposed(real, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(rk == rc)
+  }
+
   test("bpeApply: segmentation counts follow the merge list order") {
     import spark.implicits._
     val docs = Seq((1L, "aaab ab"), (2L, "xyz")).toDF("doc_id", "text")
