@@ -659,7 +659,11 @@ object TextAnalysis {
     val sh = corpus
       .select(col(idCol),
         explode(call_function("word_shingle_set", col(textCol))).as("sh"))
-      .withColumn("h", md5(col("sh")))
+      // 8-byte shuffle key (narrower AND cheaper than md5's 32-hex);
+      // a cross-gram collision (p ≈ pairs/2⁶⁴) would merge two
+      // claimants — the same documented tradeoff as the stream lanes'
+      // series keying
+      .withColumn("h", xxhash64(col("sh")))
     val claim = sh.groupBy("h").agg(min(col(idCol)).as("claimant"))
     val scored = sh.join(claim, Seq("h"))
       .groupBy(idCol)
