@@ -561,6 +561,26 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN RECALL REPORT (the index-evaluation surface every ANN
+    // deployment needs): per query |hamming-top10 ∩ exact-cosine-top10|
+    // — both rankings are engine-exact (integer hamming, the cosine
+    // ranking emb_cosine_topk already hash-checks), so the recall
+    // counts themselves hash-check; no tolerance boolean needed.
+    "emb_ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val truth = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+      val ham = Similarity.hammingAnn(emb, q, "vec_id", "embedding", dims = 64, k = 10)
+        .select("query_id", "neighbor_id")
+      truth.join(ham, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+        .join(q.select(col("vec_id").as("query_id")), Seq("query_id"), "right")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .withColumn("recall_pct", (col("n_common") * 10).cast("long"))
+        .orderBy("query_id")
+    }),
+
     // REAL image decode: construct genuine 24-bit BMPs from doc_id,
     // decode headers + average the actual pixel bytes; the oracle
     // recomputes geometry, byte size (incl. 4-byte row padding) and the
@@ -1827,6 +1847,46 @@ object PipelineQueries {
         |    GROUP BY g.query_id, g.rank, g.chosen) t)
         |SELECT query_id, rank, vec_id, mmr_q FROM sel
         |ORDER BY query_id, rank""".stripMargin,
+    "emb_ann_recall" ->
+      """WITH sg AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN embedding[u.i + 1] > 0
+        |      THEN CASE WHEN u.i = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+        |        ELSE CAST(CAST(1 AS BIGINT) << u.i AS HUGEINT) END
+        |      ELSE CAST(0 AS HUGEINT) END)
+        |      AS BIGINT) AS sig
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY vec_id),
+        |ham AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS rank
+        |    FROM sg q JOIN sg c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 20)
+        |  WHERE rank <= 10),
+        |tru AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(q.embedding::DOUBLE[],
+        |          c.embedding::DOUBLE[]) DESC,
+        |        c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 20)
+        |  WHERE rank <= 10),
+        |j AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM tru t JOIN ham h
+        |    ON h.query_id = t.query_id AND h.neighbor_id = t.neighbor_id
+        |  GROUP BY t.query_id)
+        |SELECT q.vec_id AS query_id,
+        |  coalesce(c, 0) AS n_common,
+        |  coalesce(c, 0) * 10 AS recall_pct
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) q
+        |LEFT JOIN j ON j.query_id = q.vec_id
+        |ORDER BY query_id""".stripMargin,
     "emb_hamming_ann" ->
       """WITH s AS (
         |  SELECT vec_id,
