@@ -241,6 +241,34 @@ object TimeSeriesQueries {
         .withColumnRenamed("bucket", "bucket_us")
         .orderBy("event_type", "bucket_us")),
 
+    // Cascading rollup chain (the materialized-rollup pattern every
+    // metrics lake runs: 10min partials → hour → day, raw rows touched
+    // ONCE at the bottom level): (n, Σcents, min, max) merge
+    // associatively up the chain, and the oracle aggregates the RAW
+    // table directly at day level — hash equality proves the cascade's
+    // merges are lossless, the property that lets a 100 TB lake serve
+    // day queries from hour partials without rescans.
+    "ts_rollup_cascade" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+      val l0 = e.groupBy(col("event_type"), window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+          min("c").as("mn"), max("c").as("mx"))
+        .select(col("event_type"), col("w.start").as("t10"),
+          col("n"), col("sc"), col("mn"), col("mx"))
+      val l1 = l0.groupBy(col("event_type"), date_trunc("hour", col("t10")).as("th"))
+        .agg(sum("n").as("n"), sum("sc").as("sc"),
+          min("mn").as("mn"), max("mx").as("mx"))
+      val l2 = l1.groupBy(col("event_type"), date_trunc("day", col("th")).as("td"))
+        .agg(sum("n").as("n"), sum("sc").as("sc"),
+          min("mn").as("mn"), max("mx").as("mx"))
+      l2.select(col("event_type"), unix_micros(col("td")).as("day_us"),
+          col("n"), (col("sc").cast("double") / 100.0).as("volume"),
+          (col("mn").cast("double") / 100.0).as("min_v"),
+          (col("mx").cast("double") / 100.0).as("max_v"))
+        .orderBy("event_type", "day_us")
+    }),
+
     // Bollinger bands per series (trailing 20-row frame): exact-integer
     // frame sums (S, Q, n), each band ONE mirrored float expression
     // (S ± 2·√(nQ−S²))/n — the TA volatility envelope, engine-stable.
@@ -1134,6 +1162,15 @@ object TimeSeriesQueries {
         |  ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id
         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         |ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_rollup_cascade" ->
+      s"""SELECT event_type,
+         |  epoch_us(date_trunc('day', ts)) AS day_us,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS volume,
+         |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_v,
+         |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_v
+         |FROM $E GROUP BY event_type, day_us
+         |ORDER BY event_type, day_us""".stripMargin,
     "ts_bollinger" ->
       """WITH e AS (
         |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c,
