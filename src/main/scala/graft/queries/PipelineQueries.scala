@@ -374,6 +374,30 @@ object PipelineQueries {
       Dedup.nearDedupKeep(corpus(s, dir), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
 
+    // DEDUP QUALITY REPORT (the eval every dedup deployment runs before
+    // trusting a keep-set): near-dup drops scored against the exact-dup
+    // ground truth the injected corpus provides — TP (exact dups
+    // caught), FN (exact dups missed), extra (near-only drops, i.e. the
+    // +2e6 tail-extended copies only MinHash can see). All integer
+    // counts in ONE lazy plan (six aggregates cross-joined, no driver
+    // actions).
+    "doc_dedup_eval" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val kept = Dedup.nearDedupKeep(c, "doc_id", "text").select("doc_id")
+      val nearDrop = c.select("doc_id").join(kept, Seq("doc_id"), "left_anti")
+      val canon = c.groupBy("text").agg(min("doc_id").as("canon"))
+      val exactDrop = c.join(canon, Seq("text"))
+        .filter(col("doc_id") > col("canon")).select("doc_id")
+      def cnt(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).cast("long").as(name))
+      cnt(c, "n_docs")
+        .crossJoin(cnt(exactDrop, "exact_drops"))
+        .crossJoin(cnt(nearDrop, "near_drops"))
+        .crossJoin(cnt(exactDrop.join(nearDrop, Seq("doc_id")), "tp"))
+        .crossJoin(cnt(exactDrop.join(nearDrop, Seq("doc_id"), "left_anti"), "fn"))
+        .crossJoin(cnt(nearDrop.join(exactDrop, Seq("doc_id"), "left_anti"), "extra"))
+    }),
+
     // Cluster composition against the first-8-ids reference vectors:
     // max-cosine assignment, per-cluster count / mean / min cosine on
     // a pre-quantized grid (exact integer aggregation).
@@ -1682,6 +1706,23 @@ object PipelineQueries {
         |SELECT c.doc_id FROM corpus c
         |WHERE c.doc_id NOT IN (SELECT id_b FROM pairs)
         |ORDER BY c.doc_id""".stripMargin,
+    "doc_dedup_eval" ->
+      s"""WITH $MINHASH_CTES,
+        |near_drop AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+        |exact_drop AS (
+        |  SELECT c.doc_id FROM corpus c
+        |  JOIN (SELECT text, min(doc_id) AS canon FROM corpus GROUP BY text) g
+        |    ON g.text = c.text AND c.doc_id > g.canon)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM exact_drop) AS exact_drops,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM near_drop) AS near_drops,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM exact_drop e
+        |     JOIN near_drop n ON n.doc_id = e.doc_id) AS tp,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM exact_drop e
+        |     WHERE e.doc_id NOT IN (SELECT doc_id FROM near_drop)) AS fn,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM near_drop n
+        |     WHERE n.doc_id NOT IN (SELECT doc_id FROM exact_drop)) AS extra""".stripMargin,
     "emb_cluster_stats" ->
       """WITH c AS (
         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
