@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -240,6 +241,23 @@ object TimeSeriesQueries {
           unix_micros(date_trunc("hour", col("ts"))), Seq("ts_us", "event_id"), "value")
         .withColumnRenamed("bucket", "bucket_us")
         .orderBy("event_type", "bucket_us")),
+
+    // Gap-detection report (the missing-data ops surface: where did a
+    // series go silent?): adjacent-sample deltas over the per-series
+    // sort, gaps > 10 min emitted with exact-µs bounds and duration.
+    // One sort exchange per series — the standard lag-window shape.
+    "ts_gap_report" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNotNull &&
+          col("ts_us") - col("prev_us") > 600000000L)
+        .select(col("event_type"), col("prev_us").as("gap_start_us"),
+          col("ts_us").as("gap_end_us"),
+          (col("ts_us") - col("prev_us")).as("gap_us"))
+        .orderBy("event_type", "gap_start_us")
+    }),
 
     // Cascading rollup chain (the materialized-rollup pattern every
     // metrics lake runs: 10min partials → hour → day, raw rows touched
@@ -1162,6 +1180,17 @@ object TimeSeriesQueries {
         |  ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id
         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         |ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_gap_report" ->
+      s"""WITH d AS (
+         |  SELECT event_type, epoch_us(ts) AS ts_us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY event_type
+         |      ORDER BY epoch_us(ts), event_id) AS prev_us
+         |  FROM $E)
+         |SELECT event_type, prev_us AS gap_start_us, ts_us AS gap_end_us,
+         |  ts_us - prev_us AS gap_us
+         |FROM d
+         |WHERE prev_us IS NOT NULL AND ts_us - prev_us > 600000000
+         |ORDER BY event_type, gap_start_us""".stripMargin,
     "ts_rollup_cascade" ->
       s"""SELECT event_type,
          |  epoch_us(date_trunc('day', ts)) AS day_us,
