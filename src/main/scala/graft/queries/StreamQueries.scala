@@ -310,6 +310,29 @@ object StreamQueries {
         .orderBy("event_type", "bucket_us")
     }),
 
+    // Streaming rollup cascade: the stream emits 10-min exact-integer
+    // partials; a batch query merges closed windows to DAY level —
+    // because (n, Σcents, min, max) merge associatively the result is
+    // bit-equal to the oracle's direct day aggregate over the raw lake.
+    // Clip = whole days strictly before the corpus max (every 10-min
+    // window of a kept day is watermark-closed).
+    "stream_rollup" -> ((s, dir) => {
+      val src = eventsStream(s, dir)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      val partials = StreamIngest.rollupPartials(src, "tstamp", "event_type",
+        "value", "10 minutes", "0 seconds")
+      val sink = replay(s, partials, "stream_rollup_sink")
+      val maxUs = globalMaxUs(s, dir)
+      sink.withColumn("day_us", unix_micros(date_trunc("day", col("w_start"))))
+        .filter(col("day_us") + lit(86400000000L) < maxUs)
+        .groupBy("event_type", "day_us")
+        .agg(sum("n").as("n"),
+          (sum("sc").cast("double") / 100.0).as("volume"),
+          (min("mn").cast("double") / 100.0).as("min_v"),
+          (max("mx").cast("double") / 100.0).as("max_v"))
+        .orderBy("event_type", "day_us")
+    }),
+
     // Streaming quantile sketch: each closed (event_type, hour) window
     // emits its deterministic log-histogram bins (O(bins) state, the
     // UddSketch/percentile_agg continuous shape); the p50/p95 read-off
@@ -521,6 +544,18 @@ object StreamQueries {
          |GROUP BY event_type, w_start_us, mx
          |HAVING w_start_us + 3600000000 < mx
          |ORDER BY event_type, w_start_us""".stripMargin,
+    "stream_rollup" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+         |SELECT event_type,
+         |  epoch_us(date_trunc('day', ts)) AS day_us,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS volume,
+         |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_v,
+         |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_v
+         |FROM $E, m
+         |WHERE epoch_us(date_trunc('day', ts)) + 86400000000 < mx
+         |GROUP BY event_type, day_us, mx
+         |ORDER BY event_type, day_us""".stripMargin,
     "stream_quantile" ->
       s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
          |b AS (

@@ -113,6 +113,25 @@ object StreamIngest {
       .select(col(keyCol), col("w.start").as("w_start"), col("bid"), col("bn"))
   }
 
+  /** Streaming ROLLUP PARTIALS per (key, window): exact-integer
+    * (n, Σcents, min, max) — the mergeable bottom level of a
+    * materialized-rollup chain (the streaming half of
+    * `ts_rollup_cascade`): a downstream batch query merges closed
+    * windows to hour/day without ever rescanning raw rows, and because
+    * the merge is associative the result is bit-equal to aggregating
+    * the raw table directly. Works on batch or streaming frames alike.
+    */
+  def rollupPartials(events: DataFrame, tsCol: String, keyCol: String,
+                     valueCol: String, win: String, watermark: String): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    wm.withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .groupBy(window(col(tsCol), win).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("__c").as("sc"),
+        min("__c").as("mn"), max("__c").as("mx"))
+      .select(col(keyCol), col("w.start").as("w_start"),
+        col("n"), col("sc"), col("mn"), col("mx"))
+  }
+
   /** File-source streaming reader over a parquet directory (the lake's
     * landing zone at scale; a single file locally via pathGlobFilter).
     */
