@@ -278,7 +278,8 @@ object Similarity {
   /** Plain-Scala Lloyd's k-means over a BOUNDED driver-side sample —
     * the IVF coarse quantizer. Deterministic: init picks evenly spaced
     * sample points (sample is id-ordered), fixed iteration count, no
-    * RNG. The sample is capped (default 512 vectors), not
+    * RNG. The sample is capped (default 512 vectors), so this is a
+    * constant-size driver computation like the LSH plane literals, not
     * a collect() of the corpus.
     */
   def kmeansCentroids(samples: Array[Array[Double]], k: Int,
