@@ -160,6 +160,30 @@ object PipelineQueries {
       TextAnalysis.winnowFingerprints(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // MOSS winnow PAIR overlap (Schleimer et al. SIGMOD'03 §4 — what
+    // the fingerprints are FOR: scoring document pairs): shared
+    // fingerprints + containment fraction over the derived
+    // (original, copy) and (original, extension) pairs. Sets come from
+    // the same winnow_set kernel; overlap is one array_intersect per
+    // bounded pair — the corpus is scanned once for fingerprints, only
+    // (id, fp-set) rows join.
+    "doc_winnow_pairs" -> ((s, dir) => {
+      graft.functions.TextExpressions.register(s)
+      val c = corpus(s, dir)
+        .withColumn("fp", call_function("winnow_set", col("text")))
+      val a = c.select(col("doc_id").as("doc_a"), col("fp").as("fpa"))
+      val b = c.select(col("doc_id").as("doc_b"), col("fp").as("fpb"))
+      val p1 = a.join(b.withColumn("doc_a", col("doc_b") - 1000000L), Seq("doc_a"))
+      val p2 = a.join(b.withColumn("doc_a", col("doc_b") - 2000000L), Seq("doc_a"))
+      p1.unionByName(p2)
+        .withColumn("n_a", size(col("fpa")).cast("long"))
+        .withColumn("n_b", size(col("fpb")).cast("long"))
+        .withColumn("common", size(array_intersect(col("fpa"), col("fpb"))).cast("long"))
+        .withColumn("cont_a", expr("common * 1000000 div n_a"))
+        .select("doc_a", "doc_b", "n_a", "n_b", "common", "cont_a")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Gopher-class rule filter (Rae et al. 2021): the corpus is
     // decorated deterministically on BOTH sides (bullet lines /
     // ellipsis tails / '#' runs / truncation, keyed on doc_id) so every
@@ -1349,6 +1373,43 @@ object PipelineQueries {
         |  CAST(sum(w.w) AS BIGINT) // CAST(count(*) AS BIGINT) AS dsir_score
         |FROM toks JOIN w ON w.b = toks.b
         |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin,
+    "doc_winnow_pairs" ->
+      s"""WITH $CORPUS,
+        |ch AS (
+        |  SELECT doc_id, j,
+        |    (  CAST(ord(substr(text, j,     1)) AS BIGINT) * 617266377
+        |     + CAST(ord(substr(text, j + 1, 1)) AS BIGINT) * 913108910
+        |     + CAST(ord(substr(text, j + 2, 1)) AS BIGINT) * 579489385
+        |     + CAST(ord(substr(text, j + 3, 1)) AS BIGINT) * 294499921
+        |     + CAST(ord(substr(text, j + 4, 1)) AS BIGINT) * 2248091
+        |     + CAST(ord(substr(text, j + 5, 1)) AS BIGINT) * 17161
+        |     + CAST(ord(substr(text, j + 6, 1)) AS BIGINT) * 131
+        |     + CAST(ord(substr(text, j + 7, 1)) AS BIGINT)) % 1000000007 AS h
+        |  FROM corpus,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS j) u),
+        |wm AS (
+        |  SELECT doc_id, j,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY j
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM ch),
+        |sel AS (SELECT DISTINCT doc_id, m FROM wm WHERE j <= greatest(nh - 7, 1)),
+        |fp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, list(m) AS ms
+        |  FROM sel GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 1000000
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 2000000)
+        |SELECT p.doc_a, p.doc_b, fa.n AS n_a, fb.n AS n_b,
+        |  CAST(len(list_intersect(fa.ms, fb.ms)) AS BIGINT) AS common,
+        |  CAST(len(list_intersect(fa.ms, fb.ms)) * 1000000 // fa.n AS BIGINT)
+        |    AS cont_a
+        |FROM pr p
+        |JOIN fp fa ON fa.doc_id = p.doc_a
+        |JOIN fp fb ON fb.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "doc_winnow" ->
       """WITH ch AS (
         |  SELECT doc_id, j,
