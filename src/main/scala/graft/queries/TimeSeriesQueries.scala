@@ -242,6 +242,27 @@ object TimeSeriesQueries {
         .withColumnRenamed("bucket", "bucket_us")
         .orderBy("event_type", "bucket_us")),
 
+    // Per-series PROFILE (the "describe series" ops surface a fleet
+    // dashboard lists): row count, exact-µs span, mean sample interval,
+    // exact-cents value stats, distinct days — ONE partial-aggregable
+    // hash aggregate, NO window (the adjacent-interval sum telescopes
+    // to last−first, so mean interval = span/(n−1) exactly); every
+    // number exact-integer-derived.
+    "ts_series_profile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("ts_us").as("first_us"), max("ts_us").as("last_us"),
+          countDistinct(date_trunc("day", col("ts"))).as("n_days"),
+          min("c").as("min_cents"), max("c").as("max_cents"),
+          sum("c").as("sum_cents"))
+        .withColumn("span_us", col("last_us") - col("first_us"))
+        .withColumn("mean_interval_us",
+          when(col("n") > 1, expr("span_us div (n - 1)")))
+        .orderBy("event_type")),
+
     // Gap-detection report (the missing-data ops surface: where did a
     // series go silent?): adjacent-sample deltas over the per-series
     // sort, gaps > 10 min emitted with exact-µs bounds and duration.
@@ -1180,6 +1201,20 @@ object TimeSeriesQueries {
         |  ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id
         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         |ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_series_profile" ->
+      s"""SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  min(epoch_us(ts)) AS first_us,
+         |  max(epoch_us(ts)) AS last_us,
+         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+         |  min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+         |  max(CAST(round(value * 100) AS BIGINT)) AS max_cents,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+         |  CASE WHEN count(*) > 1
+         |    THEN (max(epoch_us(ts)) - min(epoch_us(ts))) // (count(*) - 1)
+         |    END AS mean_interval_us
+         |FROM $E GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ts_gap_report" ->
       s"""WITH d AS (
          |  SELECT event_type, epoch_us(ts) AS ts_us,
