@@ -280,6 +280,55 @@ object Multimodal {
       if (nSamples == 0) 0.0 else sumAbs / nSamples)
   }
 
+  /** Parse a real WAV's format + raw PCM16 samples (RIFF chunk walk,
+    * same tolerances as [[decodeWav]]).
+    */
+  private def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val b = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
+    require(tag() == "RIFF", "not a RIFF file"); b.getInt()
+    require(tag() == "WAVE", "not a WAV file")
+    var sampleRate = 0
+    var samples: Array[Short] = Array.empty
+    while (b.remaining() >= 8) {
+      val id = tag(); val len = b.getInt()
+      val next = b.position() + len + (len & 1)
+      id match {
+        case "fmt " =>
+          require(b.getShort() == 1, "only PCM supported")
+          b.getShort(); sampleRate = b.getInt()
+        case "data" =>
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = b.getShort(); i += 1 }
+        case _ => ()
+      }
+      b.position(math.min(next, bytes.length))
+    }
+    (sampleRate, samples)
+  }
+
+  /** Audio RESAMPLE by decimation: decode real PCM bytes, keep every
+    * `factor`-th sample, re-encode at rate/factor — the audio analogue
+    * of the nearest-neighbor BMP resize lane (decode → transform →
+    * re-encode → re-decode, all real codec work). mapPartitions batch
+    * lane like the other codecs; at 100 TB this is the pure-mapper
+    * media-normalization pass before feature extraction.
+    */
+  def resampleWavBatch(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"resampleWavBatch: factor must be >= 1, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rate, samples) = decodeWavSamples(bytes)
+        val strided = Array.tabulate((samples.length + factor - 1) / factor)(
+          j => samples(j * factor))
+        (id, encodeWav(math.max(rate / factor, 1), strided))
+      }).toDF(idCol, "media")
+  }
+
   final case class WavFeatures(doc_id: Long, n_samples: Long, peak_abs: Long,
                                zero_crossings: Long, rms: Double)
 

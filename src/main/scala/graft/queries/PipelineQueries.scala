@@ -699,6 +699,21 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // REAL audio resample: decode actual PCM bytes, decimate ×2,
+    // re-encode at half rate, re-decode — the oracle recomputes rate,
+    // count and mean |amplitude| from the generating formula over the
+    // strided index set.
+    "mm_wav_resample" -> ((s, dir) => {
+      val withWav = Multimodal.withWavBinary(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.extractWavMeta(
+          Multimodal.resampleWavBatch(withWav, "doc_id", 2), "doc_id").toDF()
+        .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("bits").cast("long").as("bits"),
+          col("n_samples"), col("mean_abs"))
+        .orderBy("doc_id")
+    }),
+
     "mm_binary_meta" -> ((s, dir) => {
       val docs = Multimodal.withFakeBinary(Tables(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractMeta(docs, "doc_id").toDF()
@@ -2056,6 +2071,15 @@ object PipelineQueries {
         |  floor(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) * 1000000.0)
         |    / 1000000.0 AS rms
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_wav_resample" ->
+      """SELECT d.doc_id,
+        |  CAST((8000 + (d.doc_id % 8) * 1000) // 2 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  avg(abs((d.doc_id * 31 + u.i * 7) % 2001 - 1000)) AS mean_abs
+        |FROM documents d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.doc_id % 50, 2)) AS i) u
+        |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
     "mm_video_frames" ->
       """SELECT d.doc_id, f.f AS frame_idx,
         |  d.doc_id % 16 + 1 AS width,
