@@ -242,6 +242,24 @@ object TimeSeriesQueries {
         .withColumnRenamed("bucket", "bucket_us")
         .orderBy("event_type", "bucket_us")),
 
+    // PromQL instant-vector lookup: value of each (event_type, user)
+    // series AT a fixed evaluation time — the last sample ≤ T within
+    // the 1 h staleness horizon; stale series drop out (PromQL rule).
+    // Filter pushes to the scan; the pick is a partial-aggregable
+    // max(struct) — no window, no shuffle beyond one hash aggregate.
+    "ts_value_at" -> ((s, dir) => {
+      val tUs = java.time.Instant.parse("2024-01-15T12:00:00Z").toEpochMilli * 1000L
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .filter(col("ts_us") <= tUs && col("ts_us") > tUs - 3600000000L)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .groupBy("event_type", "user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("c"))).as("m"))
+        .select(col("event_type"), col("user_id"),
+          col("m.ts_us").as("sample_us"), col("m.c").as("cents"))
+        .orderBy("event_type", "user_id")
+    }),
+
     // Per-series PROFILE (the "describe series" ops surface a fleet
     // dashboard lists): row count, exact-µs span, mean sample interval,
     // exact-cents value stats, distinct days — ONE partial-aggregable
@@ -1201,6 +1219,18 @@ object TimeSeriesQueries {
         |  ORDER BY epoch_us(cast(ts AS TIMESTAMP)), event_id
         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         |ORDER BY event_id LIMIT 10000""".stripMargin,
+    "ts_value_at" ->
+      s"""WITH f AS (
+         |  SELECT event_type, user_id, epoch_us(ts) AS ts_us, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM $E
+         |  WHERE epoch_us(ts) <= 1705320000000000
+         |    AND epoch_us(ts) > 1705320000000000 - 3600000000)
+         |SELECT event_type, user_id, ts_us AS sample_us, c AS cents
+         |FROM f
+         |QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+         |  ORDER BY ts_us DESC, event_id DESC) = 1
+         |ORDER BY event_type, user_id""".stripMargin,
     "ts_series_profile" ->
       s"""SELECT event_type,
          |  CAST(count(*) AS BIGINT) AS n,
