@@ -250,9 +250,18 @@ object TextKernels {
     * one per letter run, one per digit run, one per other
     * non-whitespace char (\s = Java/RE2 default [ \t\n\x0B\f\r]).
     */
-  /** See [[BpeSegCount]]: canonical greedy left-to-right merge per
-    * word, counts only (the serving path never materializes segment
-    * strings it won't ship).
+  /** See [[BpeSegCount]]: per merge, TWO left-to-right passes that
+    * mirror non-overlapping string replace on the spaced form — a
+    * match consumes the trailing separator, so the pair starting at
+    * the token immediately after a merge cannot match in the same
+    * pass (its leading space is gone); pass 2 picks those up. This is
+    * bit-identical to the double-pass replace chain in
+    * TextAnalysis.bpeApplyComposed / bpeLearn / the DuckDB oracles
+    * (a plain greedy pass differs on self-pair merges over runs >= 5:
+    * "bbbbb" + merge "b b" is [bb,b,bb] under replace, [bb,bb,b]
+    * under greedy — and a later "b bb" merge then diverges). Counts
+    * only: the serving path never materializes segment strings it
+    * won't ship.
     */
   def bpeSegCount(t: UTF8String, merges: Array[(String, String)]): org.apache.spark.sql.catalyst.util.ArrayData = {
     val words = t.toString.split(" ", -1)
@@ -268,14 +277,22 @@ object TextKernels {
         var mi = 0
         while (mi < merges.length) {
           val (x, y) = merges(mi)
-          val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
-          var i = 0
-          while (i < toks.length) {
-            if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
-              out += x + y; i += 2
-            } else { out += toks(i); i += 1 }
+          var pass = 0
+          var mergedInPass1 = true
+          while (pass < 2 && mergedInPass1) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+            var i = 0
+            var blocked = false // leading separator consumed by the previous match
+            var any = false
+            while (i < toks.length) {
+              if (!blocked && i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+                out += x + y; i += 2; blocked = true; any = true
+              } else { out += toks(i); i += 1; blocked = false }
+            }
+            toks = out.toArray
+            mergedInPass1 = any // unchanged input => pass 2 finds nothing
+            pass += 1
           }
-          toks = out.toArray
           mi += 1
         }
         total += toks.length
@@ -669,9 +686,10 @@ case class BpeTokenCount(child: Expression)
 
 /** bpe_seg_count(text, mergesSpec) → array<long> [n_tokens_bpe,
   * n_words]: every space-separated word segmented to characters and
-  * merged by the ordered BPE merge list (canonical greedy
-  * left-to-right, the same result as TextAnalysis.bpeApply's
-  * double-pass replace chain), counts summed per doc. The composed
+  * merged by the ordered BPE merge list (per merge, two
+  * non-overlapping replace passes — bit-identical to
+  * TextAnalysis.bpeApply's double-pass replace chain, see
+  * TextKernels.bpeSegCount), counts summed per doc. The composed
   * transform/replace formulation is interpreted (HOFs have no codegen)
   * and re-allocates per merge per word — this kernel is one pass per
   * word with the merge table parsed ONCE per expression instance from
@@ -685,7 +703,13 @@ case class BpeSegCount(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case (StringType, StringType) =>
+      if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+        "bpe_seg_count: merge spec must be a string literal (the merge " +
+          "table is parsed once per expression instance)")
+      else if (right.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+        "bpe_seg_count: merge spec must be a non-null string literal")
+      else TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"bpe_seg_count requires (string, string), got ${l.simpleString} and ${r.simpleString}")
   }

@@ -469,8 +469,15 @@ object Dedup {
       // text are dropped by their own class min under the raw rule
       .filter(col(idCol) === col("__rep") ||
         size(split(col(textCol), " ")) < 3)
-      .join(dropReps, col(idCol) === col("__drop"), "left_anti")
-      .drop("__h", "__rep")
+      // LEFT OUTER + null filter instead of LeftAnti: Catalyst pushes
+      // anti joins through the corpus Union (and below inner joins),
+      // cloning the whole signature+LSH+confirm subplan per union
+      // branch — 3× the plan on the dup-injected corpora. dropReps is
+      // distinct, so outer-join-then-isNull is row-for-row the anti
+      // join, but stays as ONE subplan above the Union.
+      .join(dropReps, col(idCol) === col("__drop"), "left")
+      .filter(col("__drop").isNull)
+      .drop("__h", "__rep", "__drop")
   }
 
   /** Exact-dedup materialization: the kept corpus — one canonical row

@@ -296,7 +296,14 @@ object Multimodal {
       id match {
         case "fmt " =>
           require(b.getShort() == 1, "only PCM supported")
-          b.getShort(); sampleRate = b.getInt()
+          val ch = b.getShort(); sampleRate = b.getInt()
+          b.getInt(); b.getShort(); val bits = b.getShort()
+          // the sample walk below reads a flat 16-bit mono stream; a
+          // stereo or 8/24-bit file would be silently garbled, so fail
+          // loudly instead (decodeWav records channels/bits as metadata
+          // and doesn't need this restriction)
+          require(ch == 1 && bits == 16,
+            s"only mono PCM16 supported for sample decode, got channels=$ch bits=$bits")
         case "data" =>
           samples = new Array[Short](len / 2)
           var i = 0

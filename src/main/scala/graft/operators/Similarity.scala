@@ -153,7 +153,10 @@ object Similarity {
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) =>
         graft.functions.VectorExpressions.register(s)
-        call_function("bin_sig", vec)
+        // Slice to `dims` BEFORE the kernel so the native and composed
+        // paths agree when dims < vector length (and a >64-dim vector
+        // with dims <= 64 packs its prefix instead of throwing).
+        call_function("bin_sig", slice(vec, 1, dims))
       case None =>
         (0 until dims).map { i =>
           when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))

@@ -1374,9 +1374,14 @@ class PipelineSpec extends AnyFunSuite {
 
   test("bpe_seg_count kernel ≡ the composed transform/replace chain") {
     import spark.implicits._
-    val docs = Seq((1L, "aaab ab aa a"), (2L, "xyz"), (3L, "queue bb bbb bbbb"))
+    // doc 4 pins the run>=5 self-pair + cascading-merge case: "bbbbb"
+    // under double-pass replace of 'b b' is [bb,b,bb] (NOT greedy's
+    // [bb,bb,b]), and the later 'b bb' merge then collapses it to
+    // [bb,bbb] — a plain greedy kernel diverges here (3 vs 2 tokens).
+    val docs = Seq((1L, "aaab ab aa a"), (2L, "xyz"), (3L, "queue bb bbb bbbb"),
+        (4L, "bbbbb bbbbbbb bbbbbb"))
       .toDF("doc_id", "text")
-    val merges = Seq("a a", "a b", "aa ab", "b b")
+    val merges = Seq("a a", "a b", "aa ab", "b b", "b bb")
     val k = TextAnalysis.bpeApply(docs, "doc_id", "text", merges)
       .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     val c = TextAnalysis.bpeApplyComposed(docs, "doc_id", "text", merges)
@@ -1489,6 +1494,15 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("hamming")))
     // d(0,1)=1, d(0,2)=1 (bit 63 only), d(0,3)=2; tie (1 vs 2) → smaller id
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+
+    // binarySig honors dims on the NATIVE path too: packing only the
+    // first 32 bits makes vec 2's bit 63 invisible, so its distance to
+    // query 0 drops to 0 and it outranks vec 1 on the id tie-break.
+    val out32 = Similarity.hammingAnn(df, df.filter(col("vec_id") === 0), "vec_id",
+        "embedding", dims = 32, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("hamming")))
+    assert(out32.toSeq == Seq((2L, 0L), (1L, 1L), (3L, 2L)))
   }
 
   test("ewma: exact renormalized weights at the series head") {
