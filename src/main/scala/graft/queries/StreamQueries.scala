@@ -72,16 +72,37 @@ object StreamQueries {
     * parquet sink keeps every row on the executors; the driver only
     * brokers file paths.
     */
+  /** State/shuffle partition count for the replay itself. The conf at
+    * query START pins the stateful operators' partition count for the
+    * checkpoint's lifetime, so this is a per-replay sizing knob, not a
+    * session-wide one: a micro-batch here carries ~1/K of the staged
+    * lake, and running it through the session's batch-sized partition
+    * count spends more on task dispatch + per-partition state-store
+    * open/commit + one tiny sink file per partition than on rows
+    * (measured at sf0.1: 32 partitions ≈ 1.0 s/batch vs 8 ≈ 0.45 s for
+    * the same 26k rows — the suite's 75 s stream subtotal was mostly
+    * this). On a real cluster you size this to micro-batch volume
+    * (rows/trigger ÷ target-partition-size), which is exactly what the
+    * env override is for.
+    */
+  private val ReplayParts =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
+
   private def replay(s: SparkSession, out: DataFrame, name: String): DataFrame = {
     val root = Files.createTempDirectory(s"graft_replay_$name").toString
-    val q = out.writeStream
-      .format("parquet")
-      .option("path", s"$root/data")
-      .option("checkpointLocation", s"$root/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", ReplayParts.toString)
+      val q0 = out.writeStream
+        .format("parquet")
+        .option("path", s"$root/data")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     replayBatches(name) = q.recentProgress.count(_.numInputRows > 0)
     // explicit schema: survives a legitimately-empty sink (no files to
     // infer from) instead of failing schema inference
