@@ -142,6 +142,7 @@ object DataQuality {
   }
 
   private val metricsUdf = udf { series: Seq[org.apache.spark.sql.Row] =>
+    SeriesGuard.check(series.length, "data_quality")
     val times = series.map(_.getDouble(0)).toArray
     val values = series.map(_.getDouble(1)).toArray
     compute(times, values).map(m => (m.completeness, m.consistency, m.timeliness, m.validity))

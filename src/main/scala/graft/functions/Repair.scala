@@ -323,11 +323,13 @@ object Repair {
   }
 
   private val fillUdf = udf { (series: Seq[Row], method: String) =>
+    SeriesGuard.check(series.length, "value_fill")
     val vs = series.map(_.getDouble(1)).toArray
     fillSeries(vs, method).toSeq
   }
 
   private val screenUdf = udf { series: Seq[Row] =>
+    SeriesGuard.check(series.length, "value_repair")
     val ts = series.map(_.getLong(0)).toArray
     val vs = series.map(_.getDouble(1)).toArray
     screen(ts, vs).toSeq
@@ -347,6 +349,7 @@ object Repair {
         col("__z.__filled").as("filled")): _*)
 
   private val tsRepairUdf = udf { series: Seq[Row] =>
+    SeriesGuard.check(series.length, "timestamp_repair")
     val ts = series.map(_.getLong(0)).toArray
     val vs = series.map(_.getDouble(1)).toArray
     val (t2, v2) = timestampRepair(ts, vs)

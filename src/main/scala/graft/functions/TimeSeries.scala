@@ -424,6 +424,7 @@ object TimeSeries {
   }
 
   private val lttbUdf = udf { (series: Seq[org.apache.spark.sql.Row], threshold: Int) =>
+    SeriesGuard.check(series.length, "lttb")
     val ts = series.map(_.getLong(0)).toArray
     val vs = series.map(_.getDouble(1)).toArray
     lttbSelect(ts, vs, threshold).map(i => (ts(i), vs(i))).toSeq
@@ -869,6 +870,7 @@ object TimeSeries {
     * one scalar pass, explode back out.
     */
   private val holtUdf = udf { series: Seq[Row] =>
+    SeriesGuard.check(series.length, "holt_smooth")
     val n = series.length
     val out = new Array[(Long, Long)](n)
     var l = 0L

@@ -324,6 +324,37 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((100L, 0L, 100L), (125L, 6L, 131L), (173L, 16L, 189L)))
   }
 
+  test("whole-series operators fail fast past maxSeriesLength with a readable error") {
+    import graft.functions.SeriesGuard
+    val df = (1L to 20L).map(i => ("s", i, i, i.toDouble))
+      .toDF("g", "t", "id", "value")
+    val prev = SeriesGuard.capForTest
+    try {
+      SeriesGuard.capForTest = 10
+      for ((name, run) <- Seq[(String, () => Unit)](
+        ("holt_smooth", () => graft.functions.TimeSeries
+          .holtSmooth(df, Seq("g"), "t", "id", "value").collect()),
+        ("lttb", () => graft.functions.TimeSeries
+          .lttb(df, Seq("g"), col("t"), col("value"), 5).collect()),
+        ("value_fill", () => graft.functions.Repair
+          .valueFill(df, col("t"), col("value"), Seq("g"), "previous").collect()),
+        ("value_repair", () => graft.functions.Repair
+          .valueRepair(df, col("t"), col("value"), Seq("g")).collect()),
+        ("timestamp_repair", () => graft.functions.Repair
+          .timestampRepairDf(df, col("t"), col("value"), Seq("g")).collect()))) {
+        val e = intercept[Exception](run())
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(m => m.contains("maxSeriesLength") && m.contains(name)),
+          s"$name did not raise the series-length guard: ${msgs(e).mkString(" | ")}")
+      }
+      // under the cap everything still runs
+      SeriesGuard.capForTest = 20
+      assert(graft.functions.TimeSeries
+        .holtSmooth(df, Seq("g"), "t", "id", "value").count() == 20)
+    } finally SeriesGuard.capForTest = prev
+  }
+
   test("quantileRollup: exact integer ranks on a known distribution; partition-invariant") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     // 100 values 1.00..100.00 across 4 hours of one day → cents 100..10000
