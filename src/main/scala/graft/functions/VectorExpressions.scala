@@ -229,6 +229,93 @@ object VectorKernels {
         "budget — rescale/normalize the embedding column")
     new GenericArrayData(out)
   }
+
+  /** See [[NearestCell]]: exact-integer nearest-centroid argmin over a
+    * k×dims table in one tight loop (ties → lower cell), identical to
+    * the broadcast-table min(struct) formulation it replaces. The
+    * partial-distance early exit never changes the argmin (d only
+    * grows) — it just skips doomed tails.
+    */
+  def nearestCell(v: ArrayData, k: Int, dims: Int, flat: Array[Long]): Long = {
+    if (v.numElements() != dims) throw new IllegalArgumentException(
+      s"nearest_cell: vector has ${v.numElements()} dims, centroids have $dims")
+    val q = new Array[Long](dims)
+    var sd = 0L
+    var i = 0
+    while (i < dims) {
+      val c = math.floor(v.getDouble(i) * 1e6).toLong
+      q(i) = c
+      sd += c * c
+      i += 1
+    }
+    if (sd.toDouble > 1125899906842624.0) throw new IllegalArgumentException(
+      "nearest_cell: a vector's quantized |v|^2 exceeds the 2^50 exact-integer " +
+        "budget — rescale/normalize the embedding column")
+    var best = 0
+    var bd = Long.MaxValue
+    var cc = 0
+    while (cc < k) {
+      var d = 0L
+      var y = 0
+      val base = cc * dims
+      while (y < dims && d < bd) { val t = q(y) - flat(base + y); d += t * t; y += 1 }
+      if (d < bd) { bd = d; best = cc }
+      cc += 1
+    }
+    best.toLong
+  }
+}
+
+/** nearest_cell(vec, centroidsSpec) → BIGINT cell id: the exact
+  * integer-grid nearest-centroid argmin (ties → lower cell) as ONE
+  * codegen'd primitive loop with the k×dims centroid table as a
+  * reference object. Replaces the broadcast-centroid-table
+  * crossJoin + min(struct) argmin for large k, which materialized
+  * n·k joined rows each ~1 KB wide (two 64-dim arrays) — measured
+  * 116 s for n=200k, k=667 at sf10 where this kernel is ~2 s for the
+  * bit-identical assignment. Same composed-tree-vs-kernel lesson as
+  * [[PqEncodeCodes]] / [[BinarySignature]]; spec parses once per
+  * expression instance ("k;dims;flat-comma-list").
+  */
+case class NearestCell(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), StringType) =>
+      if (!right.foldable || right.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+        "nearest_cell: centroid spec must be a non-null string literal")
+      else TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell requires (array<double>, string), got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  // the spec is a literal: parse once per expression instance
+  @transient private lazy val parsed: (Int, Int, Array[Long]) = {
+    val parts = right.eval(null).asInstanceOf[UTF8String].toString.split(";")
+    val (k, dims) = (parts(0).toInt, parts(1).toInt)
+    val flat = parts(2).split(",").map(java.lang.Long.parseLong)
+    require(flat.length == k * dims,
+      s"nearest_cell: flat table has ${flat.length} entries, expected k*dims=${k * dims}")
+    (k, dims, flat)
+  }
+
+  override def nullSafeEval(v: Any, spec: Any): Any = {
+    val (k, dims, flat) = parsed
+    VectorKernels.nearestCell(v.asInstanceOf[ArrayData], k, dims, flat)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (k, dims, flat) = parsed
+    val flatRef = ctx.addReferenceObj("cellFlat", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCell($v, $k, $dims, $flatRef);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_cell"
 }
 
 object VectorExpressions {
@@ -243,5 +330,7 @@ object VectorExpressions {
       "pq_encode", Arity.binary("pq_encode")(PqEncodeCodes), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bin_sig", Arity.unary("bin_sig")(BinarySignature), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell", Arity.binary("nearest_cell")(NearestCell), "built-in")
   }
 }

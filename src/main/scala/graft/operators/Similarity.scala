@@ -671,24 +671,23 @@ object Similarity {
       // Large k: a least() over k struct literals (k·dims constants in
       // ONE expression) blows past the JIT/codegen method budget and
       // falls back to interpreted evaluation — measured 31×/decade at
-      // k=80. Instead broadcast the centroid TABLE (k rows, a
-      // LocalRelation — still zero plan-time jobs) and take the
-      // exact-integer argmin with a partial-aggregable min(struct):
-      // identical distances, identical (d, cell) tie-break, and vec_dot
-      // stays codegen'd on columns. Map-side combine collapses the n·k
-      // scored rows back to n before the only shuffle.
+      // k=80. The r7 answer (broadcast centroid TABLE + min(struct)
+      // argmin) kept exactness but materialized n·k joined rows each
+      // carrying two dims-wide arrays — 116 s for n=200k, k=667 at
+      // sf10, all row traffic. The kernel argmin (`nearest_cell`, the
+      // PqEncodeCodes pattern: centroid table as a codegen reference
+      // object) computes the identical exact-integer (d, cell)
+      // tie-broken assignment as a pure projection — no join, no
+      // aggregate, no shuffle, ~2 s for the same input.
       val spark = corpus.sparkSession
-      import spark.implicits._
-      val cdf = broadcast(
-        centroids.zipWithIndex.map { case (cq, i) =>
-          (i.toLong, cq.map(_.toDouble).toSeq, cq.map(x => x.toDouble * x).sum)
-        }.toSeq.toDF("cid", "cq", "cqq"))
-      base.crossJoin(cdf)
-        .withColumn("d", (col("sd") - dot(col("vq"), col("cq")) * 2.0 + col("cqq"))
-          .cast("long"))
-        .groupBy(col(idCol))
-        .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cell"),
-          first(col("v")).as("v"))
+      graft.functions.VectorExpressions.register(spark)
+      val dims = centroids.head.length
+      require(centroids.forall(_.length == dims),
+        "assignExactCells: ragged centroid table")
+      val spec = lit(s"${centroids.length};$dims;" +
+        centroids.flatten.mkString(","))
+      base.withColumn("cell", call_function("nearest_cell", col("v"), spec))
+        .drop("vq", "sd")
         .select(col(idCol), col("v"), col("cell"))
     }
   }

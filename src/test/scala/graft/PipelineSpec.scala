@@ -1149,7 +1149,7 @@ class PipelineSpec extends AnyFunSuite {
       "within-cell pairing must stay a cell equijoin")
   }
 
-  test("assignExactCells broadcast-join path (k>16) matches a driver-side argmin") {
+  test("assignExactCells nearest_cell kernel path (k>16) matches a driver-side argmin") {
     val emb = Tables(spark, sf, "embeddings")
     val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
       k = 20, iters = 2, hexBound = "g")

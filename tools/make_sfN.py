@@ -4,7 +4,12 @@ with shifted keys (FK-consistent: lineitem/orders/customer/part/supplier
 shift together; region/nation stay fixed). events keeps its TIMESTAMP(NANOS)
 physical type via pyarrow. NOT oracle data — throughput scaling only.
 
-Usage: python3 tools/make_sfN.py /root/testdata/sf0.1 benchdata/sf1 10
+Usage: python3 tools/make_sfN.py SRC OUT K [table,table,...]
+
+The optional 4th arg restricts output to a table subset (plus the
+always-tiny region/nation) — e.g. `documents,embeddings` builds a
+partial lake for the pipeline/ANN lanes without materializing a
+billion-row events table.
 """
 import os
 import sys
@@ -15,9 +20,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 src, out, K = sys.argv[1], sys.argv[2], int(sys.argv[3])
+only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 os.makedirs(out, exist_ok=True)
 
-SHIFT = 100_000_000  # larger than any key in the source lake
+# larger than any key in the source lake; override when re-replicating
+# an already-shifted lake (e.g. sf100 = sf10 x10 with a 1e11 shift)
+SHIFT = int(os.environ.get("MAKE_SFN_SHIFT", 100_000_000))
 
 con = duckdb.connect()
 for t in ["region", "nation"]:
@@ -33,6 +41,8 @@ keyed = {
     "embeddings": ["vec_id"],
 }
 for t, keys in keyed.items():
+    if only is not None and t not in only:
+        continue
     cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
     def sel(k):
         return ", ".join(c if c not in keys else f"{c} + {k * SHIFT} AS {c}" for c in cols)
@@ -41,6 +51,8 @@ for t, keys in keyed.items():
     print(t, con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0])
 
 # events via pyarrow so ts stays timestamp[ns] (Spark reads it as raw nanos)
+if only is not None and "events" not in only:
+    sys.exit(0)
 tbl = pq.read_table(f"{src}/events.parquet")
 parts = []
 for k in range(K):
