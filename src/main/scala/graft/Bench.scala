@@ -187,7 +187,36 @@ object Bench {
       ",\"noisy\":" + (kept.noisy || kept.invalid) + "," + kept.errJson +
       ",\"attempts\":[" + attempts.mkString(",") + "]"
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val fullLine = s"""{"metric":"total","value":${fmt(kept.total)},"unit":"sec","total_run2":${fmt(kept.total2)},$calibJson,"queries":$qs,"sf":"$sfName"}"""
+    // Per-lane regression gate against the previous round's committed
+    // snapshot (tools/bench_diff.py is the offline form; this inlines
+    // the same rule so the DRIVER artifact itself carries the list):
+    // compare rel2 (warm seconds / probe unit — box-speed-normalized),
+    // flag >= 1.5x with a 0.1-probe-unit floor so sub-noise lanes can't
+    // trip it. Same-sf baselines only; missing baseline => empty list.
+    // The list is normally empty/tiny, so it fits the stdout line's
+    // fixed-size tail-capture budget (the full queries map does not).
+    val regressions: Seq[String] = {
+      val basePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_SELF_r07.json")
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(basePath))
+        val baseSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!baseSf.contains(sfName)) Seq.empty
+        else {
+          val entry = ("\"([A-Za-z0-9_]+)\":\\{\"run1\":[-0-9.]+,\"run2\":[-0-9.]+," +
+            "\"rel2\":([-0-9.]+)\\}").r
+          val baseRel = entry.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          kept.results.flatMap { case (name, (r1, r2)) =>
+            baseRel.get(name).collect {
+              case o if r1 >= 0 && r2 >= 0 && o >= 0.1 && r2 / kept.unit >= 1.5 * o =>
+                s"""{"q":"$name","old_rel2":${fmt(o)},"new_rel2":${fmt(r2 / kept.unit)}}"""
+            }
+          }
+        }
+      } catch { case _: Throwable => Seq.empty }
+    }
+    val regJson = "\"regressions\":[" + regressions.mkString(",") + "]"
+    val fullLine = s"""{"metric":"total","value":${fmt(kept.total)},"unit":"sec","total_run2":${fmt(kept.total2)},$calibJson,$regJson,"queries":$qs,"sf":"$sfName"}"""
     // Full per-query map goes to the file; stdout gets ONLY a short
     // totals line LAST so it survives any fixed-size tail capture
     // (r1/r2 both had "parsed": null because the 100-query map pushed
@@ -198,6 +227,6 @@ object Bench {
     // suppresses sbt's [success] epilogue, so this is the LITERAL last
     // stdout line — r1-r3 all parsed null because sbt decorated/followed
     // the line.
-    println(s"""{"metric":"total","value":${fmt(kept.total)},"unit":"sec","total_run2":${fmt(kept.total2)},$calibJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(kept.total)},"unit":"sec","total_run2":${fmt(kept.total2)},$calibJson,$regJson,"sf":"$sfName"}""")
   }
 }

@@ -264,6 +264,59 @@ object VectorKernels {
     }
     best.toLong
   }
+
+  /** See [[NearestCellCoarse]]: two-level exact-integer assignment —
+    * argmin over the kc anchor vectors picks a coarse group, then
+    * argmin over that group's member centroids (ties → lower GLOBAL
+    * cell id; members arrive sorted by cell id so first-strictly-less
+    * preserves the tie-break) returns the member's global cell.
+    */
+  def nearestCell2l(v: ArrayData, kc: Int, dims: Int, anchors: Array[Long],
+                    offsets: Array[Int], cells: Array[Long],
+                    members: Array[Long]): Long = {
+    if (v.numElements() != dims) throw new IllegalArgumentException(
+      s"nearest_cell_2l: vector has ${v.numElements()} dims, centroids have $dims")
+    val q = new Array[Long](dims)
+    var sd = 0L
+    var i = 0
+    while (i < dims) {
+      val c = math.floor(v.getDouble(i) * 1e6).toLong
+      q(i) = c
+      sd += c * c
+      i += 1
+    }
+    if (sd.toDouble > 1125899906842624.0) throw new IllegalArgumentException(
+      "nearest_cell_2l: a vector's quantized |v|^2 exceeds the 2^50 exact-integer " +
+        "budget — rescale/normalize the embedding column")
+    var grp = 0
+    var bd = Long.MaxValue
+    var j = 0
+    while (j < kc) {
+      var d = 0L
+      var y = 0
+      val base = j * dims
+      while (y < dims && d < bd) { val t = q(y) - anchors(base + y); d += t * t; y += 1 }
+      if (d < bd) { bd = d; grp = j }
+      j += 1
+    }
+    val lo = offsets(grp)
+    val hi = offsets(grp + 1)
+    if (lo >= hi) throw new IllegalStateException(
+      s"nearest_cell_2l: coarse group $grp is empty — duplicate anchors made it " +
+        "unreachable by construction, so this indicates a corrupted spec")
+    var best = lo
+    bd = Long.MaxValue
+    var m = lo
+    while (m < hi) {
+      var d = 0L
+      var y = 0
+      val base = m * dims
+      while (y < dims && d < bd) { val t = q(y) - members(base + y); d += t * t; y += 1 }
+      if (d < bd) { bd = d; best = m }
+      m += 1
+    }
+    cells(best)
+  }
 }
 
 /** nearest_cell(vec, centroidsSpec) → BIGINT cell id: the exact
@@ -318,6 +371,68 @@ case class NearestCell(left: Expression, right: Expression)
   override def prettyName: String = "nearest_cell"
 }
 
+/** nearest_cell_2l(vec, spec) → BIGINT global cell id via TWO-LEVEL
+  * exact-integer assignment: argmin over kc coarse anchors (the first
+  * kc trained centroids), then argmin over the member centroids of the
+  * chosen coarse group — n·(kc + k/kc) ≈ n·2√k distance work instead
+  * of the flat rule's n·k, which is quadratic in corpus size when the
+  * cell-count rule is k ∝ n (the sf100 decade measured emb_knn_graph
+  * at 13×/decade flat vs ~linear two-level). Deterministic and
+  * SQL-replayable: the coarse grouping derives from the trained
+  * centroid table alone (anchor j = centroid j), all ties break to the
+  * lower index, all math on the same 1e-6 integer grid. Spec
+  * ("kc;dims;anchors;offsets;cells;members", comma lists) parses once
+  * per expression instance; tables ship as codegen reference objects.
+  */
+case class NearestCellCoarse(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), StringType) =>
+      if (!right.foldable || right.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+        "nearest_cell_2l: spec must be a non-null string literal")
+      else TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell_2l requires (array<double>, string), got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  @transient private lazy val parsed: (Int, Int, Array[Long], Array[Int], Array[Long], Array[Long]) = {
+    val p = right.eval(null).asInstanceOf[UTF8String].toString.split(";")
+    val (kc, dims) = (p(0).toInt, p(1).toInt)
+    val anchors = p(2).split(",").map(java.lang.Long.parseLong)
+    val offsets = p(3).split(",").map(java.lang.Integer.parseInt)
+    val cells = p(4).split(",").map(java.lang.Long.parseLong)
+    val members = p(5).split(",").map(java.lang.Long.parseLong)
+    require(anchors.length == kc * dims && offsets.length == kc + 1 &&
+      members.length == cells.length * dims && offsets.last == cells.length,
+      "nearest_cell_2l: inconsistent spec table sizes")
+    (kc, dims, anchors, offsets, cells, members)
+  }
+
+  override def nullSafeEval(v: Any, spec: Any): Any = {
+    val (kc, dims, anchors, offsets, cells, members) = parsed
+    VectorKernels.nearestCell2l(v.asInstanceOf[ArrayData], kc, dims,
+      anchors, offsets, cells, members)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (kc, dims, anchors, offsets, cells, members) = parsed
+    val aRef = ctx.addReferenceObj("cellAnchors", anchors, "long[]")
+    val oRef = ctx.addReferenceObj("cellOffsets", offsets, "int[]")
+    val cRef = ctx.addReferenceObj("cellIds", cells, "long[]")
+    val mRef = ctx.addReferenceObj("cellMembers", members, "long[]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCell2l($v, $kc, $dims, " +
+        s"$aRef, $oRef, $cRef, $mRef);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_cell_2l"
+}
+
 object VectorExpressions {
   /** Idempotent per-session registration so `call_function("vec_dot")`
     * resolves. Temp-function scope keeps the engine a library — no
@@ -332,5 +447,7 @@ object VectorExpressions {
       "bin_sig", Arity.unary("bin_sig")(BinarySignature), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_cell", Arity.binary("nearest_cell")(NearestCell), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell_2l", Arity.binary("nearest_cell_2l")(NearestCellCoarse), "built-in")
   }
 }

@@ -667,8 +667,8 @@ object Similarity {
           struct(intDist(selfDot, vq, cq).as("d"), lit(i.toLong).as("i"))
         }: _*).getField("i")
       base.withColumn("cell", cellOf(col("vq"), col("sd"))).drop("vq", "sd")
-    } else {
-      // Large k: a least() over k struct literals (k·dims constants in
+    } else if (centroids.length <= 64) {
+      // Mid k: a least() over k struct literals (k·dims constants in
       // ONE expression) blows past the JIT/codegen method budget and
       // falls back to interpreted evaluation — measured 31×/decade at
       // k=80. The r7 answer (broadcast centroid TABLE + min(struct)
@@ -688,8 +688,58 @@ object Similarity {
         centroids.flatten.mkString(","))
       base.withColumn("cell", call_function("nearest_cell", col("v"), spec))
         .drop("vq", "sd")
-        .select(col(idCol), col("v"), col("cell"))
+    } else {
+      // Large k (the cell-count rules k ∝ n make flat assignment n·k —
+      // QUADRATIC in corpus size; the sf100 decade measured
+      // emb_knn_graph/emb_semantic_dedup at 13-14×/decade flat):
+      // TWO-LEVEL assignment, the coarse-quantizer shape billion-scale
+      // IVF indexes use. Anchors = the first kc = ⌈√k⌉ trained
+      // centroids; each centroid joins the coarse group of its nearest
+      // anchor; a vector resolves its nearest anchor, then the nearest
+      // member centroid of that group (all exact-integer argmins, ties
+      // → lower index — deterministic and SQL-replayable, pinned by
+      // the emb_knn_graph_coarse oracle lane + the driver-side
+      // reference spec). Distance work is n·(kc + k/kc) ≈ n·2√k; the
+      // assignment is approximate at coarse-cell boundaries (the
+      // documented IVF trade), never in which groups exist.
+      assignExactCellsCoarse(base.drop("vq", "sd"), idCol, centroids)
     }
+  }
+
+  /** The k > 64 branch of [[assignExactCells]], exposed for the
+    * dedicated oracle lane. `base` must carry (idCol, v: array<double>).
+    */
+  private def assignExactCellsCoarse(base: DataFrame, idCol: String,
+                                     centroids: Array[Array[Long]]): DataFrame = {
+    val spark = base.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val dims = centroids.head.length
+    require(centroids.forall(_.length == dims),
+      "assignExactCells: ragged centroid table")
+    val k = centroids.length
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    // coarse(c) = exact argmin over anchors 0..kc-1, ties → lower anchor
+    def argminAnchor(v: Array[Long]): Int = {
+      var best = 0; var bd = Long.MaxValue; var j = 0
+      while (j < kc) {
+        var d = 0L; var y = 0
+        while (y < dims) { val t = v(y) - centroids(j)(y); d += t * t; y += 1 }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      best
+    }
+    val groups = Array.fill(kc)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    centroids.zipWithIndex.foreach { case (cq, c) => groups(argminAnchor(cq)) += c }
+    val offsets = groups.scanLeft(0)(_ + _.length)
+    val cellsSorted = groups.flatMap(_.sorted) // lower-cell tie-break within a group
+    val spec = lit(s"$kc;$dims;" +
+      centroids.take(kc).flatten.mkString(",") + ";" +
+      offsets.mkString(",") + ";" +
+      cellsSorted.mkString(",") + ";" +
+      cellsSorted.flatMap(centroids(_)).mkString(","))
+    base.withColumn("cell", call_function("nearest_cell_2l", col("v"), spec))
+      .select(col(idCol), col("v"), col("cell"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -579,6 +579,22 @@ object PipelineQueries {
         .orderBy("vec_id", "rank")
     }),
 
+    // Cell-scoped k-NN graph through the TWO-LEVEL (coarse-quantizer)
+    // assignment: cell target 6 forces k = ceil(n/6) > 64 at every
+    // driver sf, so the √k-anchor path — the billion-scale IVF shape
+    // that keeps assignment at n·2√k instead of the flat rule's
+    // quadratic n·k (k ∝ n) — is oracle-checked end-to-end, not just
+    // spec-pinned.
+    "emb_knn_graph_coarse" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val n = emb.count()
+      val k = math.max(8, math.ceil(n / 6.0).toInt)
+      val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
+        k = k, iters = 2, hexBound = Similarity.ivfHexBound(n))
+      Similarity.knnGraph(emb, "vec_id", "embedding", cents, 5)
+        .orderBy("vec_id", "rank")
+    }),
+
     // Product quantization (Jégou et al. TPAMI'11): m=4 subspace
     // codebooks from the SAME exact integer-grid Lloyd trainer as
     // emb_ivf_ann — the oracle retrains all four codebooks in SQL and
@@ -853,6 +869,59 @@ object PipelineQueries {
        |    FROM q e CROSS JOIN c$iters c)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** Two-level cell assignment as CTEs (replaces `cc` for the k > 64
+    * path): anchors = first kc = ⌈√|centroids|⌉ trained centroids,
+    * each centroid grouped under its (d, anchor)-argmin anchor, each
+    * vector resolved anchor-first then (d, GLOBAL cell)-argmin within
+    * the group — mirrors Similarity.assignExactCellsCoarse /
+    * VectorKernels.nearestCell2l term for term (kc derives from the
+    * TRAINED table's count, exactly centroids.length on the Spark
+    * side).
+    */
+  private def coarseCcCtes(cK: String): String = {
+    def d(a: String, b: String): String = intDistSql(a, b)
+    s"""kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc FROM $cK),
+       |anch AS (SELECT cell AS aj, cq AS acq FROM $cK, kcv WHERE cell < kcv.kc),
+       |cgrp AS (
+       |  SELECT cell, cq, grp FROM (
+       |    SELECT c.cell, c.cq, a.aj AS grp,
+       |      row_number() OVER (PARTITION BY c.cell
+       |        ORDER BY ${d("c.cq", "a.acq")}, a.aj) AS rn
+       |    FROM $cK c CROSS JOIN anch a) WHERE rn = 1),
+       |vg AS (
+       |  SELECT vec_id, v, vq, grp FROM (
+       |    SELECT e.vec_id, e.v, e.vq, a.aj AS grp,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d("e.vq", "a.acq")}, a.aj) AS rn
+       |    FROM q e CROSS JOIN anch a) WHERE rn = 1),
+       |cc2 AS (
+       |  SELECT neighbor_id, c_vec, cell FROM (
+       |    SELECT e.vec_id AS neighbor_id, e.v AS c_vec, g.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d("e.vq", "g.cq")}, g.cell) AS rn
+       |    FROM vg e JOIN cgrp g ON g.grp = e.grp) WHERE rn = 1)""".stripMargin
+  }
+
+  /** k-NN graph oracle through the TWO-LEVEL assignment (cell target 6
+    * forces k = ⌈n/6⌉ > 64 at every driver sf, so this lane pins the
+    * coarse path end-to-end against DuckDB — the flat-path lanes
+    * (`emb_knn_graph`, `emb_semantic_dedup`) never leave k ≤ 16 at
+    * driver scales).
+    */
+  private def knnGraphCoarseOracle: String =
+    s"""WITH ${ivfCellCtes("(SELECT kk FROM kv)", 2,
+         "kv AS (\n  SELECT GREATEST(8, CAST(ceil(count(*) / 6.0) AS BIGINT)) AS kk\n  FROM q),\n")},
+       |${coarseCcCtes("c2")},
+       |e AS (
+       |  SELECT a.neighbor_id AS vec_id, b.neighbor_id AS nbr,
+       |    floor(list_cosine_similarity(a.c_vec, b.c_vec) * 1e4) / 1e4 AS cos
+       |  FROM cc2 a JOIN cc2 b ON b.cell = a.cell AND b.neighbor_id <> a.neighbor_id)
+       |SELECT vec_id, rank, nbr AS neighbor_id, cos FROM (
+       |  SELECT vec_id, nbr, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rank
+       |  FROM e)
+       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
 
   private def ivfOracle: String = {
     val (iters, nprobe, topk) = (2, 3, 10)
@@ -1217,6 +1286,7 @@ object PipelineQueries {
     "emb_ivf_ann" -> ivfOracle,
     "emb_semantic_dedup" -> semDedupOracle,
     "emb_knn_graph" -> knnGraphOracle,
+    "emb_knn_graph_coarse" -> knnGraphCoarseOracle,
     "emb_ivfadc_ann" -> ivfadcOracle,
     "emb_pq_quantize" -> pqQuantizeOracle,
     "doc_incremental_dedup" -> incrementalDedupOracle,

@@ -1172,6 +1172,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, "join-path cell assignment diverged from the reference argmin")
   }
 
+  test("assignExactCells two-level path (k>64) matches a driver-side two-level argmin") {
+    import spark.implicits._
+    // 100 deterministic centroids + 300 vectors on the 1e-6 grid;
+    // values small enough to stay inside the 2^50 budget
+    val dims = 8
+    def cvec(seed: Int): Array[Long] =
+      Array.tabulate(dims)(d => (((seed * 31 + d * 17) % 19) - 9).toLong * 100000L)
+    val cents = Array.tabulate(100)(cvec)
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => ((((i * 7 + d * 13) % 23) - 11) * 0.1)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .assignExactCells(df, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: the documented two-level rule in plain
+    // Scala — anchors = first kc=ceil(sqrt(k)) centroids, coarse by
+    // (d, anchor) argmin, final by (d, GLOBAL cell) argmin in-group
+    val kc = math.ceil(math.sqrt(100.0)).toInt
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val coarseOf = cents.map(c => (0 until kc).map(j => (d2(c, cents(j)), j)).min._2)
+    val want = vecs.map { case (id, v) =>
+      val vq = v.map(x => math.floor(x * 1e6).toLong)
+      val grp = (0 until kc).map(j => (d2(vq, cents(j)), j)).min._2
+      val cell = cents.indices.filter(coarseOf(_) == grp)
+        .map(c => (d2(vq, cents(c)), c.toLong)).min._2
+      id -> cell
+    }.toMap
+    assert(got == want, "two-level cell assignment diverged from the reference")
+    // and the two-level cells are the flat argmin for most vectors
+    // (approximation only at coarse boundaries) — sanity, not parity
+    val flat = vecs.map { case (id, v) =>
+      val vq = v.map(x => math.floor(x * 1e6).toLong)
+      id -> cents.indices.map(c => (d2(vq, cents(c)), c.toLong)).min._2
+    }.toMap
+    val agree = vecs.count { case (id, _) => flat(id) == want(id) }
+    assert(agree >= vecs.size / 2, s"two-level agreed with flat on only $agree/300")
+  }
+
   test("semanticDedup emits exactly one row per corpus vector") {
     val emb = Tables(spark, sf, "embeddings")
     val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
