@@ -5,10 +5,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle-partition override for large-SF scaling runs: the
+    // shuffle=cpus default is right at sf0.1 (overhead-dominated) but
+    // an sf100 lane sorting 600M rows through 8 partitions spills —
+    // partition count must track data volume (SURVEY §5 spill-aware
+    // rule), exactly as a real cluster's would. Driver runs never set
+    // this, so round-over-round comparability is unaffected.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

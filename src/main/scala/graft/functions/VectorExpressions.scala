@@ -265,6 +265,96 @@ object VectorKernels {
     best.toLong
   }
 
+  /** See [[NearestCellPruned]]: EXACT flat-argmin nearest centroid,
+    * accelerated by triangle-inequality group pruning. Centroids are
+    * grouped under kc anchor centroids (the first kc of the table);
+    * per group we precompute maxRadSq = max squared distance from the
+    * anchor to a member. For a vector v with best-so-far squared
+    * distance bd: every member c of group g satisfies
+    * √d(v,c) ≥ √d(v,aₘ) − √d(aₘ,c) ≥ √d(v,aₘ) − √maxRadSq_g, so when
+    * that bound (squared, with a conservative slack of 4 against
+    * float rounding — the distances are integers, so a slack ≥ 1 ulp
+    * margin can never flip an argmin) exceeds bd the whole group is
+    * skipped WITHOUT touching its members. Groups are visited in
+    * ascending anchor-distance order so bd tightens early; within a
+    * visited group the per-dimension early exit does the rest. The
+    * result is BIT-IDENTICAL to the flat argmin at any k (spec-pinned
+    * against the plain-Scala reference) — this is a pruning schedule,
+    * not an approximation — with per-row work ~ kc + members-of-near-
+    * groups ≈ 2√k on clustered data instead of k.
+    */
+  def nearestCellPruned(v: ArrayData, kc: Int, dims: Int, anchors: Array[Long],
+                        offsets: Array[Int], cells: Array[Long],
+                        members: Array[Long], maxRadSq: Array[Long]): Long = {
+    if (v.numElements() != dims) throw new IllegalArgumentException(
+      s"nearest_cell_pruned: vector has ${v.numElements()} dims, centroids have $dims")
+    val q = new Array[Long](dims)
+    var sd = 0L
+    var i = 0
+    while (i < dims) {
+      val c = math.floor(v.getDouble(i) * 1e6).toLong
+      q(i) = c
+      sd += c * c
+      i += 1
+    }
+    if (sd.toDouble > 1125899906842624.0) throw new IllegalArgumentException(
+      "nearest_cell_pruned: a vector's quantized |v|^2 exceeds the 2^50 " +
+        "exact-integer budget — rescale/normalize the embedding column")
+    // anchor distances (full, exact)
+    val dva = new Array[Long](kc)
+    var j = 0
+    while (j < kc) {
+      var d = 0L
+      var y = 0
+      val base = j * dims
+      while (y < dims) { val t = q(y) - anchors(base + y); d += t * t; y += 1 }
+      dva(j) = d
+      j += 1
+    }
+    // visit order: ascending anchor distance (insertion sort — kc is √k)
+    val order = Array.tabulate(kc)(identity)
+    var a = 1
+    while (a < kc) {
+      val key = order(a)
+      var b = a - 1
+      while (b >= 0 && dva(order(b)) > dva(key)) { order(b + 1) = order(b); b -= 1 }
+      order(b + 1) = key
+      a += 1
+    }
+    var best = -1
+    var bd = Long.MaxValue
+    var oi = 0
+    while (oi < kc) {
+      val g = order(oi)
+      val lb = math.sqrt(dva(g).toDouble) - math.sqrt(maxRadSq(g).toDouble)
+      // conservative: integers ≥ 1 apart, so a slack of 4 absorbs any
+      // sqrt rounding without ever skipping the true argmin
+      if (!(lb > 0 && lb * lb > bd.toDouble + 4.0)) {
+        var m = offsets(g)
+        val hi = offsets(g + 1)
+        while (m < hi) {
+          var d = 0L
+          var y = 0
+          val base = m * dims
+          // continue through equality so a completed loop (y == dims)
+          // is the only state where d is the member's FULL distance —
+          // an early exit means d already strictly exceeds bd
+          while (y < dims && d <= bd) { val t = q(y) - members(base + y); d += t * t; y += 1 }
+          if (y == dims) {
+            // exact flat tie-break: lower GLOBAL cell id wins ties, and
+            // groups don't order by cell id — so on d == bd compare ids
+            if (d < bd || (d == bd && (best < 0 || cells(m) < cells(best)))) {
+              bd = d; best = m
+            }
+          }
+          m += 1
+        }
+      }
+      oi += 1
+    }
+    cells(best)
+  }
+
   /** See [[NearestCellCoarse]]: two-level exact-integer assignment —
     * argmin over the kc anchor vectors picks a coarse group, then
     * argmin over that group's member centroids (ties → lower GLOBAL
@@ -371,6 +461,65 @@ case class NearestCell(left: Expression, right: Expression)
   override def prettyName: String = "nearest_cell"
 }
 
+/** nearest_cell_pruned(vec, spec) → BIGINT cell id: the EXACT flat
+  * nearest-centroid argmin (bit-identical to [[NearestCell]] at any
+  * k, ties → lower global cell) with triangle-inequality group
+  * pruning — see [[VectorKernels.nearestCellPruned]]. Spec
+  * ("kc;dims;anchors;offsets;cells;members;maxRadSq") parses once per
+  * expression instance; tables ship as codegen reference objects.
+  */
+case class NearestCellPruned(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), StringType) =>
+      if (!right.foldable || right.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+        "nearest_cell_pruned: spec must be a non-null string literal")
+      else TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell_pruned requires (array<double>, string), got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  @transient private lazy val parsed: (Int, Int, Array[Long], Array[Int], Array[Long], Array[Long], Array[Long]) = {
+    val p = right.eval(null).asInstanceOf[UTF8String].toString.split(";")
+    val (kc, dims) = (p(0).toInt, p(1).toInt)
+    val anchors = p(2).split(",").map(java.lang.Long.parseLong)
+    val offsets = p(3).split(",").map(java.lang.Integer.parseInt)
+    val cells = p(4).split(",").map(java.lang.Long.parseLong)
+    val members = p(5).split(",").map(java.lang.Long.parseLong)
+    val maxRadSq = p(6).split(",").map(java.lang.Long.parseLong)
+    require(anchors.length == kc * dims && offsets.length == kc + 1 &&
+      members.length == cells.length * dims && offsets.last == cells.length &&
+      maxRadSq.length == kc,
+      "nearest_cell_pruned: inconsistent spec table sizes")
+    (kc, dims, anchors, offsets, cells, members, maxRadSq)
+  }
+
+  override def nullSafeEval(v: Any, spec: Any): Any = {
+    val (kc, dims, anchors, offsets, cells, members, maxRadSq) = parsed
+    VectorKernels.nearestCellPruned(v.asInstanceOf[ArrayData], kc, dims,
+      anchors, offsets, cells, members, maxRadSq)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (kc, dims, anchors, offsets, cells, members, maxRadSq) = parsed
+    val aRef = ctx.addReferenceObj("prAnchors", anchors, "long[]")
+    val oRef = ctx.addReferenceObj("prOffsets", offsets, "int[]")
+    val cRef = ctx.addReferenceObj("prCells", cells, "long[]")
+    val mRef = ctx.addReferenceObj("prMembers", members, "long[]")
+    val rRef = ctx.addReferenceObj("prMaxRad", maxRadSq, "long[]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCellPruned($v, $kc, $dims, " +
+        s"$aRef, $oRef, $cRef, $mRef, $rRef);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_cell_pruned"
+}
+
 /** nearest_cell_2l(vec, spec) → BIGINT global cell id via TWO-LEVEL
   * exact-integer assignment: argmin over kc coarse anchors (the first
   * kc trained centroids), then argmin over the member centroids of the
@@ -449,5 +598,7 @@ object VectorExpressions {
       "nearest_cell", Arity.binary("nearest_cell")(NearestCell), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_cell_2l", Arity.binary("nearest_cell_2l")(NearestCellCoarse), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell_pruned", Arity.binary("nearest_cell_pruned")(NearestCellPruned), "built-in")
   }
 }

@@ -691,39 +691,49 @@ object Similarity {
     } else {
       // Large k (the cell-count rules k ∝ n make flat assignment n·k —
       // QUADRATIC in corpus size; the sf100 decade measured
-      // emb_knn_graph/emb_semantic_dedup at 13-14×/decade flat):
-      // TWO-LEVEL assignment, the coarse-quantizer shape billion-scale
-      // IVF indexes use. Anchors = the first kc = ⌈√k⌉ trained
-      // centroids; each centroid joins the coarse group of its nearest
-      // anchor; a vector resolves its nearest anchor, then the nearest
-      // member centroid of that group (all exact-integer argmins, ties
-      // → lower index — deterministic and SQL-replayable, pinned by
-      // the emb_knn_graph_coarse oracle lane + the driver-side
-      // reference spec). Distance work is n·(kc + k/kc) ≈ n·2√k; the
-      // assignment is approximate at coarse-cell boundaries (the
-      // documented IVF trade), never in which groups exist.
-      assignExactCellsCoarse(base.drop("vq", "sd"), idCol, centroids)
+      // emb_knn_graph/emb_semantic_dedup at 13-14×/decade flat): the
+      // SAME exact argmin, accelerated by triangle-inequality group
+      // pruning (`nearest_cell_pruned`) — anchors = the first
+      // kc = ⌈√k⌉ trained centroids, per-group max radii precomputed,
+      // whole groups skipped when √d(v,anchor) − √maxRad already
+      // exceeds the best-so-far. BIT-IDENTICAL cells to the flat rule
+      // at any k (a pruning schedule, not an approximation — a naive
+      // two-level assignment measured 3× the within-cell pairwise
+      // work at sf10 because coarse boundaries skewed cell sizes),
+      // with per-row work ≈ kc + near-group members on clustered
+      // data. The explicitly-approximate coarse assignment remains
+      // available as [[assignCellsCoarse]].
+      val (spec, _) = coarseSpec(centroids)
+      val spark = corpus.sparkSession
+      graft.functions.VectorExpressions.register(spark)
+      base.withColumn("cell", call_function("nearest_cell_pruned", col("v"), spec))
+        .select(col(idCol), col("v"), col("cell"))
     }
   }
 
-  /** The k > 64 branch of [[assignExactCells]], exposed for the
-    * dedicated oracle lane. `base` must carry (idCol, v: array<double>).
+  /** The shared anchor/group tables for the large-k kernels: anchors =
+    * first kc = ⌈√k⌉ centroids, every centroid grouped under its
+    * exact-argmin anchor (ties → lower anchor), members sorted by
+    * global cell id within a group. Returns (spec-with-maxRadSq, spec-
+    * without) — the pruned (exact) kernel consumes the first, the
+    * coarse (approximate) kernel the second.
     */
-  private def assignExactCellsCoarse(base: DataFrame, idCol: String,
-                                     centroids: Array[Array[Long]]): DataFrame = {
-    val spark = base.sparkSession
-    graft.functions.VectorExpressions.register(spark)
+  private def coarseSpec(centroids: Array[Array[Long]]): (Column, Column) = {
     val dims = centroids.head.length
     require(centroids.forall(_.length == dims),
       "assignExactCells: ragged centroid table")
     val k = centroids.length
     val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var y = 0
+      while (y < dims) { val t = a(y) - b(y); d += t * t; y += 1 }
+      d
+    }
     // coarse(c) = exact argmin over anchors 0..kc-1, ties → lower anchor
     def argminAnchor(v: Array[Long]): Int = {
       var best = 0; var bd = Long.MaxValue; var j = 0
       while (j < kc) {
-        var d = 0L; var y = 0
-        while (y < dims) { val t = v(y) - centroids(j)(y); d += t * t; y += 1 }
+        val d = d2(v, centroids(j))
         if (d < bd) { bd = d; best = j }
         j += 1
       }
@@ -733,12 +743,33 @@ object Similarity {
     centroids.zipWithIndex.foreach { case (cq, c) => groups(argminAnchor(cq)) += c }
     val offsets = groups.scanLeft(0)(_ + _.length)
     val cellsSorted = groups.flatMap(_.sorted) // lower-cell tie-break within a group
-    val spec = lit(s"$kc;$dims;" +
+    val maxRadSq = groups.zipWithIndex.map { case (g, j) =>
+      if (g.isEmpty) 0L else g.map(c => d2(centroids(j), centroids(c))).max
+    }
+    val common = s"$kc;$dims;" +
       centroids.take(kc).flatten.mkString(",") + ";" +
       offsets.mkString(",") + ";" +
       cellsSorted.mkString(",") + ";" +
-      cellsSorted.flatMap(centroids(_)).mkString(","))
-    base.withColumn("cell", call_function("nearest_cell_2l", col("v"), spec))
+      cellsSorted.flatMap(centroids(_)).mkString(",")
+    (lit(common + ";" + maxRadSq.mkString(",")), lit(common))
+  }
+
+  /** Explicitly APPROXIMATE two-level assignment — the coarse-quantizer
+    * shape billion-scale IVF indexes use when even pruned-exact
+    * assignment is too slow: a vector resolves its nearest anchor,
+    * then the nearest member centroid of that one group (n·(kc + k/kc)
+    * work, deterministic, ties → lower index; divergence from the
+    * exact argmin only at coarse-cell boundaries). SQL-replayable —
+    * pinned end-to-end by the `emb_knn_graph_coarse` oracle lane. Use
+    * [[assignExactCells]] unless the assignment pass itself dominates.
+    */
+  def assignCellsCoarse(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: Array[Array[Long]]): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val (_, spec) = coarseSpec(centroids)
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", call_function("nearest_cell_2l", col("v"), spec))
       .select(col(idCol), col("v"), col("cell"))
   }
 
@@ -863,8 +894,11 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Long]], k: Int,
-               maxCellSize: Int = 50000): DataFrame = {
-    val cells = assignExactCells(corpus, idCol, vecCol, centroids)
+               maxCellSize: Int = 50000,
+               coarseAssign: Boolean = false): DataFrame = {
+    val cells =
+      if (coarseAssign) assignCellsCoarse(corpus, idCol, vecCol, centroids)
+      else assignExactCells(corpus, idCol, vecCol, centroids)
     val pairs = cosineDedupPairs(cells, idCol, "v", "cell", -1.0, maxCellSize)
     val edges = pairs
       .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"), col("cos"))

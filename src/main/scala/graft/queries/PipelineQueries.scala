@@ -591,7 +591,8 @@ object PipelineQueries {
       val k = math.max(8, math.ceil(n / 6.0).toInt)
       val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
         k = k, iters = 2, hexBound = Similarity.ivfHexBound(n))
-      Similarity.knnGraph(emb, "vec_id", "embedding", cents, 5)
+      Similarity.knnGraph(emb, "vec_id", "embedding", cents, 5,
+        coarseAssign = true)
         .orderBy("vec_id", "rank")
     }),
 

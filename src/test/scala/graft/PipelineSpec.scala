@@ -1172,7 +1172,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, "join-path cell assignment diverged from the reference argmin")
   }
 
-  test("assignExactCells two-level path (k>64) matches a driver-side two-level argmin") {
+  test("large-k assignment: pruned path is EXACTLY flat argmin; coarse path matches two-level reference") {
     import spark.implicits._
     // 100 deterministic centroids + 300 vectors on the 1e-6 grid;
     // values small enough to stay inside the 2^50 budget
@@ -1184,16 +1184,29 @@ class PipelineSpec extends AnyFunSuite {
       (i.toLong, Array.tabulate(dims)(d => ((((i * 7 + d * 13) % 23) - 11) * 0.1)))
     }
     val df = vecs.toDF("vec_id", "embedding")
-    val got = graft.operators.Similarity
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+    // (a) k>64 assignExactCells = the plain flat argmin, bit-for-bit —
+    // triangle-inequality pruning is a schedule, not an approximation
+    val gotExact = graft.operators.Similarity
       .assignExactCells(df, "vec_id", "embedding", cents)
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // independent reference: the documented two-level rule in plain
-    // Scala — anchors = first kc=ceil(sqrt(k)) centroids, coarse by
-    // (d, anchor) argmin, final by (d, GLOBAL cell) argmin in-group
+    val flat = vecs.map { case (id, v) =>
+      val vq = v.map(x => math.floor(x * 1e6).toLong)
+      id -> cents.indices.map(c => (d2(vq, cents(c)), c.toLong)).min._2
+    }.toMap
+    assert(gotExact == flat, "pruned assignment diverged from the flat argmin")
+
+    // (b) assignCellsCoarse = the documented two-level rule: anchors =
+    // first kc=ceil(sqrt(k)) centroids, coarse by (d, anchor) argmin,
+    // final by (d, GLOBAL cell) argmin within the chosen group
+    val gotCoarse = graft.operators.Similarity
+      .assignCellsCoarse(df, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val kc = math.ceil(math.sqrt(100.0)).toInt
-    def d2(a: Array[Long], b: Array[Long]): Long =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val coarseOf = cents.map(c => (0 until kc).map(j => (d2(c, cents(j)), j)).min._2)
     val want = vecs.map { case (id, v) =>
       val vq = v.map(x => math.floor(x * 1e6).toLong)
@@ -1202,15 +1215,7 @@ class PipelineSpec extends AnyFunSuite {
         .map(c => (d2(vq, cents(c)), c.toLong)).min._2
       id -> cell
     }.toMap
-    assert(got == want, "two-level cell assignment diverged from the reference")
-    // and the two-level cells are the flat argmin for most vectors
-    // (approximation only at coarse boundaries) — sanity, not parity
-    val flat = vecs.map { case (id, v) =>
-      val vq = v.map(x => math.floor(x * 1e6).toLong)
-      id -> cents.indices.map(c => (d2(vq, cents(c)), c.toLong)).min._2
-    }.toMap
-    val agree = vecs.count { case (id, _) => flat(id) == want(id) }
-    assert(agree >= vecs.size / 2, s"two-level agreed with flat on only $agree/300")
+    assert(gotCoarse == want, "two-level cell assignment diverged from the reference")
   }
 
   test("semanticDedup emits exactly one row per corpus vector") {
