@@ -213,11 +213,23 @@ object Bench {
             "\"rel2\":([-0-9.]+)\\}").r
           val baseRel = entry.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          kept.results.flatMap { case (name, (r1, r2)) =>
+          // Median-normalize: the probe tracks CPU speed but not the
+          // scheduling/JIT fixed costs small lanes are made of, so a
+          // box-state change shifts the WHOLE rel2 distribution (r8
+          // measured a suite-wide median drift of 1.12×). A regression
+          // is a lane moving 1.5× beyond that shared drift, not 1.5×
+          // in raw units.
+          val ratios = kept.results.flatMap { case (name, (r1, r2)) =>
             baseRel.get(name).collect {
-              case o if r1 >= 0 && r2 >= 0 && o >= 0.1 && r2 / kept.unit >= 1.5 * o =>
-                s"""{"q":"$name","old_rel2":${fmt(o)},"new_rel2":${fmt(r2 / kept.unit)}}"""
+              case o if r1 >= 0 && r2 >= 0 && o >= 0.1 => (name, o, r2 / kept.unit)
             }
+          }
+          val sortedR = ratios.map { case (_, o, n) => n / o }.sorted
+          val med = if (sortedR.isEmpty) 1.0 else sortedR(sortedR.length / 2)
+          ratios.collect {
+            case (name, o, n) if n / o >= 1.5 * med =>
+              s"""{"q":"$name","old_rel2":${fmt(o)},"new_rel2":${fmt(n)},""" +
+                s""""x_vs_median":${fmt(n / o / med)}}"""
           }
         }
       } catch { case _: Throwable => Seq.empty }

@@ -49,23 +49,35 @@ def main():
         sys.exit(2)
 
     floor = 0.1  # probe-relative units; below this, timing is noise
-    regressions, improvements = [], []
-    for name in sorted(set(oq) & set(nq)):
+    # Median-normalize: the calibration probe tracks CPU speed but not
+    # the scheduling/JIT fixed costs small lanes are made of, so a box
+    # speed-state change shifts the whole rel2 distribution together
+    # (a suite-wide 1.12x drift was measured between two same-commit
+    # runs). A regression is a lane moving `threshold`x beyond that
+    # shared drift.
+    pairs = {}
+    for name in set(oq) & set(nq):
         o, n = oq[name].get("rel2"), nq[name].get("rel2")
-        if o is None or n is None or o <= 0:
-            continue
-        ratio = n / o
-        if ratio >= threshold and o >= floor:
+        if o is not None and n is not None and o >= floor:
+            pairs[name] = (o, n)
+    ratios = sorted(n / o for o, n in pairs.values())
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+    regressions, improvements = [], []
+    for name in sorted(pairs):
+        o, n = pairs[name]
+        ratio = n / o / med
+        if ratio >= threshold:
             regressions.append((name, o, n, ratio))
-        elif ratio <= 1 / threshold and o >= floor:
+        elif ratio <= 1 / threshold:
             improvements.append((name, o, n, ratio))
 
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
 
-    print(f"compared {len(set(oq) & set(nq))} common lanes "
+    print(f"compared {len(pairs)} common lanes "
           f"(old calib_unit {old.get('calib_unit')}s, "
-          f"new {new.get('calib_unit')}s, threshold {threshold}x)")
+          f"new {new.get('calib_unit')}s, suite median drift {med:.2f}x, "
+          f"threshold {threshold}x beyond it)")
     if added:
         print(f"new lanes ({len(added)}): {', '.join(added)}")
     if removed:
@@ -73,8 +85,8 @@ def main():
     for name, o, n, r in sorted(improvements, key=lambda x: x[3]):
         print(f"improved  {name:32s} {o:8.3f} -> {n:8.3f} ({r:.2f}x)")
     if regressions:
-        print(f"\n{len(regressions)} REGRESSIONS (>= {threshold}x warm "
-              "probe-relative):")
+        print(f"\n{len(regressions)} REGRESSIONS (>= {threshold}x beyond "
+              "the suite median drift, warm probe-relative):")
         for name, o, n, r in sorted(regressions, key=lambda x: -x[3]):
             print(f"REGRESSED {name:32s} {o:8.3f} -> {n:8.3f} ({r:.2f}x)")
         sys.exit(1)
