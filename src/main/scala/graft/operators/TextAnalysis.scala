@@ -131,10 +131,79 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
 
-  /** PII patterns shared by the operator and the DuckDB oracle — kept
-    * to the regex subset Java and RE2 agree on (character classes,
-    * bounded repetition, \b, \d).
+  /** Bloom-prefiltered decontamination — the SAME exact output as
+    * [[flagContaminated]] (bloom filters have no false negatives, and
+    * every bloom hit is re-confirmed by the exact shingle semi-join),
+    * with the corpus-side cost moved where it belongs at 100 TB:
+    * [[flagContaminated]] explodes EVERY corpus doc's shingles through
+    * the broadcast semi-join (~total-token rows through a join
+    * operator), while here a per-doc bloom probe over the shingle
+    * array (one broadcast BloomFilter, no explode) drops clean docs at
+    * the scan, and only the contamination-rate-bounded candidate set
+    * explodes for the exact confirm. The benchmark side pays two
+    * bounded driver actions (distinct-shingle count + bloom build —
+    * benchmark sets are tiny next to the corpus, the
+    * exactIvfCentroids-sample precedent). The probe is a Scala UDF by
+    * necessity (Spark exposes `DataFrameStatFunctions.bloomFilter` but
+    * no public might_contain expression); it gates only the scan
+    * filter, never the hot confirm path.
     */
+  def flagContaminatedBloom(corpus: DataFrame, idCol: String, textCol: String,
+                            benchmark: DataFrame, fpp: Double = 0.01): DataFrame = {
+    graft.functions.TextExpressions.register(corpus.sparkSession)
+    val bsh = benchmark
+      .select(explode(call_function("word_shingle_set", col(textCol))).as("sh"))
+      .distinct()
+    val nShingles = math.max(1L, bsh.count())
+    val bloom = bsh.stat.bloomFilter("sh", nShingles, fpp)
+    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightHit = udf((shs: Seq[String]) =>
+      shs != null && shs.exists(bloomB.value.mightContainString))
+    val cand = corpus
+      .select(col(idCol), call_function("word_shingle_set", col(textCol)).as("__shs"))
+      .filter(mightHit(col("__shs")))
+    val contaminated = cand
+      .select(col(idCol), explode(col("__shs")).as("sh"))
+      .join(broadcast(bsh), Seq("sh"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("__c", lit(true))
+    corpus.join(contaminated, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__c"), lit(false)).as("contaminated"))
+  }
+
+  /** RAG/serving chunk manifest: fixed word-window chunking with
+    * overlap — every doc split into windows of `window` words at
+    * `stride` (< window ⇒ overlap = window − stride), the chunk
+    * inventory (id, ordinal, start, token count, content hash) every
+    * retrieval pipeline materializes before embedding. Chunk count is
+    * the exact integer formula 1 + ⌈(n−window)/stride⌉ for n > window
+    * else 1, so both engines agree row-for-row; md5 of the chunk text
+    * makes content drift hash-visible. PURE MAPPER + posexplode — at
+    * 100 TB this is one pass over the scan, no shuffle, parallelism =
+    * input splits.
+    */
+  def chunkManifest(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"chunkManifest: need 1 <= stride <= window, got window=$window stride=$stride")
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    // cast: integer '/' on int columns resolves to DOUBLE division in
+    // Spark SQL; div-style chunk count must stay integral for sequence()
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(lit(1) + ((n - window + (stride - 1)) / stride).cast("int"))
+    df.select(col(idCol), words.as("__w"), n.as("__n"), nChunks.as("__k"))
+      .select(col(idCol), col("__w"), col("__n"),
+        posexplode(transform(sequence(lit(0), col("__k") - 1),
+          i => lit(1) + i * stride)).as(Seq("chunk_id", "__start")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("__start").cast("long").as("start_word"),
+        least(lit(window), col("__n") - col("__start") + 1).cast("long")
+          .as("n_tokens"),
+        md5(concat_ws(" ", slice(col("__w"), col("__start"), lit(window))))
+          .as("chunk_hash"))
+  }
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}-\\d{4}\\b"

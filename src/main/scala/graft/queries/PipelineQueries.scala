@@ -255,6 +255,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Decontamination through the bloom-prefilter scale path: one
+    // broadcast BloomFilter probed per doc over the shingle ARRAY (no
+    // corpus-wide explode), exact shingle semi-join confirm only for
+    // bloom hits — bit-identical output to doc_decontaminate (no false
+    // negatives + exact confirm), so the oracle is the same SQL.
+    "doc_decontaminate_bloom" -> ((s, dir) => {
+      val bench = Tables(s, dir, "documents").filter(col("doc_id") < 50)
+      TextAnalysis.flagContaminatedBloom(corpus(s, dir), "doc_id", "text", bench)
+        .orderBy("doc_id")
+    }),
+
+    // RAG chunk manifest: 64-word windows at stride 48 (16-word
+    // overlap) — the chunk inventory retrieval pipelines materialize
+    // before embedding; exact integer chunk-count formula + md5 chunk
+    // hashes keep it engine-stable. Pure mapper + posexplode.
+    "doc_chunk_manifest" -> ((s, dir) =>
+      TextAnalysis.chunkManifest(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_id")),
+
     // Dup-GROUP resolution: near-dup pairs → connected components →
     // canonical min id per cluster (what a dedup pipeline actually
     // keeps). Oracle recomputes the closure with a recursive CTE over
@@ -870,6 +889,25 @@ object PipelineQueries {
        |    FROM q e CROSS JOIN c$iters c)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** Exact shingle-overlap decontamination, shared by the plain and
+    * bloom-prefiltered lanes (the prefilter never changes the answer —
+    * blooms have no false negatives and every hit is re-confirmed).
+    */
+  private def decontaminateOracle: String =
+    s"""WITH $CORPUS,
+       |bsh AS (
+       |  SELECT DISTINCT t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+       |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+       |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+       |csh AS (
+       |  SELECT DISTINCT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+       |bad AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.sh = b.sh)
+       |SELECT corpus.doc_id AS doc_id, bad.doc_id IS NOT NULL AS contaminated
+       |FROM corpus LEFT JOIN bad ON corpus.doc_id = bad.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Two-level cell assignment as CTEs (replaces `cc` for the k > 64
     * path): anchors = first kc = ⌈√|centroids|⌉ trained centroids,
@@ -1663,20 +1701,22 @@ object PipelineQueries {
         |    (n_stop >= 2) AS r_stopword
         |  FROM m)
         |ORDER BY doc_id""".stripMargin,
-    "doc_decontaminate" ->
-      s"""WITH $CORPUS,
-         |bsh AS (
-         |  SELECT DISTINCT t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
-         |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
-         |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
-         |csh AS (
-         |  SELECT DISTINCT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-         |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
-         |bad AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.sh = b.sh)
-         |SELECT corpus.doc_id AS doc_id, bad.doc_id IS NOT NULL AS contaminated
-         |FROM corpus LEFT JOIN bad ON corpus.doc_id = bad.doc_id
-         |ORDER BY doc_id""".stripMargin,
+    "doc_decontaminate" -> decontaminateOracle,
+    // bit-identical by design: bloom prefilter + exact confirm ≡ exact
+    "doc_decontaminate_bloom" -> decontaminateOracle,
+    "doc_chunk_manifest" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT doc_id, t, len(t) AS n,
+        |        CASE WHEN len(t) <= 64 THEN 1
+        |             ELSE 1 + (len(t) - 64 + 47) // 48 END AS k
+        |      FROM d)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(1 + i * 48 AS BIGINT) AS start_word,
+        |  CAST(LEAST(64, n - (1 + i * 48) + 1) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(t[(1 + i * 48):(i * 48 + 64)], ' ')) AS chunk_hash
+        |FROM m, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS i) u
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_pii_redact" -> {
       import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
       s"""WITH p AS (

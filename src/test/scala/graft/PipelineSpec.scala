@@ -1218,6 +1218,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotCoarse == want, "two-level cell assignment diverged from the reference")
   }
 
+  test("flagContaminatedBloom ≡ flagContaminated (bloom prefilter never changes the answer)") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // contains benchmark shingle
+      (11L, "totally unrelated text with many words here"),
+      (12L, "three four five and more"),       // contains benchmark shingle
+      (13L, "short"),                          // sub-shingle
+      (14L, "one two four five six"))          // no 3-shingle overlap
+      .toDF("doc_id", "text")
+    val a = graft.operators.TextAnalysis
+      .flagContaminated(corpus, "doc_id", "text", bench)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val b = graft.operators.TextAnalysis
+      .flagContaminatedBloom(corpus, "doc_id", "text", bench)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(a == b, s"bloom path diverged: $a vs $b")
+    assert(a == Seq((10L, true), (11L, false), (12L, true), (13L, false), (14L, false)))
+  }
+
+  test("chunkManifest: exact chunk-count formula, boundaries, overlap hashes") {
+    import spark.implicits._
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // n=64 → 1 chunk; n=65 → 2; n=112 (=64+48) → 2; n=113 → 3; n=1 → 1
+    val df = Seq((64L, words(64)), (65L, words(65)), (112L, words(112)),
+      (113L, words(113)), (1L, words(1))).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.chunkManifest(df, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+    assert(out(64L).length == 1 && out(65L).length == 2 &&
+      out(112L).length == 2 && out(113L).length == 3 && out(1L).length == 1)
+    // chunk 1 of n=65 starts at word 49 and carries the 17 remaining words
+    val c65 = out(65L).sortBy(_.getAs[Long]("chunk_id")).last
+    assert(c65.getAs[Long]("start_word") == 49L && c65.getAs[Long]("n_tokens") == 17L)
+    // identical text → identical chunk hashes at every ordinal
+    val twin = Seq((1L, words(113)), (2L, words(113))).toDF("doc_id", "text")
+    val h = graft.operators.TextAnalysis.chunkManifest(twin, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.sortBy(_.getAs[Long]("chunk_id"))
+        .map(_.getAs[String]("chunk_hash")).toSeq }
+    assert(h(1L) == h(2L) && h(1L).distinct.length == 3)
+  }
+
   test("semanticDedup emits exactly one row per corpus vector") {
     val emb = Tables(spark, sf, "embeddings")
     val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
