@@ -353,7 +353,44 @@ object CoreSql {
         count(lit(1)).as("n"))
       .orderBy("user_id")
 
+  /** Skew-salted two-stage aggregation (Skew.saltedStats) over the
+    * most skew-shaped grouping the lake offers: 3 returnflag keys ×
+    * the full lineitem row mass. count/sum/min/max merge losslessly
+    * across the salt sub-groups (exact integer cents), so the oracle
+    * is the PLAIN direct GROUP BY — proof the two-stage rewrite is
+    * invisible to results, which is the property that licenses it at
+    * 100 TB where a hot key would otherwise pin one reduce task.
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedStats(
+        Tables(spark, dir, "lineitem"),
+        keyCols = Seq("l_returnflag"),
+        rowKeyCols = Seq("l_orderkey", "l_linenumber"),
+        valueCol = "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** Misra-Gries heavy hitters per user cohort (functions.HeavyHitters
+    * — a real partial-aggregable Aggregator whose buffer is ≤ k
+    * entries per partition whatever the input cardinality). Run at
+    * k = 16 ≥ the event-type domain, where the sketch provably
+    * degenerates to exact counting independent of merge order — so
+    * the oracle is the exact GROUP BY count and the sketch MACHINERY
+    * (reduce/merge/finish across real shuffles) is what the hash
+    * checks. The lossy k < domain regime is order-dependent by
+    * nature; its n/(k+1) guarantees are spec-pinned on fixed streams.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.functions.HeavyHitters.MisraGriesAgg(16))
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(mg(col("event_type")).as("__hh"))
+      .select(col("cohort"), explode(col("__hh")).as(Seq("event_type", "est_n")))
+      .orderBy("cohort", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> qHeavyHitters,
+    "q_salted_agg" -> qSaltedAgg,
     "q01_pricing_summary" -> q01PricingSummary,
     "q03_shipping_priority" -> q03ShippingPriority,
     "q05_local_supplier" -> q05LocalSupplier,
@@ -374,6 +411,23 @@ object CoreSql {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """SELECT user_id % 10 AS cohort, event_type,
+        |  CAST(count(*) AS BIGINT) AS est_n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_salted_agg" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS min_value,
+        |  CAST(max(cents) AS DOUBLE) / 100.0 AS max_value,
+        |  floor(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*) * 1000000.0)
+        |    / 1000000.0 AS avg_value
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1218,6 +1218,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotCoarse == want, "two-level cell assignment diverged from the reference")
   }
 
+  test("saltedStats ≡ direct groupBy at any bucket count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 500).map(i => (i.toLong, s"k${i % 3}", i * 0.37))
+      .toDF("rid", "key", "value")
+    def direct = df.withColumn("__c", round(col("value") * 100).cast("long"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), (sum("__c") / 100.0).as("sum_value"),
+        (min("__c") / 100.0).as("min_value"), (max("__c") / 100.0).as("max_value"))
+      .withColumn("avg_value", floor(col("sum_value") / col("n") * 1000000.0) / 1000000.0)
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    for (b <- Seq(1, 7, 64)) {
+      val salted = graft.operators.Skew
+        .saltedStats(df, Seq("key"), Seq("rid"), "value", buckets = b)
+        .orderBy("key").collect().map(_.toSeq).toSeq
+      assert(salted == direct, s"buckets=$b diverged")
+    }
+  }
+
+  test("Misra-Gries: exact at k >= domain; classic guarantees in the lossy regime") {
+    import graft.functions.HeavyHitters._
+    // lossy: k=2 over a fixed stream — 9 a, 5 b, 3 c interleaved
+    val stream = Seq.fill(3)(Seq("a", "a", "a", "b", "c", "b", "a" * 1)).flatten
+      .map(_.toString)
+    val n = stream.length
+    val k = 2
+    val summary = stream.foldLeft(Map.empty[String, Long])((m, v) => add(k, m, v))
+    assert(summary.size <= k)
+    val trueCounts = stream.groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    // every survivor's estimate within n/(k+1) of truth (undercount only)
+    summary.foreach { case (v, c) =>
+      assert(c <= trueCounts(v) && trueCounts(v) - c <= n / (k + 1),
+        s"$v: est $c vs true ${trueCounts(v)}")
+    }
+    // any value with frequency > n/(k+1) must survive ('a' = 12 of 21)
+    assert(summary.contains("a"))
+    // merge compression: two size-2 summaries with disjoint keys at k=2
+    // subtract the 3rd-largest and keep at most k survivors
+    val merged = mergeSummaries(2, Map("a" -> 10L, "b" -> 4L), Map("c" -> 6L, "d" -> 1L))
+    assert(merged == Map("a" -> 6L, "c" -> 2L))
+    // exact regime: k >= domain — foldLeft in any split + merge == truth
+    val (s1, s2) = stream.splitAt(7)
+    val exact = mergeSummaries(16,
+      s1.foldLeft(Map.empty[String, Long])((m, v) => add(16, m, v)),
+      s2.foldLeft(Map.empty[String, Long])((m, v) => add(16, m, v)))
+    assert(exact == trueCounts)
+  }
+
   test("flagContaminatedBloom ≡ flagContaminated (bloom prefilter never changes the answer)") {
     import spark.implicits._
     val bench = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four five"))
