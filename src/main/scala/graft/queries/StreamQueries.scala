@@ -381,6 +381,27 @@ object StreamQueries {
         .orderBy("event_type", "bucket_us")
     }),
 
+    // Streaming Misra-Gries heavy hitters per (event_type, hour):
+    // bounded-state "top values" across micro-batch boundaries — the
+    // Aggregator's mergeable-summary merge is what Spark's streaming
+    // aggregation exercises between batches. k = 64 ≥ the 50-value
+    // domain, where the summary provably equals the exact count map
+    // independent of micro-batch slicing — so the oracle is the exact
+    // GROUP BY with the stream_windowed emit-boundary clip.
+    "stream_heavy_hitters" -> ((s, dir) => {
+      val src = eventsStream(s, dir)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .withColumn("hv", (col("user_id") % 50).cast("string"))
+      val hh = StreamIngest.windowedHeavyHitters(src, "tstamp", "event_type",
+        "hv", k = 64, window = "1 hour", watermark = "0 seconds")
+      val sink = replay(s, hh, "stream_heavy_hitters_sink")
+      val maxUs = globalMaxUs(s, dir)
+      sink.select(col("event_type"), unix_micros(col("w_start")).as("bucket_us"),
+          col("value"), col("est_n"))
+        .filter(col("bucket_us") + lit(BucketUs) < maxUs)
+        .orderBy("event_type", "bucket_us", "value")
+    }),
+
     // REAL-TIME funnel: per-user O(1) state advances on next-step
     // events in event-time order; level is monotone so the sink's max
     // per user equals the batch earliest-chain rule — the oracle IS
@@ -602,6 +623,16 @@ object StreamQueries {
          |  min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN bid END) AS p95_bid
          |FROM cumt GROUP BY event_type, bucket_us
          |ORDER BY event_type, bucket_us""".stripMargin,
+    "stream_heavy_hitters" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |e AS (SELECT event_type,
+         |        (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         |        CAST(user_id % 50 AS VARCHAR) AS value
+         |      FROM $E)
+         |SELECT event_type, bucket_us, value, CAST(count(*) AS BIGINT) AS est_n
+         |FROM e, m WHERE bucket_us + 3600000000 < mx
+         |GROUP BY event_type, bucket_us, value
+         |ORDER BY event_type, bucket_us, value""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
     // identical to ts_funnel's oracle — THE point: stream == batch

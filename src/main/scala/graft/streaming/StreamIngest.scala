@@ -30,6 +30,29 @@ object StreamIngest {
         col("sum_value"), col("avg_value"))
   }
 
+  /** Watermarked windowed Misra-Gries heavy hitters per key — the
+    * continuous "top values right now" query (trending items, hot
+    * tenants) with per-window state bounded at k map entries whatever
+    * the value cardinality, merged across micro-batches by Spark's
+    * streaming aggregation through the Aggregator's mergeable-summary
+    * merge (graft.functions.HeavyHitters). At k ≥ the value domain the
+    * summary provably equals the exact count map independent of
+    * micro-batch slicing, which is what the replay oracle checks; the
+    * lossy regime trades exactly the n/(k+1) error the batch form
+    * does. Works on batch or streaming frames alike.
+    */
+  def windowedHeavyHitters(events: DataFrame, tsCol: String, keyCol: String,
+                           valueCol: String, k: Int,
+                           window: String, watermark: String): DataFrame = {
+    val mg = udaf(new graft.functions.HeavyHitters.MisraGriesAgg(k))
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    wm.groupBy(org.apache.spark.sql.functions.window(col(tsCol), window).as("w"),
+        col(keyCol))
+      .agg(mg(col(valueCol)).as("__hh"))
+      .select(col(keyCol), col("w.start").as("w_start"),
+        explode(col("__hh")).as(Seq("value", "est_n")))
+  }
+
   /** Streaming OHLC candlestick per (key, window) — the continuous
     * market-data/metrics rollup, the streaming half of the batch
     * `TimeSeries.candlestick`. Deterministic open/close come from
