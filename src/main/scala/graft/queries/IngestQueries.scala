@@ -34,6 +34,39 @@ object IngestQueries {
         .orderBy("event_id")
     }),
 
+    // OpenTSDB telnet round-trip (write/cli_precision.slt
+    // --#OPENTSDB_BEGIN): events rendered as `put` lines, parsed back
+    // by graft.sources.OpenTsdb, oracle recomputes from the lake.
+    "ts_opentsdb_telnet" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.events(s, dir)
+        .select(format_string("put events_%s %s %s user_id=%s event_id=%s",
+          col("event_type"), expr("ts_ns div 1000"), col("value"),
+          col("user_id"), col("event_id")).as("line"))
+        .as[String]
+      graft.sources.OpenTsdb.parseTelnet(lines)
+        .select(col("tags")("event_id").cast("long").as("event_id"),
+          col("metric"), col("ts").as("ts_us"), col("value"),
+          col("tags")("user_id").cast("long").as("user_id"))
+        .orderBy("event_id")
+    }),
+
+    // OpenTSDB JSON round-trip (--#OPENTSDB_JSON_BEGIN): one JSON array
+    // document per event through codegen'd from_json + explode.
+    "ts_opentsdb_json" -> ((s, dir) => {
+      val docs = Tables.events(s, dir)
+        .select(format_string(
+          """[{"metric": "events_%s", "timestamp": %s, "value": %s,""" +
+            """ "tags": {"user_id": "%s", "event_id": "%s"}}]""",
+          col("event_type"), expr("ts_ns div 1000"), col("value"),
+          col("user_id"), col("event_id")).as("doc"))
+      graft.sources.OpenTsdb.parseJson(docs, "doc")
+        .select(col("tags")("event_id").cast("long").as("event_id"),
+          col("metric"), col("ts").as("ts_us"), col("value"),
+          col("tags")("user_id").cast("long").as("user_id"))
+        .orderBy("event_id")
+    }),
+
     "csv_roundtrip" -> ((s, dir) => {
       // external-table surface (create_external_table.slt / COPY INTO):
       // write nation as CSV, read it back through the CSV source.
@@ -64,6 +97,14 @@ object IngestQueries {
     "ts_line_protocol" ->
       """SELECT event_id, 'events' AS measurement, user_id, event_type, value,
         |  user_id AS n, epoch_us(cast(events.ts AS TIMESTAMP)) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "ts_opentsdb_telnet" ->
+      """SELECT event_id, 'events_' || event_type AS metric,
+        |  epoch_us(cast(events.ts AS TIMESTAMP)) AS ts_us, value, user_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "ts_opentsdb_json" ->
+      """SELECT event_id, 'events_' || event_type AS metric,
+        |  epoch_us(cast(events.ts AS TIMESTAMP)) AS ts_us, value, user_id
         |FROM events ORDER BY event_id""".stripMargin,
     "csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -494,6 +494,44 @@ class IngestSpec extends AnyFunSuite {
     assert(p95 == 419L, s"p95 bid $p95")
   }
 
+  test("OpenTsdb telnet parser: put prefix, tags, malformed rows dead-letter") {
+    import graft.sources.OpenTsdb
+    // reference wire shape (write/cli_precision.slt OPENTSDB block)
+    assert(OpenTsdb.parseTelnetLine("test2 1667456411000001 1 ta=a1 tb=b1")
+      .contains(OpenTsdb.Point("test2", 1667456411000001L, 1.0,
+        Map("ta" -> "a1", "tb" -> "b1"))))
+    // telnet API 'put' command prefix tolerated
+    assert(OpenTsdb.parseTelnetLine("put sys.cpu 1612345678 0.5 host=web01")
+      .contains(OpenTsdb.Point("sys.cpu", 1612345678L, 0.5, Map("host" -> "web01"))))
+    // no tags is legal; extra whitespace collapses
+    assert(OpenTsdb.parseTelnetLine("m   1  2.5")
+      .contains(OpenTsdb.Point("m", 1L, 2.5, Map.empty)))
+    // malformed rows dead-letter instead of aborting the batch
+    for (bad <- Seq("", "# comment", "m 1", "m notatime 1 a=b",
+        "m 1 notanumber a=b", "m 1 2 =v", "m 1 2 k=", "m 1 2 kv"))
+      assert(OpenTsdb.parseTelnetLine(bad).isEmpty, s"accepted: '$bad'")
+  }
+
+  test("OpenTsdb JSON parser: array batches, malformed docs contribute no rows") {
+    import spark.implicits._
+    val docs = Seq(
+      """[{"metric": "nice", "timestamp": 1667456411000001, "value": 18,
+        | "tags": {"host": "web01", "dc": "lga"}},
+        |{"metric": "nice", "timestamp": 1667456411000002, "value": 9,
+        | "tags": {"host": "web02", "dc": "lga"}}]""".stripMargin,
+      "not json at all",
+      """[{"timestamp": 5, "value": 1.0, "tags": {}}]""" // metric missing → filtered
+    ).toDF("doc")
+    val out = graft.sources.OpenTsdb.parseJson(docs, "doc")
+      .orderBy("ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("metric") == "nice" &&
+      out(0).getAs[Long]("ts") == 1667456411000001L &&
+      out(0).getAs[Double]("value") == 18.0 &&
+      out(0).getAs[Map[String, String]]("tags") == Map("host" -> "web01", "dc" -> "lga"))
+    assert(out(1).getAs[Map[String, String]]("tags")("host") == "web02")
+  }
+
   test("streamingLastPoint keeps the max-by-time row per key") {
     import spark.implicits._
     val pts = Seq(
