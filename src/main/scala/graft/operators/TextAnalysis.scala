@@ -397,6 +397,35 @@ object TextAnalysis {
           / col("n_docs") * 1000000.0) / 1000000.0)
   }
 
+  /** Tokenizer fertility per group — the tokenizer-efficiency
+    * dashboard multilingual corpus work starts from (fertility =
+    * subword tokens per whitespace word; bytes per subword token):
+    * languages where the tokenizer fragments badly get over-weighted
+    * in token-budgeted mixes, and this is the rollup that shows it.
+    * Subword counts come from the codegen'd `bpe_token_count` kernel
+    * (letter-run / digit-run / symbol segmentation); ONE partial-
+    * aggregable aggregate, ratios floor-quantized after exact integer
+    * sums — no per-doc rows survive to the shuffle.
+    */
+  def tokenizerFertility(df: DataFrame, textCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("total_words"),
+        sum(call_function("bpe_token_count", col(textCol)).cast("long"))
+          .as("total_subword_tokens"),
+        sum(octet_length(col(textCol)).cast("long")).as("total_bytes"))
+      .withColumn("fertility",
+        when(col("total_words") > 0,
+          floor(col("total_subword_tokens").cast("double")
+            / col("total_words") * 1000000.0) / 1000000.0))
+      .withColumn("bytes_per_token",
+        when(col("total_subword_tokens") > 0,
+          floor(col("total_bytes").cast("double")
+            / col("total_subword_tokens") * 1000000.0) / 1000000.0))
+  }
+
   /** CCNet-style line-level dedup (Wenzek et al. 2020): split every doc
     * on `delim`, keep each distinct line's FIRST corpus occurrence (the
     * lexicographic-min (doc, line_no) claimant — also dropping repeats

@@ -125,6 +125,13 @@ object PipelineQueries {
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
         .orderBy("doc_id")),
 
+    // Tokenizer fertility per language: subword tokens per word and
+    // bytes per token — the tokenizer-efficiency rollup multilingual
+    // token-budgeted mixes are weighted by.
+    "doc_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables(s, dir, "documents"), "text",
+        Seq("lang")).orderBy("lang")),
+
     // Incremental near-dedup: flag an INCOMING batch against the
     // EXISTING corpus index — exact copies (+5e6), near copies with an
     // appended tail (+6e6), and 60-char truncations (+7e6, mostly
@@ -1492,6 +1499,24 @@ object PipelineQueries {
         |  len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS s,
+        |    CAST(strlen(text) AS BIGINT) AS b
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(w) AS total_words, sum(s) AS total_subword_tokens,
+        |  sum(b) AS total_bytes,
+        |  CASE WHEN sum(w) > 0 THEN
+        |    floor(CAST(sum(s) AS DOUBLE) / sum(w) * 1000000.0) / 1000000.0
+        |  END AS fertility,
+        |  CASE WHEN sum(s) > 0 THEN
+        |    floor(CAST(sum(b) AS DOUBLE) / sum(s) * 1000000.0) / 1000000.0
+        |  END AS bytes_per_token
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_dsir_weight" ->
       """WITH toks AS (
         |  SELECT doc_id,
