@@ -62,6 +62,49 @@ object Sampling {
       .drop("sqrt_tok_q")
   }
 
+  /** Temperature-weighted mixture sampling MATERIALIZED: the step that
+    * turns a domain-mixture weight table ([[domainMixture]]) into an
+    * actual training keep-set. Per stratum d the target allocation is
+    * `budget · w_d` docs with w_d ∝ n_d^0.5 (sqrt temperature — the
+    * standard upweighting of small domains in LLM data mixtures), the
+    * keep rate is min(1, target_d / n_d), and a doc survives iff its
+    * deterministic md5 fraction clears the stratum's rate. Oversampled
+    * strata (rate would exceed 1) keep everything — sampling stays
+    * WITHOUT replacement; the epochs>1 decision is the trainer's.
+    *
+    * 100 TB shape: one map-side-combined count per stratum (tiny
+    * result), normalizing total as a window over that aggregate (not a
+    * second corpus pass), broadcast join back, scan-wide filter. No
+    * corpus shuffle at all.
+    *
+    * Engine-stable selection: sqrt(n_d) quantizes to integer
+    * micro-units BEFORE normalization, the rate→threshold conversion is
+    * one mirrored double expression, and the comparison happens in hex
+    * STRING space — "0"+md5-prefix < format("%09x", min(2³²,
+    * floor(rate·2³²))) — so the oracle needs no hex-to-int conversion
+    * at all. Both sides are exactly 9 lowercase hex chars (the prefix
+    * zero-padded, the threshold clamped to 2³² = "100000000"), so
+    * lexicographic order IS numeric order and rate ≥ 1 keeps all.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n_d"))
+      .withColumn("__s_d",
+        floor(sqrt(col("__n_d").cast("double")) * 1000000.0).cast("long"))
+      .withColumn("__thr", format_string("%09x",
+        least(floor(lit(budget.toDouble) * col("__s_d").cast("double")
+          / (sum("__s_d").over(w).cast("double") * col("__n_d").cast("double"))
+          * 4294967296.0).cast("long"), lit(4294967296L))))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(rates), strataCol)
+      .filter(concat(lit("0"),
+        substring(md5(col(idCol).cast("string")), 1, 8)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic train/test split by hashed id: test iff
     * hashScore(id) < testFraction. A pure mapper — no shuffle, no RNG
     * state, stable under corpus growth (adding docs never moves an

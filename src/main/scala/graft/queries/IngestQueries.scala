@@ -67,6 +67,60 @@ object IngestQueries {
         .orderBy("event_id")
     }),
 
+    // ES `_bulk` log round-trip (the reference's third write family:
+    // json_protocol/parser.rs:105 pairing, :496 parse_to_line, served
+    // by the write_es_log HTTP route): events rendered as one bulk
+    // body per event — command line carrying _index/_id, document line
+    // with a nested object to exercise the recursive dot-key flatten —
+    // parsed back by graft.sources.JsonLog, oracle recomputes from the
+    // lake. event_type rides as a declared tag column, user_id lands
+    // in the numeric bucket as F64 (the reference coerces integer JSON
+    // numbers to F64), `ok` in the boolean bucket.
+    "ts_eslog_bulk" -> ((s, dir) => {
+      import s.implicits._
+      val bodies = Tables.events(s, dir)
+        .select(format_string(
+          "{\"create\": {\"_index\": \"events\", \"_id\": \"%s\"}}\n" +
+            "{\"event_type\": \"%s\", \"time\": %s, \"value\": %s," +
+            " \"u\": {\"id\": %s}, \"ok\": true}",
+          col("event_id"), col("event_type"), col("ts_ns"), col("value"),
+          col("user_id")).as("body"))
+        .as[String]
+      graft.sources.JsonLog.parseBulk(bodies, "time", Set("event_type"))
+        .select(col("esId").cast("long").as("event_id"),
+          col("cmd"), col("esIndex").as("es_index"),
+          col("tags")("event_type").as("event_type"),
+          col("ts").as("ts_ns"),
+          col("numFields")("value").as("value"),
+          col("numFields")("u.id").as("user_id_f"),
+          col("boolFields")("ok").as("ok"))
+        .orderBy("event_id")
+    }),
+
+    // NDJSON log round-trip (json_protocol/parser.rs:146; the Loki-JSON
+    // branch flattens identically): one document per line, RFC 3339
+    // STRING timestamps (the parse_to_line string-time path), event_id
+    // as a declared tag restored by cast.
+    "ts_ndjson_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.events(s, dir)
+        .select(format_string(
+          "{\"event_id\": %s, \"time\": \"%s\", \"value\": %s," +
+            " \"n\": {\"chars\": %s}, \"lvl\": \"info\"}",
+          col("event_id"),
+          date_format(timestamp_micros(expr("ts_ns div 1000")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+          col("value"), col("user_id")).as("line"))
+        .as[String]
+      graft.sources.JsonLog.parseNdjson(lines, "time", Set("event_id"))
+        .select(col("tags")("event_id").cast("long").as("event_id"),
+          col("ts").as("ts_ns"),
+          col("numFields")("value").as("value"),
+          col("numFields")("n.chars").as("chars_f"),
+          col("strFields")("lvl").as("lvl"))
+        .orderBy("event_id")
+    }),
+
     "csv_roundtrip" -> ((s, dir) => {
       // external-table surface (create_external_table.slt / COPY INTO):
       // write nation as CSV, read it back through the CSV source.
@@ -105,6 +159,15 @@ object IngestQueries {
     "ts_opentsdb_json" ->
       """SELECT event_id, 'events_' || event_type AS metric,
         |  epoch_us(cast(events.ts AS TIMESTAMP)) AS ts_us, value, user_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "ts_eslog_bulk" ->
+      """SELECT event_id, 'create' AS cmd, 'events' AS es_index, event_type,
+        |  epoch_ns(cast(events.ts AS TIMESTAMP)) AS ts_ns, value,
+        |  CAST(user_id AS DOUBLE) AS user_id_f, TRUE AS ok
+        |FROM events ORDER BY event_id""".stripMargin,
+    "ts_ndjson_ingest" ->
+      """SELECT event_id, epoch_ns(cast(events.ts AS TIMESTAMP)) AS ts_ns,
+        |  value, CAST(user_id AS DOUBLE) AS chars_f, 'info' AS lvl
         |FROM events ORDER BY event_id""".stripMargin,
     "csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -306,6 +306,19 @@ object PipelineQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Temperature-weighted mixture sampling MATERIALIZED (the step
+    // after doc_domain_mix's weight table): per-source sqrt-temperature
+    // allocation of a 200-doc budget, docs kept by a deterministic
+    // md5-vs-threshold test in zero-padded hex STRING space so the
+    // oracle replays the selection with no hex-to-int conversion.
+    // Small sources keep everything (rate clamps at 1); large ones
+    // downsample to their allocation. No corpus shuffle: tiny
+    // per-source aggregate + broadcast join + scan filter.
+    "doc_temperature_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(Tables(s, dir, "documents"), "doc_id", "source", 200L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // Deterministic train/test split by hashed id: a pure mapper whose
     // assignment never moves as the corpus grows.
     "doc_train_test_split" -> ((s, dir) =>
@@ -1357,6 +1370,19 @@ object PipelineQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "doc_temperature_sample" ->
+      """WITH g AS (SELECT source, count(*) AS n_d FROM documents GROUP BY source),
+        |q AS (SELECT source, n_d,
+        |  CAST(floor(sqrt(CAST(n_d AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_d FROM g),
+        |t AS (SELECT source,
+        |  printf('%09x', LEAST(CAST(floor(
+        |    200.0 * CAST(s_d AS DOUBLE)
+        |    / (CAST(sum(s_d) OVER () AS DOUBLE) * CAST(n_d AS DOUBLE))
+        |    * 4294967296.0) AS BIGINT), 4294967296)) AS thr
+        |  FROM q)
+        |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
+        |WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
     "doc_train_test_split" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'

@@ -544,4 +544,75 @@ class IngestSpec extends AnyFunSuite {
     assert(out(1L).ts_us == 300L && out(1L).value == 3.0)
     assert(out(2L).value == 9.0)
   }
+
+  test("JsonLog bulk: multi-pair bodies, nested/array flatten, typed field buckets") {
+    val body =
+      """{"create": {"_index": "logs", "_id": "7"}}
+        |{"time": 123456789, "msg": "hi", "sev": 3, "meta": {"host": "h1", "ports": [80, 443]}, "ok": true}
+        |{"index": {"_index": "logs"}}
+        |{"time": 5, "msg": "bye", "nil": null}
+        |""".stripMargin
+    val rows = graft.sources.JsonLog.parseBulkBody(body, "time", Set("meta.host"))
+    assert(rows.length == 2)
+    val a = rows.head
+    assert(a.cmd == "create" && a.esIndex == "logs" && a.esId == "7")
+    assert(a.ts == 123456789L)
+    assert(a.tags == Map("meta.host" -> "h1"))
+    assert(a.strFields == Map("msg" -> "hi"))
+    // integer JSON numbers coerce to F64 (reference parse_to_line), and
+    // array elements flatten under their index
+    assert(a.numFields == Map("sev" -> 3.0, "meta.ports.0" -> 80.0, "meta.ports.1" -> 443.0))
+    assert(a.boolFields == Map("ok" -> true))
+    val b = rows(1)
+    assert(b.cmd == "index" && b.esId == "" && b.ts == 5L)
+    assert(!b.strFields.contains("nil") && !b.numFields.contains("nil")) // null field dropped, row kept
+  }
+
+  test("JsonLog bulk: malformed pairs dead-letter, trailing unpaired command drops") {
+    val body =
+      """{"create": {}}
+        |{"time": 1, "v": 1}
+        |{"delete": {"_id": "x"}}
+        |{"time": 2, "v": 2}
+        |{"create": {}}
+        |not json at all
+        |{"index": {}}
+        |""".stripMargin
+    // pair 2 has an invalid command verb, pair 3 an unparseable doc,
+    // and the final command line is unpaired — only pair 1 survives
+    val rows = graft.sources.JsonLog.parseBulkBody(body, "time", Set.empty)
+    assert(rows.map(_.ts) == Seq(1L))
+  }
+
+  test("JsonLog ndjson: RFC 3339 string time, numeric tag stringifies, no-time ts=-1") {
+    val r = graft.sources.JsonLog
+      .parseNdjsonLine("""{"time": "2022-11-03T06:20:11.000001Z", "shard": 42, "v": 1.5}""",
+        "time", Set("shard")).get
+    assert(r.ts == 1667456411000001000L)
+    assert(r.tags == Map("shard" -> "42"))
+    assert(r.numFields == Map("v" -> 1.5))
+    // explicit offset form parses too
+    val r2 = graft.sources.JsonLog
+      .parseNdjsonLine("""{"time": "2022-11-03T06:20:11+08:00", "v": 2}""", "time", Set.empty).get
+    assert(r2.ts == 1667427611000000000L)
+    // unparseable time string kills the row (reference ParseTime error)
+    assert(graft.sources.JsonLog
+      .parseNdjsonLine("""{"time": "yesterday", "v": 3}""", "time", Set.empty).isEmpty)
+    // absent time → deterministic -1 sentinel, not server now()
+    val r3 = graft.sources.JsonLog.parseNdjsonLine("""{"v": 4}""", "time", Set.empty).get
+    assert(r3.ts == -1L)
+  }
+
+  test("JsonLog parseBulk/parseNdjson are distributed mappers over Dataset[String]") {
+    import spark.implicits._
+    val bodies = Seq(
+      "{\"create\": {\"_id\": \"1\"}}\n{\"time\": 10, \"v\": 1}",
+      "garbage body that parses to nothing",
+      "{\"index\": {\"_id\": \"2\"}}\n{\"time\": 20, \"v\": 2}"
+    ).toDS()
+    val out = graft.sources.JsonLog.parseBulk(bodies).orderBy("ts").collect()
+    assert(out.map(_.getAs[Long]("ts")).toSeq == Seq(10L, 20L))
+    val nd = Seq("""{"time": 1, "v": 1}""", "", "broken").toDS()
+    assert(graft.sources.JsonLog.parseNdjson(nd).count() == 1)
+  }
 }

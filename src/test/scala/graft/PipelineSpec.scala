@@ -1653,4 +1653,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1) == math.floor((64.0 * 200 + 48 * 100) / 112.0 / 100.0 * 1e6) / 1e6)
     assert(out(2) == math.floor((64.0 * 300 + 48 * 200 + 36 * 100) / 148.0 / 100.0 * 1e6) / 1e6)
   }
+
+  test("temperatureSample: sqrt allocation, clamp-at-1 keeps small strata whole") {
+    import spark.implicits._
+    // "web": 400 docs, "rare": 50 docs; budget 250 → sqrt weights give
+    // rare a rate > 1 (clamped: ALL 50 kept — among 50 random md5
+    // prefixes some start ≥ 'a', so this also pins the zero-padded hex
+    // comparison that a naive 8-vs-9-char compare would break) while
+    // web downsamples to ≈ 46% of its docs.
+    val docs = ((1000 until 1400).map(i => (i.toLong, "web")) ++
+      (1 to 50).map(i => (i.toLong, "rare"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(docs, "doc_id", "source", 250L)
+      .select("doc_id", "source").collect()
+    val byStr = kept.groupBy(_.getString(1)).map { case (k, v) => k -> v.length }
+    assert(byStr("rare") == 50) // rate clamps at 1: nothing dropped
+    assert(byStr("web") > 0 && byStr("web") < 400) // genuinely downsampled
+    // deterministic: a second run selects the identical set
+    val again = Sampling.temperatureSample(docs, "doc_id", "source", 250L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+    // the selection matches the spec'd threshold arithmetic exactly
+    val sW = math.floor(math.sqrt(400.0) * 1e6).toLong
+    val sR = math.floor(math.sqrt(50.0) * 1e6).toLong
+    val w = (sW + sR).toDouble
+    val thrWeb = math.floor(250.0 * sW / (w * 400.0) * 4294967296.0).toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectWeb = (1000 until 1400).filter { i =>
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      ("0" + hex) < f"$thrWeb%09x"
+    }.map(_.toLong).toSet
+    assert(kept.filter(_.getString(1) == "web").map(_.getLong(0)).toSet == expectWeb)
+  }
 }
