@@ -437,6 +437,57 @@ object PipelineQueries {
       Dedup.nearDedupKeep(corpus(s, dir), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
 
+    // END-TO-END PIPELINE FLAGSHIP: the full training-set construction
+    // chain as ONE composed plan — quality gate (Gopher-style minimum
+    // length) → benchmark decontamination → exact dedup keep-one →
+    // MinHash/LSH near-dedup keep → temperature-weighted mixture
+    // sample — i.e. every stage a user of the individual lanes would
+    // chain, chained. Stage ORDER is the 100 TB design: the pure-mapper
+    // gates run first so the shuffling stages (exact: 1 content-hash
+    // shuffle; LSH: banded buckets) see only survivors, and the tiny
+    // (doc_id, source) survivor manifest is locally checkpointed
+    // before the sampling-rates pass — the same stage boundary a
+    // production pipeline would checkpoint — so the LSH subplan is
+    // never re-executed for the per-stratum counts. The decontamination
+    // anti-join references the quality frame twice (flag subquery +
+    // main side); that duplicates only a scan + mapper filter, never
+    // the heavy stages. Contamination here is a FRACTION rule — a doc
+    // drops when >= half its distinct 3-gram shingles appear in the
+    // benchmark set (exact-integer hit*2 >= nsh) — the production
+    // convention (single-shingle overlap would nuke any corpus that
+    // shares stock phrases with the benchmark; measured: it leaves 2
+    // docs of ~460 on this corpus, vs 402 under the fraction rule with
+    // every benchmark copy still dropped).
+    "doc_e2e_pipeline" -> ((s, dir) => {
+      graft.functions.TextExpressions.register(s)
+      val raw = corpus(s, dir)
+      val bench = Tables(s, dir, "documents").filter(col("doc_id") < 50)
+      val quality = raw.filter(size(split(col("text"), " ")) >= 30)
+      val bsh = broadcast(bench.select(
+        explode(call_function("word_shingle_set", col("text"))).as("sh")).distinct())
+      val contaminated = quality
+        .select(col("doc_id"),
+          call_function("word_shingle_set", col("text")).as("__shs"))
+        .select(col("doc_id"), size(col("__shs")).as("nsh"),
+          explode(col("__shs")).as("sh"))
+        .join(bsh, Seq("sh"), "left_semi")
+        .groupBy("doc_id", "nsh").agg(count(lit(1)).as("hit"))
+        .filter(col("hit") * 2 >= col("nsh"))
+        .select("doc_id")
+      val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+      val exact = Dedup.dedupedCorpus(clean, "doc_id", "text")
+      val near = Dedup.nearDedupKeep(exact, "doc_id", "text")
+      val meta = Tables(s, dir, "documents")
+        .select(col("doc_id").as("base_id"), col("source"))
+      val survivors = near.withColumn("base_id", col("doc_id") % 1000000)
+        .join(meta, "base_id")
+        .select("doc_id", "source")
+        .localCheckpoint(false)
+      Sampling.temperatureSample(survivors, "doc_id", "source", 150L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // DEDUP QUALITY REPORT (the eval every dedup deployment runs before
     // trusting a keep-set): near-dup drops scored against the exact-dup
     // ground truth the injected corpus provides — TP (exact dups
@@ -1340,7 +1391,67 @@ object PipelineQueries {
        |SELECT v AS doc_id, min(r) AS group_id FROM reach
        |GROUP BY v ORDER BY doc_id""".stripMargin
 
+  /** End-to-end pipeline oracle: the dup-injected corpus renamed `raw`,
+    * the quality/decontaminate/exact-dedup stages chained as CTEs, and
+    * the result REDEFINED as `corpus` so the shared MinHash CTE block
+    * applies to the chain output unchanged (string-spliced via
+    * replace, so the two stay in lockstep); the temperature-sample
+    * CTEs replay doc_temperature_sample's threshold arithmetic over
+    * the survivors with budget 150.
+    */
+  private val e2eOracle: String = {
+    val prefix =
+      """raw AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text || ' extra trailing words appended'
+        |    FROM documents WHERE doc_id % 17 = 0),
+        |quality AS (SELECT doc_id, text FROM raw
+        |  WHERE len(string_split(text, ' ')) >= 30),
+        |e2e_bsh AS (
+        |  SELECT DISTINCT t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+        |e2e_qsh AS (
+        |  SELECT DISTINCT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM quality),
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS j) u),
+        |e2e_hit AS (SELECT q.doc_id, count(*) AS hit
+        |  FROM e2e_qsh q JOIN e2e_bsh b ON q.sh = b.sh GROUP BY 1),
+        |e2e_nsh AS (SELECT doc_id, count(*) AS nsh FROM e2e_qsh GROUP BY 1),
+        |e2e_bad AS (SELECT h.doc_id FROM e2e_hit h
+        |  JOIN e2e_nsh n USING (doc_id) WHERE h.hit * 2 >= n.nsh),
+        |clean AS (SELECT doc_id, text FROM quality
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM e2e_bad)),
+        |exact AS (
+        |  SELECT c.doc_id, c.text FROM clean c
+        |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
+        |        FROM clean GROUP BY 1) k
+        |    ON md5(c.text) = k.h AND c.doc_id = k.keep),
+        |corpus AS (SELECT doc_id, text FROM exact)""".stripMargin
+    s"WITH ${MINHASH_CTES.replace(CORPUS, prefix)}," +
+      """
+        |near AS (SELECT c.doc_id FROM corpus c
+        |  WHERE c.doc_id NOT IN (SELECT id_b FROM pairs)),
+        |surv AS (
+        |  SELECT n.doc_id, d.source FROM near n
+        |  JOIN documents d ON d.doc_id = n.doc_id % 1000000),
+        |sg AS (SELECT source, count(*) AS n_d FROM surv GROUP BY source),
+        |sq AS (SELECT source, n_d,
+        |  CAST(floor(sqrt(CAST(n_d AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_d FROM sg),
+        |st AS (SELECT source,
+        |  printf('%09x', LEAST(CAST(floor(
+        |    150.0 * CAST(s_d AS DOUBLE)
+        |    / (CAST(sum(s_d) OVER () AS DOUBLE) * CAST(n_d AS DOUBLE))
+        |    * 4294967296.0) AS BIGINT), 4294967296)) AS thr
+        |  FROM sq)
+        |SELECT s.doc_id, s.source FROM surv s JOIN st USING (source)
+        |WHERE '0' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8) < st.thr
+        |ORDER BY s.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "doc_e2e_pipeline" -> e2eOracle,
     "emb_lsh_ann" -> lshOracle,
     "emb_ivf_ann" -> ivfOracle,
     "emb_semantic_dedup" -> semDedupOracle,

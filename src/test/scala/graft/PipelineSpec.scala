@@ -1685,4 +1685,51 @@ class PipelineSpec extends AnyFunSuite {
     }.map(_.toLong).toSet
     assert(kept.filter(_.getString(1) == "web").map(_.getLong(0)).toSet == expectWeb)
   }
+
+  test("doc_e2e_pipeline: every stage only removes docs, and the gates really fire") {
+    import org.apache.spark.sql.functions._
+    val dir = sf
+    val out = graft.queries.PipelineQueries.queries("doc_e2e_pipeline")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    val sampleIds = out.map(_.getLong(0)).toSet
+    // rebuild the chain's intermediate counts with the public operators
+    val docs = Tables(spark, dir, "documents")
+    val raw = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" extra trailing words appended")).as("text")))
+    val nRaw = raw.count()
+    val quality = raw.filter(size(split(col("text"), " ")) >= 30)
+    val nQuality = quality.count()
+    assert(nQuality < nRaw) // the length gate fires on this corpus
+    // decontamination drops the benchmark docs themselves at minimum
+    graft.functions.TextExpressions.register(spark)
+    val bench = docs.filter(col("doc_id") < 50)
+    val bsh = broadcast(bench.select(
+      explode(call_function("word_shingle_set", col("text"))).as("sh")).distinct())
+    val clean = quality.join(
+      quality.select(col("doc_id"),
+          call_function("word_shingle_set", col("text")).as("__shs"))
+        .select(col("doc_id"), size(col("__shs")).as("nsh"),
+          explode(col("__shs")).as("sh"))
+        .join(bsh, Seq("sh"), "left_semi")
+        .groupBy("doc_id", "nsh").agg(count(lit(1)).as("hit"))
+        .filter(col("hit") * 2 >= col("nsh"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+    assert(nClean < nQuality)
+    val near = graft.operators.Dedup.nearDedupKeep(
+      graft.operators.Dedup.dedupedCorpus(clean, "doc_id", "text"), "doc_id", "text")
+    val survivorIds = near.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivorIds.size.toLong < nClean) // dedup stages fire (injected dups)
+    // the sample is a strict, non-empty subset of the survivors
+    assert(sampleIds.subsetOf(survivorIds) && sampleIds.size < survivorIds.size)
+    // no benchmark doc (nor any injected copy of one) survives into the
+    // training sample — copies map back via doc_id % 1000000
+    assert(sampleIds.forall(_ % 1000000 >= 50))
+  }
 }
