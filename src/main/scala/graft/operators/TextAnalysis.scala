@@ -356,6 +356,61 @@ object TextAnalysis {
         col("mean_cond_prob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, the
+    * head/middle/tail split CCNet applies after LM scoring): each doc
+    * scored with the corpus bigram-LM fluency signal (the same
+    * conditional-probability grid as [[bigramLmScore]], kept as an
+    * exact integer), then the corpus is split into three buckets each
+    * holding ~1/3 of total TOKEN mass, best-scored first. 100 TB
+    * shape: NO corpus-wide sort — scores live on an integer grid, so
+    * the bucket thresholds come from a token-mass running sum over the
+    * TINY distinct-score table (≤ grid-size rows, aggregated
+    * map-side), broadcast back onto the per-doc frame. The boundary
+    * rule is by score-group START (a whole score-group lands in one
+    * bucket), so equal-scored docs bucket identically and no
+    * intra-score ordering exists to disagree on. Docs with < 2 words
+    * (no bigram evidence) score −1 → tail. Reference anchor:
+    * cnosdb has no corpus curation surface; this is pipeline-first
+    * (SURVEY §2.4).
+    */
+  def ccnetBucket(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(sequence(lit(0), size(col("__t")) - 2)).as("__j"),
+        col("__t"))
+      .select(col(idCol), element_at(col("__t"), col("__j") + 1).as("__w1"),
+        concat_ws(" ", element_at(col("__t"), col("__j") + 1),
+          element_at(col("__t"), col("__j") + 2)).as("__bg"))
+    val bgCounts = toks.groupBy("__bg").agg(count(lit(1)).as("__cbg"))
+    val prefCounts = toks.groupBy("__w1").agg(count(lit(1)).as("__cw"))
+    val perDoc = toks.join(bgCounts, "__bg").join(prefCounts, "__w1")
+      .withColumn("__q",
+        floor(col("__cbg").cast("double") / col("__cw") * 1000000.0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__sq"))
+      .select(col(idCol),
+        floor(col("__sq").cast("double") / col("__n")).cast("long").as("lm_q"))
+    val pd = df
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("lm_q", coalesce(col("lm_q"), lit(-1L)))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lm_q").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val buckets = pd.groupBy("lm_q").agg(sum("n_tok").as("__g"))
+      .withColumn("__cum", coalesce(sum("__g").over(wCum), lit(0L)))
+      .withColumn("__tot", sum("__g").over(wTot))
+      .select(col("lm_q"),
+        when(col("__cum") * 3 < col("__tot"), "head")
+          .when(col("__cum") * 3 < col("__tot") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    pd.join(broadcast(buckets), Seq("lm_q"))
+      .select(col(idCol), col("lm_q"), col("n_tok"), col("bucket"))
+  }
+
   /** Per-doc most-distinctive terms — the TF-IDF ranking surface with
     * an integer-exact ordering instead of engine-specific ln():
     * rank tokens by (term frequency DESC, document frequency ASC,

@@ -401,6 +401,13 @@ object PipelineQueries {
       TextAnalysis.bigramLmScore(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CCNet head/middle/tail perplexity bucketing: bigram-LM score →
+    // token-mass thirds, thresholds from the tiny distinct-score table
+    // (no corpus sort), broadcast back. Wenzek et al. 2020 §4.3.
+    "doc_ccnet_bucket" -> ((s, dir) =>
+      TextAnalysis.ccnetBucket(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Per-doc top-3 distinctive terms: the TF-IDF ranking surface with
     // an integer-exact (tf DESC, df ASC, tok) ordering.
     "doc_top_terms" -> ((s, dir) =>
@@ -2004,6 +2011,36 @@ object PipelineQueries {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY shard, (cum - n_tokens) // 512
         |ORDER BY shard, seq_id""".stripMargin,
+    "doc_ccnet_bucket" ->
+      """WITH t AS (
+        |  SELECT doc_id, t[j] AS w1, t[j] || ' ' || t[j+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) u),
+        |cb AS (SELECT bg, count(*) AS cbg FROM t GROUP BY bg),
+        |cw AS (SELECT w1, count(*) AS cw FROM t GROUP BY w1),
+        |sc AS (
+        |  SELECT doc_id, CAST(floor(cbg / cw * 1000000.0) AS BIGINT) AS q
+        |  FROM t JOIN cb USING (bg) JOIN cw USING (w1)),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS lm_q
+        |  FROM sc GROUP BY doc_id),
+        |pd AS (
+        |  SELECT d.doc_id, coalesce(p.lm_q, -1) AS lm_q,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents d LEFT JOIN p USING (doc_id)),
+        |g AS (SELECT lm_q, sum(n_tok) AS g_tok FROM pd GROUP BY lm_q),
+        |c AS (SELECT lm_q,
+        |  coalesce(sum(g_tok) OVER (ORDER BY lm_q DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |  sum(g_tok) OVER () AS tot FROM g),
+        |b AS (SELECT lm_q,
+        |  CASE WHEN cum * 3 < tot THEN 'head'
+        |       WHEN cum * 3 < tot * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket FROM c)
+        |SELECT pd.doc_id, pd.lm_q, pd.n_tok, b.bucket
+        |FROM pd JOIN b USING (lm_q)
+        |ORDER BY pd.doc_id""".stripMargin,
     "doc_bigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id, t[j] AS w1, t[j] || ' ' || t[j+1] AS bg

@@ -1732,4 +1732,30 @@ class PipelineSpec extends AnyFunSuite {
     // training sample — copies map back via doc_id % 1000000
     assert(sampleIds.forall(_ % 1000000 >= 50))
   }
+
+  test("doc_ccnet_bucket: score-ordered buckets, each ~1/3 of token mass") {
+    val out = graft.queries.PipelineQueries.queries("doc_ccnet_bucket")(spark, sf)
+      .collect()
+    val docs = Tables(spark, sf, "documents").count()
+    assert(out.length == docs) // every doc bucketed exactly once
+    val byBucket = out.groupBy(_.getString(3))
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // monotone: every head score >= every middle score >= every tail score
+    def scores(b: String) = byBucket(b).map(_.getLong(1))
+    assert(scores("head").min >= scores("middle").max)
+    assert(scores("middle").min >= scores("tail").max)
+    // token-mass thirds by group-start rule: a bucket may overshoot by at
+    // most one score-group, so its START must lie inside its third
+    val tot = out.map(_.getLong(2)).sum
+    val headMass = byBucket("head").map(_.getLong(2)).sum
+    val midMass = byBucket("middle").map(_.getLong(2)).sum
+    assert(headMass * 3 >= tot) // head reaches its third (boundary group included)
+    assert((headMass + midMass) * 3 >= tot * 2)
+    // and each of head/middle started strictly inside its own third:
+    // the mass BEFORE head is 0 < tot/3; before tail is >= 2/3 by rule
+    val tailMass = byBucket("tail").map(_.getLong(2)).sum
+    assert((tot - tailMass) * 3 >= tot * 2 || tailMass * 3 <= tot)
+    // docs with < 2 words land in tail with sentinel score -1
+    out.filter(_.getLong(1) == -1L).foreach(r => assert(r.getString(3) == "tail"))
+  }
 }
