@@ -673,31 +673,46 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 14, "maxHamming out of range")
     graft.functions.TextExpressions.register(df.sparkSession)
-    val nBlocks = maxHamming + 1
-    val bits = 60
-    val base = bits / nBlocks
-    val rem = bits % nBlocks // first `rem` blocks get one extra bit
     val sigs = df.select(col(idCol),
         conv(call_function("simhash60", col(textCol)), 16, 10).cast("long").as("__sig"))
       .filter(col("__sig").isNotNull)
+    sigHammingPairs(sigs, idCol, "__sig", 60, maxHamming, maxBucketSize)
+  }
+
+  /** Generic Manku pigeonhole Hamming-pair join over ANY long-typed
+    * signature column (text SimHash, image average-hash, sign-bit
+    * embedding signatures …): split `bits` bits into `maxHamming + 1`
+    * blocks — any pair within the radius agrees exactly on ≥ 1 block —
+    * bucket on (block index, block value), confirm with xor + popcount
+    * on the signatures carried through the bucket aggregate. Same
+    * 100 TB shape and fail-fast bucket guard as [[simhashNearDups]]
+    * (which now delegates here).
+    */
+  def sigHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                      bits: Int, maxHamming: Int,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 14, "maxHamming out of range")
+    require(bits > 0 && bits <= 64, "signature width out of range")
+    val nBlocks = maxHamming + 1
+    val base = bits / nBlocks
+    val rem = bits % nBlocks // first `rem` blocks get one extra bit
     val blockCols = (0 until nBlocks).map { b =>
       val width = base + (if (b < rem) 1 else 0)
       val offset = (0 until b).map(i => base + (if (i < rem) 1 else 0)).sum
       struct(lit(b).as("blk"),
-        shiftright(col("__sig"), offset).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+        shiftright(col(sigCol), offset).bitwiseAND(lit((1L << width) - 1)).as("bv"))
     }
     val buckets = sigs
-      .select(col(idCol), col("__sig"), explode(array(blockCols: _*)).as("bb"))
+      .select(col(idCol), col(sigCol), explode(array(blockCols: _*)).as("bb"))
       .groupBy(col("bb.blk").as("blk"), col("bb.bv").as("bv"))
-      .agg(sort_array(collect_set(struct(col(idCol).as("id"), col("__sig").as("sig"))))
+      .agg(sort_array(collect_set(struct(col(idCol).as("id"), col(sigCol).as("sig"))))
         .as("ms"))
       .filter(size(col("ms")) > 1)
     val pairs = buckets.select(explode(expr(
         "flatten(transform(ms, (x, i) -> " +
           s"transform(slice(ms, i + 2, CASE WHEN size(ms) > $maxBucketSize THEN " +
-          "CAST(raise_error(concat('simhashNearDups: a block bucket holds ', " +
+          "CAST(raise_error(concat('sigHammingPairs: a block bucket holds ', " +
           "CAST(size(ms) AS STRING), " +
           s"' ids (> maxBucketSize=$maxBucketSize); the corpus is mass-duplicated — " +
           "run exactDupGroups as a pre-pass or raise the cap')) AS INT) " +

@@ -226,6 +226,117 @@ object Multimodal {
       .toDF(idCol, "media")
   }
 
+  /** Encode a real 24-bit bottom-up BMP with per-PIXEL gray content
+    * `px(x, y)` (y from the top) — the column-varying sibling of
+    * [[encodeBmp]], needed so perceptual hashes have per-position
+    * entropy (row-constant images collapse aHash blocks to 2 values
+    * and the pigeonhole buckets to O(n²)).
+    */
+  def encodeBmpXY(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = (3 * width + 3) / 4 * 4
+    val size = 54 + rowSize * height
+    val b = ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) { // bottom-up storage: logical row height-1-y
+      val ly = height - 1 - y
+      var x = 0
+      while (x < width) {
+        val v = (px(x, ly) & 0xff).toByte
+        b.put(v).put(v).put(v); x += 1
+      }
+      var p = 3 * width
+      while (p < rowSize) { b.put(0.toByte); p += 1 }
+      y += 1
+    }
+    b.array()
+  }
+
+  /** Image corpus with CONTROLLED near-duplicates, the fixture a
+    * perceptual-hash dedup needs: content key k = id % 50 drives
+    * geometry (w = 16 + k%17, h = 16 + k%13) and the base gray pattern
+    * (k·7 + y·5 + x·3) mod 256; ids ≥ 50 are single-pixel variants of
+    * their base (pixel (x, y) = ((id·3) mod w, id mod h) shifted by
+    * 128) — the "same image, tiny edit" duplicates a crawl corpus
+    * carries. All real BMP bytes through [[encodeBmpXY]].
+    */
+  def withBmpVariantBinary(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val k = (id % 50).toInt
+        val w = 16 + k % 17
+        val h = 16 + k % 13
+        val vx = ((id * 3) % w).toInt
+        val vy = (id % h).toInt
+        (id, encodeBmpXY(w, h, (x, y) => {
+          val base = (k * 7 + y * 5 + x * 3) % 256
+          if (id >= 50 && x == vx && y == vy) (base + 128) % 256 else base
+        }))
+      })
+      .toDF(idCol, "media")
+  }
+
+  /** Average-hash (aHash) of an 8×8 24-bit BMP: bit (y·8 + x) set iff
+    * pixel (x, y) is strictly brighter than the image mean — the
+    * comparison is exact-integer (px·64 > Σpx), so the hash is
+    * engine-stable. Decodes the real bytes (magic, header, bottom-up
+    * row order); feed it [[resizeBmpBatch]](…, 8, 8) output.
+    */
+  def aHashBmp(bytes: Array[Byte]): Long = {
+    val b = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(b.get() == 'B' && b.get() == 'M', "not a BMP")
+    b.getInt(); b.getInt()
+    val dataOffset = b.getInt()
+    require(b.getInt() == 40, "unsupported DIB header")
+    val width = b.getInt()
+    val height = b.getInt()
+    require(width == 8 && height == 8, s"aHashBmp expects 8x8, got ${width}x$height")
+    b.getShort()
+    require(b.getShort() == 24, "only 24bpp supported")
+    val rowSize = (3 * 8 + 3) / 4 * 4
+    val px = new Array[Int](64)
+    var sum = 0L
+    var y = 0
+    while (y < 8) {
+      val row = dataOffset + (7 - y) * rowSize // bottom-up: logical y from top
+      var x = 0
+      while (x < 8) {
+        val v = bytes(row + 3 * x) & 0xff
+        px(y * 8 + x) = v; sum += v; x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (px(j) * 64L > sum) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** Batch perceptual-hash extraction — (id, 8×8 media) → (id, ahash
+    * BIGINT), one 64-bit word per image leaving the scan: the mapper
+    * half of image near-dup dedup (pair generation is
+    * [[graft.operators.Dedup.sigHammingPairs]] over the hash column).
+    */
+  def aHash8Batch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, aHashBmp(bytes)) })
+      .toDF(idCol, "ahash")
+  }
+
   final case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
                            bits: Int, n_samples: Long, mean_abs: Double)
 

@@ -788,6 +788,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // IMAGE perceptual-hash near-dup — the LAION-style image dedup
+    // chain end-to-end on real bytes: a BMP corpus with controlled
+    // single-pixel variants (k = id%50 content groups) → real decode +
+    // nearest-neighbor 8×8 downsample → average-hash (exact-integer
+    // px·64 > Σpx bits, one BIGINT per image leaves the scan) → Manku
+    // pigeonhole Hamming ≤ 3 pairs (4 × 16-bit blocks; never
+    // all-pairs). The oracle replays generator + sampling rule + hash
+    // packing in SQL and confirms with a full O(n²) scan — exhaustive
+    // truth vs the blocked path, which pigeonhole makes exact at d ≤ 3.
+    "mm_image_phash_pairs" -> ((s, dir) => {
+      val imgs = Multimodal.withBmpVariantBinary(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id")
+      val hashes = Multimodal.aHash8Batch(
+        Multimodal.resizeBmpBatch(imgs, "doc_id", 8, 8), "doc_id")
+      Dedup.sigHammingPairs(hashes, "doc_id", "ahash", 64, 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL audio decode: construct genuine PCM16 RIFF/WAV bytes from
     // doc_id, walk the chunk structure, and average |sample| over the
     // actual PCM payload; the oracle recomputes rate/count/mean-abs
@@ -2373,6 +2391,34 @@ object PipelineQueries {
         |FROM documents d,
         |  LATERAL (SELECT unnest(generate_series(0, 7)) AS y) u
         |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+    "mm_image_phash_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, doc_id % 50 AS k,
+        |    16 + (doc_id % 50) % 17 AS w, 16 + (doc_id % 50) % 13 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT g.doc_id, u.j, g.k, g.w, g.h,
+        |    ((u.j // 8) * g.h) // 8 AS sy, ((u.j % 8) * g.w) // 8 AS sx
+        |  FROM g, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) u),
+        |v AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN doc_id >= 50 AND sy = doc_id % h AND sx = (doc_id * 3) % w
+        |      THEN (k * 7 + sy * 5 + sx * 3 + 128) % 256
+        |      ELSE (k * 7 + sy * 5 + sx * 3) % 256 END AS v
+        |  FROM px),
+        |s AS (SELECT doc_id, sum(v) AS sv FROM v GROUP BY doc_id),
+        |hb AS (
+        |  SELECT v.doc_id, CAST(sum(
+        |    CASE WHEN v.v * 64 > s.sv THEN
+        |      CASE WHEN v.j = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |           ELSE CAST(1 AS BIGINT) << v.j END
+        |    ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM v JOIN s USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "mm_wav_decode" ->
       """SELECT d.doc_id,
         |  8000 + (d.doc_id % 8) * 1000 AS sample_rate,

@@ -325,6 +325,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(padded.mean_px - 100.0) < 1e-12)
   }
 
+  test("aHashBmp packs exact-integer brightness bits from real BMP bytes") {
+    // 8x8 with pixel value x: mean = 3.5·64/64 → px·64 > sum ⇔ x ≥ 4
+    val img = Multimodal.encodeBmpXY(8, 8, (x, _) => x * 10)
+    val h = Multimodal.aHashBmp(img)
+    val expected = (0 until 64).foldLeft(0L) { (acc, j) =>
+      if ((j % 8) * 10 * 64L > 8L * (0 until 8).map(_ * 10).sum) acc | (1L << j) else acc
+    }
+    assert(h == expected)
+    // bit 63 (pixel (7,7)) sets the sign bit without corruption
+    val bright = Multimodal.encodeBmpXY(8, 8, (x, y) => if (x == 7 && y == 7) 255 else 0)
+    assert(Multimodal.aHashBmp(bright) == Long.MinValue)
+    // non-8x8 input fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.aHashBmp(Multimodal.encodeBmpXY(4, 8, (_, _) => 0))
+    }
+  }
+
+  test("mm_image_phash_pairs: variants pair with their base, blocked ≡ exhaustive") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.PipelineQueries.queries("mm_image_phash_pairs")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // every pair honest: hamming <= 3, ids ordered
+    assert(out.forall(r => r.getLong(2) <= 3 && r.getLong(0) < r.getLong(1)))
+    // blocked path ≡ exhaustive O(n²) truth at d <= 3 (pigeonhole exactness)
+    val imgs = Multimodal.withBmpVariantBinary(
+      Tables(spark, sf, "documents").select("doc_id"), "doc_id")
+    val hashes = Multimodal.aHash8Batch(
+      Multimodal.resizeBmpBatch(imgs, "doc_id", 8, 8), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exhaustive = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == exhaustive)
+    // unsampled-pixel variants are EXACT hash dups of their base
+    assert(out.exists(r => r.getLong(2) == 0L &&
+      r.getLong(0) % 50 == r.getLong(1) % 50))
+  }
+
   test("WAV codec round-trips format and amplitude through real RIFF bytes") {
     val samples = Array[Short](100, -200, 300, -400)
     val bytes = Multimodal.encodeWav(16000, samples)
