@@ -806,6 +806,23 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Image dedup KEEP-SET — the pairs lane carried to its decision:
+    // perceptual-hash pairs → connected components over the pair list
+    // (the generic min-label dupGroups; pairs ≪ corpus) → keep the
+    // component-min id plus every unpaired image. Same (keep-one-per-
+    // cluster) contract as the text keep-set lanes.
+    "mm_image_dedup_keep" -> ((s, dir) => {
+      val imgs = Multimodal.withBmpVariantBinary(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id")
+      val hashes = Multimodal.aHash8Batch(
+        Multimodal.resizeBmpBatch(imgs, "doc_id", 8, 8), "doc_id")
+      val pairs = Dedup.sigHammingPairs(hashes, "doc_id", "ahash", 64, 3)
+      val groups = Dedup.dupGroups(pairs, "id_a", "id_b")
+      hashes.select("doc_id").join(groups, Seq("doc_id"), "left")
+        .filter(col("group_id").isNull || col("doc_id") === col("group_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // REAL audio decode: construct genuine PCM16 RIFF/WAV bytes from
     // doc_id, walk the chunk structure, and average |sample| over the
     // actual PCM payload; the oracle recomputes rate/count/mean-abs
@@ -1399,6 +1416,37 @@ object PipelineQueries {
        |    round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
        |  FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
        |  WHERE inter / (za.sz + zb.sz - inter) >= 0.5)""".stripMargin
+
+  /** Shared image average-hash oracle prelude: replays the BMP variant
+    * generator (content key k = id%50, geometry 16+k%17 × 16+k%13,
+    * single-pixel perturbation for id ≥ 50), the 8×8 nearest-neighbor
+    * sampling rule sy=⌊y·h/8⌋/sx=⌊x·w/8⌋, and the exact-integer aHash
+    * bit packing (bit 63 as the signed minimum) — ending in
+    * `hb(doc_id, ahash)`.
+    */
+  private val IMG_AHASH_CTES: String =
+    """g AS (
+      |  SELECT doc_id, doc_id % 50 AS k,
+      |    16 + (doc_id % 50) % 17 AS w, 16 + (doc_id % 50) % 13 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT g.doc_id, u.j, g.k, g.w, g.h,
+      |    ((u.j // 8) * g.h) // 8 AS sy, ((u.j % 8) * g.w) // 8 AS sx
+      |  FROM g, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) u),
+      |v AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN doc_id >= 50 AND sy = doc_id % h AND sx = (doc_id * 3) % w
+      |      THEN (k * 7 + sy * 5 + sx * 3 + 128) % 256
+      |      ELSE (k * 7 + sy * 5 + sx * 3) % 256 END AS v
+      |  FROM px),
+      |s AS (SELECT doc_id, sum(v) AS sv FROM v GROUP BY doc_id),
+      |hb AS (
+      |  SELECT v.doc_id, CAST(sum(
+      |    CASE WHEN v.v * 64 > s.sv THEN
+      |      CASE WHEN v.j = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |           ELSE CAST(1 AS BIGINT) << v.j END
+      |    ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM v JOIN s USING (doc_id) GROUP BY 1)""".stripMargin
 
   /** Transitive-closure group oracle, shared verbatim by the min-label
     * and large-star/small-star entries — the backend choice must be
@@ -2392,33 +2440,29 @@ object PipelineQueries {
         |  LATERAL (SELECT unnest(generate_series(0, 7)) AS y) u
         |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
     "mm_image_phash_pairs" ->
-      """WITH g AS (
-        |  SELECT doc_id, doc_id % 50 AS k,
-        |    16 + (doc_id % 50) % 17 AS w, 16 + (doc_id % 50) % 13 AS h
-        |  FROM documents),
-        |px AS (
-        |  SELECT g.doc_id, u.j, g.k, g.w, g.h,
-        |    ((u.j // 8) * g.h) // 8 AS sy, ((u.j % 8) * g.w) // 8 AS sx
-        |  FROM g, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) u),
-        |v AS (
-        |  SELECT doc_id, j,
-        |    CASE WHEN doc_id >= 50 AND sy = doc_id % h AND sx = (doc_id * 3) % w
-        |      THEN (k * 7 + sy * 5 + sx * 3 + 128) % 256
-        |      ELSE (k * 7 + sy * 5 + sx * 3) % 256 END AS v
-        |  FROM px),
-        |s AS (SELECT doc_id, sum(v) AS sv FROM v GROUP BY doc_id),
-        |hb AS (
-        |  SELECT v.doc_id, CAST(sum(
-        |    CASE WHEN v.v * 64 > s.sv THEN
-        |      CASE WHEN v.j = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
-        |           ELSE CAST(1 AS BIGINT) << v.j END
-        |    ELSE 0 END) AS BIGINT) AS ahash
-        |  FROM v JOIN s USING (doc_id) GROUP BY 1)
+      s"""WITH $IMG_AHASH_CTES
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
         |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "mm_image_dedup_keep" ->
+      s"""WITH RECURSIVE $IMG_AHASH_CTES,
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS v, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src AS v, reach.r FROM reach JOIN edges e ON e.dst = reach.v),
+        |grp AS (SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v)
+        |SELECT d.doc_id FROM documents d LEFT JOIN grp USING (doc_id)
+        |WHERE grp.group_id IS NULL OR d.doc_id = grp.group_id
+        |ORDER BY doc_id""".stripMargin,
     "mm_wav_decode" ->
       """SELECT d.doc_id,
         |  8000 + (d.doc_id % 8) * 1000 AS sample_rate,

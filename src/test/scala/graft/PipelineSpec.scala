@@ -365,6 +365,30 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(0) % 50 == r.getLong(1) % 50))
   }
 
+  test("mm_image_dedup_keep: one keeper per phash component, unpaired all kept") {
+    val kept = graft.queries.PipelineQueries.queries("mm_image_dedup_keep")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = graft.queries.PipelineQueries.queries("mm_image_phash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val all = Tables(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // unpaired images all survive
+    assert((all -- paired).subsetOf(kept))
+    // driver-side union-find over the pair list = expected keepers
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectedKept = all.filter(d => !paired.contains(d) || find(d) == d)
+    assert(kept == expectedKept)
+  }
+
   test("WAV codec round-trips format and amplitude through real RIFF bytes") {
     val samples = Array[Short](100, -200, 300, -400)
     val bytes = Multimodal.encodeWav(16000, samples)
