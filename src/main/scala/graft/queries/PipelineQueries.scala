@@ -792,33 +792,46 @@ object PipelineQueries {
     // chain end-to-end on real bytes: a BMP corpus with controlled
     // single-pixel variants (k = id%50 content groups) → real decode +
     // nearest-neighbor 8×8 downsample → average-hash (exact-integer
-    // px·64 > Σpx bits, one BIGINT per image leaves the scan) → Manku
-    // pigeonhole Hamming ≤ 3 pairs (4 × 16-bit blocks; never
-    // all-pairs). The oracle replays generator + sampling rule + hash
-    // packing in SQL and confirms with a full O(n²) scan — exhaustive
+    // px·64 > Σpx bits, one BIGINT per image leaves the scan) →
+    // EXACT-CLASS COLLAPSE (one representative per distinct hash — the
+    // dedupedCorpus discipline applied to signature space; a crawl
+    // corpus is mass-duplicated, and without the collapse the
+    // pigeonhole buckets grow with corpus size: measured 1963-doc
+    // buckets at sf0.1 vs 290 distinct hashes) → Manku pigeonhole
+    // Hamming 1..3 pairs between class representatives (4 × 16-bit
+    // blocks; never all-pairs). Member expansion is one equijoin on
+    // ahash when needed; the keep-set lane makes that decision. The
+    // oracle replays generator + sampling rule + hash packing in SQL
+    // and confirms with a full O(n²) scan over classes — exhaustive
     // truth vs the blocked path, which pigeonhole makes exact at d ≤ 3.
     "mm_image_phash_pairs" -> ((s, dir) => {
       val imgs = Multimodal.withBmpVariantBinary(
         Tables(s, dir, "documents").select("doc_id"), "doc_id")
       val hashes = Multimodal.aHash8Batch(
         Multimodal.resizeBmpBatch(imgs, "doc_id", 8, 8), "doc_id")
-      Dedup.sigHammingPairs(hashes, "doc_id", "ahash", 64, 3)
+      val reps = hashes.groupBy("ahash").agg(min("doc_id").as("doc_id"))
+      Dedup.sigHammingPairs(reps, "doc_id", "ahash", 64, 3)
         .orderBy("id_a", "id_b")
     }),
 
     // Image dedup KEEP-SET — the pairs lane carried to its decision:
-    // perceptual-hash pairs → connected components over the pair list
-    // (the generic min-label dupGroups; pairs ≪ corpus) → keep the
-    // component-min id plus every unpaired image. Same (keep-one-per-
-    // cluster) contract as the text keep-set lanes.
+    // class-representative phash pairs → connected components over the
+    // pair list (the generic min-label dupGroups; pairs ≪ corpus) →
+    // keep the component-min representative plus every unpaired
+    // representative; exact-hash class members (non-min) drop
+    // implicitly. Output-identical to running CC over member-level
+    // pairs (classes are distance-0 cliques, so components and their
+    // minima coincide), but the buckets see only distinct hashes —
+    // the mass-duplication-proof shape.
     "mm_image_dedup_keep" -> ((s, dir) => {
       val imgs = Multimodal.withBmpVariantBinary(
         Tables(s, dir, "documents").select("doc_id"), "doc_id")
       val hashes = Multimodal.aHash8Batch(
         Multimodal.resizeBmpBatch(imgs, "doc_id", 8, 8), "doc_id")
-      val pairs = Dedup.sigHammingPairs(hashes, "doc_id", "ahash", 64, 3)
+      val reps = hashes.groupBy("ahash").agg(min("doc_id").as("doc_id"))
+      val pairs = Dedup.sigHammingPairs(reps, "doc_id", "ahash", 64, 3)
       val groups = Dedup.dupGroups(pairs, "id_a", "id_b")
-      hashes.select("doc_id").join(groups, Seq("doc_id"), "left")
+      reps.select("doc_id").join(groups, Seq("doc_id"), "left")
         .filter(col("group_id").isNull || col("doc_id") === col("group_id"))
         .select("doc_id").orderBy("doc_id")
     }),
@@ -2440,10 +2453,11 @@ object PipelineQueries {
         |  LATERAL (SELECT unnest(generate_series(0, 7)) AS y) u
         |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
     "mm_image_phash_pairs" ->
-      s"""WITH $IMG_AHASH_CTES
+      s"""WITH $IMG_AHASH_CTES,
+        |cl AS (SELECT min(doc_id) AS doc_id, ahash FROM hb GROUP BY ahash)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
-        |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+        |FROM cl a JOIN cl b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "mm_image_dedup_keep" ->

@@ -342,51 +342,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("mm_image_phash_pairs: variants pair with their base, blocked ≡ exhaustive") {
-    import org.apache.spark.sql.functions._
+  test("mm_image_phash_pairs: class-rep pairs, blocked ≡ exhaustive") {
     val out = graft.queries.PipelineQueries.queries("mm_image_phash_pairs")(spark, sf)
       .collect()
     assert(out.nonEmpty)
-    // every pair honest: hamming <= 3, ids ordered
-    assert(out.forall(r => r.getLong(2) <= 3 && r.getLong(0) < r.getLong(1)))
-    // blocked path ≡ exhaustive O(n²) truth at d <= 3 (pigeonhole exactness)
+    // every pair honest: 1 <= hamming <= 3 (distinct classes), ids ordered
+    assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3 &&
+      r.getLong(0) < r.getLong(1)))
+    // blocked path ≡ exhaustive O(n²) truth at d <= 3 over the class
+    // representatives (pigeonhole exactness)
     val imgs = Multimodal.withBmpVariantBinary(
       Tables(spark, sf, "documents").select("doc_id"), "doc_id")
     val hashes = Multimodal.aHash8Batch(
       Multimodal.resizeBmpBatch(imgs, "doc_id", 8, 8), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val reps = hashes.groupBy(_._2).map { case (h, ms) => (ms.map(_._1).min, h) }.toSeq
     val exhaustive = (for {
-      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
-      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      (ia, ha) <- reps; (ib, hb) <- reps if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d >= 1 && d <= 3
     } yield (ia, ib, d.toLong)).toSet
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == exhaustive)
-    // unsampled-pixel variants are EXACT hash dups of their base
-    assert(out.exists(r => r.getLong(2) == 0L &&
-      r.getLong(0) % 50 == r.getLong(1) % 50))
+    // single-pixel variants whose perturbed pixel IS sampled land in a
+    // near (not exact) class of their base — some same-k rep pair exists
+    assert(out.exists(r => r.getLong(0) % 50 == r.getLong(1) % 50))
   }
 
-  test("mm_image_dedup_keep: one keeper per phash component, unpaired all kept") {
+  test("mm_image_dedup_keep: one keeper per phash component, member-level truth") {
     val kept = graft.queries.PipelineQueries.queries("mm_image_dedup_keep")(spark, sf)
       .collect().map(_.getLong(0)).toSet
-    val pairs = graft.queries.PipelineQueries.queries("mm_image_phash_pairs")(spark, sf)
+    // member-level ground truth: union-find over ALL doc pairs at d<=3
+    // (exact-hash classes are distance-0 cliques, so the rep-collapsed
+    // plan must land on exactly the same component minima)
+    val imgs = Multimodal.withBmpVariantBinary(
+      Tables(spark, sf, "documents").select("doc_id"), "doc_id")
+    val hashes = Multimodal.aHash8Batch(
+      Multimodal.resizeBmpBatch(imgs, "doc_id", 8, 8), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
-    val all = Tables(spark, sf, "documents").select("doc_id")
-      .collect().map(_.getLong(0)).toSet
-    // unpaired images all survive
-    assert((all -- paired).subsetOf(kept))
-    // driver-side union-find over the pair list = expected keepers
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
       if (p == x) x else { val r = find(p); parent(x) = r; r }
     }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
+    var paired = Set.empty[Long]
+    for { (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+          if java.lang.Long.bitCount(ha ^ hb) <= 3 } {
+      paired += ia; paired += ib
+      val (ra, rb) = (find(ia), find(ib))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
+    val all = hashes.map(_._1).toSet
     val expectedKept = all.filter(d => !paired.contains(d) || find(d) == d)
     assert(kept == expectedKept)
+    assert(kept.nonEmpty && kept.size < all.size) // the dedup actually fires
   }
 
   test("WAV codec round-trips format and amplitude through real RIFF bytes") {
