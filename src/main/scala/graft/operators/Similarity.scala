@@ -782,9 +782,14 @@ object Similarity {
     * training pipeline drops.
     *
     * 100 TB shape: assignment is a literal-centroid mapper (no
-    * shuffle); the pairwise stage is [[cosineDedupPairs]] keyed on the
-    * cell, so the quadratic work is bounded per cell and the
-    * `maxCellSize` guard fails fast when a cell outgrows the budget.
+    * shuffle); the pairwise stage is [[cosineDedupPairsPrefiltered]]
+    * keyed on the cell — an int8-with-rigorous-cosine-bound prune so
+    * the quadratic stage streams ~100 B/row instead of 1 KB (the r8
+    * sf100 1.66×/decade bandwidth drift), full-precision work only on
+    * bound survivors, output bit-identical by the recall-completeness
+    * argument on that method. Quadratic work is bounded per cell and
+    * the `maxCellSize` guard fails fast when a cell outgrows the
+    * budget.
     * THE SCALE KNOB IS k (the centroid count): SemDeDup at corpus scale
     * trains k ∝ n/targetCellSize centroids so cells stay ~constant —
     * grow k with the corpus, never the cell budget. The keep rule is
@@ -795,7 +800,10 @@ object Similarity {
                     centroids: Array[Array[Long]], threshold: Double,
                     maxCellSize: Int = 50000): DataFrame = {
     val cells = assignExactCells(corpus, idCol, vecCol, centroids)
-    val pairs = cosineDedupPairs(cells, idCol, "v", "cell", threshold, maxCellSize)
+    val pairs =
+      if (threshold > 0.0)
+        cosineDedupPairsPrefiltered(cells, idCol, "v", "cell", threshold, maxCellSize)
+      else cosineDedupPairs(cells, idCol, "v", "cell", threshold, maxCellSize)
     val drops = pairs.select(col("id_b").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
     cells.join(drops, Seq(idCol), "left")
@@ -1013,6 +1021,106 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), (floor(col("cos") * 1e4) / 1e4).as("cos"))
   }
+
+  /** [[cosineDedupPairs]] with a PROVABLY recall-complete int8
+    * prefilter — identical output, a fraction of the memory traffic.
+    *
+    * The r8 sf100 measurement showed the plain pair stage drifting
+    * 1.66×/decade past linear: every candidate pair streams two 64-dim
+    * double arrays (~1 KB) through the within-block self-join, 2.5 TB
+    * at sf100. Here the self-join carries (array<tinyint> qvec, scale,
+    * norm) ≈ 100 B/row instead, scores each pair with an exact integer
+    * dot (`vec_dot_i8`), and prunes on a rigorous cosine UPPER bound;
+    * only surviving pairs fetch full vectors for the exact confirm.
+    *
+    * Recall-completeness argument (why the same oracle stays green
+    * with NO tolerance): quantize qᵢ = rint(vᵢ/c) with c = max|vᵢ|/127,
+    * so |vᵢ − c·qᵢ| ≤ c·(½ + ε_fp) and ‖v − c·q‖₂ ≤ c√d·(½ + ε_fp).
+    * Writing ã = c_a·q_a, b̃ = c_b·q_b:
+    *   |a·b − ã·b̃| ≤ ‖a−ã‖·‖b̃‖ + ‖a‖·‖b−b̃‖
+    *               ≤ h_a·(‖b‖ + h_b) + ‖a‖·h_b     with h = c√d/2
+    * so cos(a,b) ≤ (c_a·c_b·(q_a·q_b) + err)/(‖a‖‖b‖) = ub. A pair
+    * with cos ≥ t has ub ≥ t and always reaches the confirm stage; the
+    * confirm computes the IDENTICAL `dot/(n_a·n_b)` expression on the
+    * identical doubles as the plain path, so survivors are
+    * bit-identical (floor-1e4 grid included). The ½ is padded to
+    * 0.5000001 and err by 1e-9 to dominate the ~1e-14 fp noise of
+    * evaluating the bound itself in doubles. Zero vectors (c = 0) give
+    * NaN bounds and NaN cosines — dropped by both paths alike.
+    *
+    * A sub-threshold pair costs one 64-byte integer dot instead of a
+    * 1 KB double dot; at the lane's t = 0.35 on the test embeddings
+    * ~99.7 % of pairs stop at the prefilter. The confirm joins key on
+    * the (orders-smaller) survivor pair list, never the corpus.
+    * Requires threshold > 0: a keep-everything threshold (knnGraph's
+    * −1) can't prune, so this degenerates to pure overhead — the plain
+    * kernel stays the right tool there.
+    */
+  def cosineDedupPairsPrefiltered(df: DataFrame, idCol: String, vecCol: String,
+                                  blockCol: String, threshold: Double,
+                                  maxBlockSize: Int = 50000): DataFrame = {
+    require(threshold > 0.0,
+      s"cosineDedupPairsPrefiltered needs threshold > 0 to prune (got $threshold); " +
+        "use cosineDedupPairs for keep-all thresholds")
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("c", when(col("mx") > 0, col("mx") / lit(127.0)).otherwise(lit(0.0)))
+    val lean = base.select(col("blk"), col("id"),
+      when(col("c") > 0,
+        transform(col("v"), x => rint(x / col("c")).cast("tinyint")))
+        .otherwise(transform(col("v"), _ => lit(0).cast("tinyint"))).as("q"),
+      col("c"), col("nrm"),
+      // h = c·√d·(½ + fp-pad): one half-step of quantization error in L2
+      (col("c") * sqrt(size(col("v")).cast("double")) * lit(0.5000001)).as("h"))
+    val counts = lean.groupBy("blk").agg(count(lit(1)).as("__bn"))
+    val a = lean.join(broadcast(counts), Seq("blk"))
+      .select(col("blk"), col("id").as("id_a"), col("q").as("q_a"),
+        col("c").as("c_a"), col("nrm").as("n_a"), col("h").as("h_a"), col("__bn"))
+    val b = lean.select(col("blk"), col("id").as("id_b"), col("q").as("q_b"),
+      col("c").as("c_b"), col("nrm").as("n_b"), col("h").as("h_b"))
+    val survivors = a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b") && when(col("__bn") <= maxBlockSize, lit(true))
+        .otherwise(expr(
+          "CAST(raise_error(concat('cosineDedupPairsPrefiltered: block ', " +
+            "CAST(blk AS STRING), ' holds ', CAST(__bn AS STRING), " +
+            s"' vectors (> maxBlockSize=$maxBlockSize); pairwise work is quadratic in " +
+            "the block — sub-block it or raise the cap')) AS BOOLEAN)")))
+      .withColumn("__ub",
+        (col("c_a") * col("c_b") * dotI8(col("q_a"), col("q_b")).cast("double")
+          + col("h_a") * (col("n_b") + col("h_b")) + col("n_a") * col("h_b")
+          + lit(1e-9))
+          / (col("n_a") * col("n_b")))
+      .filter(col("__ub") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"))
+    // exact confirm: fetch full vectors for the survivor pairs only;
+    // same expression tree as the plain path ⇒ bit-identical cosines
+    val vecs = df.select(col(idCol).as("__vid"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+    survivors
+      .join(vecs.select(col("__vid").as("id_a"), col("__v").as("v_a"),
+        col("__nrm").as("n_a")), Seq("id_a"))
+      .join(vecs.select(col("__vid").as("id_b"), col("__v").as("v_b"),
+        col("__nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), (floor(col("cos") * 1e4) / 1e4).as("cos"))
+  }
+
+  /** Σ qaᵢ·qbᵢ over int8 arrays — native exact-integer kernel
+    * (VecDotI8); lambda-HOF fallback for sessionless use.
+    */
+  private[graft] def dotI8(x: Column, y: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.VectorExpressions.register(s)
+        call_function("vec_dot_i8", x, y)
+      case None =>
+        aggregate(zip_with(x.cast("array<long>"), y.cast("array<long>"),
+          (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    }
 
   /** Product-quantization codebooks (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector

@@ -595,8 +595,12 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // int8-bound-prefiltered pair kernel (r9): ~100 B/row through the
+    // within-block self-join instead of 1 KB, full-precision confirm
+    // on bound survivors only — provably recall-complete, so the same
+    // exact oracle stays green (see cosineDedupPairsPrefiltered).
     "emb_cosine_dedup" -> ((s, dir) =>
-      Similarity.cosineDedupPairs(Tables(s, dir, "embeddings"),
+      Similarity.cosineDedupPairsPrefiltered(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", "label", 0.35)
         .orderBy("blk", "id_a", "id_b")),
 
@@ -1731,8 +1735,9 @@ object PipelineQueries {
         |    CAST(strlen(text) AS BIGINT) AS b
         |  FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  sum(w) AS total_words, sum(s) AS total_subword_tokens,
-        |  sum(b) AS total_bytes,
+        |  CAST(sum(w) AS BIGINT) AS total_words,
+        |  CAST(sum(s) AS BIGINT) AS total_subword_tokens,
+        |  CAST(sum(b) AS BIGINT) AS total_bytes,
         |  CASE WHEN sum(w) > 0 THEN
         |    floor(CAST(sum(s) AS DOUBLE) / sum(w) * 1000000.0) / 1000000.0
         |  END AS fertility,

@@ -159,6 +159,87 @@ class PipelineSpec extends AnyFunSuite {
       maxBlockSize = 200).count() == 200L * 199 / 2)
   }
 
+  test("cosineDedupPairsPrefiltered is bit-identical to the plain kernel (recall-complete bound)") {
+    val emb = Tables(spark, sf, "embeddings")
+    // two thresholds: the lane's 0.35, and 0.05 (looser → far more
+    // near-bound pairs stressing the err margin)
+    for (t <- Seq(0.35, 0.05)) {
+      val plain = Similarity.cosineDedupPairs(emb, "vec_id", "embedding", "label", t)
+      val pre = Similarity.cosineDedupPairsPrefiltered(emb, "vec_id", "embedding", "label", t)
+      assert(pre.exceptAll(plain).isEmpty && plain.exceptAll(pre).isEmpty,
+        s"prefiltered pair set must be bit-identical at threshold $t")
+      assert(plain.count() > 0, "equivalence test needs a non-empty pair set")
+    }
+  }
+
+  test("prefiltered bound survives the sign-noise adversary that breaks hamming prefilters") {
+    import spark.implicits._
+    // Two vectors identical in the 4 heavy dims, tiny OPPOSITE-sign
+    // noise in the 60 light dims: cosine ≈ 1 but 60/64 sign bits
+    // differ — a sign-bit (bin_sig) prefilter at any useful hamming
+    // bound drops this true pair; the int8 cosine bound must keep it.
+    val heavy = Seq(1.0, -1.0, 1.0, -1.0)
+    val a = heavy ++ (0 until 60).map(i => if (i % 2 == 0) 1e-4 else -1e-4)
+    val b = heavy ++ (0 until 60).map(i => if (i % 2 == 0) -1e-4 else 1e-4)
+    val df = Seq((0L, 1L, a), (0L, 2L, b)).toDF("label", "vec_id", "embedding")
+    val rows = Similarity.cosineDedupPairsPrefiltered(df, "vec_id", "embedding",
+      "label", 0.9).collect()
+    assert(rows.length == 1 && rows.head.getDouble(3) > 0.99,
+      s"near-identical pair with adversarial sign noise must survive, got ${rows.toSeq}")
+  }
+
+  test("vec_dot_i8 kernel: exact integer dot, length mismatch is NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq((Seq(127, -128, 3), Seq(127, 127, -2)),
+        (Seq(1, 2, 3), Seq(1, 2))) // mismatch
+      .toDF("a", "b")
+      .select(call_function("vec_dot_i8",
+        col("a").cast("array<tinyint>"), col("b").cast("array<tinyint>")).as("d"))
+      .collect()
+    assert(df(0).getLong(0) == 127L * 127 - 128L * 127 - 6L)
+    assert(df(1).isNullAt(0), "length mismatch must be NULL (VecDot contract)")
+  }
+
+  test("cosineDedupPairsPrefiltered keeps the quadratic block guard") {
+    import spark.implicits._
+    val vecs = (1 to 200).map(i => (1L, i.toLong, Seq(i.toDouble, 1.0)))
+      .toDF("label", "vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.cosineDedupPairsPrefiltered(vecs, "vec_id", "embedding", "label", 0.5,
+        maxBlockSize = 100).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("cosineDedupPairsPrefiltered") && m.contains("200")),
+      s"wanted the block guard message, got: ${msgs(ex).take(3).mkString(" | ")}")
+    // keep-all thresholds are the plain kernel's job
+    intercept[IllegalArgumentException] {
+      Similarity.cosineDedupPairsPrefiltered(vecs, "vec_id", "embedding", "label", -1.0)
+    }
+  }
+
+  test("semanticDedup through the prefiltered pair stage matches the plain composition") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings")
+    val n = emb.count()
+    val k = math.max(8, math.ceil(n / 2500.0).toInt)
+    val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
+      k = k, iters = 2, hexBound = Similarity.ivfHexBound(n))
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
+    // reference: the pre-r9 composition over the plain pair kernel
+    val cells = Similarity.assignExactCells(emb, "vec_id", "embedding", cents)
+    val pairs = Similarity.cosineDedupPairs(cells, "vec_id", "v", "cell", 0.35)
+    val drops = pairs.select(col("id_b").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    val want = cells.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (!coalesce(col("__dup"), lit(false))).as("kept"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.filter(!col("kept")).count() > 0, "test needs at least one dropped dup")
+  }
+
   test("cosineDedupPairs supports non-numeric ids (guard must not coerce the comparison)") {
     import spark.implicits._
     val vecs = Seq(("blk", "a", Seq(1.0, 0.0)), ("blk", "b", Seq(1.0, 0.0)),
