@@ -5,13 +5,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Shuffle-partition override for large-SF scaling runs: the
-    // shuffle=cpus default is right at sf0.1 (overhead-dominated) but
-    // an sf100 lane sorting 600M rows through 8 partitions spills —
-    // partition count must track data volume (SURVEY §5 spill-aware
-    // rule), exactly as a real cluster's would. Driver runs never set
-    // this, so round-over-round comparability is unaffected.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Shuffle width tracks data volume (SURVEY §5 spill-aware rule):
+    // derived from the lake's on-disk bytes so sfN scaling runs are
+    // un-spilled with NO env override — the r8 sf100 spill diagnosis
+    // (600M edge rows through shuffle=8) was a harness sizing error a
+    // user could reproduce. At the driver's sf0.1 the 17 MB lake floors
+    // to shuffle=cpus, so round-over-round comparability is unaffected.
+    // SPARK_GRAFT_SHUFFLE remains an explicit override for probes.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      Sizing.shufflePartitions(sfDir, cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,43 @@
+package graft
+
+/** Input-volume-derived shuffle-partition sizing (SURVEY §5
+  * spill-aware rule, the `Dml.compact` input-bytes discipline applied
+  * to shuffle width).
+  *
+  * The r8 sf100 scaling runs diagnosed their first superlinear readings
+  * as a HARNESS sizing error: 600 M derived edge rows pushed through
+  * shuffle=8 is 75 M rows per external-sort partition — spill-bound on
+  * any box, while a real cluster at that volume runs thousands of
+  * shuffle partitions. The env-var fix (`SPARK_GRAFT_SHUFFLE=64`) was a
+  * knob a user has to know about; this derives the same answer from the
+  * lake itself so sfN runs are un-spilled with no override.
+  *
+  * Rule: one shuffle partition per `bytesPerPartition` of on-disk
+  * parquet (default 8 MB), floored at `cores` and capped at 2048. The
+  * 8 MB budget is deliberately ~16× tighter than the 128 MB/file
+  * compaction target because shuffled data is routinely much wider
+  * than its parquet source: within-block pair lists, exploded shingle/
+  * edge rows, and decompressed+decoded columns all multiply volume
+  * 10–30× between the scan and the widest exchange. 8 MB of source per
+  * partition keeps even a 30×-derived exchange near the 128–256 MB
+  * per-partition sweet spot. The floor keeps every core busy at tiny
+  * sf (the driver's sf0.1 lake is 17 MB → partitions = cores, so
+  * driver-round comparability is untouched); the cap bounds task-
+  * scheduling overhead on a single box.
+  */
+object Sizing {
+  def parquetBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    walk(new java.io.File(dir))
+  }
+
+  def shufflePartitions(sfDir: String, cores: Int,
+                        bytesPerPartition: Long = 8L << 20,
+                        cap: Int = 2048): Int = {
+    val derived = math.ceil(parquetBytes(sfDir).toDouble / bytesPerPartition).toInt
+    math.min(cap, math.max(cores, derived))
+  }
+}

@@ -1026,12 +1026,12 @@ object Similarity {
     * prefilter — identical output, a fraction of the memory traffic.
     *
     * The r8 sf100 measurement showed the plain pair stage drifting
-    * 1.66×/decade past linear: every candidate pair streams two 64-dim
+    * 1.66×/decade past linear: every candidate pair reads two 64-dim
     * double arrays (~1 KB) through the within-block self-join, 2.5 TB
-    * at sf100. Here the self-join carries (array<tinyint> qvec, scale,
-    * norm) ≈ 100 B/row instead, scores each pair with an exact integer
-    * dot (`vec_dot_i8`), and prunes on a rigorous cosine UPPER bound;
-    * only surviving pairs fetch full vectors for the exact confirm.
+    * at sf100. Here each pair is scored first with an exact integer
+    * dot over int8 quantized copies (`vec_dot_i8`, 64 B a side) and
+    * pruned on a rigorous cosine UPPER bound; the full-precision
+    * cosine is evaluated only for bound survivors.
     *
     * Recall-completeness argument (why the same oracle stays green
     * with NO tolerance): quantize qᵢ = rint(vᵢ/c) with c = max|vᵢ|/127,
@@ -1048,10 +1048,23 @@ object Similarity {
     * evaluating the bound itself in doubles. Zero vectors (c = 0) give
     * NaN bounds and NaN cosines — dropped by both paths alike.
     *
-    * A sub-threshold pair costs one 64-byte integer dot instead of a
-    * 1 KB double dot; at the lane's t = 0.35 on the test embeddings
-    * ~99.7 % of pairs stop at the prefilter. The confirm joins key on
-    * the (orders-smaller) survivor pair list, never the corpus.
+    * The confirm is FUSED into the same self-join, not a join-back on
+    * the survivor pair list: the cell self-join already co-locates both
+    * vectors of every candidate pair, so re-fetching them through two
+    * id-keyed shuffles pays survivor-count × vector-bytes of exchange
+    * for data the join had in hand (a first cut measured 80 s vs the
+    * plain kernel's 8.9 s at sf10, where the replicated lake confirms
+    * 16 M pairs — the join-back shuffles dwarfed the prefilter's
+    * savings). Fused, the pair row carries the SOURCE-typed vector
+    * (float embeddings stay 4-byte floats; the array<double> cast with
+    * its 2× footprint happens inside the confirm expression, exact for
+    * float sources and identity for double) next to the int8 columns,
+    * and the `when`-guarded confirm touches it for bound survivors
+    * only. Per sub-threshold pair the join loop reads two 64-byte int8
+    * arrays and does one integer dot — at the lane's t = 0.35 on the
+    * test embeddings that is ~99.7 % of pairs (natural corpora higher
+    * still); the per-cell right-side buffer (~400 B/row vs the plain
+    * kernel's ~1 KB) stays cache-resident at the 2500-row cell target.
     * Requires threshold > 0: a keep-everything threshold (knnGraph's
     * −1) can't prune, so this degenerates to pure overhead — the plain
     * kernel stays the right tool there.
@@ -1063,11 +1076,12 @@ object Similarity {
       s"cosineDedupPairsPrefiltered needs threshold > 0 to prune (got $threshold); " +
         "use cosineDedupPairs for keep-all thresholds")
     val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).as("vraw"))
+      .withColumn("v", col("vraw").cast("array<double>"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .withColumn("c", when(col("mx") > 0, col("mx") / lit(127.0)).otherwise(lit(0.0)))
-    val lean = base.select(col("blk"), col("id"),
+    val lean = base.select(col("blk"), col("id"), col("vraw"),
       when(col("c") > 0,
         transform(col("v"), x => rint(x / col("c")).cast("tinyint")))
         .otherwise(transform(col("v"), _ => lit(0).cast("tinyint"))).as("q"),
@@ -1076,11 +1090,11 @@ object Similarity {
       (col("c") * sqrt(size(col("v")).cast("double")) * lit(0.5000001)).as("h"))
     val counts = lean.groupBy("blk").agg(count(lit(1)).as("__bn"))
     val a = lean.join(broadcast(counts), Seq("blk"))
-      .select(col("blk"), col("id").as("id_a"), col("q").as("q_a"),
+      .select(col("blk"), col("id").as("id_a"), col("vraw").as("v_a"), col("q").as("q_a"),
         col("c").as("c_a"), col("nrm").as("n_a"), col("h").as("h_a"), col("__bn"))
-    val b = lean.select(col("blk"), col("id").as("id_b"), col("q").as("q_b"),
-      col("c").as("c_b"), col("nrm").as("n_b"), col("h").as("h_b"))
-    val survivors = a.join(b, Seq("blk"))
+    val b = lean.select(col("blk"), col("id").as("id_b"), col("vraw").as("v_b"),
+      col("q").as("q_b"), col("c").as("c_b"), col("nrm").as("n_b"), col("h").as("h_b"))
+    a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b") && when(col("__bn") <= maxBlockSize, lit(true))
         .otherwise(expr(
           "CAST(raise_error(concat('cosineDedupPairsPrefiltered: block ', " +
@@ -1093,18 +1107,11 @@ object Similarity {
           + lit(1e-9))
           / (col("n_a") * col("n_b")))
       .filter(col("__ub") >= threshold)
-      .select(col("blk"), col("id_a"), col("id_b"))
-    // exact confirm: fetch full vectors for the survivor pairs only;
-    // same expression tree as the plain path ⇒ bit-identical cosines
-    val vecs = df.select(col(idCol).as("__vid"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__nrm", norm(col("__v")))
-    survivors
-      .join(vecs.select(col("__vid").as("id_a"), col("__v").as("v_a"),
-        col("__nrm").as("n_a")), Seq("id_a"))
-      .join(vecs.select(col("__vid").as("id_b"), col("__v").as("v_b"),
-        col("__nrm").as("n_b")), Seq("id_b"))
-      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      // exact confirm on bound survivors only, same expression tree as
+      // the plain path (cast-to-double inside) ⇒ bit-identical cosines
+      .withColumn("cos",
+        dot(col("v_a").cast("array<double>"), col("v_b").cast("array<double>"))
+          / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), (floor(col("cos") * 1e4) / 1e4).as("cos"))
   }

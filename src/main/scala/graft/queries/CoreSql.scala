@@ -388,8 +388,50 @@ object CoreSql {
       .orderBy("cohort", "event_type")
   }
 
+  /** Misra-Gries in the LOSSY regime (k = 3 < the 5-value event-type
+    * domain) — the regime that is the operator's whole value at 100 TB,
+    * where eviction and merge-compression fire on every partition. The
+    * sketch's content is merge-order-dependent there, so the lane
+    * hashes the sketch's GUARANTEES instead (the q_approx_agg
+    * tolerance-boolean discipline): per cohort, the engine checks its
+    * own sketch against its own exact GROUP BY —
+    *   size_ok:  ≤ k survivors (bounded memory);
+    *   under_ok: every estimate ≤ its exact count (MG only loses);
+    *   bound_ok: every value's estimate ≥ exact − n/(k+1) (absent ⇒ 0);
+    *   heavy_ok: any value with exact count > n/(k+1) survives.
+    * All four are theorems of the algorithm (Misra-Gries 1982; merge
+    * per Agarwal et al. PODS'12), so they are deterministically true
+    * for ANY partitioning/merge order, and the DuckDB oracle replays
+    * the exact cohort sizes + literal trues. A sketch bug flips a
+    * boolean and the row hash-fails.
+    */
+  def qHeavyHittersLossy(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val mg = udaf(new graft.functions.HeavyHitters.MisraGriesAgg(k))
+    val ev = Tables.events(spark, dir)
+      .select((col("user_id") % 10).as("cohort"), col("event_type"))
+    val sketch = ev.groupBy("cohort")
+      .agg(mg(col("event_type")).as("hh"), count(lit(1)).as("n"))
+    val exact = ev.groupBy("cohort", "event_type").agg(count(lit(1)).as("c"))
+    val surv = sketch.select(col("cohort"),
+      explode(col("hh")).as(Seq("event_type", "est")))
+    exact.join(surv, Seq("cohort", "event_type"), "left")
+      .join(sketch.select(col("cohort"), col("n"), size(col("hh")).as("n_surv")),
+        Seq("cohort"))
+      .groupBy("cohort")
+      .agg(
+        first(col("n")).as("n"),
+        count(lit(1)).as("n_types"),
+        expr("bool_and(n_surv <= " + k + ")").as("size_ok"),
+        expr("bool_and(est IS NULL OR est <= c)").as("under_ok"),
+        expr(s"bool_and(coalesce(est, 0L) >= c - n / ${k + 1}.0)").as("bound_ok"),
+        expr(s"bool_and(c <= n / ${k + 1}.0 OR est IS NOT NULL)").as("heavy_ok"))
+      .orderBy("cohort")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_heavy_hitters_lossy" -> qHeavyHittersLossy,
     "q_salted_agg" -> qSaltedAgg,
     "q01_pricing_summary" -> q01PricingSummary,
     "q03_shipping_priority" -> q03ShippingPriority,
@@ -415,6 +457,12 @@ object CoreSql {
       """SELECT user_id % 10 AS cohort, event_type,
         |  CAST(count(*) AS BIGINT) AS est_n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_heavy_hitters_lossy" ->
+      """SELECT user_id % 10 AS cohort, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  true AS size_ok, true AS under_ok, true AS bound_ok,
+        |  true AS heavy_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_salted_agg" ->
       """WITH c AS (
         |  SELECT l_returnflag,

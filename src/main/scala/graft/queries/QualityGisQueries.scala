@@ -477,10 +477,141 @@ object QualityGisQueries {
         |  JOIN th ON th.uid = c.uid
         |  JOIN me ON me.uid = c.uid)
         |SELECT uid AS user_id, t, round(f / 100.0, 6) AS filled
-        |FROM fill ORDER BY user_id, t""".stripMargin
-    // ts_data_quality / ts_timestamp_repair: the windowed anomaly state
-    // machine and the DP grid alignment are genuinely iterative (inner
-    // loops with data-dependent removals / a backtracked cost matrix) —
-    // rows-only + ScalaTest fixtures pinned to the reference's slt.
+        |FROM fill ORDER BY user_id, t""".stripMargin,
+    // The FULL data-quality aggregate replayed in SQL (r9 — was the
+    // last rows-only lane bar the repair DP): the four value-anomaly
+    // outlier counts are median/MAD CTEs (the ts_validity discipline),
+    // and the windowed timestamp-anomaly scan — an imperative loop
+    // with data-dependent window removals — is replayed EXACTLY by a
+    // recursive CTE running one machine transition per recursion step:
+    // mode 0 = outer-loop head (redundancy / enter-late-scan / plain
+    // advance), mode 1 = one j-step of the inner late scan. Window
+    // removals are list slices; refill happens only when an outer
+    // iteration completes; counters/miss-late/redundancy follow
+    // common.rs:126-158 branch for branch. All metrics are ratios of
+    // these integer counters, so round(,8) hash-matches bit-for-bit.
+    // (No NaN repair replay needed: the driver lake has no non-finite
+    // values, so specialcnt = 0 and repair is the identity there; the
+    // NaN path stays pinned by DataQualitySpec fixtures.)
+    "ts_data_quality" ->
+      """WITH RECURSIVE
+        |pts AS (
+        |  SELECT user_id AS uid, epoch(CAST(ts AS TIMESTAMP)) AS t, value AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch(CAST(ts AS TIMESTAMP)), value) AS i
+        |  FROM events WHERE user_id < 30),
+        |cnt AS (SELECT uid, count(*) AS cnt FROM pts GROUP BY 1),
+        |iv AS (
+        |  SELECT uid, dt FROM (
+        |    SELECT uid, lead(t) OVER (PARTITION BY uid ORDER BY i) - t AS dt FROM pts)
+        |  WHERE dt IS NOT NULL),
+        |base AS (SELECT uid, quantile_cont(dt, 0.5) AS base FROM iv GROUP BY 1),
+        |vmed AS (SELECT uid, quantile_cont(v, 0.5) AS m FROM pts GROUP BY 1),
+        |vmad AS (SELECT p.uid, 1.4826 * quantile_cont(abs(p.v - m.m), 0.5) AS s
+        |         FROM pts p JOIN vmed m USING (uid) GROUP BY p.uid),
+        |vcnt AS (SELECT p.uid, count(*) FILTER (WHERE abs(p.v - m.m) > 3.0 * s.s) AS c
+        |         FROM pts p JOIN vmed m USING (uid) JOIN vmad s USING (uid) GROUP BY p.uid),
+        |dvar AS (
+        |  SELECT uid, d FROM (
+        |    SELECT uid, lead(v) OVER (PARTITION BY uid ORDER BY i) - v AS d FROM pts)
+        |  WHERE d IS NOT NULL),
+        |dmed AS (SELECT uid, quantile_cont(d, 0.5) AS m FROM dvar GROUP BY 1),
+        |dmad AS (SELECT p.uid, 1.4826 * quantile_cont(abs(p.d - m.m), 0.5) AS s
+        |         FROM dvar p JOIN dmed m USING (uid) GROUP BY p.uid),
+        |dcnt AS (SELECT p.uid, count(*) FILTER (WHERE abs(p.d - m.m) > 3.0 * s.s) AS c
+        |         FROM dvar p JOIN dmed m USING (uid) JOIN dmad s USING (uid) GROUP BY p.uid),
+        |spd AS (
+        |  SELECT uid, sp, i FROM (
+        |    SELECT uid, i, (lead(v) OVER w - v) / (lead(t) OVER w - t) AS sp
+        |    FROM pts WINDOW w AS (PARTITION BY uid ORDER BY i))
+        |  WHERE sp IS NOT NULL),
+        |smed AS (SELECT uid, quantile_cont(sp, 0.5) AS m FROM spd GROUP BY 1),
+        |smad AS (SELECT p.uid, 1.4826 * quantile_cont(abs(p.sp - m.m), 0.5) AS s
+        |         FROM spd p JOIN smed m USING (uid) GROUP BY p.uid),
+        |scnt AS (SELECT p.uid, count(*) FILTER (WHERE abs(p.sp - m.m) > 3.0 * s.s) AS c
+        |         FROM spd p JOIN smed m USING (uid) JOIN smad s USING (uid) GROUP BY p.uid),
+        |dspd AS (
+        |  SELECT uid, d FROM (
+        |    SELECT uid, lead(sp) OVER (PARTITION BY uid ORDER BY i) - sp AS d FROM spd)
+        |  WHERE d IS NOT NULL),
+        |cmed AS (SELECT uid, quantile_cont(d, 0.5) AS m FROM dspd GROUP BY 1),
+        |cmad AS (SELECT p.uid, 1.4826 * quantile_cont(abs(p.d - m.m), 0.5) AS s
+        |         FROM dspd p JOIN cmed m USING (uid) GROUP BY p.uid),
+        |ccnt AS (SELECT p.uid, count(*) FILTER (WHERE abs(p.d - m.m) > 3.0 * s.s) AS c
+        |         FROM dspd p JOIN cmed m USING (uid) JOIN cmad s USING (uid) GROUP BY p.uid),
+        |tarr AS (SELECT uid, list(t ORDER BY i) AS ts FROM pts GROUP BY 1),
+        |sm AS (
+        |  SELECT b.uid, b.base, a.ts, a.ts[1:10] AS win,
+        |    least(10, len(a.ts))::BIGINT AS nxt,
+        |    0::BIGINT AS miss, 0::BIGINT AS late, 0::BIGINT AS red,
+        |    0::BIGINT AS mode, 0::BIGINT AS j, 0::BIGINT AS temp, 0::BIGINT AS tgt,
+        |    false AS done
+        |  FROM base b JOIN tarr a USING (uid)
+        |  UNION ALL
+        |  SELECT uid, base, ts,
+        |    CASE WHEN outerEnd
+        |         THEN wr || ts[nxt+1 : nxt + greatest(0, 10 - len(wr))]
+        |         ELSE wr END,
+        |    CASE WHEN outerEnd
+        |         THEN least(len(ts), nxt + greatest(0, 10 - len(wr)))
+        |         ELSE nxt END,
+        |    CASE WHEN innerEnd THEN miss + tgt - tUsed ELSE miss END,
+        |    CASE WHEN innerEnd THEN late + tUsed ELSE late END,
+        |    CASE WHEN bA THEN red + 1 ELSE red END,
+        |    CASE WHEN bB OR dropCont OR bStep THEN 1 ELSE 0 END::BIGINT,
+        |    CASE WHEN bB THEN 2 WHEN bStep THEN j + 1
+        |         WHEN dropCont THEN j ELSE 0 END::BIGINT,
+        |    CASE WHEN bB THEN 0 WHEN dropCont THEN temp + 1
+        |         WHEN bStep THEN temp ELSE 0 END::BIGINT,
+        |    CASE WHEN bB THEN round((win[2] - win[1]) / base - 1.0)::BIGINT
+        |         WHEN dropCont OR bStep THEN tgt ELSE 0 END,
+        |    fin
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN bA THEN win[3:]
+        |           WHEN bC OR endNoDrop THEN win[2:]
+        |           WHEN bDrop AND temp + 1 = tgt THEN (win[1:j::INT] || win[j+2:])[2:]
+        |           WHEN bDrop THEN win[1:j::INT] || win[j+2:]
+        |           ELSE win END AS wr,
+        |      (bA OR bC OR endNoDrop OR (bDrop AND temp + 1 = tgt)) AS outerEnd,
+        |      (endNoDrop OR (bDrop AND temp + 1 = tgt)) AS innerEnd,
+        |      (bDrop AND temp + 1 <> tgt) AS dropCont,
+        |      CASE WHEN bDrop THEN temp + 1 ELSE temp END AS tUsed
+        |    FROM (
+        |      SELECT *,
+        |        (mode = 0 AND len(win) <= 1) AS fin,
+        |        (mode = 0 AND len(win) > 1
+        |          AND (win[2] - win[1]) / base <= 0.5) AS bA,
+        |        (mode = 0 AND len(win) > 1
+        |          AND (win[2] - win[1]) / base >= 2.0
+        |          AND (win[2] - win[1]) / base <= 9.0) AS bB,
+        |        (mode = 0 AND len(win) > 1
+        |          AND (win[2] - win[1]) / base > 0.5
+        |          AND NOT ((win[2] - win[1]) / base >= 2.0
+        |                   AND (win[2] - win[1]) / base <= 9.0)) AS bC,
+        |        (mode = 1 AND (j >= len(win)
+        |          OR (win[j+1] - win[j]) / base >= 2.0)) AS endNoDrop,
+        |        (mode = 1 AND j < len(win)
+        |          AND (win[j+1] - win[j]) / base < 2.0
+        |          AND (win[j+1] - win[j]) / base <= 0.5) AS bDrop,
+        |        (mode = 1 AND j < len(win)
+        |          AND (win[j+1] - win[j]) / base < 2.0
+        |          AND (win[j+1] - win[j]) / base > 0.5) AS bStep
+        |      FROM sm WHERE NOT done))
+        |)
+        |SELECT uid AS user_id,
+        |  round(1.0 - miss::DOUBLE / (cnt + miss)::DOUBLE, 8) AS completeness,
+        |  round(1.0 - red::DOUBLE / cnt::DOUBLE, 8) AS consistency,
+        |  round(1.0 - late::DOUBLE / cnt::DOUBLE, 8) AS timeliness,
+        |  round(1.0 - 0.25 * (vcnt.c + dcnt.c + scnt.c + ccnt.c)::DOUBLE
+        |    / cnt::DOUBLE, 8) AS validity
+        |FROM sm JOIN cnt USING (uid)
+        |JOIN vcnt USING (uid) JOIN dcnt USING (uid)
+        |JOIN scnt USING (uid) JOIN ccnt USING (uid)
+        |WHERE done ORDER BY uid""".stripMargin
+    // ts_timestamp_repair: the DP grid alignment (a backtracked cost
+    // matrix) is the one remaining rows-only lane — iterative with a
+    // data-dependent argmin backtrack; ScalaTest fixtures pinned to the
+    // reference's slt.
   )
 }

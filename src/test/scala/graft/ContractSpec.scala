@@ -36,8 +36,12 @@ class ContractSpec extends AnyFunSuite {
     // exact fit sums + sequential-chain recursions) graduated too; what
     // remains is the windowed data-quality state machine and the DP
     // timestamp alignment — inner loops with data-dependent removals and
-    // a backtracked cost matrix, truly not SQL-replayable.
-    val declaredRowsOnly = Set("ts_data_quality", "ts_timestamp_repair")
+    // a backtracked cost matrix.
+    // r9: ts_data_quality graduated too — the windowed state machine is
+    // replayed by a recursive CTE running one machine transition per
+    // recursion step (window removals as list slices). Only the
+    // backtracked DP remains.
+    val declaredRowsOnly = Set("ts_timestamp_repair")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == declaredRowsOnly,
       s"rows-only drift: +${actual -- declaredRowsOnly} -${declaredRowsOnly -- actual}")

@@ -1418,6 +1418,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact == trueCounts)
   }
 
+  test("lossy Misra-Gries lane: guarantees hold through real shuffles; heavy value survives skew") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the driver lane on real data: all guarantee booleans must be true
+    val rows = graft.queries.CoreSql.qHeavyHittersLossy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (3 to 6).foreach(i => assert(r.getBoolean(i),
+        s"guarantee column $i false for cohort ${r.get(0)}: $r"))
+    }
+    // non-vacuous heavy-survivor check: a 60%-frequency value across a
+    // 16-way repartition (16 partial sketches merged in driver-undefined
+    // order) must survive k=2 eviction — frequency > n/(k+1) guarantees it
+    val skew = ((1 to 600).map(_ => "hot") ++ (1 to 200).map(i => s"w$i") ++
+      (1 to 200).map(i => "x" + (i % 7))).toDF("v").repartition(16)
+    val mg = udaf(new graft.functions.HeavyHitters.MisraGriesAgg(2))
+    val sk = skew.agg(mg(col("v")).as("hh")).selectExpr("explode(hh)").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.contains("hot"), s"heavy value evicted: $sk")
+    assert(sk("hot") <= 600 && 600L - sk("hot") <= 1000 / 3, s"bound violated: $sk")
+    assert(sk.size <= 2)
+  }
+
   test("flagContaminatedBloom ≡ flagContaminated (bloom prefilter never changes the answer)") {
     import spark.implicits._
     val bench = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four five"))
