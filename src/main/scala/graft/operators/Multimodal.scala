@@ -337,6 +337,103 @@ object Multimodal {
       .toDF(idCol, "ahash")
   }
 
+  /** Integer DCT-II basis, the single source of truth for engine AND
+    * oracle: T[u][x] = round(cos(π·(2x+1)·u/64)·4096) for u ∈ 0..7,
+    * x ∈ 0..31. Quantizing the basis to a literal integer table makes
+    * the whole DCT exact 64-bit arithmetic (|D| ≤ 255·4096²·1024 ≈
+    * 4.4e15 < 2⁶³), so the hash is bit-stable across engines — the SQL
+    * oracle splices THESE values in as literals rather than calling its
+    * own cos(). 4096 keeps 12 bits of basis precision, far beyond what
+    * a 64-bit sign-vs-median hash can observe.
+    */
+  val DctTable: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+    math.round(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 4096.0)
+  }
+
+  /** DCT perceptual hash (pHash) of a 32×32 24-bit BMP — the
+    * LAION-class image-dedup standard, robust where aHash is not:
+    * aHash thresholds each pixel against the global mean, so a
+    * contrast/gamma shift that reorders pixels around the mean flips
+    * many bits, while the DCT low band captures SHAPE (the 8×8
+    * lowest-frequency coefficients) and thresholds each against their
+    * own median — monotone-ish luma maps move all low-band energies
+    * together. Hash: bit u·8+v set iff D[u][v] > median, over the 63
+    * AC coefficients (lower-middle order statistic of an odd count —
+    * no .5 averaging); the DC term is excluded, bit 0 stays 0. All
+    * exact integers end to end via [[DctTable]].
+    */
+  def dctHashBmp(bytes: Array[Byte]): Long = {
+    val b = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(b.get() == 'B' && b.get() == 'M', "not a BMP")
+    b.getInt(); b.getInt()
+    val dataOffset = b.getInt()
+    require(b.getInt() == 40, "unsupported DIB header")
+    val width = b.getInt()
+    val height = b.getInt()
+    require(width == 32 && height == 32, s"dctHashBmp expects 32x32, got ${width}x$height")
+    b.getShort()
+    require(b.getShort() == 24, "only 24bpp supported")
+    val rowSize = (3 * 32 + 3) / 4 * 4
+    val px = new Array[Long](1024)
+    var y = 0
+    while (y < 32) {
+      val row = dataOffset + (31 - y) * rowSize // bottom-up storage
+      var x = 0
+      while (x < 32) { px(y * 32 + x) = bytes(row + 3 * x) & 0xff; x += 1 }
+      y += 1
+    }
+    // two-stage separable transform: M = T·P (8×32), D = M·Tᵀ (8×8)
+    val m = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 32) {
+        var s = 0L
+        var yy = 0
+        while (yy < 32) { s += DctTable(u)(yy) * px(yy * 32 + x); yy += 1 }
+        m(u * 32 + x) = s
+        x += 1
+      }
+      u += 1
+    }
+    val d = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += m(u * 32 + x) * DctTable(v)(x); x += 1 }
+        d(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(d, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // lower-middle of 63 — exact order statistic
+    var hash = 0L
+    var j = 1
+    while (j < 64) {
+      if (d(j) > med) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** Batch DCT-hash extraction — (id, 32×32 media) → (id, phash
+    * BIGINT): one machine word per image leaves the scan, the same
+    * mass-dedup shape as [[aHash8Batch]].
+    */
+  def dctHash32Batch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, dctHashBmp(bytes)) })
+      .toDF(idCol, "phash")
+  }
+
   final case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
                            bits: Int, n_samples: Long, mean_abs: Double)
 

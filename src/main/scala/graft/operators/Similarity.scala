@@ -782,14 +782,25 @@ object Similarity {
     * training pipeline drops.
     *
     * 100 TB shape: assignment is a literal-centroid mapper (no
-    * shuffle); the pairwise stage is [[cosineDedupPairsPrefiltered]]
-    * keyed on the cell — an int8-with-rigorous-cosine-bound prune so
-    * the quadratic stage streams ~100 B/row instead of 1 KB (the r8
-    * sf100 1.66×/decade bandwidth drift), full-precision work only on
-    * bound survivors, output bit-identical by the recall-completeness
-    * argument on that method. Quadratic work is bounded per cell and
-    * the `maxCellSize` guard fails fast when a cell outgrows the
-    * budget.
+    * shuffle); the pairwise stage is [[cosineDedupPairs]] keyed on the
+    * cell, so the quadratic work is bounded per cell and the
+    * `maxCellSize` guard fails fast when a cell outgrows the budget.
+    * `prefilter = true` swaps in [[cosineDedupPairsPrefiltered]]
+    * (bit-identical by its recall-completeness argument) — r9 measured
+    * it SLOWER at every reachable scale (sf0.1 0.80 vs 1.03 s, sf10
+    * 11.8 vs 17.1 s, sf100 141.8 vs 298.5 s warm full-lane): at 64
+    * dims the int8 prune costs a 64-element loop just like the double
+    * confirm it tries to save, per-cell join buffers (≤ 2500 rows)
+    * stay cache-resident so there is no bandwidth to win back, and on
+    * the replicated bench lake 73 % of sf100 candidate pairs are TRUE
+    * pairs — a prefilter cannot prune what the output keeps. The r8
+    * "1.66×/decade pair-stage bandwidth drift" this was meant to fix
+    * turned out to be harness shuffle sizing + replication-inflated
+    * pair density: with input-derived shuffle partitions the PLAIN
+    * kernel's full-lane decade ratio is 12.0× (sf10→sf100), matching
+    * the knn graph's 11.4× linear shape. Kept opt-in for the regime it
+    * was designed for — very high dims / sub-percent confirm density /
+    * out-of-cache cells — with equivalence spec-pinned.
     * THE SCALE KNOB IS k (the centroid count): SemDeDup at corpus scale
     * trains k ∝ n/targetCellSize centroids so cells stay ~constant —
     * grow k with the corpus, never the cell budget. The keep rule is
@@ -798,10 +809,11 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[Array[Long]], threshold: Double,
-                    maxCellSize: Int = 50000): DataFrame = {
+                    maxCellSize: Int = 50000,
+                    prefilter: Boolean = false): DataFrame = {
     val cells = assignExactCells(corpus, idCol, vecCol, centroids)
     val pairs =
-      if (threshold > 0.0)
+      if (prefilter && threshold > 0.0)
         cosineDedupPairsPrefiltered(cells, idCol, "v", "cell", threshold, maxCellSize)
       else cosineDedupPairs(cells, idCol, "v", "cell", threshold, maxCellSize)
     val drops = pairs.select(col("id_b").as(idCol)).distinct()
@@ -1023,15 +1035,17 @@ object Similarity {
   }
 
   /** [[cosineDedupPairs]] with a PROVABLY recall-complete int8
-    * prefilter — identical output, a fraction of the memory traffic.
-    *
-    * The r8 sf100 measurement showed the plain pair stage drifting
-    * 1.66×/decade past linear: every candidate pair reads two 64-dim
-    * double arrays (~1 KB) through the within-block self-join, 2.5 TB
-    * at sf100. Here each pair is scored first with an exact integer
-    * dot over int8 quantized copies (`vec_dot_i8`, 64 B a side) and
-    * pruned on a rigorous cosine UPPER bound; the full-precision
-    * cosine is evaluated only for bound survivors.
+    * prefilter — identical output by construction. Each pair is scored
+    * first with an exact integer dot over int8 quantized copies
+    * (`vec_dot_i8`, 64 B a side) and pruned on a rigorous cosine UPPER
+    * bound; the full-precision cosine is evaluated only for bound
+    * survivors. NOT the default pair kernel: r9 measured it slower
+    * than the plain kernel at every reachable scale (see
+    * [[semanticDedup]] for the numbers and the diagnosis) — it is the
+    * documented opt-in for very high dims / sub-percent confirm
+    * density / cells too large for cache, and the bit-identity claim
+    * is what the `emb_cosine_dedup` driver lane hash-checks end to
+    * end.
     *
     * Recall-completeness argument (why the same oracle stays green
     * with NO tolerance): quantize qᵢ = rint(vᵢ/c) with c = max|vᵢ|/127,

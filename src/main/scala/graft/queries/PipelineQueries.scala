@@ -595,10 +595,12 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // int8-bound-prefiltered pair kernel (r9): ~100 B/row through the
-    // within-block self-join instead of 1 KB, full-precision confirm
-    // on bound survivors only — provably recall-complete, so the same
-    // exact oracle stays green (see cosineDedupPairsPrefiltered).
+    // int8-bound-prefiltered pair kernel (r9): prunes on a provably
+    // recall-complete cosine upper bound, confirms survivors at full
+    // precision — the SAME exact oracle staying green is the lane's
+    // point: it hash-checks the bit-identity claim end to end. (The
+    // kernel is opt-in elsewhere — measured slower than plain at every
+    // scale on this data; see Similarity.semanticDedup's scaladoc.)
     "emb_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedupPairsPrefiltered(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", "label", 0.35)

@@ -227,8 +227,9 @@ class PipelineSpec extends AnyFunSuite {
     val k = math.max(8, math.ceil(n / 2500.0).toInt)
     val cents = Similarity.exactIvfCentroids(emb, "vec_id", "embedding",
       k = k, iters = 2, hexBound = Similarity.ivfHexBound(n))
-    val got = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
-    // reference: the pre-r9 composition over the plain pair kernel
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.35,
+      prefilter = true)
+    // reference: the default composition over the plain pair kernel
     val cells = Similarity.assignExactCells(emb, "vec_id", "embedding", cents)
     val pairs = Similarity.cosineDedupPairs(cells, "vec_id", "v", "cell", 0.35)
     val drops = pairs.select(col("id_b").as("vec_id")).distinct()
