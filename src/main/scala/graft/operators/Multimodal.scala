@@ -337,6 +337,44 @@ object Multimodal {
       .toDF(idCol, "ahash")
   }
 
+  /** Image corpus for the DCT-hash lane: 50 classes of 8×8 BLOCK
+    * patterns (md5-derived black/white blocks painted in normalized
+    * coordinates, so every geometry renders the same low-frequency
+    * structure), and for id ≥ 50 a variant that is its base class
+    * CONTRAST-SCALED (v·3/4) with ONE block inverted — the "same image,
+    * different encode settings + tiny edit" duplicate class. This is
+    * the robustness regime that separates pHash from aHash: a global
+    * luma scale reorders pixels around the global mean (aHash bits
+    * flip) but scales all DCT coefficients together (sign-vs-median
+    * unchanged). The gradient fixture `withBmpVariantBinary` is
+    * deliberately NOT reused — its classes differ only by a constant
+    * offset, which is pure DC, invisible to a low-band hash (measured:
+    * cross-class DCT distance min 0 there).
+    */
+  def withBmpContrastBinary(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val k = (id % 50).toInt
+          val w = 16 + k % 17
+          val h = 16 + k % 13
+          val fb = (id % 64).toInt
+          (id, encodeBmpXY(w, h, (x, y) => {
+            val b = (y * 8 / h) * 8 + (x * 8 / w)
+            md.reset()
+            val d = md.digest(s"$k-$b".getBytes("UTF-8"))
+            val bit = ((d(0) >> 4) & 1) == 1
+            val v = if (id >= 50 && b == fb) 128 else if (bit) 220 else 35
+            if (id >= 50) v * 3 / 4 else v
+          }))
+        }
+      }
+      .toDF(idCol, "media")
+  }
+
   /** Integer DCT-II basis, the single source of truth for engine AND
     * oracle: T[u][x] = round(cos(π·(2x+1)·u/64)·4096) for u ∈ 0..7,
     * x ∈ 0..31. Quantizing the basis to a literal integer table makes

@@ -820,6 +820,27 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // DCT perceptual hash (pHash — the LAION-class standard next to
+    // aHash): 32×32 luma → integer DCT-II with a LITERAL quantized
+    // basis (the same table spliced into the SQL oracle, so both
+    // engines do identical exact-integer arithmetic) → 8×8 low band →
+    // bit per AC coefficient vs their lower-median. Fixture: 50
+    // md5-block-pattern classes; variants are contrast-scaled with one
+    // block grayed — measured variant-base hamming ≤ 8 vs cross-class
+    // ≥ 18, so d = 6 cleanly separates and the Manku pigeonhole
+    // (7 blocks) is exact. Same rep-collapse + bucket machinery as the
+    // aHash lane; oracle replays generator, resize, DCT, median, hash
+    // packing, and confirms with the exhaustive O(n²) scan.
+    "mm_image_phash_dct" -> ((s, dir) => {
+      val imgs = Multimodal.withBmpContrastBinary(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id")
+      val hashes = Multimodal.dctHash32Batch(
+        Multimodal.resizeBmpBatch(imgs, "doc_id", 32, 32), "doc_id")
+      val reps = hashes.groupBy("phash").agg(min("doc_id").as("doc_id"))
+      Dedup.sigHammingPairs(reps, "doc_id", "phash", 64, 6)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Image dedup KEEP-SET — the pairs lane carried to its decision:
     // class-representative phash pairs → connected components over the
     // pair list (the generic min-label dupGroups; pairs ≪ corpus) →
@@ -1466,6 +1487,70 @@ object PipelineQueries {
       |           ELSE CAST(1 AS BIGINT) << v.j END
       |    ELSE 0 END) AS BIGINT) AS ahash
       |  FROM v JOIN s USING (doc_id) GROUP BY 1)""".stripMargin
+
+  /** The quantized DCT-II basis spliced as SQL literals — SAME source
+    * as the engine kernel (Multimodal.DctTable), so the two engines
+    * cannot disagree on a basis value.
+    */
+  private val DCT_TABLE_VALUES: String =
+    graft.operators.Multimodal.DctTable.zipWithIndex.flatMap { case (row, u) =>
+      row.zipWithIndex.map { case (c, x) => s"($u,$x,$c)" }
+    }.mkString(",")
+
+  /** DCT perceptual-hash oracle prelude: replays the block-pattern
+    * contrast fixture (md5-bit 8×8 blocks in normalized coordinates,
+    * variant = one block grayed + 3/4 contrast scale), the 32×32
+    * nearest-neighbor resample, the two-stage exact-integer DCT
+    * (M = T·P, D = M·Tᵀ — HUGEINT sums cast back to BIGINT), the
+    * 63-AC lower-median threshold, and the bit packing (bit 63 as the
+    * signed minimum) — ending in `hp(doc_id, phash)`.
+    */
+  private val IMG_DCT_CTES: String =
+    s"""dctt AS (SELECT * FROM (VALUES $DCT_TABLE_VALUES) AS t(u, x, c)),
+      |g2 AS (
+      |  SELECT doc_id, doc_id % 50 AS k,
+      |    16 + (doc_id % 50) % 17 AS w, 16 + (doc_id % 50) % 13 AS h
+      |  FROM documents),
+      |px2 AS (
+      |  SELECT g2.doc_id, u.j, g2.k,
+      |    (((u.j // 32) * g2.h) // 32 * 8 // g2.h) * 8
+      |      + ((u.j % 32) * g2.w) // 32 * 8 // g2.w AS b
+      |  FROM g2, LATERAL (SELECT unnest(generate_series(0, 1023)) AS j) u),
+      |pv2 AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN doc_id >= 50 THEN
+      |      (CASE WHEN b = doc_id % 64 THEN 128
+      |            WHEN (strpos('0123456789abcdef',
+      |              substr(md5(k || '-' || b), 1, 1)) - 1) % 2 = 1 THEN 220
+      |            ELSE 35 END) * 3 // 4
+      |    ELSE
+      |      CASE WHEN (strpos('0123456789abcdef',
+      |        substr(md5(k || '-' || b), 1, 1)) - 1) % 2 = 1 THEN 220
+      |      ELSE 35 END
+      |    END AS v
+      |  FROM px2),
+      |mm AS (
+      |  SELECT p.doc_id, t.u, (p.j % 32) AS x,
+      |    CAST(sum(t.c * p.v) AS BIGINT) AS mv
+      |  FROM pv2 p JOIN dctt t ON t.x = (p.j // 32)
+      |  GROUP BY 1, 2, 3),
+      |dd AS (
+      |  SELECT m.doc_id, m.u, t.u AS v2, CAST(sum(t.c * m.mv) AS BIGINT) AS dc
+      |  FROM mm m JOIN dctt t ON t.x = m.x
+      |  GROUP BY 1, 2, 3),
+      |acs AS (SELECT doc_id, u * 8 + v2 AS j, dc FROM dd
+      |        WHERE NOT (u = 0 AND v2 = 0)),
+      |medd AS (SELECT doc_id, dc AS med FROM (
+      |    SELECT doc_id, dc,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY dc) AS rn
+      |    FROM acs) WHERE rn = 32),
+      |hp AS (
+      |  SELECT acs.doc_id, CAST(sum(
+      |    CASE WHEN acs.dc > medd.med THEN
+      |      CASE WHEN acs.j = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |           ELSE CAST(1 AS BIGINT) << acs.j END
+      |    ELSE 0 END) AS BIGINT) AS phash
+      |  FROM acs JOIN medd USING (doc_id) GROUP BY 1)""".stripMargin
 
   /** Transitive-closure group oracle, shared verbatim by the min-label
     * and large-star/small-star entries — the backend choice must be
@@ -2459,6 +2544,14 @@ object PipelineQueries {
         |FROM documents d,
         |  LATERAL (SELECT unnest(generate_series(0, 7)) AS y) u
         |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+    "mm_image_phash_dct" ->
+      s"""WITH $IMG_DCT_CTES,
+        |cl AS (SELECT min(doc_id) AS doc_id, phash FROM hp GROUP BY phash)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM cl a JOIN cl b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
     "mm_image_phash_pairs" ->
       s"""WITH $IMG_AHASH_CTES,
         |cl AS (SELECT min(doc_id) AS doc_id, ahash FROM hb GROUP BY ahash)

@@ -1419,6 +1419,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact == trueCounts)
   }
 
+  test("dctHashBmp: exact luma doubling is hash-invariant (the contrast-robustness claim)") {
+    // doubling every pixel EXACTLY doubles every DCT coefficient and
+    // the median with it, so every sign-vs-median bit is unchanged —
+    // the linear-map invariance aHash does not have in general
+    def img(scale: Int) = Multimodal.encodeBmpXY(32, 32,
+      (x, y) => ((x * 31 + y * 17 + (x * y) % 41) % 120 + 3) * scale)
+    val h1 = Multimodal.dctHashBmp(img(1))
+    val h2 = Multimodal.dctHashBmp(img(2))
+    assert(h1 == h2, f"doubled-luma hash must be identical: $h1%x vs $h2%x")
+    // and a genuinely different image must not collide
+    val other = Multimodal.encodeBmpXY(32, 32, (x, y) => if ((x / 8 + y / 8) % 2 == 0) 220 else 35)
+    assert(java.lang.Long.bitCount(h1 ^ Multimodal.dctHashBmp(other)) > 10)
+  }
+
+  test("DCT-hash fixture equivalence classes: variants cluster, classes separate") {
+    val docs = Tables(spark, sf, "documents").select("doc_id")
+    val imgs = Multimodal.withBmpContrastBinary(docs, "doc_id")
+    val hashes = Multimodal.dctHash32Batch(
+        Multimodal.resizeBmpBatch(imgs, "doc_id", 32, 32), "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val variantD = hashes.keys.filter(_ >= 50).map(id =>
+      java.lang.Long.bitCount(hashes(id) ^ hashes(id % 50)))
+    assert(variantD.nonEmpty && variantD.max <= 8,
+      s"contrast-scaled one-block variants must stay near base, max=${variantD.max}")
+    val nBases = math.min(50, hashes.size)
+    val bases = (0L until nBases.toLong).flatMap(hashes.get)
+    val cross = for (i <- bases.indices; j <- i + 1 until bases.length)
+      yield java.lang.Long.bitCount(bases(i) ^ bases(j))
+    assert(cross.min >= 10,
+      s"distinct block-pattern classes must separate, min=${cross.min}")
+  }
+
   test("lossy Misra-Gries lane: guarantees hold through real shuffles; heavy value survives skew") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
