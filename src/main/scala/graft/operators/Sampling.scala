@@ -105,6 +105,62 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Token-budgeted multilingual mixture selection — real pre-training
+    * mixes are specified in TOKENS, not documents (a uniform doc budget
+    * over-weights verbose languages): the global token `budget` is
+    * split across languages by temperature-weighted token mass
+    * (α = 0.5, the sqrt-flattening discipline of [[temperatureSample]],
+    * weights floor-quantized at 1e6 so both engines compute identical
+    * shares), then each language fills its token budget with the
+    * md5-ordered greedy prefix of its documents.
+    *
+    * 100 TB shape — the naive form sorts every language's documents
+    * corpus-wide for the prefix cumsum; instead a two-stage rule keeps
+    * the sort bounded: (1) an md5-threshold pre-selection (the
+    * temperatureSample hex-string comparison — a pure scan filter)
+    * keeps ~`headroom`× the budget's expected token mass per language;
+    * (2) the exact hash-ordered cumulative prefix runs on that bounded
+    * candidate set only. The two-stage rule IS the operator's
+    * semantics (deterministic, both engines replay it identically);
+    * with hash order independent of document length, headroom 1.25
+    * under-fills a language only when the candidate draw is > 25 %
+    * below its expectation. Everything else is one tiny aggregate +
+    * broadcast joins.
+    *
+    * Output: one row per selected document — (idCol, langCol,
+    * n_tokens, cum_tokens) with cum_tokens ≤ the language's budget.
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, langCol: String,
+                     tokensCol: String, budget: Long,
+                     headroom: Double = 1.25): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tok = df.select(col(idCol), col(langCol),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("__hk", concat(lit("0"),
+        substring(md5(col(idCol).cast("string")), 1, 8)))
+    val budgets = tok.groupBy(col(langCol))
+      .agg(sum("n_tokens").as("__tl"))
+      .withColumn("__sl",
+        floor(sqrt(col("__tl").cast("double")) * 1000000.0).cast("long"))
+      .withColumn("__bl",
+        floor(lit(budget.toDouble) * col("__sl").cast("double")
+          / sum("__sl").over(wAll).cast("double")).cast("long"))
+      .withColumn("__thr", format_string("%09x",
+        least(floor(col("__bl").cast("double") / col("__tl").cast("double")
+          * lit(headroom) * 4294967296.0).cast("long"), lit(4294967296L))))
+      .select(col(langCol), col("__bl"), col("__thr"))
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("__hk"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tok.join(broadcast(budgets), Seq(langCol))
+      .filter(col("__hk") < col("__thr"))
+      .withColumn("cum_tokens", sum("n_tokens").over(wLang))
+      .filter(col("cum_tokens") <= col("__bl"))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic train/test split by hashed id: test iff
     * hashScore(id) < testFraction. A pure mapper — no shuffle, no RNG
     * state, stable under corpus growth (adding docs never moves an

@@ -125,6 +125,21 @@ object PipelineQueries {
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
         .orderBy("doc_id")),
 
+    // Token-budgeted multilingual mixture (r9): the 20k-token global
+    // budget split across languages by sqrt-temperature token mass,
+    // each language filled by the md5-ordered greedy prefix — with the
+    // bounded-sort two-stage rule (hash-threshold pre-selection, exact
+    // cumsum on candidates only) as the operator's semantics. Oracle
+    // replays masses, shares, thresholds, and the window prefix.
+    "doc_token_budget_mix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.functions.TextExpressions.register(s)
+      val withTok = docs.select(col("doc_id"), col("lang"),
+        call_function("bpe_token_count", col("text")).cast("long").as("n_tok"))
+      Sampling.tokenBudgetMix(withTok, "doc_id", "lang", "n_tok", budget = 20000L)
+        .orderBy("doc_id")
+    }),
+
     // Tokenizer fertility per language: subword tokens per word and
     // bytes per token — the tokenizer-efficiency rollup multilingual
     // token-budgeted mixes are weighted by.
@@ -1813,6 +1828,34 @@ object PipelineQueries {
         |  len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_token_budget_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
+        |    '0' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+        |  FROM documents),
+        |mass AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tl
+        |         FROM tok GROUP BY 1),
+        |wgt AS (SELECT lang, tl,
+        |    CAST(floor(sqrt(CAST(tl AS DOUBLE)) * 1000000.0) AS BIGINT) AS sl
+        |  FROM mass),
+        |bud AS (SELECT lang, tl,
+        |    CAST(floor(20000.0 * CAST(sl AS DOUBLE)
+        |      / CAST((SELECT sum(sl) FROM wgt) AS DOUBLE)) AS BIGINT) AS bl
+        |  FROM wgt),
+        |thr AS (SELECT lang, bl,
+        |    printf('%09x', least(CAST(floor(CAST(bl AS DOUBLE) / CAST(tl AS DOUBLE)
+        |      * 1.25 * 4294967296.0) AS BIGINT), 4294967296)) AS t
+        |  FROM bud),
+        |sel AS (
+        |  SELECT tok.doc_id, tok.lang, tok.n_tokens, thr.bl,
+        |    sum(tok.n_tokens) OVER (PARTITION BY tok.lang
+        |      ORDER BY tok.hk, tok.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM tok JOIN thr USING (lang) WHERE tok.hk < thr.t)
+        |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM sel WHERE cum_tokens <= bl ORDER BY doc_id""".stripMargin,
     "doc_tokenizer_fertility" ->
       """WITH t AS (
         |  SELECT lang,

@@ -1419,6 +1419,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact == trueCounts)
   }
 
+  test("tokenBudgetMix: per-language budgets respected, hash-prefix property, sqrt flattening") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+    graft.functions.TextExpressions.register(spark)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      call_function("bpe_token_count", col("text")).cast("long").as("n_tok"))
+    val sel = Sampling.tokenBudgetMix(tok, "doc_id", "lang", "n_tok", budget = 5000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sel.nonEmpty)
+    // per-language: cum_tokens is the running sum in md5-hash order and
+    // never exceeds the total selected mass (prefix property)
+    sel.groupBy(_._2).foreach { case (_, rows) =>
+      val byCum = rows.sortBy(_._4)
+      assert(byCum.map(_._3).sum == byCum.last._4, "cum must be the running sum")
+      def hk(id: Long) = "0" + org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).take(8)
+      val hashOrdered = rows.sortBy(r => (hk(r._1), r._1)).map(_._1).toSeq
+      assert(byCum.map(_._1).toSeq == hashOrdered, "selection must be a hash-order prefix")
+    }
+    // sqrt temperature: a small language's selected-token share must
+    // exceed its raw corpus share (flattening), the big one's shrink
+    val mass = tok.groupBy("lang").agg(sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selMass = sel.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val big = mass.maxBy(_._2)._1
+    val small = mass.minBy(_._2)._1
+    val rawShare = (l: String) => mass(l).toDouble / mass.values.sum
+    val selShare = (l: String) => selMass.getOrElse(l, 0L).toDouble / selMass.values.sum
+    assert(selShare(small) > rawShare(small) * 1.05,
+      s"small lang share must flatten upward: ${selShare(small)} vs ${rawShare(small)}")
+    assert(selShare(big) < rawShare(big),
+      s"big lang share must flatten downward: ${selShare(big)} vs ${rawShare(big)}")
+  }
+
   test("dctHashBmp: exact luma doubling is hash-invariant (the contrast-robustness claim)") {
     // doubling every pixel EXACTLY doubles every DCT coefficient and
     // the median with it, so every sign-vs-median bit is unchanged —
