@@ -289,8 +289,12 @@ object Dedup {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // one-explode symmetrization: the self-union form cloned the pair
+    // subplan (often a full MinHash pipeline) twice (SURVEY §5 r9 rule)
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .cache()
     // label(v) starts at min(v, min neighbor); propagation is MONOTONE
@@ -370,8 +374,8 @@ object Dedup {
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
 
-    val allVerts = pairs.select(col(aCol).cast("long").as("vid"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("vid")))
+    val allVerts = pairs.select(explode(array(
+        col(aCol).cast("long"), col(bCol).cast("long"))).as("vid"))
       .distinct()
     // canonical big→small directed edges; self-pairs drop here and are
     // restored as singleton groups by the final left join

@@ -920,10 +920,14 @@ object Similarity {
       if (coarseAssign) assignCellsCoarse(corpus, idCol, vecCol, centroids)
       else assignExactCells(corpus, idCol, vecCol, centroids)
     val pairs = cosineDedupPairs(cells, idCol, "v", "cell", -1.0, maxCellSize)
-    val edges = pairs
-      .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"), col("cos"))
-      .unionByName(pairs
-        .select(col("id_b").as(idCol), col("id_a").as("neighbor_id"), col("cos")))
+    // symmetrize with ONE explode, not a self-union: Spark clones a
+    // re-referenced subplan per reference (SURVEY §5 r9 rule), and the
+    // union form ran the whole quadratic cell self-join twice
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("s"), col("id_b").as("n"), col("cos").as("cos")),
+        struct(col("id_b").as("s"), col("id_a").as("n"), col("cos").as("cos")))).as("__e"))
+      .select(col("__e.s").as(idCol), col("__e.n").as("neighbor_id"),
+        col("__e.cos").as("cos"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cos").desc, col("neighbor_id"))
     edges.withColumn("rank", row_number().over(w))
