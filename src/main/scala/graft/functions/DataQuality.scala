@@ -316,9 +316,10 @@ object DataQuality {
     // kinds exactly when their lag-difference exists), and the
     // localCheckpoint pins the 4-rows-per-sample frame so the three
     // median/deviation consumers re-read it instead of re-deriving it
-    // (the dupGroups/e2e stage-boundary discipline). 5.0 → 2.7 s warm
-    // at sf0.1 (the residual is the two whole-series windows + four
-    // per-kind median sorts, all genuinely needed).
+    // (the dupGroups/e2e stage-boundary discipline). 5.0 → 1.2 s warm
+    // at sf0.1 in the full-suite bench (the residual is the two
+    // whole-series windows + four per-kind median sorts, all genuinely
+    // needed).
     val lagV = lag(col("__rv"), 1).over(w)
     val lagT = lag(col("__t"), 1).over(w)
     val tall = repaired
