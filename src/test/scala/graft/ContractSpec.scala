@@ -39,9 +39,12 @@ class ContractSpec extends AnyFunSuite {
     // a backtracked cost matrix.
     // r9: ts_data_quality graduated too — the windowed state machine is
     // replayed by a recursive CTE running one machine transition per
-    // recursion step (window removals as list slices). Only the
-    // backtracked DP remains.
-    val declaredRowsOnly = Set("ts_timestamp_repair")
+    // recursion step (window removals as list slices) — and then the
+    // timestamp-repair DP followed (grid-row-per-step forward pass with
+    // a segmented-prefix-min row scan, stored cost rows, backtrack as a
+    // second recursion). The rows-only set is EMPTY: every lane in the
+    // suite has a full DuckDB oracle.
+    val declaredRowsOnly = Set.empty[String]
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == declaredRowsOnly,
       s"rows-only drift: +${actual -- declaredRowsOnly} -${declaredRowsOnly -- actual}")
