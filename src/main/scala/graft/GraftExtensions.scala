@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Arity, ArrayOverlapCount, BinarySignature, BpeSegCount, BpeTokenCount, CharNgramSet, CharSetCount, MinhashSig, NonAlnumSpaceCount, NumGcd, NumLcm, SimHash60, VecDot, WordSetCount, WordShingleSet, ZorderKey}
+import graft.functions.{AlphaWordCount, Arity, ArrayOverlapCount, BinarySignature, BpeSegCount, BpeTokenCount, CharNgramSet, CharSetCount, DsirScore, MinhashSig, NearestCell, NearestCellCoarse, NearestCellPruned, NonAlnumSpaceCount, NumGcd, NumLcm, PqEncodeCodes, RepStats, SimHash60, VecDot, VecDotI8, WinnowSet, WordSetCount, WordShingleSet, WsNormalize, ZorderKey}
 
 /** SparkSessionExtensions hook: registers graft's native expressions
   * permanently in a session built with
@@ -19,6 +19,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def info(name: String) = new ExpressionInfo("graft", name)
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       Arity.binary("vec_dot")(VecDot)))
+    ext.injectFunction((FunctionIdentifier("vec_dot_i8"), info("vec_dot_i8"),
+      Arity.binary("vec_dot_i8")(VecDotI8)))
+    ext.injectFunction((FunctionIdentifier("pq_encode"), info("pq_encode"),
+      Arity.binary("pq_encode")(PqEncodeCodes)))
+    ext.injectFunction((FunctionIdentifier("nearest_cell"), info("nearest_cell"),
+      Arity.binary("nearest_cell")(NearestCell)))
+    ext.injectFunction((FunctionIdentifier("nearest_cell_2l"), info("nearest_cell_2l"),
+      Arity.binary("nearest_cell_2l")(NearestCellCoarse)))
+    ext.injectFunction((FunctionIdentifier("nearest_cell_pruned"), info("nearest_cell_pruned"),
+      Arity.binary("nearest_cell_pruned")(NearestCellPruned)))
+    ext.injectFunction((FunctionIdentifier("rep_stats"), info("rep_stats"),
+      Arity.unary("rep_stats")(RepStats)))
+    ext.injectFunction((FunctionIdentifier("ws_normalize"), info("ws_normalize"),
+      Arity.unary("ws_normalize")(WsNormalize)))
+    ext.injectFunction((FunctionIdentifier("winnow_set"), info("winnow_set"),
+      Arity.unary("winnow_set")(WinnowSet)))
+    ext.injectFunction((FunctionIdentifier("dsir_score"), info("dsir_score"),
+      Arity.binary("dsir_score")(DsirScore)))
+    ext.injectFunction((FunctionIdentifier("alpha_word_count"), info("alpha_word_count"),
+      Arity.unary("alpha_word_count")(AlphaWordCount)))
     ext.injectFunction((FunctionIdentifier("bin_sig"), info("bin_sig"),
       Arity.unary("bin_sig")(BinarySignature)))
     ext.injectFunction((FunctionIdentifier("bpe_seg_count"), info("bpe_seg_count"),

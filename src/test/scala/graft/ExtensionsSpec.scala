@@ -38,6 +38,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(2) == 12L)
   }
 
+  test("extensions registry is in lockstep with every temp-function registry") {
+    // r9: the extensions path had drifted 10 functions behind the
+    // library's per-session registries — a cluster deploying via
+    // spark.sql.extensions would silently lack kernels the library's
+    // own entry points use. The temp registrations in the source files
+    // are the ground truth (a newSession inherits the injected
+    // registry, so a runtime diff can't see them): scrape every
+    // createOrReplaceTempFunction name and require it to resolve in
+    // the extensions-built session.
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val srcDir = java.nio.file.Paths.get("src/main/scala/graft/functions")
+    import scala.jdk.CollectionConverters._
+    val rx = """createOrReplaceTempFunction\(\s*"([a-z0-9_]+)"""".r
+    val kernels = java.nio.file.Files.list(srcDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap(p => rx.findAllMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1)))
+      .toSet
+    assert(kernels.size >= 30, s"source scrape implausibly small: $kernels")
+    val missing = kernels.filterNot(n => spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier(n)))
+    assert(missing.isEmpty, s"functions missing from GraftExtensions: $missing")
+  }
+
   test("zorder_key interleaves bits: x at even positions, y at odd") {
     // x=10 (1010b) → bits 1,3 land at 2,6 → 68; y=5 (0101b) → bits 0,2
     // land at 1,5 → 34; key = 102. Full 32-bit lane: bit 31 of y lands
