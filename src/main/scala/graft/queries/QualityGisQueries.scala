@@ -7,13 +7,14 @@ import graft.Tables
 import graft.functions.{DataQuality, Gis, Repair}
 
 /** Driver entries for data-quality, repair and GIS operators
-  * (SURVEY.md §2.2). Data-quality and timestamp-repair are iterative
-  * whole-series state machines with no SQL equivalent → rows-only driver
-  * checks; their semantics are pinned by ScalaTest fixtures from the
-  * reference's own slt cases. Everything else — fills (linear/mean/
-  * previous/ar), SCREEN value_repair, MAD outliers, GIS measures — is
-  * hash-checked against DuckDB (the sequential tails of SCREEN and the
-  * AR fill replay as recursive CTEs; see the oracle comments below).
+  * (SURVEY.md §2.2). As of r9 EVERY lane here is hash-checked against
+  * DuckDB — including the two former rows-only holdouts: the
+  * data-quality windowed timestamp-anomaly state machine and the
+  * timestamp-repair edit-distance DP both replay exactly as recursive
+  * CTEs (one machine transition / one grid row per recursion step; see
+  * the oracle comments below). Sequential tails of SCREEN and the AR
+  * fill replay as recursive CTEs too; ScalaTest fixtures from the
+  * reference's own slt cases additionally pin the kernels.
   */
 object QualityGisQueries {
 
@@ -677,14 +678,13 @@ object QualityGisQueries {
         |  WHERE p.m > 2
         |  GROUP BY 1, 2, 3, 4),
         |fwd AS (
-        |  SELECT uid, iv, start, gn, m, ts, vs,
+        |  SELECT uid, iv, start, gn, m, ts,
         |    0::BIGINT AS i,
-        |    list_transform(range(0, m + 1), k -> 100000000000 * k) AS fprev,
-        |    [list_transform(range(0, m + 1), k -> 100000000000 * k)] AS acc
+        |    list_transform(range(0, m + 1), k -> 100000000000 * k) AS fprev
         |  FROM ser
         |  UNION ALL
-        |  SELECT uid, iv, start, gn, m, ts, vs, i + 1,
-        |    f AS fprev, list_append(acc, f) AS acc
+        |  SELECT uid, iv, start, gn, m, ts, i + 1,
+        |    f AS fprev
         |  FROM (
         |    SELECT *,
         |      list_transform(range(0, m + 1), k ->
@@ -708,7 +708,14 @@ object QualityGisQueries {
         |        FROM fwd WHERE i < gn)))
         |),
         |fwd_final AS (
-        |  SELECT uid, iv, start, gn, m, ts, vs, acc FROM fwd WHERE i = gn),
+        |  -- every step's cost row is already in the recursive result
+        |  -- set: re-assemble the matrix here instead of copying an
+        |  -- ever-growing accumulator through each step (O(gridN²·m)
+        |  -- → O(gridN·m); 21 s → ~2 s at sf0.01)
+        |  SELECT s.uid, s.iv, s.start, s.gn, s.m, s.ts, s.vs, a.acc
+        |  FROM ser s JOIN (
+        |    SELECT uid, list(fprev ORDER BY i) AS acc FROM fwd GROUP BY uid) a
+        |  USING (uid)),
         |bt AS (
         |  SELECT uid, gn AS i, m AS j, []::STRUCT(gi BIGINT, sj BIGINT)[] AS outa
         |  FROM fwd_final
