@@ -333,7 +333,13 @@ object DataQuality {
         struct(lit("sch").as("k"), col("__sc").as("x")))).as("__e")): _*)
       .filter(col("__e.k") === "val" || col("__e.x").isNotNull)
       .select(g ++ Seq(col("__e.k").as("__kind"), col("__e.x").as("__x")): _*)
-      .localCheckpoint()
+      // eager = false: a library operator must stay lazy — the default
+      // eager checkpoint would execute the whole repair chain at
+      // DataFrame CONSTRUCTION time even if the caller never acts on
+      // the result (ADVICE r9). The plan is still pinned: the first
+      // action materializes it once and the three median/MAD consumers
+      // below re-read the checkpointed partitions.
+      .localCheckpoint(eager = false)
 
     // positional median per (group, kind): avg of the middle one or two
     // order statistics — the Scala med() spelling, engine-portable.

@@ -410,25 +410,30 @@ object CoreSql {
     val mg = udaf(new graft.functions.HeavyHitters.MisraGriesAgg(k))
     val ev = Tables.events(spark, dir)
       .select((col("user_id") % 10).as("cohort"), col("event_type"))
-    // ONE sketch pass: n and survivor count ride the exploded survivor
-    // rows (k ≥ 1 ⇒ every non-empty cohort has ≥ 1 survivor, so max()
-    // recovers them after the left join). The guarantee checks are
-    // reformulated as post-aggregation scalar comparisons — max deficit
-    // vs n/(k+1) instead of a per-row predicate needing n — so the plan
-    // runs the UDAF once and scans events twice, not thrice (r9 plan
-    // audit: the first cut re-referenced the sketch frame and Spark
-    // duplicated the whole aggregation subplan).
+    // ONE sketch pass; n and the survivor count are derived from the
+    // EXACT side of the left join (n = Σ per-type counts, survivors =
+    // count(est)), never from the exploded sketch rows — MG can
+    // legitimately end with an EMPTY summary (a final arrival that
+    // decrements every counter to zero, or a merge whose (k+1)-th
+    // largest count ties the maximum drops every key), and an empty
+    // sketch explodes to zero rows, so anything ridden on them would
+    // come back NULL and hash-fail on correct algorithm behavior
+    // (ADVICE r9). The guarantee checks are post-aggregation scalar
+    // comparisons — max deficit vs n/(k+1) instead of a per-row
+    // predicate needing n — so the plan runs the UDAF once and scans
+    // events twice, not thrice (r9 plan audit: the first cut
+    // re-referenced the sketch frame and Spark duplicated the whole
+    // aggregation subplan).
     val flat = ev.groupBy("cohort")
-      .agg(mg(col("event_type")).as("hh"), count(lit(1)).as("n"))
-      .select(col("cohort"), col("n"), size(col("hh")).as("n_surv"),
-        explode(col("hh")).as(Seq("event_type", "est")))
+      .agg(mg(col("event_type")).as("hh"))
+      .select(col("cohort"), explode(col("hh")).as(Seq("event_type", "est")))
     val exact = ev.groupBy("cohort", "event_type").agg(count(lit(1)).as("c"))
     exact.join(flat, Seq("cohort", "event_type"), "left")
       .groupBy("cohort")
       .agg(
-        max(col("n")).as("n"),
+        sum(col("c")).as("n"),
         count(lit(1)).as("n_types"),
-        max(col("n_surv")).as("__ns"),
+        count(col("est")).as("__ns"),
         expr("bool_and(est IS NULL OR est <= c)").as("under_ok"),
         max(col("c") - coalesce(col("est"), lit(0L))).as("__max_deficit"),
         max(when(col("est").isNull, col("c")).otherwise(lit(0L))).as("__max_absent"))

@@ -1841,12 +1841,16 @@ object PipelineQueries {
         |    CAST(floor(sqrt(CAST(tl AS DOUBLE)) * 1000000.0) AS BIGINT) AS sl
         |  FROM mass),
         |bud AS (SELECT lang, tl,
-        |    CAST(floor(20000.0 * CAST(sl AS DOUBLE)
-        |      / CAST((SELECT sum(sl) FROM wgt) AS DOUBLE)) AS BIGINT) AS bl
+        |    CASE WHEN (SELECT sum(sl) FROM wgt) > 0 THEN
+        |      CAST(floor(20000.0 * CAST(sl AS DOUBLE)
+        |        / CAST((SELECT sum(sl) FROM wgt) AS DOUBLE)) AS BIGINT)
+        |    ELSE 0 END AS bl
         |  FROM wgt),
         |thr AS (SELECT lang, bl,
-        |    printf('%09x', least(CAST(floor(CAST(bl AS DOUBLE) / CAST(tl AS DOUBLE)
-        |      * 1.25 * 4294967296.0) AS BIGINT), 4294967296)) AS t
+        |    CASE WHEN tl > 0 THEN
+        |      printf('%09x', least(CAST(floor(CAST(bl AS DOUBLE) / CAST(tl AS DOUBLE)
+        |        * 1.25 * 4294967296.0) AS BIGINT), 4294967296))
+        |    ELSE '000000000' END AS t
         |  FROM bud),
         |sel AS (
         |  SELECT tok.doc_id, tok.lang, tok.n_tokens, thr.bl,

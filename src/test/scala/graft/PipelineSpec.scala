@@ -1453,6 +1453,80 @@ class PipelineSpec extends AnyFunSuite {
       s"big lang share must flatten downward: ${selShare(big)} vs ${rawShare(big)}")
   }
 
+  test("tokenBudgetMix: shard-count invariance (distributed prefix == single window) and zero-mass language") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+    graft.functions.TextExpressions.register(spark)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      call_function("bpe_token_count", col("text")).cast("long").as("n_tok"))
+    // the shard count is a pure parallelism knob: a shard is a
+    // contiguous range of the order key, so per-shard cumsum + the
+    // broadcast shard offsets reconstruct the global prefix EXACTLY
+    // for every width — shards = 1 is literally the single-window
+    // spelling the DuckDB oracle replays
+    def run(shards: Int) =
+      Sampling.tokenBudgetMix(tok, "doc_id", "lang", "n_tok", budget = 5000L,
+          shards = shards)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val single = run(1)
+    assert(single.nonEmpty)
+    assert(run(16) == single, "16-shard result must equal the single-window result")
+    assert(run(256) == single, "256-shard result must equal the single-window result")
+    assert(run(1000) == single, "non-power-of-two shard width must also be exact")
+    // a language whose total token mass is zero must select nothing —
+    // not ride 0/0 = NaN into an ANSI cast error (ADVICE r9)
+    val withEmpty = tok.unionByName(
+      spark.range(5).select((col("id") + 900000).as("doc_id"),
+        lit("zz_empty").as("lang"), lit(0L).as("n_tok")))
+    val sel = Sampling.tokenBudgetMix(withEmpty, "doc_id", "lang", "n_tok",
+        budget = 5000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(!sel.exists(_._2 == "zz_empty"), "zero-mass language must select nothing")
+    assert(sel.map(r => (r._1, r._2)).sorted.toSeq == single.map(r => (r._1, r._2)).sorted,
+      "adding a zero-mass language must not move any other language's selection")
+    // all-zero frame: every language empty — budgets guard (sum of
+    // sqrt-masses = 0) must also stay NaN-free
+    val allZero = spark.range(10).select(col("id").as("doc_id"),
+      (col("id") % 2).cast("string").as("lang"), lit(0L).as("n_tok"))
+    assert(Sampling.tokenBudgetMix(allZero, "doc_id", "lang", "n_tok",
+      budget = 100L).count() == 0L)
+  }
+
+  test("misra-gries: empty final sketch still yields well-defined lossy-lane rows") {
+    // MG can END EMPTY on legitimate input: k=3, stream a,b,c,d — the
+    // 4th arrival decrements every counter to zero. The lossy driver
+    // lane must derive n / survivor counts from the exact side so this
+    // produces (n, booleans) rows, not NULLs (ADVICE r9 medium).
+    import graft.functions.HeavyHitters.{add, mergeSummaries}
+    val endsEmpty = Seq("a", "b", "c", "d")
+      .foldLeft(Map.empty[String, Long])((m, v) => add(3, m, v))
+    assert(endsEmpty.isEmpty, s"fixture must end empty, got $endsEmpty")
+    // and a merge that ties the (k+1)-th largest count with the max
+    // drops every key
+    val merged = mergeSummaries(1, Map("a" -> 2L), Map("b" -> 2L))
+    assert(merged.isEmpty, s"tied merge must end empty, got $merged")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // drive the same stream through the lane's exact aggregation shape:
+    // one cohort, sketch side empty after the left join
+    val mg = udaf(new graft.functions.HeavyHitters.MisraGriesAgg(3))
+    val ev = Seq("a", "b", "c", "d").toDF("event_type")
+      .withColumn("cohort", lit(0L)).coalesce(1)
+    val flat = ev.groupBy("cohort").agg(mg(col("event_type")).as("hh"))
+      .select(col("cohort"), explode(col("hh")).as(Seq("event_type", "est")))
+    val exact = ev.groupBy("cohort", "event_type").agg(count(lit(1)).as("c"))
+    val row = exact.join(flat, Seq("cohort", "event_type"), "left")
+      .groupBy("cohort")
+      .agg(sum(col("c")).as("n"), count(col("est")).as("ns"),
+        expr("bool_and(est IS NULL OR est <= c)").as("under_ok"),
+        max(col("c") - coalesce(col("est"), lit(0L))).as("md"))
+      .head
+    assert(row.getLong(1) == 4L && row.getLong(2) == 0L, "n=4, zero survivors")
+    assert(row.getBoolean(3), "under_ok must be TRUE, not NULL")
+    assert(row.getLong(4) <= 4L / 4, "every deficit within n/(k+1)=1")
+  }
+
   test("dctHashBmp: exact luma doubling is hash-invariant (the contrast-robustness claim)") {
     // doubling every pixel EXACTLY doubles every DCT coefficient and
     // the median with it, so every sign-vs-median bit is unchanged —
