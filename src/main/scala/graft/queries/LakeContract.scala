@@ -81,7 +81,82 @@ object LakeContract {
     }
   }
 
+  /** Day-partitioned rewrite of the events lake, staged once per lake
+    * dir — the executable form of SURVEY §1's "time-partitioned
+    * directories replace the reference's TSM time levels" claim
+    * (cnosdb tskv levels cluster files by time range so a time-bounded
+    * scan opens only overlapping files). One file per day directory
+    * (repartition on the partition column), so the pruning arithmetic
+    * below is exact.
+    */
+  private val prunedLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dayPartitionedEvents(s: SparkSession, dir: String): String =
+    prunedLakes.getOrElseUpdate(dir, {
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_day_lake", hash)
+      if (!java.nio.file.Files.exists(root.resolve("_SUCCESS"))) {
+        import org.apache.spark.sql.functions._
+        Tables.eventsNanos(s, dir)
+          .withColumn("day",
+            date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+          .repartition(col("day"))
+          .write.partitionBy("day").mode("overwrite").parquet(root.toString)
+      }
+      root.toString
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Partition pruning, PROVEN at plan time, not claimed: a one-day
+    // predicate against the day-partitioned events lake must touch
+    // exactly one partition directory — the Spark replacement for the
+    // reference's TSM time-level pruning (tskv arranges files in
+    // time-range levels so a bounded query never opens cold files;
+    // here Catalyst's PartitionFilters skip every other day's files at
+    // FILE LISTING time, before any IO). The lane inspects its own
+    // executed plan's FileSourceScan listing and throws unless
+    // (pruned partitions == 1) < (total days in the lake), so the
+    // green row IS the executable claim; the data answer (per-type
+    // count + cents-exact sum for the lake's first day) is
+    // oracle-checked against the same predicate over the raw lake.
+    "ts_partition_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = dayPartitionedEvents(s, dir)
+      val lake = s.read.parquet(root)
+      // deterministic target day: the lake's first UTC day (tiny
+      // aggregate over the partition column — metadata-only scan;
+      // toString because partition-column inference reads the
+      // yyyy-MM-dd directory names back as DATE)
+      val day0 = lake.agg(min(col("day"))).head.get(0).toString
+      val nDays = lake.select(col("day")).distinct().count()
+      val q = lake.filter(col("day") === day0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .withColumn("day", lit(day0))
+        .select("day", "event_type", "n", "sum_value")
+        .orderBy("event_type")
+      // AQE wraps the whole plan in a leaf AdaptiveSparkPlanExec;
+      // inspect its initial physical plan (partition pruning is static
+      // — decided at file-listing time, before any adaptive re-plan)
+      val phys = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+      val scan = phys.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(throw new IllegalStateException(
+        "ts_partition_prune: no FileSourceScan in the executed plan"))
+      val scanned = scan.selectedPartitions.partitionCount
+      require(nDays > 1 && scanned == 1,
+        s"partition pruning failed: one-day predicate scanned $scanned of " +
+          s"$nDays day partitions (${scan.selectedPartitions.totalNumberOfFiles} files)")
+      q
+    }),
+
     "q_lake_contract" -> ((s, dir) => {
       val bad = expected.flatMap { case (table, _) =>
         val df = Tables(s, dir, table) // events → normalized view (or its readable error)
@@ -104,9 +179,24 @@ object LakeContract {
     val rows = expected.flatMap { case (t, cols) =>
       cols.map { case (c, ty) => s"('$t', '$c', '$ty')" }
     }.mkString(", ")
-    Map("q_lake_contract" ->
-      s"""SELECT * FROM (VALUES $rows)
-         |  AS t(table_name, column_name, lake_type)
-         |ORDER BY table_name, column_name""".stripMargin)
+    Map(
+      "q_lake_contract" ->
+        s"""SELECT * FROM (VALUES $rows)
+           |  AS t(table_name, column_name, lake_type)
+           |ORDER BY table_name, column_name""".stripMargin,
+      // same one-day predicate over the RAW lake: the Spark side reads
+      // only the pruned day directory, so matching hashes prove the
+      // pruned scan loses no rows
+      "ts_partition_prune" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+          |    CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |d AS (SELECT min(day) AS d0 FROM e)
+          |SELECT d0 AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+          |FROM e, d WHERE day = d0
+          |GROUP BY d0, event_type ORDER BY event_type""".stripMargin)
   }
 }

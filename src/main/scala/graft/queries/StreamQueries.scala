@@ -402,6 +402,54 @@ object StreamQueries {
         .orderBy("event_type", "bucket_us", "value")
     }),
 
+    // Streaming Misra-Gries in the LOSSY regime (k = 3 < the 10-value
+    // domain): the batch q_heavy_hitters_lossy discipline applied
+    // across micro-batch boundaries — Spark's streaming aggregation
+    // merges the MG summary between batches, and the four algorithm
+    // guarantees (≤ k survivors; estimates only undercount; deficit ≤
+    // n/(k+1); any value above n/(k+1) survives) are THEOREMS for
+    // arbitrary merge trees (Agarwal et al. PODS'12), so the booleans
+    // are deterministically true however AvailableNow slices the K
+    // files. Day windows concentrate ~n/140 events per (type, day), so
+    // eviction + merge-compression fire at driver scale, not just
+    // bench scale. n / survivor counts come from the exact batch side
+    // of the left join (the r10 empty-sketch rule); the oracle replays
+    // exact window sizes + literal trues with the emit-boundary clip.
+    "stream_heavy_hitters_lossy" -> ((s, dir) => {
+      val k = 3
+      val dayUs = 86400000000L
+      val src = eventsStream(s, dir)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .withColumn("hv", (col("user_id") % 10).cast("string"))
+      val hh = StreamIngest.windowedHeavyHitters(src, "tstamp", "event_type",
+        "hv", k = k, window = "1 day", watermark = "0 seconds")
+      val sink = replay(s, hh, "stream_heavy_hitters_lossy_sink")
+      val maxUs = globalMaxUs(s, dir)
+      val sketch = sink
+        .select(col("event_type"), unix_micros(col("w_start")).as("bucket_us"),
+          col("value").as("hv"), col("est_n").as("est"))
+      val exact = Tables.eventsNanos(s, dir)
+        .select(col("event_type"),
+          expr(s"((ts div 1000) div $dayUs) * $dayUs").as("bucket_us"),
+          (col("user_id") % 10).cast("string").as("hv"))
+        .filter(col("bucket_us") + lit(dayUs) < maxUs)
+        .groupBy("event_type", "bucket_us", "hv").agg(count(lit(1)).as("c"))
+      exact.join(sketch, Seq("event_type", "bucket_us", "hv"), "left")
+        .groupBy("event_type", "bucket_us")
+        .agg(
+          sum(col("c")).as("n"),
+          count(lit(1)).as("n_types"),
+          count(col("est")).as("__ns"),
+          expr("bool_and(est IS NULL OR est <= c)").as("under_ok"),
+          max(col("c") - coalesce(col("est"), lit(0L))).as("__max_deficit"),
+          max(when(col("est").isNull, col("c")).otherwise(lit(0L))).as("__max_absent"))
+        .select(col("event_type"), col("bucket_us"), col("n"), col("n_types"),
+          (col("__ns") <= k).as("size_ok"), col("under_ok"),
+          (col("__max_deficit") <= col("n") / lit((k + 1).toDouble)).as("bound_ok"),
+          (col("__max_absent") <= col("n") / lit((k + 1).toDouble)).as("heavy_ok"))
+        .orderBy("event_type", "bucket_us")
+    }),
+
     // REAL-TIME funnel: per-user O(1) state advances on next-step
     // events in event-time order; level is monotone so the sink's max
     // per user equals the batch earliest-chain rule — the oracle IS
@@ -633,6 +681,22 @@ object StreamQueries {
          |FROM e, m WHERE bucket_us + 3600000000 < mx
          |GROUP BY event_type, bucket_us, value
          |ORDER BY event_type, bucket_us, value""".stripMargin,
+    // exact per-window sizes + literal trues: the four booleans are
+    // algorithm theorems (any merge order), so a sketch bug flips one
+    // and the row hash-fails — the q_heavy_hitters_lossy discipline
+    "stream_heavy_hitters_lossy" ->
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |e AS (SELECT event_type,
+         |        (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+         |        CAST(user_id % 10 AS VARCHAR) AS hv
+         |      FROM $E)
+         |SELECT event_type, bucket_us, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT hv) AS BIGINT) AS n_types,
+         |  true AS size_ok, true AS under_ok, true AS bound_ok,
+         |  true AS heavy_ok
+         |FROM e, m WHERE bucket_us + 86400000000 < mx
+         |GROUP BY event_type, bucket_us
+         |ORDER BY event_type, bucket_us""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
     // identical to ts_funnel's oracle — THE point: stream == batch

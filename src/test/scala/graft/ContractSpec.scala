@@ -221,6 +221,40 @@ class ContractSpec extends AnyFunSuite {
     assert(df.count() == n)
   }
 
+  test("partition pruning: one-day predicate lists exactly 1 day dir, unfiltered lists all") {
+    // the lane's own require() already throws unless pruned == 1 < days;
+    // this pins the exact file arithmetic both ways — the pruned scan
+    // lists ONE file (one day dir × one file per dir) and the
+    // unfiltered scan lists every day's file, so a regression that
+    // silently widens either listing fails here with the counts
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val phys = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+      phys.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    }
+    val pruned = queries.LakeContract.queries("ts_partition_prune")(spark, sf)
+    val prunedScan = scanOf(pruned)
+    assert(prunedScan.selectedPartitions.partitionCount == 1)
+    assert(prunedScan.selectedPartitions.totalNumberOfFiles == 1L,
+      s"expected 1 file, listed ${prunedScan.selectedPartitions.totalNumberOfFiles}")
+    // partition filter must be in the scan node (pruning at LISTING
+    // time), not a post-scan Filter
+    assert(prunedScan.partitionFilters.nonEmpty, "day predicate must be a PartitionFilter")
+    // negative control: same lake, no predicate → every day listed
+    val root = prunedScan.relation.location.rootPaths.head.toString
+    val all = spark.read.parquet(root).groupBy("event_type").count()
+    val allScan = scanOf(all)
+    val nDays = spark.read.parquet(root).select("day").distinct().count()
+    assert(nDays > 1 && allScan.selectedPartitions.partitionCount == nDays,
+      s"unfiltered scan must list all $nDays days, listed " +
+        s"${allScan.selectedPartitions.partitionCount}")
+  }
+
   test("lake contract names the drifted column with expected vs found types") {
     import spark.implicits._
     // documents with n_chars retyped string and text missing — the
