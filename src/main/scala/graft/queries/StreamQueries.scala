@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
+import graft.sources.LineProtocol
 import graft.streaming.StreamIngest
 
 /** Batch/stream EQUIVALENCE driver entries — the streaming lanes'
@@ -118,33 +119,54 @@ object StreamQueries {
     * checkpoint is fresh per replay, so every file is re-delivered.
     */
   private val stagedDirs = TrieMap.empty[String, String]
-  private def staged(s: SparkSession, df: DataFrame, orderCol: String,
-                     key: String): DataFrame = {
-    val root = stagedDirs.getOrElseUpdate(key, {
+  // part-0000i is range-partition i (lowest range first); pin the
+  // source's mtime ordering to the range ordering explicitly
+  private def pinMtimes(dir: java.nio.file.Path): Unit = {
+    val parts = Files.list(dir).iterator()
+    val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (parts.hasNext) { val p = parts.next(); if (p.getFileName.toString.startsWith("part-")) sorted += p }
+    val base = System.currentTimeMillis()
+    sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 1000L))
+    }
+  }
+  private def stageDir(key: String, write: java.nio.file.Path => Unit): String =
+    stagedDirs.getOrElseUpdate(key, {
       val hash = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$key|$StageFiles".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_stage", hash)
-      if (!Files.exists(dir.resolve("_SUCCESS"))) {
-        df.repartitionByRange(StageFiles, col(orderCol))
-          .write.mode("overwrite").parquet(dir.toString)
-        // part-0000i is range-partition i (lowest range first); pin the
-        // source's mtime ordering to the range ordering explicitly
-        val parts = Files.list(dir).iterator()
-        val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        while (parts.hasNext) { val p = parts.next(); if (p.getFileName.toString.startsWith("part-")) sorted += p }
-        val base = System.currentTimeMillis()
-        sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
-          Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 1000L))
-        }
-      }
+      if (!Files.exists(dir.resolve("_SUCCESS"))) { write(dir); pinMtimes(dir) }
       dir.toString
     })
+  private def staged(s: SparkSession, df: DataFrame, orderCol: String,
+                     key: String): DataFrame = {
+    val root = stageDir(key, dir =>
+      df.repartitionByRange(StageFiles, col(orderCol))
+        .write.mode("overwrite").parquet(dir.toString))
     val schema = s.read.parquet(root).schema
     s.readStream
       .schema(schema)
       .option("pathGlobFilter", "part-*")
       .option("maxFilesPerTrigger", "1")
       .parquet(root)
+  }
+
+  /** Stage a (line, orderCol) frame as `StageFiles` range-partitioned
+    * RAW TEXT part-files (one wire line per row) and return a text
+    * file stream over them, one file per micro-batch — the landing
+    * zone a production line-protocol/NDJSON ingest tails. The select
+    * AFTER repartitionByRange is a narrow projection, so the written
+    * files keep event-time range order.
+    */
+  private def stagedText(s: SparkSession, lines: DataFrame, orderCol: String,
+                         key: String): DataFrame = {
+    val root = stageDir(key, dir =>
+      lines.repartitionByRange(StageFiles, col(orderCol))
+        .select("line").write.mode("overwrite").text(dir.toString))
+    s.readStream
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", "1")
+      .text(root)
   }
 
   /** Raw events stream in K ts-ordered micro-batches; ts arrives as
@@ -264,6 +286,37 @@ object StreamQueries {
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val agg = StreamIngest.windowedStats(src, "tstamp", "event_type", "1 hour", "0 seconds")
       val sink = replay(s, agg, "stream_windowed_sink")
+      val maxUs = globalMaxUs(s, dir)
+      sink.select(col("event_type"), unix_micros(col("w_start")).as("w_start_us"),
+          col("n"), col("sum_value"))
+        .filter(col("w_start_us") + 3600000000L < maxUs)
+        .orderBy("event_type", "w_start_us")
+    }),
+
+    // END-TO-END wire ingest, streamed (r10 — the reference's actual
+    // write path: line-protocol text lands, is parsed, and feeds a
+    // continuous downsample; query_server stream tables consume the
+    // same wire rows batch SQL sees): raw LP TEXT files stream through
+    // graft.sources.LineProtocol.parse (a narrow flatMap — no shuffle
+    // at ingest) into the watermarked tumbling-window aggregate, K
+    // micro-batches of one text file each. The oracle is
+    // stream_windowed's SQL verbatim over the raw lake — matching
+    // hashes prove text rendering → streaming parse → typed fields →
+    // windowed agg loses nothing vs the batch engine on parquet.
+    "stream_ingest_lp" -> ((s, dir) => {
+      import s.implicits._
+      val linesB = Tables.events(s, dir).select(
+        format_string("events,event_type=%s value=%s %s",
+          col("event_type"), col("value"), col("ts_ns")).as("line"),
+        expr("ts_ns div 1000").as("__ord"))
+      val raw = stagedText(s, linesB, "__ord", s"$dir/lp_text_by_ts")
+      val evs = LineProtocol.parse(raw.as[String])
+        .select(timestamp_micros(expr("ts div 1000")).as("tstamp"),
+          col("tags")("event_type").as("event_type"),
+          col("fields")("value").cast("double").as("value"))
+      val agg = StreamIngest.windowedStats(evs, "tstamp", "event_type",
+        "1 hour", "0 seconds")
+      val sink = replay(s, agg, "stream_ingest_lp_sink")
       val maxUs = globalMaxUs(s, dir)
       sink.select(col("event_type"), unix_micros(col("w_start")).as("w_start_us"),
           col("n"), col("sum_value"))
@@ -581,6 +634,18 @@ object StreamQueries {
 
   private val E = "(SELECT event_id, user_id, event_type, value, cast(ts AS TIMESTAMP) AS ts FROM events)"
 
+  private val WindowedAggOracle =
+    """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+      |b AS (SELECT event_type,
+      |        (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us, value
+      |      FROM events)
+      |SELECT event_type, w_start_us, count(*) AS n,
+      |  round(sum(value), 4) AS sum_value
+      |FROM b, m
+      |GROUP BY event_type, w_start_us, mx
+      |HAVING w_start_us + 3600000000 < mx
+      |ORDER BY event_type, w_start_us""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // identical to ts_increase's oracle — THE point: stream == batch
     "stream_increase" ->
@@ -623,17 +688,10 @@ object StreamQueries {
         |SELECT event_id, event_type, value,
         |  CASE WHEN varnum > 0 THEN num * num > 9 * varnum ELSE FALSE END AS is_outlier
         |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
-    "stream_windowed" ->
-      s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
-         |b AS (SELECT event_type,
-         |        (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us, value
-         |      FROM events)
-         |SELECT event_type, w_start_us, count(*) AS n,
-         |  round(sum(value), 4) AS sum_value
-         |FROM b, m
-         |GROUP BY event_type, w_start_us, mx
-         |HAVING w_start_us + 3600000000 < mx
-         |ORDER BY event_type, w_start_us""".stripMargin,
+    "stream_windowed" -> WindowedAggOracle,
+    // IDENTICAL SQL — THE point: wire-text streaming ingest == batch
+    // engine on parquet, window for window
+    "stream_ingest_lp" -> WindowedAggOracle,
     "stream_rollup" ->
       s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
          |SELECT event_type,
