@@ -24,6 +24,16 @@ package graft
   * sf (the driver's sf0.1 lake is 17 MB → partitions = cores, so
   * driver-round comparability is untouched); the cap bounds task-
   * scheduling overhead on a single box.
+  *
+  * Cap = 8192 as of r10: the r9 cap (2048) silently re-introduced the
+  * very defect this object exists to prevent — at the 22 GB sf100
+  * relational lake the derived width is 2816, the cap clamped it to
+  * 2048, and q21 (the suite's biggest fact-fact shuffle) measured
+  * 247 s warm capped vs 222 s at the derived 2816 and 216 s at 4096
+  * (10–13 % — external-sort spill, not dispatch, is the binding cost
+  * at this scale). 8192 × 8 MB ≈ 64 GB of source before the cap binds
+  * again, beyond any single-box lake here; a real cluster sizes this
+  * from executor count anyway.
   */
 object Sizing {
   def parquetBytes(dir: String): Long = {
@@ -36,7 +46,7 @@ object Sizing {
 
   def shufflePartitions(sfDir: String, cores: Int,
                         bytesPerPartition: Long = 8L << 20,
-                        cap: Int = 2048): Int = {
+                        cap: Int = 8192): Int = {
     val derived = math.ceil(parquetBytes(sfDir).toDouble / bytesPerPartition).toInt
     math.min(cap, math.max(cores, derived))
   }
