@@ -16,6 +16,10 @@ import graft.functions.{AlphaWordCount, Arity, ArrayOverlapCount, BinarySignatur
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // hidden time partitioning: day-partition predicates derived from
+    // event-time predicates (the per-session form is installed by
+    // Tables.events via experimental.extraOptimizations)
+    ext.injectOptimizerRule(_ => graft.plans.EventTimeDayPruning)
     def info(name: String) = new ExpressionInfo("graft", name)
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       Arity.binary("vec_dot")(VecDot)))

@@ -172,14 +172,30 @@ object Sampling {
           * lit(headroom) * 4294967296.0).cast("long"), lit(4294967296L))))
         .otherwise(lit("000000000")))
       .select(col(langCol), col("__bl"), col("__thr"))
-    // shard = ⌊v·shards / 2³²⌋ over the key's 32-bit value v: a
-    // contiguous hash range, monotone in __hk (equal keys share a
-    // shard), so shard order composes with in-shard order
-    val cand = tok.join(broadcast(budgets), Seq(langCol))
+    // shard = ⌊v·shards / thr⌋ over the key's 32-bit value v and the
+    // LANGUAGE'S OWN threshold thr (VERDICT r10 #7): the pre-selection
+    // keeps only v < thr, so scaling by thr — not by the full 2³² range
+    // — spreads the kept keys over ~all `shards` slices at any keep
+    // rate, instead of populating only ~keep-rate·shards of them. Still
+    // a contiguous monotone range of __hk (equal keys share a shard, v
+    // < thr ⇒ quotient < shards; the `least` is belt-and-braces), so
+    // per-shard order + shard order composes to the global (md5, id)
+    // order exactly as before — the shard-count-invariance spec pins it.
+    // Both operands are fixed-width 9-hex-digit strings, so the
+    // lexicographic keep filter and the numeric conv() agree.
+    val cand0 = tok.join(broadcast(budgets), Seq(langCol))
       .filter(col("__hk") < col("__thr"))
-      .withColumn("__shard", shiftright(
-        conv(substring(col("__hk"), 2, 8), 16, 10).cast("long")
-          * lit(shards.toLong), 32).cast("int"))
+      .withColumn("__v", conv(col("__hk"), 16, 10).cast("long"))
+      .withColumn("__t", conv(col("__thr"), 16, 10).cast("long"))
+      .withColumn("__shard",
+        expr(s"CAST(least((__v * ${shards}L) div __t, ${shards - 1}) AS INT)"))
+      .drop("__v", "__t")
+    // the candidate frame feeds BOTH the per-shard offset aggregate and
+    // the final cumsum join; checkpoint it lazily so the dominant IO —
+    // the threshold-filtered corpus scan — is paid once, not twice
+    // (ADVICE r10). The materialized set is budget-bounded (~headroom ×
+    // the token budget's document mass), not corpus-sized.
+    val cand = cand0.localCheckpoint(eager = false)
     // exclusive per-shard offsets: map-side-combined aggregate to ≤
     // languages × shards rows, window over that tiny frame only
     val wSh = org.apache.spark.sql.expressions.Window

@@ -118,26 +118,40 @@ object StreamQueries {
     * per (lake, lane) and reused across run1/run2 — the stream's own
     * checkpoint is fresh per replay, so every file is re-delivered.
     */
-  private val stagedDirs = TrieMap.empty[String, String]
-  // part-0000i is range-partition i (lowest range first); pin the
-  // source's mtime ordering to the range ordering explicitly
+  // part-NNNNN is range-partition N (lowest range first); pin the
+  // source's mtime ordering to the range ordering explicitly. Sort by
+  // the PARSED part index, not the raw filename — Spark part names
+  // embed a random UUID after the index, and lexicographic order is
+  // correct only while the zero-padded index width never varies
+  // (ADVICE r10): a writer emitting >99999 files or a different naming
+  // scheme would silently scramble the replay order.
+  private val PartIdx = "part-(\\d+)".r.unanchored
   private def pinMtimes(dir: java.nio.file.Path): Unit = {
     val parts = Files.list(dir).iterator()
     val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     while (parts.hasNext) { val p = parts.next(); if (p.getFileName.toString.startsWith("part-")) sorted += p }
+    require(sorted.nonEmpty, s"stream staging wrote no part files under $dir")
     val base = System.currentTimeMillis()
-    sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+    sorted.sortBy(p => p.getFileName.toString match {
+      case PartIdx(i) => i.toInt
+      case other => throw new IllegalStateException(
+        s"unparseable part file name in stream stage: $other")
+    }).zipWithIndex.foreach { case (p, i) =>
       Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 1000L))
     }
   }
-  private def stageDir(key: String, write: java.nio.file.Path => Unit): String =
-    stagedDirs.getOrElseUpdate(key, {
-      val hash = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$key|$StageFiles".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_stage", hash)
-      if (!Files.exists(dir.resolve("_SUCCESS"))) { write(dir); pinMtimes(dir) }
-      dir.toString
-    })
+  // staged once per (lane key, lake content fingerprint) — a regenerated
+  // lake at the same path restages instead of replaying stale files
+  // (ADVICE r10); both table files ride the fingerprint because the key
+  // strings embed only the lake DIR, not which table the lane stages
+  private def stageDir(key: String, write: java.nio.file.Path => Unit): String = {
+    val lakeDir = key.split('/').dropRight(1).mkString("/")
+    val srcs = Seq(s"$lakeDir/events.parquet", s"$lakeDir/documents.parquet")
+      .filter(p => Files.exists(Paths.get(p)))
+    graft.Lake.staged(s"stream|$key|$StageFiles", srcs) { dir =>
+      write(dir); pinMtimes(dir)
+    }
+  }
   private def staged(s: SparkSession, df: DataFrame, orderCol: String,
                      key: String): DataFrame = {
     val root = stageDir(key, dir =>
@@ -305,9 +319,18 @@ object StreamQueries {
     // windowed agg loses nothing vs the batch engine on parquet.
     "stream_ingest_lp" -> ((s, dir) => {
       import s.implicits._
+      // render per LP escaping rules (\, \= \space in tag values — the
+      // same set LineProtocol.unescape reverses) and refuse a NULL value
+      // field loudly: parseLine is permissive-by-row, so an unescaped
+      // special or a literal "null" would otherwise vanish rows silently
+      // and surface only as an opaque oracle mismatch (ADVICE r10)
+      val tagEsc = regexp_replace(col("event_type"), "([ ,=])", "\\\\$1")
+      val safeValue = when(col("value").isNotNull, col("value"))
+        .otherwise(raise_error(lit(
+          "stream_ingest_lp: NULL value field cannot ride line protocol")))
       val linesB = Tables.events(s, dir).select(
         format_string("events,event_type=%s value=%s %s",
-          col("event_type"), col("value"), col("ts_ns")).as("line"),
+          tagEsc, safeValue, col("ts_ns")).as("line"),
         expr("ts_ns div 1000").as("__ord"))
       val raw = stagedText(s, linesB, "__ord", s"$dir/lp_text_by_ts")
       val evs = LineProtocol.parse(raw.as[String])
@@ -625,6 +648,57 @@ object StreamQueries {
       sink.join(typeDict(s, dir), "series")
         .select(col("event_type"), col("bucket_us"), col("value"), col("filled"))
         .orderBy("event_type", "bucket_us")
+    }),
+
+    // The full production loop as ONE oracle-checked lane (VERDICT r10
+    // #8): events stream in K micro-batches THROUGH the exactly-once
+    // streaming FILE sink INTO the day-partitioned lake layout
+    // (partitionBy(day) + the _spark_metadata commit log — the
+    // restart-safe posture ExactlyOnceSpec pins), then the batch half
+    // queries the STREAMING-WRITTEN lake with a one-day predicate and
+    // throws unless its own file listing pruned to exactly 1 of N day
+    // directories. Ingest → layout → pruned query, end to end; the
+    // oracle is ts_partition_prune's SQL verbatim, so matching hashes
+    // prove the lake the stream wrote answers identically to the lake
+    // the batch writer laid out.
+    "stream_sink_partitioned" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft_stream_daylake").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", ReplayParts.toString)
+        val src = eventsStream(s, dir).withColumn("day", expr(
+          s"date_add(DATE '1970-01-01', CAST(ts div ${graft.Tables.NsPerDay} AS INT))"))
+        val q0 = src.writeStream.format("parquet")
+          .option("path", s"$root/data")
+          .option("checkpointLocation", s"$root/ckpt")
+          .partitionBy("day")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      replayBatches("stream_sink_partitioned") = q.recentProgress.count(_.numInputRows > 0)
+      val days = Option(new java.io.File(s"$root/data").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map(_.getName.stripPrefix("day=")).sorted.toSeq
+      require(days.size > 1, s"streaming sink wrote ${days.size} day dir(s)")
+      val day0 = days.head
+      val agg = s.read.parquet(s"$root/data")
+        .filter(col("day") === day0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .withColumn("day", lit(day0))
+        .select("day", "event_type", "n", "sum_value")
+        .orderBy("event_type")
+      val (scanned, files) = LakeContract.scannedPartitions(agg)
+      require(scanned == 1,
+        s"pruning over the streaming-written lake failed: one-day predicate " +
+          s"scanned $scanned of ${days.size} day partitions ($files files)")
+      agg
     })
   )
 
@@ -692,6 +766,10 @@ object StreamQueries {
     // IDENTICAL SQL — THE point: wire-text streaming ingest == batch
     // engine on parquet, window for window
     "stream_ingest_lp" -> WindowedAggOracle,
+    // IDENTICAL SQL to the batch-written day lake's prune lane — the
+    // streaming file sink's layout must answer exactly like the batch
+    // writer's
+    "stream_sink_partitioned" -> LakeContract.oracleSql("ts_partition_prune"),
     "stream_rollup" ->
       s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
          |SELECT event_type,

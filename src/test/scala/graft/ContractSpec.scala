@@ -255,6 +255,65 @@ class ContractSpec extends AnyFunSuite {
         s"${allScan.selectedPartitions.partitionCount}")
   }
 
+  test("hidden pruning: ts predicates derive day filters; removing the rule restores the full listing") {
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val phys = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+      phys.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    }
+    val days = Tables.eventsLakeDays(spark, sf)
+    assert(days.size > 1)
+    val d0 = java.time.LocalDate.parse(days.head)
+    val loNs = d0.toEpochDay * Tables.NsPerDay
+    // BIGINT-nanos pattern, two-day window with a STRICT upper bound at
+    // the exact day boundary — must list exactly the days present in
+    // [d0, d0+2), never the boundary day itself
+    val expected = days.count(d => d >= d0.toString && d < d0.plusDays(2).toString)
+    val q = Tables.events(spark, sf)
+      .filter(col("ts_ns") >= lit(loNs) && col("ts_ns") < lit(loNs + 2 * Tables.NsPerDay))
+      .groupBy("event_type").count()
+    val scan = scanOf(q)
+    assert(scan.selectedPartitions.partitionCount == expected,
+      s"expected $expected of ${days.size} days listed, got " +
+        s"${scan.selectedPartitions.partitionCount}")
+    assert(scan.partitionFilters.nonEmpty,
+      "derived day predicate must be a PartitionFilter, not a post-scan Filter")
+    // negative control: same query with the rule EXCLUDED lists every
+    // day again. excludedRules covers both injection paths (the
+    // session may carry GraftExtensions' injected copy when the full
+    // suite shares one SparkSession, where stripping
+    // extraOptimizations alone would not disable it); optimization is
+    // lazy, so flipping the conf before first plan access is enough.
+    val q2 = Tables.events(spark, sf)
+      .filter(col("ts_ns") >= lit(loNs) && col("ts_ns") < lit(loNs + 2 * Tables.NsPerDay))
+      .groupBy("event_type").count()
+    val excludedKey = "spark.sql.optimizer.excludedRules"
+    val savedExcluded = spark.conf.getOption(excludedKey)
+    val savedExtra = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        savedExtra.filterNot(_ eq plans.EventTimeDayPruning)
+      spark.conf.set(excludedKey,
+        (savedExcluded.toSeq :+ plans.EventTimeDayPruning.ruleName).mkString(","))
+      val all = scanOf(q2)
+      assert(all.selectedPartitions.partitionCount == days.size,
+        s"rule-less scan must list all ${days.size} days, listed " +
+          s"${all.selectedPartitions.partitionCount}")
+    } finally {
+      spark.experimental.extraOptimizations = savedExtra
+      savedExcluded.fold(spark.conf.unset(excludedKey))(v => spark.conf.set(excludedKey, v))
+    }
+    // the driver lane's µs-TIMESTAMP pattern end to end (its own
+    // require throws unless pruned == 1)
+    val lane = queries.LakeContract.queries("ts_prune_hidden")(spark, sf)
+    assert(lane.count() > 0)
+  }
+
   test("lake contract names the drifted column with expected vs found types") {
     import spark.implicits._
     // documents with n_chars retyped string and text missing — the

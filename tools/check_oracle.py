@@ -2,7 +2,12 @@
 """Local replica of the driver's correctness gate.
 
 Usage:
-  python3 tools/check_oracle.py [sfdir] [outdir]
+  python3 tools/check_oracle.py [sfdir] [outdir] [lane1,lane2,...]
+
+The optional 3rd arg restricts the check to the named lanes (exact
+names) — per-family sfN sweeps need per-lane progress and the ability
+to resume around the known DuckDB resource ceilings. Each lane prints
+its oracle wall seconds so sweep ceilings are recorded with numbers.
 
 Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` already ran (or run
 with --run to invoke it). For each <outdir>/<name> parquet dir, runs the
@@ -43,8 +48,10 @@ def sortkey(row):
 
 
 def main():
-    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    args = [a for a in sys.argv[1:] if a != "--run"]
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    outdir = args[1] if len(args) > 1 else "/tmp/graft_verify"
+    only = set(args[2].split(",")) if len(args) > 2 else None
     if "--run" in sys.argv:
         subprocess.run(["sbt", f'runMain graft.Verify {sfdir} {outdir}'],
                        cwd="/root/repo", check=True)
@@ -57,10 +64,14 @@ def main():
 
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    import time
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
             continue
+        if only is not None and name not in only:
+            continue
+        t0 = time.time()
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet written")
@@ -101,7 +112,7 @@ def main():
             print(f"FAIL {name}: row {bad[0]} col {bad[1]} spark={bad[2]!r} duckdb={bad[3]!r}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(grows)} rows")
+            print(f"PASS {name}: {len(grows)} rows ({time.time() - t0:.1f}s)", flush=True)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
