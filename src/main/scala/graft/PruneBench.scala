@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flat-cost witness for the day-partitioned lake (VERDICT r10 #1's
+  * bench half): times ONE one-day time-range aggregate two ways over
+  * `SPARK_GRAFT_SF_DIR` —
+  *
+  *   - `pruned`: through the primary day-partitioned layout
+  *     ([[Tables.events]]), where [[plans.EventTimeDayPruning]] turns
+  *     the time predicate into a partition filter, so the scan lists
+  *     and reads O(day);
+  *   - `flat`: the same predicate over the RAW unpartitioned
+  *     events.parquet (normalized inline, no staged layout), which must
+  *     list and open the whole lake.
+  *
+  * Run against span-scaled lakes (tools/make_span.py — day count grows,
+  * per-day volume constant) the pruned number should stay FLAT across
+  * lake decades while the flat number grows with the lake; the emitted
+  * JSON line carries both warm times plus the listing arithmetic
+  * (scanned vs total day partitions) so BENCH_SCALING rows are
+  * self-evidencing.
+  */
+object PruneBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      Sizing.shufflePartitions(sfDir, cpus.toInt).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val days = Tables.eventsLakeDays(spark, sfDir)
+    require(days.size > 1, s"lake spans ${days.size} day(s)")
+    val d1 = java.time.LocalDate.parse(days(1))
+    def oneDay(df: DataFrame): DataFrame = df
+      .filter(col("ts") >= expr(s"TIMESTAMP '$d1 00:00:00'") &&
+        col("ts") < expr(s"TIMESTAMP '${d1.plusDays(1)} 00:00:00'"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
+
+    // raw flat view, normalized inline — never touches the staged layout
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val flatView = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(df: => DataFrame): Double = {
+      time(df.write.format("noop").mode("overwrite").save()) // warm
+      time(df.write.format("noop").mode("overwrite").save())
+    }
+    val pruned = run(oneDay(Tables.events(spark, sfDir)))
+    val flat = run(oneDay(flatView))
+    val (scanned, files) = queries.LakeContract.scannedPartitions(
+      oneDay(Tables.events(spark, sfDir)))
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"lake":"$sfDir","days":${days.size},"scanned_partitions":$scanned,""" +
+      s""""scanned_files":$files,"pruned_warm_sec":${fmt(pruned)},""" +
+      s""""flat_warm_sec":${fmt(flat)}}""")
+    spark.stop()
+  }
+}

@@ -178,10 +178,16 @@ object LakeContract {
       val total = z.count()
       val zRows = scanOutputRows(s, box(z).select("event_id"))
       val cRows = scanOutputRows(s, box(s.read.parquet(cRoot)).select("event_id"))
-      require(zRows * 2 <= total && cRows * 10 >= total * 9,
-        s"zone skipping failed: clustered scan emitted $zRows of $total rows " +
-          s"(want <= ${total / 2}), natural-order control emitted $cRows " +
-          "(want ~all — else the predicate, not the clustering, did the work)")
+      // The clustered scan must emit at most half the lake AND at most
+      // half of what the natural-order control emitted. The control is
+      // deliberately NOT required to read everything: a replicated
+      // bench lake (make_sfN shifts user_id by k·1e8 per replica)
+      // segregates the box dimension by replica, so even insertion
+      // order lets row-group stats skip — the executable claim is that
+      // z-order clustering skips materially MORE, on any lake shape.
+      require(zRows * 2 <= total && zRows * 2 <= cRows,
+        s"zone skipping failed: clustered scan emitted $zRows of $total rows, " +
+          s"natural-order control emitted $cRows — want clustered <= half of both")
       agg
     }),
 

@@ -2607,11 +2607,19 @@ object PipelineQueries {
         |FROM cl a JOIN cl b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // Class-collapsed confirm (r11, VERDICT r10 #3): exact-hash classes
+    // are distance-0 cliques, so member-level CC and class-level CC
+    // share components and component minima (the class rep IS the class
+    // min), and every member of a size-≥2 class is member-paired — the
+    // two spellings are output-identical on ANY lake. The collapsed
+    // O(classes²) join is what survives a mass-duplicated corpus, where
+    // the member-level O(n²) confirm ground for 110 min at sf1.
     "mm_image_dedup_keep" ->
       s"""WITH RECURSIVE $IMG_AHASH_CTES,
+        |cl AS (SELECT min(doc_id) AS doc_id, ahash FROM hb GROUP BY ahash),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+        |  FROM cl a JOIN cl b ON a.doc_id < b.doc_id
         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM p
@@ -2621,8 +2629,8 @@ object PipelineQueries {
         |  UNION
         |  SELECT e.src AS v, reach.r FROM reach JOIN edges e ON e.dst = reach.v),
         |grp AS (SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v)
-        |SELECT d.doc_id FROM documents d LEFT JOIN grp USING (doc_id)
-        |WHERE grp.group_id IS NULL OR d.doc_id = grp.group_id
+        |SELECT c.doc_id FROM cl c LEFT JOIN grp USING (doc_id)
+        |WHERE grp.group_id IS NULL OR c.doc_id = grp.group_id
         |ORDER BY doc_id""".stripMargin,
     "mm_wav_decode" ->
       """SELECT d.doc_id,

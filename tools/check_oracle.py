@@ -57,6 +57,10 @@ def main():
                        cwd="/root/repo", check=True)
 
     con = duckdb.connect()
+    # cap the oracle's thread fan-out so a long background sweep can
+    # share the box with engine measurements (unset = duckdb default)
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
