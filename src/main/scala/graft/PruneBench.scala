@@ -50,11 +50,22 @@ object PruneBench {
 
     // raw flat view, normalized inline — never touches the staged layout
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val flatView = raw.schema("ts").dataType match {
+    def normalize(df: DataFrame) = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
+    val flatView = normalize(raw)
+    // flat-SHUFFLED control: the same rows with ingest order decoupled
+    // from event time (md5 order) — the general lake shape, where the
+    // flat scan cannot ride parquet ts min/max stats the way a
+    // replica-concatenated (ts-sorted) file accidentally does
+    val shufRoot = Lake.staged(s"prune_flat_shuffled|$sfDir",
+      Seq(s"$sfDir/events.parquet")) { p =>
+      raw.orderBy(md5(col("event_id").cast("string")))
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    val shuffledView = normalize(spark.read.parquet(shufRoot))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -65,12 +76,23 @@ object PruneBench {
     }
     val pruned = run(oneDay(Tables.events(spark, sfDir)))
     val flat = run(oneDay(flatView))
+    val shuffled = run(oneDay(shuffledView))
     val (scanned, files) = queries.LakeContract.scannedPartitions(
       oneDay(Tables.events(spark, sfDir)))
+    // rows EMITTED by each scan — wall times converge at toy scale
+    // (a 157 MB full scan costs ~0.3 s warm), but rows/bytes read is
+    // the quantity that scales to 100 TB, so the artifact carries both
+    val prunedRows = queries.LakeContract.scanOutputRows(spark,
+      oneDay(Tables.events(spark, sfDir)).select("event_type"),
+      requirePushed = false)
+    val shuffledRows = queries.LakeContract.scanOutputRows(spark,
+      oneDay(shuffledView).select("event_type"), requirePushed = false)
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"lake":"$sfDir","days":${days.size},"scanned_partitions":$scanned,""" +
       s""""scanned_files":$files,"pruned_warm_sec":${fmt(pruned)},""" +
-      s""""flat_warm_sec":${fmt(flat)}}""")
+      s""""flat_tssorted_warm_sec":${fmt(flat)},""" +
+      s""""flat_shuffled_warm_sec":${fmt(shuffled)},""" +
+      s""""pruned_scan_rows":$prunedRows,"flat_shuffled_scan_rows":$shuffledRows}""")
     spark.stop()
   }
 }

@@ -60,8 +60,21 @@ object Tables {
     */
   def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
     plans.EventTimeDayPruning.install(spark)
-    spark.read.parquet(eventsLakeRoot(spark, dir)).drop("day")
+    val root = eventsLakeRoot(spark, dir)
+    // Memoize the scan relation per (session, root): building a fresh
+    // DataFrame re-lists every day directory and re-infers partitions —
+    // at 3000 day dirs that listing costs ~20× the one-day read it
+    // precedes (measured: 5.9 s vs 0.3 s at span100). A catalog-backed
+    // table shares its FileIndex across queries; this is the path-based
+    // equivalent. The Lake staging key already fingerprints the SOURCE
+    // lake, and a regenerated source yields a new root, so a stale memo
+    // entry can only describe a root that no longer receives reads.
+    eventsFrames.getOrElseUpdate((spark, root),
+      spark.read.parquet(root).drop("day"))
   }
+
+  private val eventsFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** The day-partitioned primary events lake root, staged once per
     * (lake dir, content fingerprint): `day=YYYY-MM-DD/` directories,

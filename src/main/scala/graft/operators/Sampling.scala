@@ -149,6 +149,15 @@ object Sampling {
     * Output: one row per selected document — (idCol, langCol,
     * n_tokens, cum_tokens) with cum_tokens ≤ the language's budget.
     */
+  /** ⌊v·shards/t⌋ clamped to [0, shards) — the contiguous monotone
+    * range-shard of a key value `v` known to lie in [0, t). Exposed for
+    * the occupancy spec: kept keys are ~uniform on [0, t), so populated
+    * shards ≈ min(shards, candidates) at ANY keep rate — the r10
+    * 2³²-denominator form populated only ~keep-rate·shards.
+    */
+  private[graft] def rangeShard(vCol: String, tCol: String, shards: Int) =
+    expr(s"CAST(least(($vCol * ${shards}L) div $tCol, ${shards - 1}) AS INT)")
+
   def tokenBudgetMix(df: DataFrame, idCol: String, langCol: String,
                      tokensCol: String, budget: Long,
                      headroom: Double = 1.25, shards: Int = 256): DataFrame = {
@@ -187,8 +196,7 @@ object Sampling {
       .filter(col("__hk") < col("__thr"))
       .withColumn("__v", conv(col("__hk"), 16, 10).cast("long"))
       .withColumn("__t", conv(col("__thr"), 16, 10).cast("long"))
-      .withColumn("__shard",
-        expr(s"CAST(least((__v * ${shards}L) div __t, ${shards - 1}) AS INT)"))
+      .withColumn("__shard", rangeShard("__v", "__t", shards))
       .drop("__v", "__t")
     // the candidate frame feeds BOTH the per-shard offset aggregate and
     // the final cumsum join; checkpoint it lazily so the dominant IO —

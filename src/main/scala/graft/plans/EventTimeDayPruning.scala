@@ -90,7 +90,8 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def litNs(side: Expression, l: Literal, ts: Attribute): Option[Long] =
     side match {
-      case a: Attribute if a.semanticEquals(ts) && l.dataType == LongType =>
+      case a: Attribute
+          if a.semanticEquals(ts) && l.dataType == LongType && l.value != null =>
         Some(l.value.asInstanceOf[Long])
       case m: MicrosToTimestamp
           if (l.dataType == TimestampType || l.dataType == TimestampNTZType) &&
@@ -104,7 +105,10 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
             }
             d.left match {
               case a: Attribute if divBy1000 && a.semanticEquals(ts) =>
-                Some(Math.multiplyExact(l.value.asInstanceOf[Long], 1000L))
+                // a µs literal past ±year 292471 would overflow the ns
+                // domain — no admissible bound, never a planning crash
+                val us = l.value.asInstanceOf[Long]
+                if (math.abs(us) <= Long.MaxValue / 1000L) Some(us * 1000L) else None
               case _ => None
             }
           case _ => None

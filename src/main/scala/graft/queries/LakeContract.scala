@@ -108,7 +108,8 @@ object LakeContract {
     * is storage-level skipping — min/max zone pruning inside files,
     * which partition pruning (directory granularity) cannot see.
     */
-  private[graft] def scanOutputRows(s: SparkSession, df: DataFrame): Long = {
+  private[graft] def scanOutputRows(s: SparkSession, df: DataFrame,
+                                    requirePushed: Boolean = true): Long = {
     val prev = s.conf.get("spark.sql.adaptive.enabled")
     try {
       s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -120,8 +121,9 @@ object LakeContract {
       val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.getOrElse(throw new IllegalStateException("no FileSourceScan"))
-      require(scan.metadata.get("PushedFilters").exists(_.length > 2),
-        s"zone-skip probe has no pushed parquet filters: ${scan.metadata.get("PushedFilters")}")
+      if (requirePushed)
+        require(scan.metadata.get("PushedFilters").exists(_.length > 2),
+          s"zone-skip probe has no pushed parquet filters: ${scan.metadata.get("PushedFilters")}")
       scan.metrics("numOutputRows").value
     } finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }

@@ -1493,6 +1493,30 @@ class PipelineSpec extends AnyFunSuite {
       budget = 100L).count() == 0L)
   }
 
+  test("tokenBudgetMix rangeShard: kept keys populate ~every shard at a 10% keep rate") {
+    import org.apache.spark.sql.functions._
+    // the operator's exact key function (md5 32-bit prefix) and the
+    // exact shard expression, at a keep rate where the r10 2³²-scaled
+    // form populated only ~keep-rate·shards ≈ 26 of 256 (VERDICT r10 #7)
+    val thr = (0.1 * 4294967296.0).toLong
+    val keys = spark.range(20000)
+      .select(conv(concat(lit("0"),
+        substring(md5(col("id").cast("string")), 1, 8)), 16, 10)
+        .cast("long").as("__v"))
+      .filter(col("__v") < thr)
+      .withColumn("__t", lit(thr))
+      .withColumn("__shard", Sampling.rangeShard("__v", "__t", 256))
+    val kept = keys.count()
+    assert(kept > 1500 && kept < 2500, s"keep rate drifted: $kept of 20000")
+    val byShard = keys.groupBy("__shard").count().collect()
+    assert(byShard.length >= 250,
+      s"only ${byShard.length} of 256 shards populated — occupancy regressed " +
+        "to the keep-rate-scaled form")
+    val counts = byShard.map(_.getLong(1))
+    assert(counts.max <= 10 * math.max(1, counts.min),
+      s"shard skew: min=${counts.min} max=${counts.max}")
+  }
+
   test("misra-gries: empty final sketch still yields well-defined lossy-lane rows") {
     // MG can END EMPTY on legitimate input: k=3, stream a,b,c,d — the
     // 4th arrival decrements every counter to zero. The lossy driver
