@@ -85,15 +85,27 @@ object Tables {
     * prune-lane-private rewrite (VERDICT r10 #1).
     */
   def eventsLakeRoot(spark: SparkSession, dir: String): String =
-    Lake.staged(s"day_lake|$dir", Seq(s"$dir/events.parquet")) { p =>
+    // key versioned with the layout: a layout change must restage, not
+    // silently reuse a dir written under the old rule
+    Lake.staged(s"day_lake_v2|$dir", Seq(s"$dir/events.parquet")) { p =>
       import org.apache.spark.sql.functions._
+      // Writer parallelism is input-derived (the Sizing discipline), and
+      // the shuffle is a RANGE partition on (day, ts): day-locality is
+      // preserved (a day's rows land in at most two adjacent range
+      // partitions, so partitionBy(day) writes 1–2 files per day), while
+      // a single day never becomes a single task — at 100 TB a day is
+      // ~300 GB, and the r11 first cut's repartition(day) would have
+      // funneled it through one writer.
+      val width = math.max(spark.sparkContext.defaultParallelism,
+        Sizing.shufflePartitions(s"$dir/events.parquet",
+          spark.sparkContext.defaultParallelism))
       // day from pure integer arithmetic on the ns value — timezone-free
       // by construction, and exactly the arithmetic EventTimeDayPruning
       // inverts when it derives partition bounds from ts predicates
       rawEventsNanos(spark, dir)
         .withColumn("day",
           expr(s"date_add(DATE '1970-01-01', CAST(ts div $NsPerDay AS INT))"))
-        .repartition(col("day"))
+        .repartitionByRange(width, col("day"), col("ts"))
         .write.partitionBy("day").mode("overwrite").parquet(p.toString)
     }
 
