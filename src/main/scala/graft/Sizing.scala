@@ -50,4 +50,15 @@ object Sizing {
     val derived = math.ceil(parquetBytes(sfDir).toDouble / bytesPerPartition).toInt
     math.min(cap, math.max(cores, derived))
   }
+
+  // NOTE (r11, negative result worth keeping): scaling
+  // spark.sql.files.maxPartitionBytes DOWN for the small day-partitioned
+  // lake (so the ~30 × 80 KB day files' opens parallelize instead of
+  // bin-packing into one scan task) was measured SLOWER at sf0.1 —
+  // ts_funnel 1.53 → 2.09 s, ts_asof_join 0.81 → 1.18 s warm — the
+  // extra task dispatch costs more than the serialized opens save. The
+  // day-layout read tax at tiny sf (~0.05–0.35 s per events lane vs the
+  // flat file, A/B in BENCH_SCALING r11) is accepted and documented
+  // instead; at warehouse scale a day is GBs and the 128 MB default is
+  // already right.
 }
