@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Tables.events via experimental.extraOptimizations)
     ext.injectOptimizerRule(_ => graft.plans.EventTimeDayPruning)
     def info(name: String) = new ExpressionInfo("graft", name)
+    // session-info functions (reference session_function/): resolved
+    // from session confs at analysis time; current_user/
+    // current_database are Spark built-ins and are not shadowed
+    ext.injectFunction((FunctionIdentifier("current_tenant"), info("current_tenant"),
+      (args: Seq[Expression]) => graft.functions.SessionFunctions.currentTenant(args)))
+    ext.injectFunction((FunctionIdentifier("current_role"), info("current_role"),
+      (args: Seq[Expression]) => graft.functions.SessionFunctions.currentRole(args)))
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       Arity.binary("vec_dot")(VecDot)))
     ext.injectFunction((FunctionIdentifier("vec_dot_i8"), info("vec_dot_i8"),

@@ -385,7 +385,37 @@ object EdgeSql {
         minute(col("ts")).cast("long").as("mi"))
       .orderBy("event_id")
 
+  /** Session-info functions (reference session_function/ + session.slt:
+    * current_tenant/current_role constants captured from the session
+    * context; current_user/current_database are Spark built-ins graft
+    * does not shadow). The lane snapshots the DEFAULT state (tenant
+    * `cnosdb`, role NULL — session.slt's first block) and the ASSIGNED
+    * state after `SET spark.graft.tenant/role` (the `--#TENANT=t1` /
+    * role-grant block), proving resolution happens per query at
+    * analysis time; confs restored after the plans are built.
+    */
+  private def qSessionFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.SessionFunctions.register(s)
+    def snap(state: String) =
+      s.sql("SELECT current_tenant() AS tenant, current_role() AS role")
+        .select(lit(state).as("state"), col("tenant"), col("role"))
+    val dflt = snap("default") // sql() analyzes eagerly: values bake here
+    val (tk, rk) = (graft.functions.SessionFunctions.TenantKey,
+      graft.functions.SessionFunctions.RoleKey)
+    val (pt, pr) = (s.conf.getOption(tk), s.conf.getOption(rk))
+    val assigned = try {
+      s.conf.set(tk, "t1"); s.conf.set(rk, "r1")
+      snap("assigned")
+    } finally {
+      pt.fold(s.conf.unset(tk))(s.conf.set(tk, _))
+      pr.fold(s.conf.unset(rk))(s.conf.set(rk, _))
+    }
+    dflt.unionByName(assigned).orderBy("state")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_funcs" -> qSessionFuncs,
     "q_time_arith" -> qTimeArith,
     "q_unnest" -> qUnnest,
     "q_ntile" -> qNtile,
@@ -410,6 +440,14 @@ object EdgeSql {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // session.slt's two states as literals: default (cnosdb / NULL
+    // role) and assigned (t1 / r1) — hash-green ⟺ the conf-resolved
+    // builders produced exactly the reference's session constants
+    "q_session_funcs" ->
+      """SELECT * FROM (VALUES
+        |  ('assigned', 't1', 'r1'),
+        |  ('default', 'cnosdb', NULL)) AS t(state, tenant, role)
+        |ORDER BY state""".stripMargin,
     "q_time_arith" ->
       """SELECT event_id, CAST(ts AS DATE) AS d,
         |  CAST(ts AS DATE) + 7 AS plus7,

@@ -38,6 +38,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(2) == 12L)
   }
 
+  test("session-info functions: reference defaults, conf-resolved per query, restored") {
+    // session.slt's first block: root defaults
+    val d = spark.sql("SELECT current_tenant() AS t, current_role() AS r").head()
+    assert(d.getString(0) == "cnosdb")
+    assert(d.isNullAt(1))
+    try {
+      spark.conf.set(functions.SessionFunctions.TenantKey, "t1")
+      spark.conf.set(functions.SessionFunctions.RoleKey, "r1")
+      // a NEW query resolves the new session state (analysis-time
+      // capture — the reference rebinds its session UDFs the same way)
+      val a = spark.sql("SELECT current_tenant() AS t, current_role() AS r").head()
+      assert(a.getString(0) == "t1" && a.getString(1) == "r1")
+    } finally {
+      spark.conf.unset(functions.SessionFunctions.TenantKey)
+      spark.conf.unset(functions.SessionFunctions.RoleKey)
+    }
+    // and Spark's own built-ins serve the other two session functions
+    val b = spark.sql("SELECT current_user() AS u, current_database() AS db").head()
+    assert(b.getString(0) != null && b.getString(1) != null)
+  }
+
   test("extensions registry is in lockstep with every temp-function registry") {
     // r9: the extensions path had drifted 10 functions behind the
     // library's per-session registries — a cluster deploying via
