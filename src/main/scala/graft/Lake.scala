@@ -1,6 +1,7 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import scala.collection.concurrent.TrieMap
 
@@ -14,6 +15,14 @@ import scala.collection.concurrent.TrieMap
   * into the cache key so a REGENERATED lake at the same path restages
   * instead of silently answering from the stale copy and surfacing as a
   * confusing oracle hash mismatch (ADVICE r10).
+  *
+  * Writes are crash- and race-safe (ADVICE r11): the layout is written
+  * to a writer-private temp directory and atomically renamed into place
+  * under a per-key file lock, so two sessions staging the same key
+  * concurrently can never interleave `mode(overwrite)` output inside one
+  * directory, and a directory that EXISTS is always a complete write —
+  * the `_SUCCESS` marker is verified before the rename, never trusted
+  * after a crash mid-write.
   */
 object Lake {
 
@@ -36,18 +45,57 @@ object Lake {
 
   /** Stage a derived dataset once per (logical key, source fingerprint)
     * under the JVM tmpdir and return its root. `write` must leave a
-    * `_SUCCESS` marker (every Spark parquet/text write does); a crashed
-    * partial write is retried on the next call because the marker is
-    * missing.
+    * `_SUCCESS` marker (every Spark parquet/text write does) — it is
+    * REQUIRED before the staged directory is published, so a crashed
+    * partial write is retried on the next call, never reused.
     */
   def staged(logicalKey: String, srcPaths: Seq[String])(write: Path => Unit): String = {
     val key = logicalKey + "|" + srcPaths.map(fingerprint).mkString(",")
+    // getOrElseUpdate may evaluate the thunk more than once under
+    // same-key contention (TrieMap semantics); the body below is
+    // idempotent — every evaluation converges on the same published dir
+    // through the file lock — so double evaluation is waste, not a race.
     stagedDirs.getOrElseUpdate(key, {
       val hash = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stage", hash)
-      if (!Files.exists(dir.resolve("_SUCCESS"))) write(dir)
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stage")
+      val dir = base.resolve(hash)
+      if (!Files.exists(dir.resolve("_SUCCESS"))) stageLocked(base, hash, dir, write)
       dir.toString
     })
+  }
+
+  /** Write `dir` under an exclusive cross-process file lock: temp-dir
+    * write, `_SUCCESS` check, atomic rename. A concurrent stager blocks
+    * on the lock and finds the published marker when it gets in.
+    */
+  private def stageLocked(base: Path, hash: String, dir: Path,
+                          write: Path => Unit): Unit = {
+    Files.createDirectories(base)
+    val ch = FileChannel.open(base.resolve(s"$hash.lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until any concurrent stager finishes
+      try {
+        if (Files.exists(dir.resolve("_SUCCESS"))) return
+        // a marker-less dir is a crashed partial write — clear it so the
+        // rename below can land (we hold the only write right)
+        if (Files.exists(dir)) deleteRecursively(dir)
+        val tmp = base.resolve(
+          s"$hash.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        write(tmp)
+        require(Files.exists(tmp.resolve("_SUCCESS")),
+          s"staging writer for $dir left no _SUCCESS marker under $tmp")
+        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      } finally lock.release()
+    } finally ch.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = Files.list(p)
+      try s.iterator().forEachRemaining(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 }

@@ -78,6 +78,20 @@ object Tables {
   private val eventsFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** SQL for the partition day of a BIGINT-ns event-time column: FLOOR
+    * division to the day granule (`x - pmod(x, n)` is exactly divisible,
+    * so the truncating `div` equals floor on the whole Long domain).
+    * Spark's bare `ts div NsPerDay` truncates toward zero, which
+    * disagrees with the pruning rule's `Math.floorDiv` for pre-1970
+    * (negative-ns) instants — a row at ts=-1ns would be written to
+    * day=1970-01-01 while a `ts_ns <= -1` predicate derives
+    * day <= 1969-12-31 and silently loses it (ADVICE r11). One shared
+    * definition keeps every writer on the rule's arithmetic.
+    */
+  private[graft] def dayOfNsSql(nsCol: String): String =
+    s"date_add(DATE '1970-01-01', " +
+      s"CAST(($nsCol - pmod($nsCol, $NsPerDay)) div $NsPerDay AS INT))"
+
   /** The day-partitioned primary events lake root, staged once per
     * (lake dir, content fingerprint): `day=YYYY-MM-DD/` directories,
     * each day's rows clustered into one file (repartition on the
@@ -88,26 +102,34 @@ object Tables {
     */
   def eventsLakeRoot(spark: SparkSession, dir: String): String =
     // key versioned with the layout: a layout change must restage, not
-    // silently reuse a dir written under the old rule
-    Lake.staged(s"day_lake_v2|$dir", Seq(s"$dir/events.parquet")) { p =>
+    // silently reuse a dir written under the old rule (v3: floor-day
+    // writer arithmetic + series-key clustering within day files)
+    Lake.staged(s"day_lake_v3|$dir", Seq(s"$dir/events.parquet")) { p =>
       import org.apache.spark.sql.functions._
       // Writer parallelism is input-derived (the Sizing discipline), and
       // the shuffle is a RANGE partition on (day, ts): day-locality is
-      // preserved (a day's rows land in at most two adjacent range
-      // partitions, so partitionBy(day) writes 1–2 files per day), while
-      // a single day never becomes a single task — at 100 TB a day is
-      // ~300 GB, and the r11 first cut's repartition(day) would have
-      // funneled it through one writer.
+      // preserved (a day's rows land in few adjacent range partitions,
+      // so partitionBy(day) writes few files per day), while a single
+      // day never becomes a single task — at 100 TB a day is ~300 GB,
+      // and the r11 first cut's repartition(day) would have funneled it
+      // through one writer.
       val width = math.max(spark.sparkContext.defaultParallelism,
         Sizing.shufflePartitions(s"$dir/events.parquet",
           spark.sparkContext.defaultParallelism))
-      // day from pure integer arithmetic on the ns value — timezone-free
-      // by construction, and exactly the arithmetic EventTimeDayPruning
-      // inverts when it derives partition bounds from ts predicates
+      // day from pure integer FLOOR arithmetic on the ns value —
+      // timezone-free by construction, and exactly the arithmetic
+      // EventTimeDayPruning inverts when it derives partition bounds
+      // from ts predicates (incl. pre-epoch instants).
+      // Within each day file rows are clustered by (event_type, ts) —
+      // the reference's tskv series-key ordering (series key first, time
+      // inside the series), so at production row-group sizes a one-tag
+      // dashboard predicate skips every other tag's row groups via
+      // parquet min/max stats; `ts_tag_zone_skip` is the executable
+      // witness at observable granularity.
       rawEventsNanos(spark, dir)
-        .withColumn("day",
-          expr(s"date_add(DATE '1970-01-01', CAST(ts div $NsPerDay AS INT))"))
+        .withColumn("day", expr(dayOfNsSql("ts")))
         .repartitionByRange(width, col("day"), col("ts"))
+        .sortWithinPartitions(col("day"), col("event_type"), col("ts"))
         .write.partitionBy("day").mode("overwrite").parquet(p.toString)
     }
 

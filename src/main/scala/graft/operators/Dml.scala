@@ -56,6 +56,66 @@ object Dml {
           when(col("__hit").isNotNull, col(s"__s_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** Result of [[expireDays]]: whole day directories dropped, whether
+    * the boundary day was rewritten, and the boundary rows kept.
+    */
+  final case class ExpireStats(droppedDays: Int, boundaryRewritten: Boolean,
+                               boundaryRowsKept: Long)
+
+  /** TTL retention as day-directory LIFECYCLE on a day-partitioned lake
+    * (reference: data_tests/data_ttl.slt — tskv enforces retention by
+    * dropping whole time-level files past the boundary). [[applyTtl]]
+    * expresses the semantics as a generic rewrite; THIS is the actual
+    * 100 TB mechanism: every fully-expired `day=` directory is an O(1)
+    * metadata drop — no rows read, no rows written — and only the ONE
+    * day straddling `cutoffNs` is rewritten (rows with `ts >= cutoffNs`
+    * kept, written aside then atomically swapped in). A day-aligned
+    * cutoff rewrites nothing at all.
+    *
+    * The lake at `root` must be the floor-day layout
+    * ([[graft.Tables.dayOfNsSql]]): `day=YYYY-MM-DD/` directories whose
+    * files hold `ts` as BIGINT nanos.
+    */
+  def expireDays(spark: org.apache.spark.sql.SparkSession, root: String,
+                 cutoffNs: Long): ExpireStats = {
+    val nsPerDay = graft.Tables.NsPerDay
+    val cutDay = Math.floorDiv(cutoffNs, nsPerDay)
+    val rootF = new java.io.File(root)
+    val dayDirs = Option(rootF.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    require(dayDirs.nonEmpty, s"no day= partition directories under $root")
+    var dropped = 0
+    var rewritten = false
+    var boundaryKept = 0L
+    dayDirs.foreach { dir =>
+      val day = java.time.LocalDate.parse(dir.getName.stripPrefix("day=")).toEpochDay
+      if (day < cutDay) {
+        deleteTree(dir.toPath); dropped += 1
+      } else if (day == cutDay && Math.floorMod(cutoffNs, nsPerDay) != 0L) {
+        // the straddling day: materialize the kept half BESIDE the dir
+        // (never read-after-delete), then swap
+        val tmp = new java.io.File(rootF, s".ttl-tmp-${dir.getName.stripPrefix("day=")}")
+        val kept = spark.read.parquet(dir.toString).filter(col("ts") >= cutoffNs)
+        kept.write.mode("overwrite").parquet(tmp.toString)
+        boundaryKept = spark.read.parquet(tmp.toString).count()
+        deleteTree(dir.toPath)
+        java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        rewritten = true
+      }
+    }
+    ExpireStats(dropped, rewritten, boundaryKept)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = Files.list(p)
+      try s.iterator().forEachRemaining(deleteTree) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   /** Small-file compaction — the lake-maintenance pass every streaming
     * ingest needs (micro-batches write a file per trigger per
     * partition; a year of 1-minute triggers is half a million tiny

@@ -5,16 +5,15 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Hidden time partitioning: derive day-partition predicates from
   * event-time predicates.
   *
   * The day-partitioned events lake stores `ts` (BIGINT nanoseconds) as a
-  * data column and `day = epoch_date(ts div NsPerDay)` as its partition
-  * directory key. Queries, though, filter on TIME — `ts_ns >= L`, or the
-  * normalized µs timestamp `timestamp_micros(ts div 1000) < T` — and
-  * plain-parquet Spark has no idea those bounds imply partition bounds,
+  * data column and `day = epoch_date(floorDiv(ts, NsPerDay))` as its
+  * partition directory key. Queries, though, filter on TIME — and
+  * plain-parquet Spark has no idea time bounds imply partition bounds,
   * so without help a one-day query still lists and scans every day
   * (exactly the class of full-lake scan the reference's TSM time levels
   * exist to prevent: a time-bounded scan must never open cold files —
@@ -22,17 +21,37 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   *
   * This rule is the missing inference, the plain-parquet form of
   * Iceberg's hidden-partitioning transform pruning / Delta's
-  * generated-column partition filters: for a Filter over a relation
+  * generated-column partition filters. For a Filter over a relation
   * whose partition schema has `day: DATE` and whose data schema has
-  * `ts: BIGINT` (nanos), every conjunct that bounds `ts` — directly, or
-  * through the µs-timestamp view `timestamp_micros(ts div 1000)` — is
-  * mirrored as a bound on `day`, injected as a new Filter directly above
-  * the relation. FileSourceStrategy then splits that conjunct out as a
-  * partition-key filter and prunes at FILE LISTING time, before any IO.
-  * Day arithmetic is pure integer floor-division on the ns value — the
-  * exact inverse of the arithmetic the lake writer uses — so the derived
-  * bound is always a (possibly one-day-conservative) superset of the
-  * data bound: rows are never lost, only cold files skipped.
+  * `ts: BIGINT` (nanos), the condition is folded into a union of
+  * epoch-day ranges (conjunction = range intersection, disjunction =
+  * range union) and mirrored as a predicate on `day`, injected as a new
+  * Filter directly above the relation. FileSourceStrategy then splits
+  * that conjunct out as a partition-key filter and prunes at FILE
+  * LISTING time, before any IO.
+  *
+  * Predicate shapes recognized (r12 widened these to what dashboards
+  * actually emit — the reference's own date_bin/TSBS idiom,
+  * tsbench/avg_daily_driving_duration.slt):
+  *   - comparisons/equality on `ts` itself (BIGINT nanos);
+  *   - on the normalized µs view `timestamp_micros(ts div 1000)`;
+  *   - on `date_trunc(unit, µs-view)` for microsecond..year units and
+  *     on `CAST(µs-view AS DATE)`, in UTC sessions;
+  *   - `IN`-lists / `InSet`s of literals over any of those;
+  *   - arbitrary AND/OR nesting of the above (per-disjunct ranges are
+  *     unioned, then coalesced; >32 surviving ranges collapse to their
+  *     hull so plan size stays bounded).
+  *
+  * Every derived bound is a SUPERSET of the data bound — rows are never
+  * lost, only cold files skipped: day arithmetic is Math.floorDiv on the
+  * ns value (the exact inverse of the lake writers' floor-day partition
+  * expression, [[graft.Tables.dayOfNsSql]], including pre-1970 negative
+  * instants — ADVICE r11), the µs view's truncation-toward-zero is
+  * widened by <1 µs only where it disagrees with floor (the negative
+  * domain), and unaligned date_trunc literals widen to the enclosing
+  * unit. A derived contradiction (disjoint ranges) injects nothing
+  * rather than an always-false filter, so an arithmetic corner can only
+  * cost pruning, never rows.
   *
   * Registered through `spark.experimental.extraOptimizations` (installed
   * by [[graft.Tables]] on first events read — the per-session form) and
@@ -42,6 +61,9 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   */
 object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
   private val NsPerDay = graft.Tables.NsPerDay
+  private val UsPerDay = 86400000000L
+  private val MaxUs = (Long.MaxValue - 999L) / 1000L // µs whose ns image fits a Long
+  private val MaxRanges = 32
 
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(this))
@@ -60,9 +82,9 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
         Filter(cond, Project(list, Filter(p, lr)))).getOrElse(f)
   }
 
-  /** The day-bound predicate implied by `cond`, if any conjunct bounds
-    * the relation's ns event-time column and `cond` does not already
-    * constrain the partition column.
+  /** The day-bound predicate implied by `cond`, if it bounds the
+    * relation's ns event-time column and does not already constrain the
+    * partition column.
     */
   private def derive(cond: Expression, lr: LogicalRelation): Option[Expression] = {
     for {
@@ -70,7 +92,8 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
       if !cond.references.contains(day)
       ts <- lr.output.find(a =>
         a.name == "ts" && a.dataType == LongType && a.exprId != day.exprId)
-      pred <- dayBoundsPredicate(cond, ts, day)
+      ranges <- dayRanges(cond, ts)
+      pred <- emit(ranges, day)
     } yield pred
   }
 
@@ -82,69 +105,285 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** ns value of a literal compared against the event-time column, for
-    * the two shapes predicate pushdown produces at the scan:
-    *   - `ts` itself (BIGINT nanos) vs a LONG literal;
-    *   - `timestamp_micros(ts div 1000)` (the normalized µs view, its
-    *     alias substituted by PushDownPredicates) vs a TIMESTAMP literal.
+  // ---------------------------------------------------------------- //
+  // Interval algebra: a condition folds to a union of inclusive       //
+  // epoch-day ranges (None end = unbounded); None overall = the       //
+  // condition does not constrain event time.                          //
+  // ---------------------------------------------------------------- //
+
+  private type DayRange = (Option[Long], Option[Long])
+
+  private def dayRanges(cond: Expression, ts: Attribute): Option[Seq[DayRange]] =
+    cond match {
+      case And(l, r) => (dayRanges(l, ts), dayRanges(r, ts)) match {
+        case (Some(a), Some(b)) => Some(intersect(a, b))
+        case (a, b)             => a.orElse(b) // one side unconstrained: keep the other
+      }
+      case Or(l, r) => // prune only if EVERY disjunct is time-bounded
+        for { a <- dayRanges(l, ts); b <- dayRanges(r, ts) } yield a ++ b
+      case e => leaf(e, ts)
+    }
+
+  private def intersect(a: Seq[DayRange], b: Seq[DayRange]): Seq[DayRange] = {
+    def maxOpt(x: Option[Long], y: Option[Long]): Option[Long] =
+      (x.toSeq ++ y.toSeq).reduceOption(_ max _)
+    def minOpt(x: Option[Long], y: Option[Long]): Option[Long] =
+      (x.toSeq ++ y.toSeq).reduceOption(_ min _)
+    for {
+      (l1, h1) <- a; (l2, h2) <- b
+      lo = maxOpt(l1, l2)
+      hi = minOpt(h1, h2)
+      if !lo.exists(l => hi.exists(_ < l)) // drop empty intersections
+    } yield (lo, hi)
+  }
+
+  /** One comparison/equality/IN leaf → its day-range union, if the leaf
+    * compares a recognized time view of `ts` against literal(s).
     */
-  private def litNs(side: Expression, l: Literal, ts: Attribute): Option[Long] =
-    side match {
-      case a: Attribute
-          if a.semanticEquals(ts) && l.dataType == LongType && l.value != null =>
-        Some(l.value.asInstanceOf[Long])
-      case m: MicrosToTimestamp
-          if (l.dataType == TimestampType || l.dataType == TimestampNTZType) &&
-            l.value != null =>
-        m.child match {
-          case d: IntegralDivide =>
-            val divBy1000 = d.right match {
-              case Literal(v: Long, LongType)   => v == 1000L
-              case Literal(v: Int, IntegerType) => v == 1000
-              case _                            => false
-            }
-            d.left match {
-              case a: Attribute if divBy1000 && a.semanticEquals(ts) =>
-                // a µs literal past ±year 292471 would overflow the ns
-                // domain — no admissible bound, never a planning crash
-                val us = l.value.asInstanceOf[Long]
-                if (math.abs(us) <= Long.MaxValue / 1000L) Some(us * 1000L) else None
-              case _ => None
-            }
+  private def leaf(e: Expression, ts: Attribute): Option[Seq[DayRange]] = e match {
+    case GreaterThanOrEqual(v, l: Literal) => lower(v, l, ts, strict = false)
+    case GreaterThan(v, l: Literal)        => lower(v, l, ts, strict = true)
+    case LessThanOrEqual(v, l: Literal)    => upper(v, l, ts, strict = false)
+    case LessThan(v, l: Literal)           => upper(v, l, ts, strict = true)
+    case EqualTo(v, l: Literal)            => equal(v, l, ts)
+    case EqualNullSafe(v, l: Literal)      => equal(v, l, ts)
+    // literal-on-the-left mirror images
+    case GreaterThanOrEqual(l: Literal, v) => upper(v, l, ts, strict = false)
+    case GreaterThan(l: Literal, v)        => upper(v, l, ts, strict = true)
+    case LessThanOrEqual(l: Literal, v)    => lower(v, l, ts, strict = false)
+    case LessThan(l: Literal, v)           => lower(v, l, ts, strict = true)
+    case EqualTo(l: Literal, v)            => equal(v, l, ts)
+    case EqualNullSafe(l: Literal, v)      => equal(v, l, ts)
+    case In(v, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+      inList(v, list.map(_.asInstanceOf[Literal]), ts)
+    case InSet(v, hset) if hset.nonEmpty =>
+      inList(v, hset.toSeq.map(Literal(_, v.dataType)), ts)
+    case _ => None
+  }
+
+  private def lower(v: Expression, l: Literal, ts: Attribute,
+                    strict: Boolean): Option[Seq[DayRange]] =
+    nsInterval(v, l, ts).map { case (lo, hi, _) =>
+      // Smallest matching instant. `>=`: the interval start (safe for
+      // widened intervals too — lo ≤ the true start). `>`: one past the
+      // interval END — exact for every view, INCLUDING unaligned
+      // date_trunc, where `trunc(v) > L ⟺ µs-view ≥ nextUnit` and
+      // usEqHi(nextUnit-1)+1 == usEqLo(nextUnit) on both sign domains.
+      val start = if (!strict) lo
+      else if (hi == Long.MaxValue) return Some(Seq.empty) // > max: no rows
+      else saturatingInc(hi)
+      Seq((Some(Math.floorDiv(start, NsPerDay)), None))
+    }
+
+  private def upper(v: Expression, l: Literal, ts: Attribute,
+                    strict: Boolean): Option[Seq[DayRange]] =
+    nsInterval(v, l, ts).map { case (lo, hi, exact) =>
+      // Largest matching instant. `<=`: the interval end (exact for
+      // unaligned date_trunc too: trunc(v) ≤ L ⟺ µs-view ≤ nextUnit-1).
+      // `<`: one before the interval START when the interval is the
+      // exact literal preimage; for a WIDENED interval (unaligned
+      // date_trunc literal) the whole enclosing unit still satisfies
+      // `trunc(v) < L`, so the end stays hi — dec(lo) there would drop
+      // matching rows, the one genuinely unsafe corner of this algebra.
+      val end = if (!strict) hi
+      else if (!exact) hi
+      else if (lo == Long.MinValue) return Some(Seq.empty) // < min: no rows
+      else saturatingDec(lo)
+      Seq((None, Some(Math.floorDiv(end, NsPerDay))))
+    }
+
+  private def equal(v: Expression, l: Literal, ts: Attribute): Option[Seq[DayRange]] =
+    nsInterval(v, l, ts).map { case (lo, hi, _) =>
+      Seq((Some(Math.floorDiv(lo, NsPerDay)), Some(Math.floorDiv(hi, NsPerDay))))
+    }
+
+  private def inList(v: Expression, lits: Seq[Literal],
+                     ts: Attribute): Option[Seq[DayRange]] = {
+    val intervals = lits.map(l => nsInterval(v, l, ts))
+    // all-or-nothing: one unsupported element leaves the list's row set
+    // unbounded by the elements we DID understand
+    if (intervals.exists(_.isEmpty)) None
+    else Some(intervals.flatten.map { case (lo, hi, _) =>
+      (Some(Math.floorDiv(lo, NsPerDay)), Some(Math.floorDiv(hi, NsPerDay)))
+    })
+  }
+
+  private def saturatingInc(x: Long): Long = if (x == Long.MaxValue) x else x + 1
+  private def saturatingDec(x: Long): Long = if (x == Long.MinValue) x else x - 1
+
+  // ---------------------------------------------------------------- //
+  // Per-view ns intervals: (lo, hi, exact) where [lo, hi] = every      //
+  // instant (ns) whose view value compares EQUAL to the literal, and   //
+  // exact=false marks a widened superset (an unaligned date_trunc      //
+  // literal, whose true preimage is empty within the enclosing unit).  //
+  // ---------------------------------------------------------------- //
+
+  /** The exact ns preimage of one µs-view value: `ts div 1000` truncates
+    * toward zero, so 0 µs renders ts ∈ [-999, 999] and negative values
+    * sit LEFT of their positive-domain mirror (ADVICE r11's negative-
+    * domain inversion bug, fixed by casing on sign).
+    */
+  private def usEqLo(us: Long): Long = if (us <= 0) us * 1000L - 999L else us * 1000L
+  private def usEqHi(us: Long): Long = if (us >= 0) us * 1000L + 999L else us * 1000L
+
+  private def nsInterval(v: Expression, l: Literal,
+                         ts: Attribute): Option[(Long, Long, Boolean)] =
+    if (l.value == null) None
+    else v match {
+      // `ts` itself: BIGINT nanos vs a LONG literal — exact
+      case a: Attribute if a.semanticEquals(ts) && l.dataType == LongType =>
+        Some((l.value.asInstanceOf[Long], l.value.asInstanceOf[Long], true))
+      // the normalized µs view vs a TIMESTAMP literal
+      case UsView(a) if a.semanticEquals(ts) && isTimestamp(l.dataType) =>
+        val us = l.value.asInstanceOf[Long]
+        if (math.abs(us) > MaxUs) None
+        else Some((usEqLo(us), usEqHi(us), true))
+      // date_trunc(unit, µs-view) vs a TIMESTAMP literal, UTC session
+      case TruncTimestamp(fmt: Literal, UsView(a), tz)
+          if a.semanticEquals(ts) && fmt.dataType == StringType &&
+            fmt.value != null && isTimestamp(l.dataType) && utcLike(tz) =>
+        val us = l.value.asInstanceOf[Long]
+        if (math.abs(us) > MaxUs) None
+        else for {
+          f <- floorUnit(us, fmt.value.toString)
+          n <- nextUnit(f, fmt.value.toString)
+          if math.abs(f) <= MaxUs && math.abs(n - 1) <= MaxUs
+        } yield (usEqLo(f), usEqHi(n - 1), f == us)
+      // CAST(µs-view AS DATE) vs a DATE literal, UTC session
+      case c: Cast
+          if c.dataType == DateType &&
+            UsView.unapply(c.child).exists(_.semanticEquals(ts)) &&
+            l.dataType == DateType && utcLike(c.timeZoneId) =>
+        val d = l.value.asInstanceOf[Int].toLong
+        if (math.abs(d) + 1 > MaxUs / UsPerDay) None
+        else Some((usEqLo(d * UsPerDay), usEqHi((d + 1) * UsPerDay - 1), true))
+      case _ => None
+    }
+
+  private def isTimestamp(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  /** `timestamp_micros(ts div 1000)` over the relation's ns column — the
+    * shape predicate pushdown leaves after substituting the normalized
+    * view's alias.
+    */
+  private object UsView {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case MicrosToTimestamp(d: IntegralDivide) =>
+        val by1000 = d.right match {
+          case Literal(v: Long, LongType)   => v == 1000L
+          case Literal(v: Int, IntegerType) => v == 1000
+          case _                            => false
+        }
+        d.left match {
+          case a: Attribute if by1000 && a.dataType == LongType => Some(a)
           case _ => None
         }
       case _ => None
     }
+  }
 
-  private def dayBoundsPredicate(cond: Expression, ts: Attribute,
-                                 day: Attribute): Option[Expression] = {
-    var lo: Option[Long] = None // epoch-day lower bound
-    var hi: Option[Long] = None
-    def addLo(d: Long): Unit = lo = Some(lo.fold(d)(math.max(_, d)))
-    def addHi(d: Long): Unit = hi = Some(hi.fold(d)(math.min(_, d)))
-    def epochDay(ns: Long): Long = Math.floorDiv(ns, NsPerDay)
-    splitConjunctivePredicates(cond).foreach {
-      case GreaterThanOrEqual(e, l: Literal) => litNs(e, l, ts).foreach(n => addLo(epochDay(n)))
-      case GreaterThan(e, l: Literal)        => litNs(e, l, ts).foreach(n => addLo(epochDay(n)))
-      case LessThanOrEqual(e, l: Literal)    => litNs(e, l, ts).foreach(n => addHi(epochDay(n)))
-      // strict upper: the largest admissible instant is one granule
-      // below the literal, which matters exactly at a day boundary
-      case LessThan(e, l: Literal)           => litNs(e, l, ts).foreach(n => addHi(epochDay(n - 1)))
-      case EqualTo(e, l: Literal)            => litNs(e, l, ts).foreach { n => addLo(epochDay(n)); addHi(epochDay(n)) }
-      // literal-on-the-left mirror images
-      case GreaterThanOrEqual(l: Literal, e) => litNs(e, l, ts).foreach(n => addHi(epochDay(n)))
-      case GreaterThan(l: Literal, e)        => litNs(e, l, ts).foreach(n => addHi(epochDay(n - 1)))
-      case LessThanOrEqual(l: Literal, e)    => litNs(e, l, ts).foreach(n => addLo(epochDay(n)))
-      case LessThan(l: Literal, e)           => litNs(e, l, ts).foreach(n => addLo(epochDay(n)))
-      case EqualTo(l: Literal, e)            => litNs(e, l, ts).foreach { n => addLo(epochDay(n)); addHi(epochDay(n)) }
-      case _                                 => ()
+  /** True when the expression's resolved time zone is a fixed zero
+    * offset (UTC/GMT/Z/Etc-UTC) — date_trunc and cast-to-date move day
+    * boundaries under any other zone, so we derive nothing there.
+    */
+  private def utcLike(tz: Option[String]): Boolean = tz.forall { id =>
+    try {
+      val rules = java.time.ZoneId.of(id).getRules
+      rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+    } catch { case _: Exception => false }
+  }
+
+  // ---- date_trunc unit arithmetic (µs, UTC, proleptic Gregorian) ---- //
+
+  private def fixedGranuleUs(unit: String): Option[Long] = unit match {
+    case "microsecond" => Some(1L)
+    case "millisecond" => Some(1000L)
+    case "second"      => Some(1000000L)
+    case "minute"      => Some(60000000L)
+    case "hour"        => Some(3600000000L)
+    case "day" | "dd"  => Some(UsPerDay)
+    case _             => None
+  }
+
+  private def floorUnit(us: Long, rawUnit: String): Option[Long] = {
+    val unit = rawUnit.toLowerCase(java.util.Locale.ROOT)
+    fixedGranuleUs(unit) match {
+      case Some(g) => Some(us - Math.floorMod(us, g))
+      case None => unit match {
+        case "week" => // ISO Monday start; epoch day -3 (1969-12-29) was a Monday
+          val day = Math.floorDiv(us, UsPerDay)
+          Some((day - Math.floorMod(day + 3, 7)) * UsPerDay)
+        case "month" | "mon" | "mm" => calFloor(us)(_.withDayOfMonth(1))
+        case "quarter" => calFloor(us)(d =>
+          d.withDayOfMonth(1).withMonth(((d.getMonthValue - 1) / 3) * 3 + 1))
+        case "year" | "yyyy" | "yy" => calFloor(us)(_.withDayOfYear(1))
+        case _ => None // decade/century/era: not derived, never wrong
+      }
     }
+  }
+
+  private def nextUnit(floorUs: Long, rawUnit: String): Option[Long] = {
+    val unit = rawUnit.toLowerCase(java.util.Locale.ROOT)
+    fixedGranuleUs(unit) match {
+      case Some(g) => try Some(Math.addExact(floorUs, g)) catch { case _: ArithmeticException => None }
+      case None => unit match {
+        case "week" => try Some(Math.addExact(floorUs, 7 * UsPerDay)) catch { case _: ArithmeticException => None }
+        case "month" | "mon" | "mm"  => calShift(floorUs)(_.plusMonths(1))
+        case "quarter"               => calShift(floorUs)(_.plusMonths(3))
+        case "year" | "yyyy" | "yy"  => calShift(floorUs)(_.plusYears(1))
+        case _ => None
+      }
+    }
+  }
+
+  private def calFloor(us: Long)(f: java.time.LocalDate => java.time.LocalDate): Option[Long] =
+    try {
+      val day = Math.floorDiv(us, UsPerDay)
+      Some(Math.multiplyExact(f(java.time.LocalDate.ofEpochDay(day)).toEpochDay, UsPerDay))
+    } catch { case _: Exception => None }
+
+  private def calShift(us: Long)(f: java.time.LocalDate => java.time.LocalDate): Option[Long] =
+    calFloor(us)(f) // floorUs is day-aligned already; shift then re-scale
+
+  // ---------------------------------------------------------------- //
+  // Emission: coalesce the union, then build the day predicate.       //
+  // ---------------------------------------------------------------- //
+
+  private def emit(ranges: Seq[DayRange], day: Attribute): Option[Expression] = {
+    // a derived contradiction (no range can match) means the ORIGINAL
+    // predicate is unsatisfiable if our algebra is exact — but it is
+    // deliberately a superset in places, so inject nothing and let the
+    // data filter answer; pruning-only, never row-dropping
+    if (ranges.isEmpty) return None
+    if (ranges.exists { case (None, None) => true; case _ => false }) return None
+    val closed = ranges.map { case (lo, hi) =>
+      (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+    }.sortBy(_._1)
+    val merged = closed.tail.foldLeft(Vector(closed.head)) { case (acc, (lo, hi)) =>
+      val (plo, phi) = acc.last
+      if (lo <= saturatingInc(phi)) acc.init :+ (plo, math.max(phi, hi))
+      else acc :+ (lo, hi)
+    }
+    val capped =
+      if (merged.size <= MaxRanges) merged
+      else Vector((merged.head._1, merged.last._2)) // hull: bounded plan size
     def dayLit(d: Long): Literal = {
-      val clamped = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, d)).toInt
-      Literal(clamped, DateType)
+      val c = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, d)).toInt
+      Literal(c, DateType)
     }
-    val preds = lo.map(d => GreaterThanOrEqual(day, dayLit(d)): Expression).toSeq ++
-      hi.map(d => LessThanOrEqual(day, dayLit(d)): Expression)
-    preds.reduceOption(And)
+    if (capped.forall { case (lo, hi) => lo == hi } && capped.size > 1)
+      Some(In(day, capped.map(r => dayLit(r._1))))
+    else {
+      val preds = capped.map { case (lo, hi) =>
+        if (lo == hi) EqualTo(day, dayLit(lo))
+        else if (lo == Long.MinValue && hi == Long.MaxValue) return None
+        else if (lo == Long.MinValue) LessThanOrEqual(day, dayLit(hi))
+        else if (hi == Long.MaxValue) GreaterThanOrEqual(day, dayLit(lo))
+        else And(GreaterThanOrEqual(day, dayLit(lo)), LessThanOrEqual(day, dayLit(hi)))
+      }
+      preds.reduceOption[Expression](Or)
+    }
   }
 }

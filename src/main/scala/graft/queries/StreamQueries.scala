@@ -140,21 +140,27 @@ object StreamQueries {
       Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 1000L))
     }
   }
-  // staged once per (lane key, lake content fingerprint) — a regenerated
-  // lake at the same path restages instead of replaying stale files
-  // (ADVICE r10); both table files ride the fingerprint because the key
-  // strings embed only the lake DIR, not which table the lane stages
-  private def stageDir(key: String, write: java.nio.file.Path => Unit): String = {
-    val lakeDir = key.split('/').dropRight(1).mkString("/")
+  // staged once per (lake dir, lane, lake content fingerprint) — a
+  // regenerated lake at the same path restages instead of replaying
+  // stale files (ADVICE r10); both table files ride the fingerprint
+  // because the lane name says WHICH frame is staged, not which tables
+  // feed it. The lake dir is an explicit parameter (ADVICE r11) — it is
+  // never parsed back out of the lane key — and at least one source
+  // table must exist, so a typo'd dir fails loudly here instead of
+  // staging an unfingerprinted layout that silently replays stale files.
+  private def stageDir(lakeDir: String, lane: String,
+                       write: java.nio.file.Path => Unit): String = {
     val srcs = Seq(s"$lakeDir/events.parquet", s"$lakeDir/documents.parquet")
       .filter(p => Files.exists(Paths.get(p)))
-    graft.Lake.staged(s"stream|$key|$StageFiles", srcs) { dir =>
+    require(srcs.nonEmpty,
+      s"stream staging found neither events.parquet nor documents.parquet under $lakeDir")
+    graft.Lake.staged(s"stream|$lakeDir/$lane|$StageFiles", srcs) { dir =>
       write(dir); pinMtimes(dir)
     }
   }
   private def staged(s: SparkSession, df: DataFrame, orderCol: String,
-                     key: String): DataFrame = {
-    val root = stageDir(key, dir =>
+                     lakeDir: String, lane: String): DataFrame = {
+    val root = stageDir(lakeDir, lane, dir =>
       df.repartitionByRange(StageFiles, col(orderCol))
         .write.mode("overwrite").parquet(dir.toString))
     val schema = s.read.parquet(root).schema
@@ -173,8 +179,8 @@ object StreamQueries {
     * files keep event-time range order.
     */
   private def stagedText(s: SparkSession, lines: DataFrame, orderCol: String,
-                         key: String): DataFrame = {
-    val root = stageDir(key, dir =>
+                         lakeDir: String, lane: String): DataFrame = {
+    val root = stageDir(lakeDir, lane, dir =>
       lines.repartitionByRange(StageFiles, col(orderCol))
         .select("line").write.mode("overwrite").text(dir.toString))
     s.readStream
@@ -190,7 +196,7 @@ object StreamQueries {
     * from a pre-normalization round must not be reused.)
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame =
-    staged(s, Tables.eventsNanos(s, dir), "ts", s"$dir/events_by_ts_ns")
+    staged(s, Tables.eventsNanos(s, dir), "ts", dir, "events_by_ts_ns")
 
   /** The stateful-lane equivalence precondition, asserted loudly: per
     * (event_type, µs-timestamp) keys must be unique, else
@@ -332,7 +338,7 @@ object StreamQueries {
         format_string("events,event_type=%s value=%s %s",
           tagEsc, safeValue, col("ts_ns")).as("line"),
         expr("ts_ns div 1000").as("__ord"))
-      val raw = stagedText(s, linesB, "__ord", s"$dir/lp_text_by_ts")
+      val raw = stagedText(s, linesB, "__ord", dir, "lp_text_by_ts")
       val evs = LineProtocol.parse(raw.as[String])
         .select(timestamp_micros(expr("ts div 1000")).as("tstamp"),
           col("tags")("event_type").as("event_type"),
@@ -361,7 +367,7 @@ object StreamQueries {
       val docsB = s.read.parquet(s"$dir/documents.parquet").select(col("text"))
       val srcB = docsB.unionByName(docsB)
         .withColumn("tstamp", timestamp_seconds(pmod(xxhash64(col("text")), lit(86400L))))
-      val src = staged(s, srcB, "tstamp", s"$dir/dedup_by_tstamp")
+      val src = staged(s, srcB, "tstamp", dir, "dedup_by_tstamp")
       val out = StreamIngest.streamingExactDedup(src, "tstamp", "text", "10 minutes")
       replay(s, out, "stream_dedup_sink").select("text").orderBy("text")
     }),
@@ -583,7 +589,7 @@ object StreamQueries {
     "stream_neardup" -> ((s, dir) => {
       val docsB = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
-      val docs = staged(s, docsB, "doc_id", s"$dir/docs_by_id")
+      val docs = staged(s, docsB, "doc_id", dir, "docs_by_id")
       val out = StreamIngest.streamingNearDupFlags(docs, "doc_id", "text")
       replay(s, out.toDF(), "stream_neardup_sink")
         .select(col("doc_id"), col("band").cast("long").as("band"),
@@ -613,7 +619,7 @@ object StreamQueries {
       // triggering on window close.
       val srcB = Tables.eventsNanos(s, dir)
         .withColumn("__bucket", expr(s"(ts div 1000) div $BucketUs"))
-      val pts = staged(s, srcB, "__bucket", s"$dir/events_by_bucket_ns")
+      val pts = staged(s, srcB, "__bucket", dir, "events_by_bucket_ns")
         .filter(col("user_id") < 30)
         .select(xxhash64(col("event_type")).as("series"),
           expr("ts div 1000").as("ts_us"), col("value"))
@@ -637,7 +643,7 @@ object StreamQueries {
       requireUniqueSeriesTs(s, dir)
       val srcB = Tables.eventsNanos(s, dir)
         .withColumn("__bucket", expr(s"(ts div 1000) div $BucketUs"))
-      val pts = staged(s, srcB, "__bucket", s"$dir/events_by_bucket_ns")
+      val pts = staged(s, srcB, "__bucket", dir, "events_by_bucket_ns")
         .filter(col("user_id") < 30)
         .select(xxhash64(col("event_type")).as("series"),
           expr("ts div 1000").as("ts_us"), col("value"))
@@ -666,8 +672,11 @@ object StreamQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", ReplayParts.toString)
-        val src = eventsStream(s, dir).withColumn("day", expr(
-          s"date_add(DATE '1970-01-01', CAST(ts div ${graft.Tables.NsPerDay} AS INT))"))
+        // floor-day arithmetic shared with the batch lake writer, so the
+        // pruning rule's Math.floorDiv inverts BOTH layouts exactly —
+        // including pre-epoch instants (ADVICE r11)
+        val src = eventsStream(s, dir)
+          .withColumn("day", expr(graft.Tables.dayOfNsSql("ts")))
         val q0 = src.writeStream.format("parquet")
           .option("path", s"$root/data")
           .option("checkpointLocation", s"$root/ckpt")

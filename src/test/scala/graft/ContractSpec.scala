@@ -240,11 +240,6 @@ class ContractSpec extends AnyFunSuite {
     val pruned = queries.LakeContract.queries("ts_partition_prune")(spark, sf)
     val prunedScan = scanOf(pruned)
     assert(prunedScan.selectedPartitions.partitionCount == 1)
-    // the range writer keeps a day in at most two adjacent range
-    // partitions, so one day dir holds 1–2 files
-    val nFiles = prunedScan.selectedPartitions.totalNumberOfFiles
-    assert(nFiles >= 1L && nFiles <= 2L,
-      s"expected 1-2 files for one day, listed $nFiles")
     // partition filter must be in the scan node (pruning at LISTING
     // time), not a post-scan Filter
     assert(prunedScan.partitionFilters.nonEmpty, "day predicate must be a PartitionFilter")
@@ -256,6 +251,15 @@ class ContractSpec extends AnyFunSuite {
     assert(nDays > 1 && allScan.selectedPartitions.partitionCount == nDays,
       s"unfiltered scan must list all $nDays days, listed " +
         s"${allScan.selectedPartitions.partitionCount}")
+    // One day's files must be a small share of the lake's, bounded by
+    // the per-day average plus range-boundary slack — NOT a hard-coded
+    // 1–2 (ADVICE r11): repartitionByRange(width, day, ts) deliberately
+    // lets a large day span many range partitions, so on a wider box a
+    // healthy layout legitimately writes more files per day.
+    val nFiles = prunedScan.selectedPartitions.totalNumberOfFiles
+    val totalFiles = allScan.selectedPartitions.totalNumberOfFiles
+    assert(nFiles >= 1L && nFiles <= totalFiles / nDays + 2,
+      s"one day listed $nFiles of $totalFiles files across $nDays days")
   }
 
   test("hidden pruning: ts predicates derive day filters; removing the rule restores the full listing") {
@@ -315,6 +319,139 @@ class ContractSpec extends AnyFunSuite {
     // require throws unless pruned == 1)
     val lane = queries.LakeContract.queries("ts_prune_hidden")(spark, sf)
     assert(lane.count() > 0)
+  }
+
+  private def scanOfPlan(df: org.apache.spark.sql.DataFrame) = {
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    phys.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+  }
+
+  /** Partitions listed + rule-on/rule-off row-count agreement: the
+    * derived day bound must prune the listing to `wantParts` AND lose
+    * zero rows vs the same filter with the rule excluded.
+    */
+  private def assertPrunes(mk: => org.apache.spark.sql.DataFrame,
+                           wantParts: Int, clue: String): Unit = {
+    val scan = scanOfPlan(mk)
+    assert(scan.selectedPartitions.partitionCount == wantParts,
+      s"$clue: listed ${scan.selectedPartitions.partitionCount}, want $wantParts")
+    assert(scan.partitionFilters.nonEmpty,
+      s"$clue: derived bound must be a PartitionFilter")
+    val withRule = mk.count()
+    val excludedKey = "spark.sql.optimizer.excludedRules"
+    val savedExcluded = spark.conf.getOption(excludedKey)
+    val savedExtra = spark.experimental.extraOptimizations
+    val withoutRule = try {
+      spark.experimental.extraOptimizations =
+        savedExtra.filterNot(_ eq plans.EventTimeDayPruning)
+      spark.conf.set(excludedKey,
+        (savedExcluded.toSeq :+ plans.EventTimeDayPruning.ruleName).mkString(","))
+      mk.count()
+    } finally {
+      spark.experimental.extraOptimizations = savedExtra
+      savedExcluded.fold(spark.conf.unset(excludedKey))(v => spark.conf.set(excludedKey, v))
+    }
+    assert(withRule == withoutRule,
+      s"$clue: pruning changed the answer — $withRule rows with rule, $withoutRule without")
+  }
+
+  test("hidden pruning handles dashboard shapes: date_trunc, cast-to-date, IN-lists, OR ranges") {
+    val days = Tables.eventsLakeDays(spark, sf)
+    assert(days.size > 3)
+    val (d1, d3) = (days(1), days(3))
+    // date_trunc('day', ts) = TIMESTAMP — the reference's date_bin/TSBS
+    // dashboard idiom (tsbench/avg_daily_driving_duration.slt)
+    assertPrunes(
+      Tables.events(spark, sf)
+        .filter(expr(s"date_trunc('day', ts) = TIMESTAMP '$d1 00:00:00'"))
+        .groupBy("event_type").count(),
+      1, "date_trunc equality")
+    // CAST(ts AS DATE) = DATE
+    assertPrunes(
+      Tables.events(spark, sf)
+        .filter(expr(s"CAST(ts AS DATE) = DATE '$d3'"))
+        .groupBy("event_type").count(),
+      1, "cast-to-date equality")
+    // IN-list of day-aligned date_trunc literals → day IN (…)
+    assertPrunes(
+      Tables.events(spark, sf)
+        .filter(expr(
+          s"date_trunc('day', ts) IN (TIMESTAMP '$d1 00:00:00', TIMESTAMP '$d3 00:00:00')"))
+        .groupBy("event_type").count(),
+      2, "date_trunc IN-list")
+    // OR of two disjoint ns ranges → union of day ranges
+    val lo1 = java.time.LocalDate.parse(d1).toEpochDay * Tables.NsPerDay
+    val lo3 = java.time.LocalDate.parse(d3).toEpochDay * Tables.NsPerDay
+    assertPrunes(
+      Tables.events(spark, sf)
+        .filter((col("ts_ns") >= lo1 && col("ts_ns") < lo1 + Tables.NsPerDay) ||
+          (col("ts_ns") >= lo3 && col("ts_ns") < lo3 + Tables.NsPerDay))
+        .groupBy("event_type").count(),
+      2, "OR'd ns ranges")
+    // date_trunc bounds (range, not equality)
+    assertPrunes(
+      Tables.events(spark, sf)
+        .filter(expr(s"date_trunc('day', ts) >= TIMESTAMP '$d1 00:00:00' AND " +
+          s"date_trunc('day', ts) <= TIMESTAMP '$d3 00:00:00'"))
+        .groupBy("event_type").count(),
+      3, "date_trunc range")
+    // UNALIGNED literal safety: trunc(v) <= 'd1 12:00' keeps all of d1
+    // (every row on d1 truncates to d1 00:00 <= d1 12:00); the derived
+    // bound must widen to the day end, never clip at noon
+    assertPrunes(
+      Tables.events(spark, sf)
+        .filter(expr(s"date_trunc('day', ts) <= TIMESTAMP '$d1 12:00:00' AND " +
+          s"date_trunc('day', ts) >= TIMESTAMP '$d1 00:00:00'"))
+        .groupBy("event_type").count(),
+      1, "unaligned upper bound")
+    // a non-time disjunct defeats pruning (the safe refusal): no derived
+    // filter, every day listed
+    val q = Tables.events(spark, sf)
+      .filter(expr(s"date_trunc('day', ts) = TIMESTAMP '$d1 00:00:00'") ||
+        col("event_type") === "click")
+      .groupBy("event_type").count()
+    assert(scanOfPlan(q).selectedPartitions.partitionCount == days.size,
+      "an OR with a non-time disjunct must not prune")
+  }
+
+  test("pre-epoch timestamps: writer and rule agree on floor-day semantics") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_preepoch").toString
+    val N = Tables.NsPerDay
+    // straddle the epoch: days 1969-12-30, 1969-12-31, 1970-01-01, 1970-01-02
+    val rows = Seq(-N - 1L, -N, -1L, 0L, 1L, N, N + 5L).zipWithIndex.map {
+      case (ts, i) => (i.toLong, ts, i.toLong % 3, s"t${i % 2}", 1.0 + i, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    // writer: FLOOR day — ts=-1ns lands in day=1969-12-31, ts=-N-1 in
+    // 1969-12-30 (truncating div would put them in 1970-01-01 and
+    // 1969-12-31 and the rule's floor bounds would prune them away —
+    // the ADVICE r11 row-loss scenario)
+    val lakeDays = Tables.eventsLakeDays(spark, d)
+    assert(lakeDays == Seq("1969-12-30", "1969-12-31", "1970-01-01", "1970-01-02"),
+      lakeDays.mkString(","))
+    // ns bounds across the epoch: 3 pre-epoch rows, listed from 2 days
+    assertPrunes(Tables.events(spark, d).filter(col("ts_ns") <= -1L)
+      .groupBy("event_type").count(), 2, "pre-epoch ns upper bound")
+    assert(Tables.events(spark, d).filter(col("ts_ns") <= -1L).count() == 3)
+    // the exact ADVICE case: ts_ns <= -NsPerDay-1 must keep its row
+    assert(Tables.events(spark, d).filter(col("ts_ns") <= -N - 1).count() == 1)
+    assertPrunes(Tables.events(spark, d).filter(col("ts_ns") <= -N - 1)
+      .groupBy("event_type").count(), 1, "pre-epoch single-day bound")
+    // µs-view: ts=-1ns renders AT the epoch (truncation toward zero), so
+    // a strict pre-epoch bound matches only the two full-day-old rows
+    assert(Tables.events(spark, d)
+      .filter(col("ts") < expr("TIMESTAMP '1970-01-01 00:00:00'")).count() == 2)
+    assertPrunes(Tables.events(spark, d)
+      .filter(col("ts") < expr("TIMESTAMP '1970-01-01 00:00:00'"))
+      .groupBy("event_type").count(), 2, "pre-epoch µs-view bound")
   }
 
   test("lake contract names the drifted column with expected vs found types") {

@@ -90,4 +90,42 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
       expr("INTERVAL 10 DAY")).count()
     assert(kept == 2) // 01-10 is exactly the boundary → kept
   }
+
+  test("expireDays drops whole expired day dirs, rewrites only the straddling day") {
+    import spark.implicits._
+    val N = graft.Tables.NsPerDay
+    // 4 days × 3 rows at 06:00/12:00/18:00
+    def mkLake(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_ttl_spec").toString
+      (0L until 4L).flatMap(d => Seq(6L, 12L, 18L).map(h => (d, d * N + h * 3600L * 1000000000L)))
+        .toDF("d", "ts")
+        .withColumn("day", expr(graft.Tables.dayOfNsSql("ts"))).drop("d")
+        .repartition(1)
+        .write.partitionBy("day").mode("overwrite").parquet(root)
+      root
+    }
+    def days(root: String) = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("day=")).map(_.getName).sorted.toSeq
+
+    // mid-day cutoff: day 1 noon → day 0 dropped whole, day 1 rewritten
+    // keeping 12:00 (>= boundary) and 18:00, days 2-3 untouched
+    val lake1 = mkLake()
+    val s1 = Dml.expireDays(spark, lake1, N + 12L * 3600L * 1000000000L)
+    assert(s1 == Dml.ExpireStats(1, true, 2L), s1.toString)
+    assert(days(lake1) == Seq("day=1970-01-02", "day=1970-01-03", "day=1970-01-04"))
+    assert(spark.read.parquet(lake1).count() == 8) // 2 boundary + 2×3 later days
+
+    // day-aligned cutoff: pure directory drops, NO rewrite at all
+    val lake2 = mkLake()
+    val s2 = Dml.expireDays(spark, lake2, 2L * N)
+    assert(s2 == Dml.ExpireStats(2, false, 0L), s2.toString)
+    assert(days(lake2) == Seq("day=1970-01-03", "day=1970-01-04"))
+    assert(spark.read.parquet(lake2).count() == 6)
+
+    // cutoff before the lake: nothing dropped, nothing rewritten
+    val lake3 = mkLake()
+    val s3 = Dml.expireDays(spark, lake3, -5L * N)
+    assert(s3 == Dml.ExpireStats(0, false, 0L), s3.toString)
+    assert(spark.read.parquet(lake3).count() == 12)
+  }
 }
