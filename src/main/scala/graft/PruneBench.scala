@@ -87,12 +87,41 @@ object PruneBench {
       requirePushed = false)
     val shuffledRows = queries.LakeContract.scanOutputRows(spark,
       oneDay(shuffledView).select("event_type"), requirePushed = false)
+    // multi-day windows (VERDICT r11 #7): a K-day range query must list
+    // exactly K partitions and read rows ∝ K — "a range query costs its
+    // range", the contract a time-series user actually relies on. K is
+    // clamped to the lake's span so the 30-day driver lake still
+    // reports K=1/7/30 (the last = everything present).
+    def kDay(df: DataFrame, k: Int): DataFrame = df
+      .filter(col("ts") >= expr(s"TIMESTAMP '$d1 00:00:00'") &&
+        col("ts") < expr(s"TIMESTAMP '${d1.plusDays(k)} 00:00:00'"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
+    val kWindows = Seq(1, 7, 30).filter(_ <= days.size - 1).map { k =>
+      val expected = days.count(d => d >= d1.toString && d < d1.plusDays(k).toString)
+      val (kScanned, kFiles) = queries.LakeContract.scannedPartitions(
+        kDay(Tables.events(spark, sfDir), k))
+      require(kScanned == expected,
+        s"K=$k window scanned $kScanned partitions, expected $expected")
+      val kRows = queries.LakeContract.scanOutputRows(spark,
+        kDay(Tables.events(spark, sfDir), k).select("event_type"),
+        requirePushed = false)
+      val kSec = run(kDay(Tables.events(spark, sfDir), k))
+      (k, kScanned, kFiles, kRows, kSec)
+    }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val kJson = kWindows.map { case (k, ks, kf, kr, sec) =>
+      s"""{"k":$k,"scanned_partitions":$ks,"scanned_files":$kf,""" +
+        s""""scan_rows":$kr,"warm_sec":${fmt(sec)}}"""
+    }.mkString("[", ",", "]")
     println(s"""{"lake":"$sfDir","days":${days.size},"scanned_partitions":$scanned,""" +
       s""""scanned_files":$files,"pruned_warm_sec":${fmt(pruned)},""" +
       s""""flat_tssorted_warm_sec":${fmt(flat)},""" +
       s""""flat_shuffled_warm_sec":${fmt(shuffled)},""" +
-      s""""pruned_scan_rows":$prunedRows,"flat_shuffled_scan_rows":$shuffledRows}""")
+      s""""pruned_scan_rows":$prunedRows,"flat_shuffled_scan_rows":$shuffledRows,""" +
+      s""""k_windows":$kJson}""")
     spark.stop()
   }
 }

@@ -336,61 +336,57 @@ object LakeContract {
     }),
 
     // Tag-dimension zone skipping (VERDICT r11 #3): the primary lake
-    // sorts day files by (event_type, ts) — tskv's series-key order —
-    // so at production row-group sizes a one-tag dashboard query reads
-    // only the tag's share of each day. A toy-scale day is ONE row
-    // group, so the witness stages the same rows twice at fine
-    // page/row-group granularity: clustered by the primary's
-    // (day, event_type, ts) rule, and time-only (day, ts) as control —
-    // then throws unless the one-type one-day scan over the clustered
+    // sorts each day file by (event_type, ts) — tskv's series-key order
+    // — so at production row-group sizes a one-tag dashboard query reads
+    // only the tag's share of each day's row groups. A toy-scale (day,
+    // tag) slice (~67 rows at sf0.01) is SMALLER than parquet's minimum
+    // row group, so the witness is a scale model of ONE day directory's
+    // INSIDE: the whole lake staged as one type-major file (exactly the
+    // ordering the primary rule writes within each day dir) with ~100-
+    // row groups, versus the same rows in time-only order as control.
+    // The lane throws unless the one-tag scan over the series-clustered
     // copy EMITTED at most half of what the control emitted AND at most
-    // half of the day's rows (the type is 1/5th of them). The aggregate
+    // 2× the tag's true row share (the factor covers boundary row-group
+    // quantization) — with parquet filters pushed, asserted from the
+    // scan's own numOutputRows metric. The per-day aggregate of the tag
     // is oracle-checked against the raw lake, so skipping provably
     // loses no rows.
     "ts_tag_zone_skip" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val fineOpts = Map("parquet.block.size" -> "1024",
-        "parquet.page.size" -> "1024", "parquet.page.row.count.limit" -> "32")
+      val fineOpts = Map("parquet.block.size" -> "1024")
       def cols(df: DataFrame) = df.select(col("ts").as("ts_ns"), col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-        expr(s"(ts - pmod(ts, ${Tables.NsPerDay})) div ${Tables.NsPerDay}").as("__day"))
-      val zRoot = graft.Lake.staged(s"tag_zone_lake|$dir", Seq(s"$dir/events.parquet")) { p =>
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val zRoot = graft.Lake.staged(s"tag_zone_lake_v2|$dir", Seq(s"$dir/events.parquet")) { p =>
         cols(Tables.eventsNanos(s, dir))
-          .repartitionByRange(4, col("__day"), col("event_type"))
-          .sortWithinPartitions("__day", "event_type", "ts_ns")
-          .drop("__day")
+          .repartitionByRange(4, col("event_type"), col("ts_ns"))
+          .sortWithinPartitions("event_type", "ts_ns")
           .write.options(fineOpts).mode("overwrite").parquet(p.toString)
       }
-      val cRoot = graft.Lake.staged(s"tag_zone_control|$dir", Seq(s"$dir/events.parquet")) { p =>
+      val cRoot = graft.Lake.staged(s"tag_zone_control_v2|$dir", Seq(s"$dir/events.parquet")) { p =>
         cols(Tables.eventsNanos(s, dir))
           .repartitionByRange(4, col("ts_ns")).sortWithinPartitions("ts_ns")
-          .drop("__day")
           .write.options(fineOpts).mode("overwrite").parquet(p.toString)
       }
       val z = s.read.parquet(zRoot)
       val types = z.select("event_type").distinct().orderBy("event_type")
         .collect().map(_.getString(0))
       val t = types(types.length / 2) // deterministic middle tag
-      val days = Tables.eventsLakeDays(s, dir)
-      require(days.size > 1, s"lake spans ${days.size} day(s)")
-      val d1 = java.time.LocalDate.parse(days(1))
-      val (lo, hi) = (d1.toEpochDay * Tables.NsPerDay,
-        (d1.toEpochDay + 1) * Tables.NsPerDay)
-      def oneTagDay(df: DataFrame) = df.filter(
-        col("ts_ns") >= lo && col("ts_ns") < hi && col("event_type") === t)
-      val zRows = scanOutputRows(s, oneTagDay(z).select("cents"))
-      val cRows = scanOutputRows(s, oneTagDay(s.read.parquet(cRoot)).select("cents"))
-      val dayRows = z.filter(col("ts_ns") >= lo && col("ts_ns") < hi).count()
-      require(zRows * 2 <= cRows && zRows * 2 <= dayRows,
+      def oneTag(df: DataFrame) = df.filter(col("event_type") === t)
+      val zRows = scanOutputRows(s, oneTag(z).select("cents"))
+      val cRows = scanOutputRows(s, oneTag(s.read.parquet(cRoot)).select("cents"))
+      val tagRows = z.filter(col("event_type") === t).count()
+      require(zRows * 2 <= cRows && zRows <= 2 * tagRows,
         s"tag zone skipping failed: series-clustered scan emitted $zRows rows " +
-          s"for one (day, tag); time-only control emitted $cRows, day holds " +
-          s"$dayRows — want clustered <= half of both")
-      oneTagDay(z)
-        .groupBy("event_type")
+          s"for one tag of $tagRows rows; time-only control emitted $cRows — " +
+          s"want clustered <= half the control and <= 2x the tag's share")
+      oneTag(z)
+        .groupBy(date_format(timestamp_micros(expr("ts_ns div 1000")),
+          "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"),
           (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
-        .withColumn("day", lit(d1.toString))
+        .withColumn("event_type", lit(t))
         .select("day", "event_type", "n", "sum_value")
+        .orderBy("day")
     }),
 
     // TTL as day-directory lifecycle (VERDICT r11 #6): retention on the
@@ -553,24 +549,22 @@ object LakeContract {
           |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
           |FROM e JOIN d ON e.day = d.day
           |GROUP BY e.day, event_type ORDER BY e.day, event_type""".stripMargin,
-      // one (day, tag) aggregate over the RAW lake: the Spark side read
-      // it through the series-clustered fine-granule scan, so matching
-      // hashes prove tag zone skipping loses no rows
+      // one tag's per-day aggregates over the RAW lake: the Spark side
+      // read it through the series-clustered fine-granule scan, so
+      // matching hashes prove tag zone skipping loses no rows
       "ts_tag_zone_skip" ->
         """WITH e AS (
           |  SELECT event_type,
           |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
           |    CAST(round(value * 100) AS BIGINT) AS cents
           |  FROM events),
-          |d AS (SELECT day AS d1 FROM (
-          |        SELECT DISTINCT day FROM e ORDER BY day OFFSET 1 LIMIT 1)),
           |t AS (SELECT event_type AS t2 FROM (
           |        SELECT DISTINCT event_type FROM e
           |        ORDER BY event_type OFFSET 2 LIMIT 1))
-          |SELECT d1 AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+          |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
-          |FROM e, d, t WHERE e.day = d.d1 AND e.event_type = t.t2
-          |GROUP BY d1, event_type""".stripMargin,
+          |FROM e, t WHERE e.event_type = t.t2
+          |GROUP BY day, event_type ORDER BY day""".stripMargin,
       // everything at or after the middle day's noon, over the RAW
       // lake: the Spark side FULL-SCANS its expired copy with no
       // residual filter — matching hashes prove the directory-drop +
