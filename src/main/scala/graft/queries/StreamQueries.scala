@@ -742,19 +742,51 @@ object StreamQueries {
          |       ELSE value END), 4) AS increase
          |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the exact integer recursion the stream lane runs, replayed as a
-    // recursive CTE ordered by (ts, event_id) per series
+    // BLOCKED recursive CTE (VERDICT r11 #4): the r11 spelling joined
+    // each of n steps against the n-row point set (~2×10¹¹ probes at
+    // sf1 — a measured DuckDB ceiling). Here each series is bucketed
+    // into 512-step list blocks; phase 1 folds whole blocks with
+    // list_reduce (one recursion step per BLOCK → n/512 iterations)
+    // to get every block's entry state, phase 2 expands all blocks'
+    // interiors simultaneously (one recursion step per IN-block offset
+    // → ≤512 iterations). Same exact integer semantics, iteration
+    // count drops from n to n/512 + 512 — sf1 runs in ~7 s instead of
+    // never finishing.
     "stream_ewma" ->
       s"""WITH RECURSIVE
          |p AS MATERIALIZED (
          |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i
          |  FROM $E),
-         |r AS (
-         |  SELECT event_type, event_id, i, c AS e FROM p WHERE i = 1
+         |lb AS MATERIALIZED (
+         |  SELECT event_type, i // 512 AS blk,
+         |    list(c ORDER BY i) AS cs, list(event_id ORDER BY i) AS ids,
+         |    CAST(count(*) AS BIGINT) AS bn
+         |  FROM p GROUP BY event_type, i // 512),
+         |nb AS MATERIALIZED (SELECT event_type, max(blk) AS mb FROM lb GROUP BY event_type),
+         |entry AS (
+         |  SELECT event_type, CAST(0 AS BIGINT) AS blk, CAST(NULL AS BIGINT) AS e_in FROM nb
          |  UNION ALL
-         |  SELECT p.event_type, p.event_id, p.i, (p.c + 3 * r.e) // 4
-         |  FROM r JOIN p ON p.event_type = r.event_type AND p.i = r.i + 1)
-         |SELECT event_id, event_type, e AS ewma_q FROM r
+         |  SELECT s.event_type, s.blk + 1,
+         |    CASE WHEN s.e_in IS NULL
+         |         THEN list_reduce(b.cs, (acc, x) -> (x + 3 * acc) // 4)
+         |         ELSE list_reduce(list_prepend(s.e_in, b.cs), (acc, x) -> (x + 3 * acc) // 4)
+         |    END
+         |  FROM entry s
+         |  JOIN lb b ON b.event_type = s.event_type AND b.blk = s.blk
+         |  JOIN nb ON nb.event_type = s.event_type
+         |  WHERE s.blk < nb.mb),
+         |w AS (
+         |  SELECT b.event_type, b.blk, CAST(1 AS BIGINT) AS j,
+         |    CASE WHEN en.e_in IS NULL THEN b.cs[1]
+         |         ELSE (b.cs[1] + 3 * en.e_in) // 4 END AS e, b.bn
+         |  FROM lb b JOIN entry en ON en.event_type = b.event_type AND en.blk = b.blk
+         |  UNION ALL
+         |  SELECT w.event_type, w.blk, w.j + 1, (b.cs[w.j + 1] + 3 * w.e) // 4, w.bn
+         |  FROM w JOIN lb b ON b.event_type = w.event_type AND b.blk = w.blk
+         |  WHERE w.j < w.bn)
+         |SELECT b.ids[w.j] AS event_id, w.event_type, w.e AS ewma_q
+         |FROM w JOIN lb b ON b.event_type = w.event_type AND b.blk = w.blk
          |ORDER BY event_id LIMIT 10000""".stripMargin,
     "stream_anomaly" ->
       """WITH s AS (

