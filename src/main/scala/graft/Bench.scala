@@ -138,15 +138,36 @@ object Bench {
     // windows (A+half1 | B+half2 | C), so every probe's interval has a
     // matching steal delta — contention hitting only the final probe
     // now shows up as steal evidence instead of an unexplained spread.
+    // Per-LANE steal bracketing (r12): the window-level 10% rule has a
+    // dilution blind spot — r12's first certified-"quiet" attempt
+    // carried 1105 cpu-s of hypervisor steal in a long first window
+    // (under the 10%-of-window threshold) while a concentrated burst
+    // inflated one stream lane 15×. Sampling /proc/stat around EACH
+    // timed run makes contamination attributable per lane: a lane is
+    // steal-poisoned when the host took more than 25% of the cpu-time
+    // the lane's wall could have used (absolute floor 2 cpu-s so stray
+    // jiffies can't flag sub-second lanes), and ANY poisoned lane marks
+    // the attempt noisy → the retry loop re-runs it.
+    def oncePlusSteal(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s0 = stealJiffies()
+      val sec = once(fn)
+      val s1 = stealJiffies()
+      (sec, if (s0 < 0 || s1 < 0) 0.0 else (s1 - s0) / 100.0)
+    }
+    def poisoned(sec: Double, stealSec: Double): Boolean =
+      sec >= 0 && stealSec > math.max(2.0, 0.25 * sec * cpus.toInt)
+
     def runSuite(): Attempt = {
       val stealA = stealJiffies()
       val wall0 = System.nanoTime()
       val calibA = calibProbe()
-      val res1 = firstHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
+      val res1 = firstHalf.map { case (name, fn) =>
+        name -> (oncePlusSteal(fn), oncePlusSteal(fn)) }
       val stealB = stealJiffies()
       val wall1 = System.nanoTime()
       val calibB = calibProbe()
-      val res2 = secondHalf.map { case (name, fn) => name -> (once(fn), once(fn)) }
+      val res2 = secondHalf.map { case (name, fn) =>
+        name -> (oncePlusSteal(fn), oncePlusSteal(fn)) }
       val stealC = stealJiffies()
       val wall2 = System.nanoTime()
       val calibC = calibProbe()
@@ -158,7 +179,7 @@ object Bench {
       // steal per window in cpu-seconds (USER_HZ=100); -1 when
       // unavailable. A window is steal-noisy when the host took more
       // than 10% of the cpu-time the bench's own executor pool could
-      // have used in it.
+      // have used in it; a LANE is steal-noisy per `poisoned` above.
       val reads = Seq(stealA, stealB, stealC, stealD)
       val steals =
         if (reads.exists(_ < 0)) Seq(-1.0, -1.0, -1.0)
@@ -167,7 +188,12 @@ object Bench {
       val stealNoisy = steals.zip(walls).exists {
         case (s, w) => s > 0.10 * w * cpus.toInt
       }
-      Attempt(res1 ++ res2, calibs, steals, spread >= 1.5 || stealNoisy, spread, unit)
+      val all = res1 ++ res2
+      val laneNoisy = all.exists { case (_, ((r1, s1), (r2, s2))) =>
+        poisoned(r1, s1) || poisoned(r2, s2)
+      }
+      Attempt(all.map { case (n, ((r1, _), (r2, _))) => n -> (r1, r2) },
+        calibs, steals, spread >= 1.5 || stealNoisy || laneNoisy, spread, unit)
     }
 
     // Self-certifying measurement: re-run the whole suite until the
