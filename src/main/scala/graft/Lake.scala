@@ -65,31 +65,40 @@ object Lake {
     })
   }
 
-  /** Write `dir` under an exclusive cross-process file lock: temp-dir
-    * write, `_SUCCESS` check, atomic rename. A concurrent stager blocks
-    * on the lock and finds the published marker when it gets in.
+  // JDK file locks are held per-JVM: a second lock() on the same file
+  // from THIS process throws OverlappingFileLockException instead of
+  // blocking, so same-process stagers serialize on a per-key monitor
+  // first and only the winner takes the cross-process lock.
+  private val jvmLocks = TrieMap.empty[String, Object]
+
+  /** Write `dir` under a per-key JVM monitor + an exclusive
+    * cross-process file lock: temp-dir write, `_SUCCESS` check, atomic
+    * rename. A concurrent stager blocks on the lock and finds the
+    * published marker when it gets in.
     */
   private def stageLocked(base: Path, hash: String, dir: Path,
-                          write: Path => Unit): Unit = {
-    Files.createDirectories(base)
-    val ch = FileChannel.open(base.resolve(s"$hash.lock"),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock() // blocks until any concurrent stager finishes
+                          write: Path => Unit): Unit =
+    jvmLocks.getOrElseUpdate(hash, new Object).synchronized {
+      if (Files.exists(dir.resolve("_SUCCESS"))) return
+      Files.createDirectories(base)
+      val ch = FileChannel.open(base.resolve(s"$hash.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
-        if (Files.exists(dir.resolve("_SUCCESS"))) return
-        // a marker-less dir is a crashed partial write — clear it so the
-        // rename below can land (we hold the only write right)
-        if (Files.exists(dir)) deleteRecursively(dir)
-        val tmp = base.resolve(
-          s"$hash.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-        write(tmp)
-        require(Files.exists(tmp.resolve("_SUCCESS")),
-          s"staging writer for $dir left no _SUCCESS marker under $tmp")
-        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      } finally lock.release()
-    } finally ch.close()
-  }
+        val lock = ch.lock() // blocks until any concurrent stager finishes
+        try {
+          if (Files.exists(dir.resolve("_SUCCESS"))) return
+          // a marker-less dir is a crashed partial write — clear it so
+          // the rename below can land (we hold the only write right)
+          if (Files.exists(dir)) deleteRecursively(dir)
+          val tmp = base.resolve(
+            s"$hash.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+          write(tmp)
+          require(Files.exists(tmp.resolve("_SUCCESS")),
+            s"staging writer for $dir left no _SUCCESS marker under $tmp")
+          Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+        } finally lock.release()
+      } finally ch.close()
+    }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
