@@ -34,6 +34,8 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, 
   * actually emit — the reference's own date_bin/TSBS idiom,
   * tsbench/avg_daily_driving_duration.slt):
   *   - comparisons/equality on `ts` itself (BIGINT nanos);
+  *   - on `ts div D` for any positive literal granule D — raw epoch
+  *     arithmetic (`ts_ns div 1000000000 >= epochSec`, ms/µs forms);
   *   - on the normalized µs view `timestamp_micros(ts div 1000)`;
   *   - on `date_trunc(unit, µs-view)` for microsecond..year units and
   *     on `CAST(µs-view AS DATE)`, in UTC sessions;
@@ -233,6 +235,26 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
       // `ts` itself: BIGINT nanos vs a LONG literal — exact
       case a: Attribute if a.semanticEquals(ts) && l.dataType == LongType =>
         Some((l.value.asInstanceOf[Long], l.value.asInstanceOf[Long], true))
+      // `ts div D` for any positive literal granule D — the raw epoch
+      // arithmetic dashboards write (`ts_ns div 1000000000 >= epochSec`,
+      // ms/µs variants): a truncating-division view, same sign-cased
+      // inversion as the µs view but with granule D
+      case d: IntegralDivide if l.dataType == LongType =>
+        val granule = d.right match {
+          case Literal(g: Long, LongType)   => g
+          case Literal(g: Int, IntegerType) => g.toLong
+          case _                            => 0L
+        }
+        d.left match {
+          case a: Attribute if granule > 0 && a.semanticEquals(ts) =>
+            val w = l.value.asInstanceOf[Long]
+            if (math.abs(w) > (Long.MaxValue - (granule - 1)) / granule) None
+            else Some((
+              if (w <= 0) w * granule - (granule - 1) else w * granule,
+              if (w >= 0) w * granule + (granule - 1) else w * granule,
+              true))
+          case _ => None
+        }
       // the normalized µs view vs a TIMESTAMP literal
       case UsView(a) if a.semanticEquals(ts) && isTimestamp(l.dataType) =>
         val us = l.value.asInstanceOf[Long]

@@ -410,6 +410,15 @@ class ContractSpec extends AnyFunSuite {
           s"date_trunc('day', ts) >= TIMESTAMP '$d1 00:00:00'"))
         .groupBy("event_type").count(),
       1, "unaligned upper bound")
+    // raw epoch-second arithmetic on the ns column — `ts_ns div 1e9`
+    // is a truncating-division view with granule 1e9
+    val d1sec = java.time.LocalDate.parse(d1).toEpochDay * 86400L
+    assertPrunes(
+      Tables.events(spark, sf)
+        .filter(expr(s"ts_ns div 1000000000 >= $d1sec AND " +
+          s"ts_ns div 1000000000 < ${d1sec + 86400L}"))
+        .groupBy("event_type").count(),
+      1, "epoch-second div view")
     // a non-time disjunct defeats pruning (the safe refusal): no derived
     // filter, every day listed
     val q = Tables.events(spark, sf)
