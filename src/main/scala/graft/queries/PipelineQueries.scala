@@ -1013,12 +1013,11 @@ object PipelineQueries {
     def d(vq: String, cq: String): String = intDistSql(vq, cq)
     def lloyd(i: Int, prev: String): String =
       s"""a$i AS (
-         |  SELECT mh, vq, cell FROM (
-         |    SELECT s.mh, s.vq, c.cell,
-         |      row_number() OVER (PARTITION BY s.mh
-         |        ORDER BY ${d("s.vq", "c.cq")}, c.cell) AS rn
-         |    FROM samp s CROSS JOIN $prev c)
-         |  WHERE rn = 1),
+         |  SELECT s.mh, s.vq, w.cell FROM (
+         |    SELECT mh, (min({'d': dd, 'cell': cell})).cell AS cell FROM (
+         |      SELECT s.mh, c.cell, ${d("s.vq", "c.cq")} AS dd
+         |      FROM samp s CROSS JOIN $prev c) GROUP BY mh) w
+         |  JOIN samp s ON s.mh = w.mh),
          |r$i AS (
          |  SELECT cell, j, floor(sum(vq[j]) / count(*)) AS cj
          |  FROM a$i, LATERAL (SELECT unnest(generate_series(1, len(vq))) AS j) u
@@ -1050,12 +1049,11 @@ object PipelineQueries {
        |    FROM samp) WHERE cell < $kSql),
        |$rounds,
        |cc AS (
-       |  SELECT neighbor_id, c_vec, cell FROM (
-       |    SELECT e.vec_id AS neighbor_id, e.v AS c_vec, c.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${d("e.vq", "c.cq")}, c.cell) AS rn
-       |    FROM q e CROSS JOIN c$iters c)
-       |  WHERE rn = 1)""".stripMargin
+       |  SELECT q.vec_id AS neighbor_id, q.v AS c_vec, w.cell FROM (
+       |    SELECT vec_id, (min({'d': dd, 'cell': cell})).cell AS cell FROM (
+       |      SELECT e.vec_id, c.cell, ${d("e.vq", "c.cq")} AS dd
+       |      FROM q e CROSS JOIN c$iters c) GROUP BY vec_id) w
+       |  JOIN q ON q.vec_id = w.vec_id)""".stripMargin
   }
 
   /** Exact shingle-overlap decontamination, shared by the plain and
@@ -1097,17 +1095,17 @@ object PipelineQueries {
        |        ORDER BY ${d("c.cq", "a.acq")}, a.aj) AS rn
        |    FROM $cK c CROSS JOIN anch a) WHERE rn = 1),
        |vg AS (
-       |  SELECT vec_id, v, vq, grp FROM (
-       |    SELECT e.vec_id, e.v, e.vq, a.aj AS grp,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${d("e.vq", "a.acq")}, a.aj) AS rn
-       |    FROM q e CROSS JOIN anch a) WHERE rn = 1),
+       |  SELECT q.vec_id, q.v, q.vq, w.grp FROM (
+       |    SELECT vec_id, (min({'d': dd, 'aj': aj})).aj AS grp FROM (
+       |      SELECT e.vec_id, a.aj, ${d("e.vq", "a.acq")} AS dd
+       |      FROM q e CROSS JOIN anch a) GROUP BY vec_id) w
+       |  JOIN q ON q.vec_id = w.vec_id),
        |cc2 AS (
-       |  SELECT neighbor_id, c_vec, cell FROM (
-       |    SELECT e.vec_id AS neighbor_id, e.v AS c_vec, g.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${d("e.vq", "g.cq")}, g.cell) AS rn
-       |    FROM vg e JOIN cgrp g ON g.grp = e.grp) WHERE rn = 1)""".stripMargin
+       |  SELECT v2.vec_id AS neighbor_id, v2.v AS c_vec, w.cell FROM (
+       |    SELECT vec_id, (min({'d': dd, 'cell': cell})).cell AS cell FROM (
+       |      SELECT e.vec_id, g.cell, ${d("e.vq", "g.cq")} AS dd
+       |      FROM vg e JOIN cgrp g ON g.grp = e.grp) GROUP BY vec_id) w
+       |  JOIN vg v2 ON v2.vec_id = w.vec_id)""".stripMargin
   }
 
   /** k-NN graph oracle through the TWO-LEVEL assignment (cell target 6
