@@ -426,6 +426,68 @@ object LakeContract {
         .orderBy("event_type")
     }),
 
+    // Compaction on the PRIMARY day layout — the remaining lifecycle
+    // op composed end-to-end (streaming ingest writes a file per
+    // trigger per partition; a year of 1-minute triggers is half a
+    // million tiny files): the lane copies the primary lake, FRAGMENTS
+    // one day directory into 16 tiny files (what a day of micro-batch
+    // appends leaves behind), runs Dml.compact on that one directory
+    // with the primary's (event_type, ts) series-key sort — restoring
+    // both file count and zone-map clustering — and throws unless (a)
+    // the fragmentation really happened, (b) compaction leveled the
+    // directory to its size-derived file count (1 at toy scale), and
+    // (c) a one-day query over the compacted lake still prunes to
+    // exactly that directory. The answer is oracle-checked against the
+    // raw lake (ts_prune_hidden's SQL verbatim — the compacted layout
+    // must answer identically to the never-fragmented one).
+    "ts_compact_daylake" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val src = java.nio.file.Paths.get(Tables.eventsLakeRoot(s, dir))
+      val root = java.nio.file.Files.createTempDirectory("graft_compact_lake")
+      copyTree(src, root)
+      val days = Tables.eventsLakeDays(s, dir)
+      require(days.size > 1, s"lake spans ${days.size} day(s)")
+      val d1 = days(1)
+      val dayDir = root.resolve(s"day=$d1")
+      def partFiles() = Option(dayDir.toFile.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+      // fragment: one day re-written as 16 micro-batch-sized files
+      // (materialize a copy first — a dir cannot be overwritten from a
+      // scan of itself)
+      val frag = java.nio.file.Files.createTempDirectory("graft_compact_frag")
+      s.read.parquet(dayDir.toString)
+        .write.mode("overwrite").parquet(frag.toString)
+      s.read.parquet(frag.toString).repartition(16)
+        .write.mode("overwrite").parquet(dayDir.toString)
+      val fragmented = partFiles()
+      require(fragmented >= 16, s"fragmentation failed: $fragmented part files")
+      // compact THAT directory back, series-key sorted
+      val out = java.nio.file.Files.createTempDirectory("graft_compact_out")
+      val target = graft.operators.Dml.compact(s, dayDir.toString, out.toString,
+        sortCols = Seq("event_type", "ts"))
+      // swap the compacted files in
+      Option(dayDir.toFile.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      copyTree(out, dayDir)
+      val after = partFiles()
+      require(after == target && after < fragmented,
+        s"compaction did not level the day: $fragmented -> $after files (target $target)")
+      // the compacted lake must still answer and prune like the primary
+      val q = s.read.parquet(root.toString)
+        .filter(col("day") === d1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .withColumn("day", lit(d1))
+        .select("day", "event_type", "n", "sum_value")
+        .orderBy("event_type")
+      val (scanned, files) = scannedPartitions(q)
+      require(scanned == 1 && files == target,
+        s"pruning over the compacted lake failed: scanned $scanned partitions, " +
+          s"$files files (want 1 partition, $target files)")
+      q
+    }),
+
     "q_lake_contract" -> ((s, dir) => {
       val bad = expected.flatMap { case (table, _) =>
         val df = Tables(s, dir, table) // events → normalized view (or its readable error)
@@ -453,6 +515,23 @@ object LakeContract {
       else Files.copy(p, q, StandardCopyOption.REPLACE_EXISTING)
     } finally walk.close()
   }
+
+  /** The second day's per-type aggregate over the RAW lake — shared by
+    * ts_prune_hidden and ts_compact_daylake (the compacted layout must
+    * answer exactly like the never-fragmented one).
+    */
+  private val oracleSqlPruneHidden: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT day AS d1 FROM (
+      |        SELECT DISTINCT day FROM e ORDER BY day OFFSET 1 LIMIT 1))
+      |SELECT d1 AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+      |FROM e, d WHERE e.day = d.d1
+      |GROUP BY d1, event_type ORDER BY event_type""".stripMargin
 
   /** The validated contract as constants: hash-green ⟺ the Spark side
     * validated every table without throwing.
@@ -489,18 +568,7 @@ object LakeContract {
       // the SECOND day's aggregate over the RAW lake: the Spark side
       // reads only the one directory its derived partition filter kept,
       // so matching hashes prove the hidden-pruned scan loses no rows
-      "ts_prune_hidden" ->
-        """WITH e AS (
-          |  SELECT event_type,
-          |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-          |    CAST(round(value * 100) AS BIGINT) AS cents
-          |  FROM events),
-          |d AS (SELECT day AS d1 FROM (
-          |        SELECT DISTINCT day FROM e ORDER BY day OFFSET 1 LIMIT 1))
-          |SELECT d1 AS day, event_type, CAST(count(*) AS BIGINT) AS n,
-          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
-          |FROM e, d WHERE e.day = d.d1
-          |GROUP BY d1, event_type ORDER BY event_type""".stripMargin,
+      "ts_prune_hidden" -> oracleSqlPruneHidden,
       // third day's aggregate over the RAW lake — the Spark side named
       // the day through date_trunc and read only the derived partition
       "ts_prune_date_trunc" ->
@@ -584,6 +652,10 @@ object LakeContract {
           |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
           |FROM e, m WHERE e.tstamp >= CAST(mid AS TIMESTAMP) + INTERVAL 12 HOUR
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the second day over the RAW lake, verbatim ts_prune_hidden SQL:
+      // the fragmented-then-compacted layout must answer identically to
+      // the never-fragmented one
+      "ts_compact_daylake" -> oracleSqlPruneHidden,
       // same one-day predicate over the RAW lake: the Spark side reads
       // only the pruned day directory, so matching hashes prove the
       // pruned scan loses no rows
