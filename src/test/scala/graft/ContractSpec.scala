@@ -463,6 +463,81 @@ class ContractSpec extends AnyFunSuite {
       .groupBy("event_type").count(), 2, "pre-epoch µs-view bound")
   }
 
+  test("pruning algebra differential: 80 random predicate trees lose zero rows") {
+    // The ADVICE r11 bug class — a derived bound silently excluding a
+    // partition that holds matching rows — caught generically: random
+    // conjunctions/disjunctions of every recognized shape (ns bounds,
+    // µs-view bounds, date_trunc day/hour/month, cast-to-date, IN-lists,
+    // granule division), evaluated rule-on vs rule-off over a lake that
+    // STRADDLES the epoch (the floor-vs-truncate domain) with sub-day,
+    // sub-µs-offset timestamps at day boundaries. Counts must agree on
+    // every predicate; the seed makes a failure reproducible.
+    import spark.implicits._
+    val N = Tables.NsPerDay
+    val d = java.nio.file.Files.createTempDirectory("graft_prunefuzz").toString
+    // 10 days straddling the epoch, rows at boundary-adjacent instants
+    val rows = for {
+      day <- -5L to 4L
+      off <- Seq(0L, 1L, 999L, 1000L, N / 2, N - 1000L, N - 999L, N - 1L)
+    } yield (day * 8 + (off % 8), day * N + off, day.toLong, s"t${(off % 3)}", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rnd = new scala.util.Random(42)
+    val loNs = -6L * N
+    val spanNs = 12L * N
+    def randNs(): Long = loNs + (rnd.nextDouble() * spanNs).toLong
+    def randLeaf(): String = {
+      val v = randNs()
+      rnd.nextInt(7) match {
+        case 0 => s"ts_ns ${Seq(">=", ">", "<=", "<", "=")(rnd.nextInt(5))} ${v}L"
+        case 1 =>
+          val tsLit = s"timestamp_micros(${v / 1000})"
+          s"ts ${Seq(">=", ">", "<=", "<")(rnd.nextInt(4))} $tsLit"
+        case 2 =>
+          val unit = Seq("day", "hour", "month")(rnd.nextInt(3))
+          s"date_trunc('$unit', ts) ${Seq(">=", "<=", "=")(rnd.nextInt(3))} " +
+            s"timestamp_micros(${v / 1000})"
+        case 3 =>
+          val ed = Math.floorDiv(v, N)
+          s"CAST(ts AS DATE) ${Seq(">=", "<=", "=")(rnd.nextInt(3))} " +
+            s"date_add(DATE '1970-01-01', ${ed.toInt})"
+        case 4 =>
+          val ds = Seq.fill(2 + rnd.nextInt(3))(Math.floorDiv(randNs(), N))
+          s"CAST(ts AS DATE) IN (${ds.map(x => s"date_add(DATE '1970-01-01', ${x.toInt})").mkString(", ")})"
+        case 5 =>
+          val g = Seq(1000L, 1000000L, 1000000000L)(rnd.nextInt(3))
+          s"ts_ns div $g ${Seq(">=", ">", "<=", "<")(rnd.nextInt(4))} ${v / g}L"
+        case _ => s"ts_ns IN (${Seq.fill(3)(randNs()).mkString("L, ")}L)"
+      }
+    }
+    def randPred(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) randLeaf()
+      else {
+        val op = if (rnd.nextBoolean()) "AND" else "OR"
+        s"(${randPred(depth - 1)} $op ${randPred(depth - 1)})"
+      }
+    val excludedKey = "spark.sql.optimizer.excludedRules"
+    (1 to 80).foreach { i =>
+      val pred = randPred(2)
+      val withRule = Tables.events(spark, d).filter(expr(pred)).count()
+      val savedExtra = spark.experimental.extraOptimizations
+      val savedExcluded = spark.conf.getOption(excludedKey)
+      val withoutRule = try {
+        spark.experimental.extraOptimizations =
+          savedExtra.filterNot(_ eq plans.EventTimeDayPruning)
+        spark.conf.set(excludedKey,
+          (savedExcluded.toSeq :+ plans.EventTimeDayPruning.ruleName).mkString(","))
+        Tables.events(spark, d).filter(expr(pred)).count()
+      } finally {
+        spark.experimental.extraOptimizations = savedExtra
+        savedExcluded.fold(spark.conf.unset(excludedKey))(v => spark.conf.set(excludedKey, v))
+      }
+      assert(withRule == withoutRule,
+        s"predicate #$i loses rows under pruning: $withRule with rule, " +
+          s"$withoutRule without — $pred")
+    }
+  }
+
   test("lake contract names the drifted column with expected vs found types") {
     import spark.implicits._
     // documents with n_chars retyped string and text missing — the
