@@ -345,10 +345,10 @@ object LakeContract {
     // ordering the primary rule writes within each day dir) with ~100-
     // row groups, versus the same rows in time-only order as control.
     // The lane throws unless the one-tag scan over the series-clustered
-    // copy EMITTED at most half of what the control emitted AND at most
-    // 2× the tag's true row share (the factor covers boundary row-group
-    // quantization) — with parquet filters pushed, asserted from the
-    // scan's own numOutputRows metric. The per-day aggregate of the tag
+    // copy EMITTED at most 2× the tag's true row share (the factor
+    // covers boundary row-group quantization), at most half the lake,
+    // and never more than the control — with parquet filters pushed,
+    // asserted from the scan's own numOutputRows metric. The per-day aggregate of the tag
     // is oracle-checked against the raw lake, so skipping provably
     // loses no rows.
     "ts_tag_zone_skip" -> ((s, dir) => {
@@ -375,10 +375,21 @@ object LakeContract {
       val zRows = scanOutputRows(s, oneTag(z).select("cents"))
       val cRows = scanOutputRows(s, oneTag(s.read.parquet(cRoot)).select("cents"))
       val tagRows = z.filter(col("event_type") === t).count()
-      require(zRows * 2 <= cRows && zRows <= 2 * tagRows,
+      val total = z.count()
+      // The clustered scan must emit (close to) ONLY the tag — within 2×
+      // of its true row share (boundary-group quantization) — while
+      // staying at most half the lake and never worse than the control.
+      // The control is deliberately NOT required to read everything:
+      // replicated bench lakes (make_sfN) give even insertion order
+      // partial tag locality (at sf10 the ts-ordered control skipped 68%
+      // on its own), exactly the ts_zone_skip r11 lesson — the claim is
+      // that series-key clustering reaches the tag's SHARE, which
+      // time-only ordering never does.
+      require(zRows <= 2 * tagRows && zRows * 2 <= total && zRows <= cRows,
         s"tag zone skipping failed: series-clustered scan emitted $zRows rows " +
-          s"for one tag of $tagRows rows; time-only control emitted $cRows — " +
-          s"want clustered <= half the control and <= 2x the tag's share")
+          s"for one tag of $tagRows rows (lake $total, time-only control " +
+          s"emitted $cRows) — want clustered <= 2x the tag's share, <= half " +
+          s"the lake, and never worse than the control")
       oneTag(z)
         .groupBy(date_format(timestamp_micros(expr("ts_ns div 1000")),
           "yyyy-MM-dd").as("day"))
