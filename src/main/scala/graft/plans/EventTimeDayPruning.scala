@@ -36,7 +36,9 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, 
   *   - comparisons/equality on `ts` itself (BIGINT nanos);
   *   - on `ts div D` for any positive literal granule D — raw epoch
   *     arithmetic (`ts_ns div 1000000000 >= epochSec`, ms/µs forms);
-  *   - on the normalized µs view `timestamp_micros(ts div 1000)`;
+  *   - on the normalized µs view `timestamp_micros(ts div 1000)`, and
+  *     on `unix_seconds/unix_millis/unix_micros` of it (floor-granule
+  *     epoch arithmetic);
   *   - on `date_trunc(unit, µs-view)` for microsecond..year units and
   *     on `CAST(µs-view AS DATE)`, in UTC sessions;
   *   - `IN`-lists / `InSet`s of literals over any of those;
@@ -260,6 +262,19 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
         val us = l.value.asInstanceOf[Long]
         if (math.abs(us) > MaxUs) None
         else Some((usEqLo(us), usEqHi(us), true))
+      // epoch arithmetic over the µs view — unix_seconds/millis/micros(ts)
+      // vs a LONG literal: each is a FLOOR-granule view (Spark's unix_*
+      // use floorDiv), so literal w's µs preimage is [w·g, w·g + g - 1]
+      // exactly, then the µs view's sign-cased ns preimage composes
+      case UnixMicros(UsView(a))
+          if a.semanticEquals(ts) && l.dataType == LongType =>
+        epochView(l.value.asInstanceOf[Long], 1L)
+      case UnixMillis(UsView(a))
+          if a.semanticEquals(ts) && l.dataType == LongType =>
+        epochView(l.value.asInstanceOf[Long], 1000L)
+      case UnixSeconds(UsView(a))
+          if a.semanticEquals(ts) && l.dataType == LongType =>
+        epochView(l.value.asInstanceOf[Long], 1000000L)
       // date_trunc(unit, µs-view) vs a TIMESTAMP literal, UTC session
       case TruncTimestamp(fmt: Literal, UsView(a), tz)
           if a.semanticEquals(ts) && fmt.dataType == StringType &&
@@ -284,6 +299,14 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
 
   private def isTimestamp(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType
+
+  /** ns interval for `floor(µs-view / g) = w` — unix_seconds (g=1e6),
+    * unix_millis (g=1e3), unix_micros (g=1).
+    */
+  private def epochView(w: Long, g: Long): Option[(Long, Long, Boolean)] = {
+    if (math.abs(w) > (MaxUs - (g - 1)) / g) None
+    else Some((usEqLo(w * g), usEqHi(w * g + g - 1), true))
+  }
 
   /** `timestamp_micros(ts div 1000)` over the relation's ns column — the
     * shape predicate pushdown leaves after substituting the normalized

@@ -419,6 +419,21 @@ class ContractSpec extends AnyFunSuite {
           s"ts_ns div 1000000000 < ${d1sec + 86400L}"))
         .groupBy("event_type").count(),
       1, "epoch-second div view")
+    // the same bounds through unix_seconds(ts) — the floor-granule
+    // epoch view over the normalized timestamp
+    assertPrunes(
+      Tables.events(spark, sf)
+        .filter(expr(s"unix_seconds(ts) >= $d1sec AND " +
+          s"unix_seconds(ts) < ${d1sec + 86400L}"))
+        .groupBy("event_type").count(),
+      1, "unix_seconds epoch view")
+    // and unix_millis with an equality at day grain via range
+    assertPrunes(
+      Tables.events(spark, sf)
+        .filter(expr(s"unix_millis(ts) >= ${d1sec * 1000} AND " +
+          s"unix_millis(ts) < ${(d1sec + 86400L) * 1000}"))
+        .groupBy("event_type").count(),
+      1, "unix_millis epoch view")
     // a non-time disjunct defeats pruning (the safe refusal): no derived
     // filter, every day listed
     val q = Tables.events(spark, sf)
@@ -488,7 +503,7 @@ class ContractSpec extends AnyFunSuite {
     def randNs(): Long = loNs + (rnd.nextDouble() * spanNs).toLong
     def randLeaf(): String = {
       val v = randNs()
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => s"ts_ns ${Seq(">=", ">", "<=", "<", "=")(rnd.nextInt(5))} ${v}L"
         case 1 =>
           val tsLit = s"timestamp_micros(${v / 1000})"
@@ -507,6 +522,10 @@ class ContractSpec extends AnyFunSuite {
         case 5 =>
           val g = Seq(1000L, 1000000L, 1000000000L)(rnd.nextInt(3))
           s"ts_ns div $g ${Seq(">=", ">", "<=", "<")(rnd.nextInt(4))} ${v / g}L"
+        case 6 =>
+          val (fn, g) = Seq(("unix_seconds", 1000000000L), ("unix_millis", 1000000L),
+            ("unix_micros", 1000L))(rnd.nextInt(3))
+          s"$fn(ts) ${Seq(">=", ">", "<=", "<", "=")(rnd.nextInt(5))} ${v / g}L"
         case _ => s"ts_ns IN (${Seq.fill(3)(randNs()).mkString("L, ")}L)"
       }
     }
