@@ -499,6 +499,42 @@ object LakeContract {
       q
     }),
 
+    // The "bucketed by tag" half of SURVEY §5's events layout rule
+    // (day-partitioned + series-clustered shipped r11/r12; this is the
+    // co-location leg): events written bucketed by event_type with
+    // (event_type, ts) sort — the tskv series-file shape as a Spark
+    // bucketed table — must let per-series aggregation run WITHOUT a
+    // shuffle: the bucketed scan's hash distribution already satisfies
+    // the group-by, so the only exchange in the plan is the final
+    // 5-row presentation sort. The lane throws if any hash exchange
+    // appears; the aggregate is oracle-checked against the raw lake.
+    "ts_bucketed_series_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tbl = "graft_evt_bucketed"
+      // EXTERNAL table at a fresh temp location: a managed table's
+      // warehouse directory outlives the session's metastore, so a
+      // second JVM's overwrite dies on LOCATION_ALREADY_EXISTS
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      Tables.eventsNanos(s, dir)
+        .select(col("ts").as("ts_ns"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .write.mode("overwrite").option("path", loc)
+        .bucketBy(4, "event_type").sortBy("event_type", "ts_ns")
+        .saveAsTable(tbl)
+      val q = s.table(tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("cents")).cast("double") / 100.0).as("sum_value"),
+          min("ts_ns").as("first_ns"), max("ts_ns").as("last_ns"))
+        .orderBy("event_type")
+      val plan = q.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        "per-series aggregation over the tag-bucketed layout must not " +
+          "shuffle — the bucketed scan already satisfies the distribution")
+      q
+    }),
+
     "q_lake_contract" -> ((s, dir) => {
       val bad = expected.flatMap { case (table, _) =>
         val df = Tables(s, dir, table) // events → normalized view (or its readable error)
@@ -667,6 +703,14 @@ object LakeContract {
       // the fragmented-then-compacted layout must answer identically to
       // the never-fragmented one
       "ts_compact_daylake" -> oracleSqlPruneHidden,
+      // per-series lifetime aggregate over the RAW lake: the Spark side
+      // computed it shuffle-free off the tag-bucketed layout
+      "ts_bucketed_series_agg" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          |    AS sum_value,
+          |  min(epoch_ns(ts)) AS first_ns, max(epoch_ns(ts)) AS last_ns
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // same one-day predicate over the RAW lake: the Spark side reads
       // only the pruned day directory, so matching hashes prove the
       // pruned scan loses no rows
