@@ -92,10 +92,16 @@ object Lake {
           if (Files.exists(dir)) deleteRecursively(dir)
           val tmp = base.resolve(
             s"$hash.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-          write(tmp)
-          require(Files.exists(tmp.resolve("_SUCCESS")),
-            s"staging writer for $dir left no _SUCCESS marker under $tmp")
-          Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+          try {
+            write(tmp)
+            require(Files.exists(tmp.resolve("_SUCCESS")),
+              s"staging writer for $dir left no _SUCCESS marker under $tmp")
+            Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+          } catch {
+            // a failed write must not leak its partial multi-GB layout
+            // under tmpdir — each retry uses a fresh unique name
+            case e: Throwable => deleteRecursively(tmp); throw e
+          }
         } finally lock.release()
       } finally ch.close()
     }

@@ -93,14 +93,25 @@ object Dml {
         deleteTree(dir.toPath); dropped += 1
       } else if (day == cutDay && Math.floorMod(cutoffNs, nsPerDay) != 0L) {
         // the straddling day: materialize the kept half BESIDE the dir
-        // (never read-after-delete), then swap
-        val tmp = new java.io.File(rootF, s".ttl-tmp-${dir.getName.stripPrefix("day=")}")
+        // (never read-after-delete), then swap via rename-ASIDE — the
+        // original is moved out of the way, the rewrite moved in, and
+        // only then is the original deleted, so no crash point loses
+        // data irrecoverably (a crash between the two moves leaves the
+        // kept rows in .ttl-tmp-* and the originals in .ttl-old-*, both
+        // recoverable; delete-then-move would drop the day on a crash
+        // in between)
+        val dayName = dir.getName.stripPrefix("day=")
+        val tmp = new java.io.File(rootF, s".ttl-tmp-$dayName")
+        val old = new java.io.File(rootF, s".ttl-old-$dayName")
         val kept = spark.read.parquet(dir.toString).filter(col("ts") >= cutoffNs)
         kept.write.mode("overwrite").parquet(tmp.toString)
         boundaryKept = spark.read.parquet(tmp.toString).count()
-        deleteTree(dir.toPath)
+        deleteTree(old.toPath) // clear any previous crashed attempt
+        java.nio.file.Files.move(dir.toPath, old.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         java.nio.file.Files.move(tmp.toPath, dir.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        deleteTree(old.toPath)
         rewritten = true
       }
     }

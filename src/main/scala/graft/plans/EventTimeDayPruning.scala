@@ -133,12 +133,39 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
       (x.toSeq ++ y.toSeq).reduceOption(_ max _)
     def minOpt(x: Option[Long], y: Option[Long]): Option[Long] =
       (x.toSeq ++ y.toSeq).reduceOption(_ min _)
+    // coalesce-and-cap BOTH sides before the product: two 1000-literal
+    // IN-lists would otherwise materialize 10^6 intermediate ranges at
+    // PLANNING time — each side collapses to at most MaxRanges
+    // (coalesced, then hulled), so the product is bounded by MaxRanges².
+    val (ca, cb) = (capped(a), capped(b))
     for {
-      (l1, h1) <- a; (l2, h2) <- b
+      (l1, h1) <- ca; (l2, h2) <- cb
       lo = maxOpt(l1, l2)
       hi = minOpt(h1, h2)
       if !lo.exists(l => hi.exists(_ < l)) // drop empty intersections
     } yield (lo, hi)
+  }
+
+  /** Sort + merge overlapping/adjacent ranges; hull if still too many.
+    * Always a superset of the union — pruning-safe by construction.
+    */
+  private def capped(ranges: Seq[DayRange]): Seq[DayRange] = {
+    if (ranges.size <= 1) return ranges
+    val closed = ranges.map { case (lo, hi) =>
+      (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+    }.sortBy(_._1)
+    val merged = closed.tail.foldLeft(Vector(closed.head)) { case (acc, (lo, hi)) =>
+      val (plo, phi) = acc.last
+      if (lo <= saturatingInc(phi)) acc.init :+ (plo, math.max(phi, hi))
+      else acc :+ (lo, hi)
+    }
+    val hulled =
+      if (merged.size <= MaxRanges) merged
+      else Vector((merged.head._1, merged.last._2))
+    hulled.map { case (lo, hi) =>
+      (if (lo == Long.MinValue) None else Some(lo),
+        if (hi == Long.MaxValue) None else Some(hi))
+    }
   }
 
   /** One comparison/equality/IN leaf → its day-range union, if the leaf
@@ -250,7 +277,8 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
         d.left match {
           case a: Attribute if granule > 0 && a.semanticEquals(ts) =>
             val w = l.value.asInstanceOf[Long]
-            if (math.abs(w) > (Long.MaxValue - (granule - 1)) / granule) None
+            if (w == Long.MinValue ||
+              math.abs(w) > (Long.MaxValue - (granule - 1)) / granule) None
             else Some((
               if (w <= 0) w * granule - (granule - 1) else w * granule,
               if (w >= 0) w * granule + (granule - 1) else w * granule,
@@ -260,7 +288,7 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
       // the normalized µs view vs a TIMESTAMP literal
       case UsView(a) if a.semanticEquals(ts) && isTimestamp(l.dataType) =>
         val us = l.value.asInstanceOf[Long]
-        if (math.abs(us) > MaxUs) None
+        if (us == Long.MinValue || math.abs(us) > MaxUs) None
         else Some((usEqLo(us), usEqHi(us), true))
       // epoch arithmetic over the µs view — unix_seconds/millis/micros(ts)
       // vs a LONG literal: each is a FLOOR-granule view (Spark's unix_*
@@ -280,7 +308,7 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
           if a.semanticEquals(ts) && fmt.dataType == StringType &&
             fmt.value != null && isTimestamp(l.dataType) && utcLike(tz) =>
         val us = l.value.asInstanceOf[Long]
-        if (math.abs(us) > MaxUs) None
+        if (us == Long.MinValue || math.abs(us) > MaxUs) None
         else for {
           f <- floorUnit(us, fmt.value.toString)
           n <- nextUnit(f, fmt.value.toString)
@@ -304,7 +332,9 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
     * unix_millis (g=1e3), unix_micros (g=1).
     */
   private def epochView(w: Long, g: Long): Option[(Long, Long, Boolean)] = {
-    if (math.abs(w) > (MaxUs - (g - 1)) / g) None
+    // w == Long.MinValue would slip the abs guard (abs of it is negative)
+    // and wrap the multiplication into a bound that DROPS rows
+    if (w == Long.MinValue || math.abs(w) > (MaxUs - (g - 1)) / g) None
     else Some((usEqLo(w * g), usEqHi(w * g + g - 1), true))
   }
 
@@ -402,31 +432,24 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
     // deliberately a superset in places, so inject nothing and let the
     // data filter answer; pruning-only, never row-dropping
     if (ranges.isEmpty) return None
-    if (ranges.exists { case (None, None) => true; case _ => false }) return None
-    val closed = ranges.map { case (lo, hi) =>
-      (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
-    }.sortBy(_._1)
-    val merged = closed.tail.foldLeft(Vector(closed.head)) { case (acc, (lo, hi)) =>
-      val (plo, phi) = acc.last
-      if (lo <= saturatingInc(phi)) acc.init :+ (plo, math.max(phi, hi))
-      else acc :+ (lo, hi)
-    }
-    val capped =
-      if (merged.size <= MaxRanges) merged
-      else Vector((merged.head._1, merged.last._2)) // hull: bounded plan size
+    val merged = capped(ranges)
+    // an unbounded range (directly, or as the hull of mixed-sided
+    // bounds) prunes nothing
+    if (merged.exists { case (None, None) => true; case _ => false }) return None
     def dayLit(d: Long): Literal = {
       val c = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, d)).toInt
       Literal(c, DateType)
     }
-    if (capped.forall { case (lo, hi) => lo == hi } && capped.size > 1)
-      Some(In(day, capped.map(r => dayLit(r._1))))
+    if (merged.size > 1 && merged.forall { case (lo, hi) => lo == hi })
+      Some(In(day, merged.map(r => dayLit(r._1.get))))
     else {
-      val preds = capped.map { case (lo, hi) =>
-        if (lo == hi) EqualTo(day, dayLit(lo))
-        else if (lo == Long.MinValue && hi == Long.MaxValue) return None
-        else if (lo == Long.MinValue) LessThanOrEqual(day, dayLit(hi))
-        else if (hi == Long.MaxValue) GreaterThanOrEqual(day, dayLit(lo))
-        else And(GreaterThanOrEqual(day, dayLit(lo)), LessThanOrEqual(day, dayLit(hi)))
+      val preds = merged.map {
+        case (Some(a), Some(b)) if a == b => EqualTo(day, dayLit(a))
+        case (Some(a), Some(b)) =>
+          And(GreaterThanOrEqual(day, dayLit(a)), LessThanOrEqual(day, dayLit(b)))
+        case (Some(a), None) => GreaterThanOrEqual(day, dayLit(a))
+        case (None, Some(b)) => LessThanOrEqual(day, dayLit(b))
+        case (None, None)    => return None // unreachable: filtered above
       }
       preds.reduceOption[Expression](Or)
     }

@@ -674,8 +674,10 @@ object LakeContract {
           |    CAST(round(value * 100) AS BIGINT) AS cents
           |  FROM events),
           |t AS (SELECT event_type AS t2 FROM (
-          |        SELECT DISTINCT event_type FROM e
-          |        ORDER BY event_type OFFSET 2 LIMIT 1))
+          |        SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn,
+          |               count(*) OVER () AS cnt
+          |        FROM (SELECT DISTINCT event_type FROM e))
+          |      WHERE rn = cnt // 2 + 1)
           |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
           |FROM e, t WHERE e.event_type = t.t2

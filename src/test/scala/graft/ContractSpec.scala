@@ -434,6 +434,17 @@ class ContractSpec extends AnyFunSuite {
           s"unix_millis(ts) < ${(d1sec + 86400L) * 1000}"))
         .groupBy("event_type").count(),
       1, "unix_millis epoch view")
+    // Long.MinValue literals: math.abs(Long.MinValue) is NEGATIVE, so a
+    // naive abs-guard lets the granule multiplication wrap and derive a
+    // bound that DROPS rows (code-review r12 finding). These must
+    // derive NOTHING and keep every row.
+    Seq(s"ts_ns div 1000000000 >= ${Long.MinValue}L",
+      s"unix_seconds(ts) >= ${Long.MinValue}L",
+      s"ts > timestamp_micros(${Long.MinValue}L)").foreach { pred =>
+      val got = Tables.events(spark, sf).filter(expr(pred)).count()
+      val all = Tables.events(spark, sf).count()
+      assert(got == all, s"MinValue literal lost rows: $got of $all under $pred")
+    }
     // a non-time disjunct defeats pruning (the safe refusal): no derived
     // filter, every day listed
     val q = Tables.events(spark, sf)

@@ -74,6 +74,15 @@ class LakeSpec extends AnyFunSuite {
     val d = Lake.staged(s"lakespec_crash|$src", Seq(src))(writeOk("clean"))
     assert(Files.readString(Paths.get(d, "part-00000")) == "clean")
     assert(Files.exists(Paths.get(d, "_SUCCESS")))
+    // and the crashed attempt's partial temp dir must not leak
+    val base = Paths.get(d).getParent
+    val leaked = Files.list(base).iterator()
+    var tmps = 0
+    while (leaked.hasNext) {
+      val f = leaked.next().getFileName.toString
+      if (f.startsWith(Paths.get(d).getFileName.toString + ".tmp-")) tmps += 1
+    }
+    assert(tmps == 0, s"$tmps partial staging temp dir(s) leaked under $base")
   }
 
   test("16 concurrent stagers of one key publish exactly one write") {
