@@ -568,6 +568,60 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("pruning algebra effectiveness: 40 random conjunctive windows list ~only their days") {
+    // The differential fuzz proves safety (no rows lost) but would pass
+    // silently if the rule stopped MATCHING and every query full-scanned
+    // — this is the other half: for random conjunctive time windows of
+    // every recognized shape, the listing must stay within matched-days
+    // + 2 (one day of conservative widening per bound), never the whole
+    // lake when the window is narrow.
+    import spark.implicits._
+    val N = Tables.NsPerDay
+    val d = java.nio.file.Files.createTempDirectory("graft_prunefx").toString
+    val rows = for {
+      day <- 0L to 19L
+      off <- Seq(1L, N / 2, N - 1L)
+    } yield (day * 3 + off % 3, day * N + off, day, s"t${off % 2}", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val days = Tables.eventsLakeDays(spark, d)
+    assert(days.size == 20)
+    val rnd = new scala.util.Random(7)
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int = {
+      val phys = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      phys.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get.selectedPartitions.partitionCount
+    }
+    (1 to 40).foreach { i =>
+      // a window [loNs, hiNs) through a random recognized lower/upper shape
+      val loDay = rnd.nextInt(18).toLong
+      val width = 1L + rnd.nextInt(4)
+      val (loNs, hiNs) = (loDay * N + rnd.nextInt(1000), (loDay + width) * N)
+      val loPred = rnd.nextInt(4) match {
+        case 0 => s"ts_ns >= ${loNs}L"
+        case 1 => s"ts >= timestamp_micros(${loNs / 1000})"
+        case 2 => s"unix_seconds(ts) >= ${loNs / 1000000000L}L"
+        case _ => s"ts_ns div 1000000 >= ${loNs / 1000000L}L"
+      }
+      val hiPred = rnd.nextInt(4) match {
+        case 0 => s"ts_ns < ${hiNs}L"
+        case 1 => s"ts < timestamp_micros(${hiNs / 1000})"
+        case 2 => s"date_trunc('day', ts) < timestamp_micros(${hiNs / 1000})"
+        case _ => s"ts_ns div 1000 < ${hiNs / 1000L}L"
+      }
+      val q = Tables.events(spark, d).filter(expr(s"$loPred AND $hiPred"))
+      val matchedDays = q.select(expr("ts_ns div " + N).as("dd")).distinct().count()
+      val scanned = scanParts(q.groupBy("event_type").count())
+      assert(scanned <= matchedDays + 2 && scanned < days.size,
+        s"predicate #$i did not prune: scanned $scanned of ${days.size} days " +
+          s"for a $matchedDays-day match — $loPred AND $hiPred")
+    }
+  }
+
   test("lake contract names the drifted column with expected vs found types") {
     import spark.implicits._
     // documents with n_chars retyped string and text missing — the
