@@ -79,18 +79,24 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** SQL for the partition day of a BIGINT-ns event-time column: FLOOR
-    * division to the day granule (`x - pmod(x, n)` is exactly divisible,
-    * so the truncating `div` equals floor on the whole Long domain).
-    * Spark's bare `ts div NsPerDay` truncates toward zero, which
-    * disagrees with the pruning rule's `Math.floorDiv` for pre-1970
-    * (negative-ns) instants — a row at ts=-1ns would be written to
-    * day=1970-01-01 while a `ts_ns <= -1` predicate derives
-    * day <= 1969-12-31 and silently loses it (ADVICE r11). One shared
-    * definition keeps every writer on the rule's arithmetic.
+    * division to the day granule. Spark's bare `ts div NsPerDay`
+    * truncates toward zero, which disagrees with the pruning rule's
+    * `Math.floorDiv` for pre-1970 (negative-ns) instants — a row at
+    * ts=-1ns would be written to day=1970-01-01 while a `ts_ns <= -1`
+    * predicate derives day <= 1969-12-31 and silently loses it (ADVICE
+    * r11). One shared definition keeps every writer on the rule's
+    * arithmetic. The spelling is truncate-then-correct — `x div n` minus
+    * one when the remainder is negative — because the r12 form
+    * `(x - pmod(x, n)) div n` UNDERFLOWS within one day of
+    * Long.MinValue (pmod is positive, the subtraction wraps) and would
+    * write that row to a far-future day the rule then prunes away
+    * (ADVICE r12); neither `div` nor `%` can overflow for n > 1, so
+    * this form is exact floor on the whole Long domain.
     */
   private[graft] def dayOfNsSql(nsCol: String): String =
     s"date_add(DATE '1970-01-01', " +
-      s"CAST(($nsCol - pmod($nsCol, $NsPerDay)) div $NsPerDay AS INT))"
+      s"CAST(($nsCol div $NsPerDay) - " +
+      s"(CASE WHEN $nsCol % $NsPerDay < 0 THEN 1 ELSE 0 END) AS INT))"
 
   /** The day-partitioned primary events lake root, staged once per
     * (lake dir, content fingerprint): `day=YYYY-MM-DD/` directories,
@@ -102,9 +108,10 @@ object Tables {
     */
   def eventsLakeRoot(spark: SparkSession, dir: String): String =
     // key versioned with the layout: a layout change must restage, not
-    // silently reuse a dir written under the old rule (v3: floor-day
-    // writer arithmetic + series-key clustering within day files)
-    Lake.staged(s"day_lake_v3|$dir", Seq(s"$dir/events.parquet")) { p =>
+    // silently reuse a dir written under the old rule (v4: overflow-safe
+    // floor-day writer arithmetic + series-key clustering within day
+    // files)
+    Lake.staged(s"day_lake_v4|$dir", Seq(s"$dir/events.parquet")) { p =>
       import org.apache.spark.sql.functions._
       // Writer parallelism is input-derived (the Sizing discipline), and
       // the shuffle is a RANGE partition on (day, ts): day-locality is

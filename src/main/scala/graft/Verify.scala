@@ -8,8 +8,8 @@ object Verify {
     // optional 3rd arg: comma-separated name substrings to run a subset
     // locally (the driver always passes exactly two args)
     val (sfDir, outDir, only) = args match {
-      case Array(s, o)    => (s, o, Seq.empty[String])
-      case Array(s, o, f) => (s, o, f.split(',').toSeq)
+      case Array(s, o) => (s, o, Seq.empty[String])
+      case Array(s, o, rest @ _*) => (s, o, rest.flatMap(_.split(',')).toSeq)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -127,5 +127,70 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s3 = Dml.expireDays(spark, lake3, -5L * N)
     assert(s3 == Dml.ExpireStats(0, false, 0L), s3.toString)
     assert(spark.read.parquet(lake3).count() == 12)
+
+    // explicit file: URI — the whole lifecycle must run through the
+    // Hadoop FileSystem API with no java.io.File assumptions (VERDICT
+    // r12 #1: an HDFS/S3 lake root takes exactly this code path)
+    val lake4 = mkLake()
+    val s4 = Dml.expireDays(spark, s"file://$lake4", N + 12L * 3600L * 1000000000L)
+    assert(s4 == Dml.ExpireStats(1, true, 2L), s4.toString)
+    assert(days(lake4) == Seq("day=1970-01-02", "day=1970-01-03", "day=1970-01-04"))
+    assert(spark.read.parquet(lake4).count() == 8)
+  }
+
+  test("expireDays self-heals a swap interrupted at either crash point (ADVICE r12)") {
+    import spark.implicits._
+    val N = graft.Tables.NsPerDay
+    def mkLake(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_ttl_heal").toString
+      (0L until 3L).flatMap(d => Seq(6L, 18L).map(h => (d, d * N + h * 3600L * 1000000000L)))
+        .toDF("d", "ts")
+        .withColumn("day", expr(graft.Tables.dayOfNsSql("ts"))).drop("d")
+        .repartition(1)
+        .write.partitionBy("day").mode("overwrite").parquet(root)
+      root
+    }
+    def mv(a: String, b: String): Unit =
+      java.nio.file.Files.move(java.nio.file.Paths.get(a), java.nio.file.Paths.get(b))
+
+    // crash point 1: between the two renames — day= gone, original in
+    // .ttl-old-*, rewrite stranded in .ttl-tmp-*. Without healing, every
+    // read and every later expireDays silently excludes that day.
+    val lake1 = mkLake()
+    mv(s"$lake1/day=1970-01-02", s"$lake1/.ttl-old-1970-01-02")
+    spark.read.parquet(s"$lake1/.ttl-old-1970-01-02").filter(col("ts") >= N + 1)
+      .write.parquet(s"$lake1/.ttl-tmp-1970-01-02")
+    // heal-only call (cutoff touches nothing): day restored with its
+    // ORIGINAL rows, leftovers gone
+    val h1 = Dml.expireDays(spark, lake1, -5L * N)
+    assert(h1 == Dml.ExpireStats(0, false, 0L, healedDays = 1), h1.toString)
+    assert(spark.read.parquet(lake1).count() == 6, "restored lake must hold all rows")
+    assert(!new java.io.File(s"$lake1/.ttl-tmp-1970-01-02").exists())
+    assert(!new java.io.File(s"$lake1/.ttl-old-1970-01-02").exists())
+
+    // crash point 2: after the second rename, before the aside delete —
+    // day= holds the REWRITE, .ttl-old-* still holds the expired
+    // original. Healing must NOT move the aside back (that would
+    // resurrect expired rows) — just delete it.
+    val lake2 = mkLake()
+    val c2 = N + 12L * 3600L * 1000000000L // day-1 noon
+    Dml.expireDays(spark, lake2, c2) // complete a real run first...
+    val rewritten = spark.read.parquet(lake2).count()
+    // ...then fake the crash state: a stale aside full of expired rows
+    spark.read.parquet(s"$lake2/day=1970-01-03")
+      .write.parquet(s"$lake2/.ttl-old-1970-01-02")
+    val h2 = Dml.expireDays(spark, lake2, -5L * N)
+    assert(h2 == Dml.ExpireStats(0, false, 0L, healedDays = 0), h2.toString)
+    assert(!new java.io.File(s"$lake2/.ttl-old-1970-01-02").exists())
+    assert(spark.read.parquet(lake2).count() == rewritten,
+      "healing a completed swap must not change the lake")
+
+    // heal-then-process in ONE call: the restored day is immediately
+    // re-expired by the same invocation's cutoff
+    val lake3 = mkLake()
+    mv(s"$lake3/day=1970-01-01", s"$lake3/.ttl-old-1970-01-01")
+    val h3 = Dml.expireDays(spark, lake3, 2L * N)
+    assert(h3 == Dml.ExpireStats(2, false, 0L, healedDays = 1), h3.toString)
+    assert(spark.read.parquet(lake3).count() == 2)
   }
 }
