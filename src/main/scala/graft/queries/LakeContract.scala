@@ -335,6 +335,46 @@ object LakeContract {
       q
     }),
 
+    // Pruning must survive a JOIN (VERDICT r12 #6): the classic
+    // dashboard shape — events joined to a small dimension, the time
+    // filter written against the JOINED result — relies on Catalyst
+    // pushing the filter below the join before the day bound can be
+    // derived; a plan-shape regression here would be a silent full scan
+    // under every enriched query. The lane joins events to a broadcast
+    // category dim, filters a two-day window on the join OUTPUT, and
+    // throws unless (a) the events scan listed exactly 2 of N day
+    // partitions and (b) the join is a broadcast (no shuffled join for
+    // a 5-row dim). The per-category aggregate is oracle-checked via
+    // the same VALUES dim in DuckDB.
+    "ts_prune_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val days = Tables.eventsLakeDays(s, dir)
+      require(days.size > 2, s"lake spans ${days.size} day(s); need at least 3")
+      val (da, db) = (java.time.LocalDate.parse(days(1)),
+        java.time.LocalDate.parse(days(2)))
+      val dim = Seq(
+        "click" -> "engagement", "view" -> "engagement",
+        "purchase" -> "revenue", "signup" -> "growth",
+        "error" -> "reliability").toDF("event_type", "category")
+      val q = Tables.events(s, dir)
+        .join(dim, "event_type")
+        .filter(col("ts") >= expr(s"TIMESTAMP '$da 00:00:00'") &&
+          col("ts") < expr(s"TIMESTAMP '${db.plusDays(1)} 00:00:00'"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy("category")
+      val (scanned, files) = scannedPartitions(q)
+      require(scanned == 2,
+        s"pruning under a join failed: two-day window scanned $scanned of " +
+          s"${days.size} day partitions ($files files)")
+      require(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "the 5-row dim must join as a broadcast, never a shuffle")
+      q
+    }),
+
     // Tag-dimension zone skipping (VERDICT r11 #3): the primary lake
     // sorts each day file by (event_type, ts) — tskv's series-key order
     // — so at production row-group sizes a one-tag dashboard query reads
@@ -499,39 +539,100 @@ object LakeContract {
       q
     }),
 
-    // The "bucketed by tag" half of SURVEY §5's events layout rule
-    // (day-partitioned + series-clustered shipped r11/r12; this is the
-    // co-location leg): events written bucketed by event_type with
-    // (event_type, ts) sort — the tskv series-file shape as a Spark
-    // bucketed table — must let per-series aggregation run WITHOUT a
-    // shuffle: the bucketed scan's hash distribution already satisfies
-    // the group-by, so the only exchange in the plan is the final
-    // 5-row presentation sort. The lane throws if any hash exchange
-    // appears; the aggregate is oracle-checked against the raw lake.
+    // The "bucketed by tag" half of SURVEY §5's events layout rule, now
+    // proven on the UNIFIED catalog table (VERDICT r12 #2 — previously a
+    // separate single-purpose bucketed table; also closes ADVICE r12's
+    // staging leak: the unified layout is Lake.staged once per (lake,
+    // fingerprint), not re-written per invocation): per-series
+    // aggregation over the day-partitioned + event_type-bucketed +
+    // (event_type, ts)-sorted table must run WITHOUT a shuffle — the
+    // bucketed scan's hash distribution already satisfies the group-by
+    // across ALL day partitions (bucket ids are file-name metadata, so
+    // files of one bucket from every day land in one task). The lane
+    // throws if any hash exchange appears; the aggregate is
+    // oracle-checked against the raw lake.
     "ts_bucketed_series_agg" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val tbl = "graft_evt_bucketed"
-      // EXTERNAL table at a fresh temp location: a managed table's
-      // warehouse directory outlives the session's metastore, so a
-      // second JVM's overwrite dies on LOCATION_ALREADY_EXISTS
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
-      Tables.eventsNanos(s, dir)
-        .select(col("ts").as("ts_ns"), col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        .write.mode("overwrite").option("path", loc)
-        .bucketBy(4, "event_type").sortBy("event_type", "ts_ns")
-        .saveAsTable(tbl)
+      val tbl = Tables.eventsUnifiedTable(s, dir)
       val q = s.table(tbl)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          (sum(col("cents")).cast("double") / 100.0).as("sum_value"),
-          min("ts_ns").as("first_ns"), max("ts_ns").as("last_ns"))
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"),
+          min("ts").as("first_ns"), max("ts").as("last_ns"))
         .orderBy("event_type")
       val plan = q.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange hashpartitioning"),
-        "per-series aggregation over the tag-bucketed layout must not " +
-          "shuffle — the bucketed scan already satisfies the distribution")
+        "per-series aggregation over the tag-bucketed unified table must " +
+          "not shuffle — the bucketed scan already satisfies the distribution")
+      q
+    }),
+
+    // Hidden day pruning on the SAME unified catalog table (the other
+    // half of VERDICT r12 #2): a two-day µs-timestamp window — the
+    // ordinary dashboard shape, never naming the partition column —
+    // must prune the catalog table's file listing to exactly 2 of N day
+    // partitions, with N cross-checked against the catalog's own
+    // partition inventory (SHOW PARTITIONS). Proves the optimizer rule
+    // fires on catalog-backed relations exactly as on path reads.
+    "ts_unified_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tbl = Tables.eventsUnifiedTable(s, dir)
+      val days = s.sql(s"SHOW PARTITIONS $tbl").collect()
+        .map(_.getString(0).stripPrefix("day=")).sorted.toSeq
+      require(days.size > 2, s"unified table holds ${days.size} day(s); need 3+")
+      val (da, db) = (java.time.LocalDate.parse(days(1)),
+        java.time.LocalDate.parse(days(1)).plusDays(1))
+      val q = s.table(tbl)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .filter(col("tstamp") >= expr(s"TIMESTAMP '$da 00:00:00'") &&
+          col("tstamp") < expr(s"TIMESTAMP '${db.plusDays(1)} 00:00:00'"))
+        .groupBy(date_format(col("tstamp"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy("day", "event_type")
+      val (scanned, files) = scannedPartitions(q)
+      require(scanned == 2,
+        s"unified-table hidden pruning failed: two-day window scanned " +
+          s"$scanned of ${days.size} catalog partitions ($files files)")
+      q
+    }),
+
+    // BOTH layout properties in ONE query on the one table — the
+    // composed production shape SURVEY §5 promises: a one-day per-series
+    // dashboard aggregate must simultaneously (a) prune the listing to
+    // exactly 1 of N day partitions via the derived time bound and (b)
+    // aggregate shuffle-free off the bucketed scan. Answer
+    // oracle-checked with ts_prune_hidden's SQL verbatim — every layout
+    // (path day lake, compacted lake, unified catalog table) must answer
+    // the second day identically.
+    "ts_unified_layout" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tbl = Tables.eventsUnifiedTable(s, dir)
+      val days = s.sql(s"SHOW PARTITIONS $tbl").collect()
+        .map(_.getString(0).stripPrefix("day=")).sorted.toSeq
+      require(days.size > 1, s"unified table holds ${days.size} day(s)")
+      val d1 = java.time.LocalDate.parse(days(1))
+      val q = s.table(tbl)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .filter(col("tstamp") >= expr(s"TIMESTAMP '$d1 00:00:00'") &&
+          col("tstamp") < expr(s"TIMESTAMP '${d1.plusDays(1)} 00:00:00'"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .withColumn("day", lit(d1.toString))
+        .select("day", "event_type", "n", "sum_value")
+        .orderBy("event_type")
+      val (scanned, files) = scannedPartitions(q)
+      require(scanned == 1,
+        s"unified-layout pruning failed: one-day window scanned $scanned " +
+          s"of ${days.size} catalog partitions ($files files)")
+      val plan = q.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        "one-day per-series aggregate over the unified table must not shuffle")
       q
     }),
 
@@ -705,8 +806,47 @@ object LakeContract {
       // the fragmented-then-compacted layout must answer identically to
       // the never-fragmented one
       "ts_compact_daylake" -> oracleSqlPruneHidden,
+      // the 2nd+3rd days per CATEGORY over the RAW lake with the same
+      // VALUES dim: the Spark side filtered the join OUTPUT and its
+      // events scan still listed exactly those two day directories
+      "ts_prune_join" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+          |    CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |d AS (SELECT day FROM (
+          |        SELECT DISTINCT day FROM e ORDER BY day OFFSET 1 LIMIT 2)),
+          |dim(event_type, category) AS (VALUES
+          |  ('click', 'engagement'), ('view', 'engagement'),
+          |  ('purchase', 'revenue'), ('signup', 'growth'),
+          |  ('error', 'reliability'))
+          |SELECT category, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+          |FROM e JOIN d ON e.day = d.day JOIN dim USING (event_type)
+          |GROUP BY category ORDER BY category""".stripMargin,
+      // the 2nd and 3rd days over the RAW lake: the Spark side's µs
+      // window pruned the unified catalog table's listing to those two
+      // partitions
+      "ts_unified_prune" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+          |    CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |d AS (SELECT day FROM (
+          |        SELECT DISTINCT day FROM e ORDER BY day OFFSET 1 LIMIT 2))
+          |SELECT e.day, event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+          |FROM e JOIN d ON e.day = d.day
+          |GROUP BY e.day, event_type ORDER BY e.day, event_type""".stripMargin,
+      // the second day over the RAW lake, verbatim ts_prune_hidden SQL:
+      // the unified catalog table must answer exactly like the path day
+      // lake — while its plan both pruned to 1 partition and aggregated
+      // shuffle-free
+      "ts_unified_layout" -> oracleSqlPruneHidden,
       // per-series lifetime aggregate over the RAW lake: the Spark side
-      // computed it shuffle-free off the tag-bucketed layout
+      // computed it shuffle-free off the tag-bucketed unified table
       "ts_bucketed_series_agg" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0

@@ -321,6 +321,51 @@ class ContractSpec extends AnyFunSuite {
     assert(lane.count() > 0)
   }
 
+  test("unified catalog table: pruning comes from the rule; bucketing satisfies the agg") {
+    // the lanes assert pruned==K and no-exchange in-run; this pins the
+    // NEGATIVE control on the catalog relation — with the rule
+    // excluded, the same µs window lists every catalog partition again
+    // (i.e. the pruning is OUR derived filter, not catalog magic) —
+    // and that the no-shuffle agg really reads a bucketed scan.
+    val tbl = Tables.eventsUnifiedTable(spark, sf)
+    val days = spark.sql(s"SHOW PARTITIONS $tbl").collect()
+      .map(_.getString(0).stripPrefix("day=")).sorted.toSeq
+    assert(days.size == Tables.eventsLakeDays(spark, sf).size,
+      "catalog partition inventory must equal the path lake's day set")
+    val d1 = java.time.LocalDate.parse(days(1))
+    def window() = spark.table(tbl)
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .filter(col("tstamp") >= expr(s"TIMESTAMP '$d1 00:00:00'") &&
+        col("tstamp") < expr(s"TIMESTAMP '${d1.plusDays(1)} 00:00:00'"))
+      .groupBy("event_type").count()
+    assert(scanOfPlan(window()).selectedPartitions.partitionCount == 1)
+    val excludedKey = "spark.sql.optimizer.excludedRules"
+    val savedExcluded = spark.conf.getOption(excludedKey)
+    val savedExtra = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        savedExtra.filterNot(_ eq plans.EventTimeDayPruning)
+      spark.conf.set(excludedKey,
+        (savedExcluded.toSeq :+ plans.EventTimeDayPruning.ruleName).mkString(","))
+      assert(scanOfPlan(window()).selectedPartitions.partitionCount == days.size,
+        "rule-less catalog scan must list every partition")
+    } finally {
+      spark.experimental.extraOptimizations = savedExtra
+      savedExcluded.fold(spark.conf.unset(excludedKey))(v => spark.conf.set(excludedKey, v))
+    }
+    // the shuffle-free agg witness reads a bucketed scan (4 buckets,
+    // SelectedBucketsCount absent = all), not an accidental 1-partition
+    // degenerate plan
+    val agg = spark.table(tbl).groupBy("event_type").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(plan.contains("Bucketed: true"),
+      s"agg must read a bucketed scan:\n${plan.take(2000)}")
+    // both driver lanes end to end (their own requires throw on failure)
+    assert(queries.LakeContract.queries("ts_unified_layout")(spark, sf).count() > 0)
+    assert(queries.LakeContract.queries("ts_prune_join")(spark, sf).count() > 0)
+  }
+
   private def scanOfPlan(df: org.apache.spark.sql.DataFrame) = {
     val phys = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
