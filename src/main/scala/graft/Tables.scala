@@ -210,6 +210,51 @@ object Tables {
     tbl
   }
 
+  /** Multi-tag series keys (VERDICT r12 stretch): cnosdb series keys are
+    * arbitrary tag SETS, not one tag — this stages the events lake
+    * bucketed on the FULL two-tag tuple (event_type, region) and sorted
+    * (event_type, region, ts), the tskv series-file shape for a two-tag
+    * schema, and registers it as a catalog table. The second tag is
+    * derived deterministically from user_id (the driver lake carries
+    * one physical tag), which both engines replay identically. Fine
+    * parquet row groups make sort-order zone skipping observable at toy
+    * scale (the ts_tag_zone_skip discipline). Returns the table name.
+    */
+  def eventsMultiTagTable(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val root = Lake.staged(s"multitag_lake_v1|$dir", Seq(s"$dir/events.parquet")) { p =>
+      val tmpTbl = s"graft_multitag_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      eventsNanos(spark, dir)
+        .select(col("ts").cast("bigint").as("ts"),
+          col("event_type").cast("string").as("event_type"),
+          concat(lit("r"), pmod(col("user_id"), lit(3)).cast("string")).as("region"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .repartition(4, col("event_type"), col("region"))
+        .write.mode("overwrite")
+        .bucketBy(4, "event_type", "region")
+        .sortBy("event_type", "region", "ts")
+        .option("path", p.toString)
+        .option("parquet.block.size", "4096")
+        .saveAsTable(tmpTbl)
+      spark.sql(s"DROP TABLE $tmpTbl")
+    }
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graft_events_multitag_$tag"
+    if (!spark.catalog.tableExists(tbl)) synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        spark.sql(
+          s"""CREATE TABLE $tbl (
+             |  ts BIGINT, event_type STRING, region STRING, cents BIGINT)
+             |USING parquet
+             |CLUSTERED BY (event_type, region)
+             |SORTED BY (event_type, region, ts) INTO 4 BUCKETS
+             |LOCATION '$root'""".stripMargin)
+      }
+    }
+    tbl
+  }
+
   /** Sorted UTC days present in the partitioned lake, from the directory
     * listing alone — O(days), no file IO; the discovery path a 100 TB
     * time-bounded query planner uses.

@@ -699,6 +699,47 @@ object LakeContract {
       q
     }),
 
+    // Multi-tag series keys (VERDICT r12 stretch): cnosdb series keys
+    // are tag SETS — the witness generalizes both layout claims to a
+    // two-tag tuple on one catalog table bucketed by (event_type,
+    // region) and sorted (event_type, region, ts): (a) per-series
+    // aggregation over the FULL tuple runs with zero hash exchanges
+    // (the tuple-bucketed scan already satisfies the distribution), and
+    // (b) a one-series scan — both tags pinned — emits at most 2× the
+    // pair's true row share and at most half the lake (sort-order
+    // row-group skipping on the composite key). The 15-series aggregate
+    // is oracle-checked with the same derived second tag in DuckDB.
+    "ts_multitag_series" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tbl = Tables.eventsMultiTagTable(s, dir)
+      val q = s.table(tbl)
+        .groupBy("event_type", "region")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("cents")).cast("double") / 100.0).as("sum_value"),
+          min("ts").as("first_ns"), max("ts").as("last_ns"))
+        .orderBy("event_type", "region")
+      val plan = q.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        "two-tag per-series aggregation over the tuple-bucketed layout " +
+          "must not shuffle")
+      // clustered-scan witness: pin one (tag1, tag2) series
+      val t = s.table(tbl)
+      val pair = t.select("event_type", "region").distinct()
+        .orderBy("event_type", "region").collect()
+      val (pt, pr) = (pair(pair.length / 2).getString(0),
+        pair(pair.length / 2).getString(1))
+      def one(df: DataFrame) = df.filter(col("event_type") === pt &&
+        col("region") === pr)
+      val emitted = scanOutputRows(s, one(t).select("cents"))
+      val share = one(t).count()
+      val total = t.count()
+      require(emitted <= 2 * share && emitted * 2 <= total,
+        s"two-tag series clustering failed: one-series scan emitted $emitted " +
+          s"rows for a series of $share (lake $total) — want <= 2x the " +
+          "series share and <= half the lake")
+      q
+    }),
+
     "q_lake_contract" -> ((s, dir) => {
       val bad = expected.flatMap { case (table, _) =>
         val df = Tables(s, dir, table) // events → normalized view (or its readable error)
@@ -940,6 +981,18 @@ object LakeContract {
       // lake — while its plan both pruned to 1 partition and aggregated
       // shuffle-free
       "ts_unified_layout" -> oracleSqlPruneHidden,
+      // the 15 two-tag series' lifetime aggregates over the RAW lake
+      // with the same derived region tag: the Spark side computed them
+      // shuffle-free off the tuple-bucketed layout and proved one
+      // series' scan stays near its row share
+      "ts_multitag_series" ->
+        """SELECT event_type, 'r' || CAST(user_id % 3 AS VARCHAR) AS region,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          |    AS sum_value,
+          |  min(epoch_ns(ts)) AS first_ns, max(epoch_ns(ts)) AS last_ns
+          |FROM events GROUP BY event_type, region
+          |ORDER BY event_type, region""".stripMargin,
       // per-series lifetime aggregate over the RAW lake: the Spark side
       // computed it shuffle-free off the tag-bucketed unified table
       "ts_bucketed_series_agg" ->

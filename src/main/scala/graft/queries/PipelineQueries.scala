@@ -1086,26 +1086,35 @@ object PipelineQueries {
     */
   private def coarseCcCtes(cK: String): String = {
     def d(a: String, b: String): String = intDistSql(a, b)
+    // Every argmin is the payload-free streaming form — (id, key, d)
+    // scalars into min(STRUCT), vectors joined back by id afterwards —
+    // including cgrp, whose r12 spelling ran a row_number window over
+    // the k×kc centroid-anchor product WITH both list payloads (the
+    // exact argmin-over-join spill pattern that killed the sf1 oracle
+    // before r12 and this one at sf10 — VERDICT r12 #3): at sf10 that
+    // sort held ~2.4e7 rows × ~1 KB of lists. vg is likewise slimmed to
+    // (vec_id, grp); the ~n·√k assignment rows now carry only scalars
+    // into their GROUP BYs.
     s"""kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc FROM $cK),
        |anch AS (SELECT cell AS aj, cq AS acq FROM $cK, kcv WHERE cell < kcv.kc),
        |cgrp AS (
-       |  SELECT cell, cq, grp FROM (
-       |    SELECT c.cell, c.cq, a.aj AS grp,
-       |      row_number() OVER (PARTITION BY c.cell
-       |        ORDER BY ${d("c.cq", "a.acq")}, a.aj) AS rn
-       |    FROM $cK c CROSS JOIN anch a) WHERE rn = 1),
+       |  SELECT c.cell, c.cq, w.grp FROM (
+       |    SELECT cell, (min({'d': dd, 'aj': aj})).aj AS grp FROM (
+       |      SELECT c.cell, a.aj, ${d("c.cq", "a.acq")} AS dd
+       |      FROM $cK c CROSS JOIN anch a) GROUP BY cell) w
+       |  JOIN $cK c ON c.cell = w.cell),
        |vg AS (
-       |  SELECT q.vec_id, q.v, q.vq, w.grp FROM (
-       |    SELECT vec_id, (min({'d': dd, 'aj': aj})).aj AS grp FROM (
-       |      SELECT e.vec_id, a.aj, ${d("e.vq", "a.acq")} AS dd
-       |      FROM q e CROSS JOIN anch a) GROUP BY vec_id) w
-       |  JOIN q ON q.vec_id = w.vec_id),
+       |  SELECT vec_id, (min({'d': dd, 'aj': aj})).aj AS grp FROM (
+       |    SELECT e.vec_id, a.aj, ${d("e.vq", "a.acq")} AS dd
+       |    FROM q e CROSS JOIN anch a) GROUP BY vec_id),
        |cc2 AS (
-       |  SELECT v2.vec_id AS neighbor_id, v2.v AS c_vec, w.cell FROM (
+       |  SELECT q2.vec_id AS neighbor_id, q2.v AS c_vec, w.cell FROM (
        |    SELECT vec_id, (min({'d': dd, 'cell': cell})).cell AS cell FROM (
        |      SELECT e.vec_id, g.cell, ${d("e.vq", "g.cq")} AS dd
-       |      FROM vg e JOIN cgrp g ON g.grp = e.grp) GROUP BY vec_id) w
-       |  JOIN vg v2 ON v2.vec_id = w.vec_id)""".stripMargin
+       |      FROM (SELECT q.vec_id, q.vq, vg.grp
+       |            FROM q JOIN vg ON vg.vec_id = q.vec_id) e
+       |      JOIN cgrp g ON g.grp = e.grp) GROUP BY vec_id) w
+       |  JOIN q q2 ON q2.vec_id = w.vec_id)""".stripMargin
   }
 
   /** k-NN graph oracle through the TWO-LEVEL assignment (cell target 6
