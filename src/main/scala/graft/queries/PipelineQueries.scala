@@ -1009,27 +1009,45 @@ object PipelineQueries {
     * exactIvfCentroids(k, iters, hexBound=ivfHexBound(n)) +
     * assignExactCells on the Spark side.
     */
-  private def ivfCellCtes(kSql: String, iters: Int, extraCtes: String = ""): String = {
+  /** `AS MATERIALIZED` throughout (r13): DuckDB INLINES a plain CTE at
+    * every reference — `q` (5 refs) and `cc`/`cc2` (2 refs each) were
+    * re-planned per reference, compounding into a plan that ate >120 GB
+    * at sf10 where the same stages, materialized, run in ~60 s with
+    * hundreds of MB (BENCH_SCALING r13 bisect). `includeCc=false` lets
+    * the coarse-assignment lane omit the flat n×k `cc` entirely (its
+    * 8×10⁸-row product at sf10 must not even exist as dead SQL once
+    * CTEs are materialized — a materialized CTE is evaluated whether
+    * referenced or not).
+    */
+  private def ivfCellCtes(kSql: String, iters: Int, extraCtes: String = "",
+                          includeCc: Boolean = true): String = {
     def d(vq: String, cq: String): String = intDistSql(vq, cq)
     def lloyd(i: Int, prev: String): String =
-      s"""a$i AS (
+      s"""a$i AS MATERIALIZED (
          |  SELECT s.mh, s.vq, w.cell FROM (
          |    SELECT mh, (min({'d': dd, 'cell': cell})).cell AS cell FROM (
          |      SELECT s.mh, c.cell, ${d("s.vq", "c.cq")} AS dd
          |      FROM samp s CROSS JOIN $prev c) GROUP BY mh) w
          |  JOIN samp s ON s.mh = w.mh),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT cell, j, floor(sum(vq[j]) / count(*)) AS cj
          |  FROM a$i, LATERAL (SELECT unnest(generate_series(1, len(vq))) AS j) u
          |  GROUP BY cell, j),
-         |c$i AS (
+         |c$i AS MATERIALIZED (
          |  SELECT p.cell, coalesce(n.cq, p.cq) AS cq
          |  FROM $prev p LEFT JOIN
          |    (SELECT cell, list(cj ORDER BY j) AS cq FROM r$i GROUP BY cell) n
          |    ON n.cell = p.cell)""".stripMargin
     val rounds = (1 to iters).map(i => lloyd(i, if (i == 1) "init" else s"c${i - 1}"))
       .mkString(",\n")
-    s"""q AS (
+    val ccCte = if (!includeCc) "" else s""",
+       |cc AS MATERIALIZED (
+       |  SELECT q.vec_id AS neighbor_id, q.v AS c_vec, w.cell FROM (
+       |    SELECT vec_id, (min({'d': dd, 'cell': cell})).cell AS cell FROM (
+       |      SELECT e.vec_id, c.cell, ${d("e.vq", "c.cq")} AS dd
+       |      FROM q e CROSS JOIN c$iters c) GROUP BY vec_id) w
+       |  JOIN q ON q.vec_id = w.vec_id)""".stripMargin
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS vq
        |  FROM embeddings),
@@ -1039,21 +1057,15 @@ object PipelineQueries {
        |    ELSE printf('%08x', GREATEST(1, CAST(floor(4096.0 * 4294967296.0
        |      / count(*)) AS BIGINT))) END AS hb
        |  FROM q),
-       |${extraCtes}samp AS (
+       |${extraCtes}samp AS MATERIALIZED (
        |  SELECT md5(CAST(vec_id AS VARCHAR)) AS mh, vq
        |  FROM q, bnd WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, len(bnd.hb))
        |    < bnd.hb),
-       |init AS (
+       |init AS MATERIALIZED (
        |  SELECT cell, vq AS cq FROM (
        |    SELECT CAST(row_number() OVER (ORDER BY mh) - 1 AS BIGINT) AS cell, vq
        |    FROM samp) WHERE cell < $kSql),
-       |$rounds,
-       |cc AS (
-       |  SELECT q.vec_id AS neighbor_id, q.v AS c_vec, w.cell FROM (
-       |    SELECT vec_id, (min({'d': dd, 'cell': cell})).cell AS cell FROM (
-       |      SELECT e.vec_id, c.cell, ${d("e.vq", "c.cq")} AS dd
-       |      FROM q e CROSS JOIN c$iters c) GROUP BY vec_id) w
-       |  JOIN q ON q.vec_id = w.vec_id)""".stripMargin
+       |$rounds$ccCte""".stripMargin
   }
 
   /** Exact shingle-overlap decontamination, shared by the plain and
@@ -1096,18 +1108,19 @@ object PipelineQueries {
     // (vec_id, grp); the ~n·√k assignment rows now carry only scalars
     // into their GROUP BYs.
     s"""kcv AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kc FROM $cK),
-       |anch AS (SELECT cell AS aj, cq AS acq FROM $cK, kcv WHERE cell < kcv.kc),
-       |cgrp AS (
+       |anch AS MATERIALIZED (
+       |  SELECT cell AS aj, cq AS acq FROM $cK, kcv WHERE cell < kcv.kc),
+       |cgrp AS MATERIALIZED (
        |  SELECT c.cell, c.cq, w.grp FROM (
        |    SELECT cell, (min({'d': dd, 'aj': aj})).aj AS grp FROM (
        |      SELECT c.cell, a.aj, ${d("c.cq", "a.acq")} AS dd
        |      FROM $cK c CROSS JOIN anch a) GROUP BY cell) w
        |  JOIN $cK c ON c.cell = w.cell),
-       |vg AS (
+       |vg AS MATERIALIZED (
        |  SELECT vec_id, (min({'d': dd, 'aj': aj})).aj AS grp FROM (
        |    SELECT e.vec_id, a.aj, ${d("e.vq", "a.acq")} AS dd
        |    FROM q e CROSS JOIN anch a) GROUP BY vec_id),
-       |cc2 AS (
+       |cc2 AS MATERIALIZED (
        |  SELECT q2.vec_id AS neighbor_id, q2.v AS c_vec, w.cell FROM (
        |    SELECT vec_id, (min({'d': dd, 'cell': cell})).cell AS cell FROM (
        |      SELECT e.vec_id, g.cell, ${d("e.vq", "g.cq")} AS dd
@@ -1125,7 +1138,8 @@ object PipelineQueries {
     */
   private def knnGraphCoarseOracle: String =
     s"""WITH ${ivfCellCtes("(SELECT kk FROM kv)", 2,
-         "kv AS (\n  SELECT GREATEST(8, CAST(ceil(count(*) / 6.0) AS BIGINT)) AS kk\n  FROM q),\n")},
+         "kv AS (\n  SELECT GREATEST(8, CAST(ceil(count(*) / 6.0) AS BIGINT)) AS kk\n  FROM q),\n",
+         includeCc = false)},
        |${coarseCcCtes("c2")},
        |e AS (
        |  SELECT a.neighbor_id AS vec_id, b.neighbor_id AS nbr,

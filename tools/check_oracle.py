@@ -61,6 +61,13 @@ def main():
     # share the box with engine measurements (unset = duckdb default)
     if os.environ.get("GRAFT_DUCKDB_THREADS"):
         con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    # opt-in memory cap + disk spill for sfN sweeps: duckdb's default is
+    # 80% of RAM and list-heavy pipelines can shoot past it into the OOM
+    # killer; a bounded sweep trades spill IO for survival (unset =
+    # duckdb default, the driver gate is unaffected)
+    if os.environ.get("GRAFT_DUCKDB_MEMLIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEMLIMIT']}'")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
