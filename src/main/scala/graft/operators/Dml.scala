@@ -187,4 +187,68 @@ object Dml {
     out.write.mode("overwrite").parquet(outDir)
     nFiles
   }
+
+  /** TTL retention on the UNIFIED catalog table (day-partitioned +
+    * tag-bucketed + series-sorted — [[graft.Tables.eventsUnifiedTable]]):
+    * the same lifecycle as [[expireDays]], run through the CATALOG so the
+    * table stays a valid bucketed table afterwards. Fully-expired days
+    * are O(1) metadata operations — `ALTER TABLE .. DROP PARTITION`
+    * removes the catalog entry FIRST (a crash after the drop leaves an
+    * orphan directory no table read can see — those rows were expired
+    * anyway), then the directory is deleted through the Hadoop
+    * FileSystem. The one straddling day is rewritten with
+    * `INSERT OVERWRITE .. PARTITION (day=..)` FROM a materialized aside
+    * of the kept rows (never a self-read-while-overwrite): the table's
+    * own bucket spec drives the write, so the replacement partition
+    * keeps the bucket-id file naming and in-file (event_type, ts) sort —
+    * the zero-shuffle series aggregation and day pruning witnesses both
+    * still hold AFTER retention. A day-aligned cutoff rewrites nothing.
+    *
+    * Crash safety: the aside parquet under `.ttl-aside-<day>` survives
+    * until the INSERT commits; Spark's file-commit protocol stages the
+    * overwrite in a hidden temporary and the partition is replaced at
+    * commit time (on object stores without atomic rename, front this
+    * with a commit marker — same caveat as [[expireDays]]).
+    */
+  def expireDaysUnified(spark: org.apache.spark.sql.SparkSession, table: String,
+                        cutoffNs: Long): ExpireStats = {
+    import org.apache.hadoop.fs.Path
+    val nsPerDay = graft.Tables.NsPerDay
+    val cutDay = Math.floorDiv(cutoffNs, nsPerDay)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val rootP = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).stripPrefix("day=")).sorted
+    require(days.nonEmpty, s"$table has no day= partitions")
+    var dropped = 0
+    var rewritten = false
+    var boundaryKept = 0L
+    days.foreach { dayName =>
+      val day = java.time.LocalDate.parse(dayName).toEpochDay
+      if (day < cutDay) {
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (day='$dayName')")
+        fs.delete(new Path(rootP, s"day=$dayName"), true)
+        dropped += 1
+      } else if (day == cutDay && Math.floorMod(cutoffNs, nsPerDay) != 0L) {
+        val aside = new Path(rootP, s".ttl-aside-$dayName")
+        val dataCols = spark.table(table).columns.filterNot(_ == "day")
+        spark.table(table)
+          .filter(col("day") === to_date(lit(dayName)) && col("ts") >= cutoffNs)
+          .select(dataCols.map(col): _*)
+          .write.mode("overwrite").parquet(aside.toString)
+        val kept = spark.read.parquet(aside.toString)
+        boundaryKept = kept.count()
+        val view = s"graft_ttl_aside_${System.nanoTime()}"
+        kept.createOrReplaceTempView(view)
+        spark.sql(
+          s"""INSERT OVERWRITE TABLE $table PARTITION (day='$dayName')
+             |SELECT ${dataCols.mkString(", ")} FROM $view""".stripMargin)
+        spark.catalog.dropTempView(view)
+        fs.delete(aside, true)
+        rewritten = true
+      }
+    }
+    ExpireStats(dropped, rewritten, boundaryKept)
+  }
 }

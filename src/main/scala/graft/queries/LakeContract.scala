@@ -740,6 +740,86 @@ object LakeContract {
       q
     }),
 
+    // TTL lifecycle ON the unified catalog table (new r13 — composing
+    // r12's two headline pieces: the day+bucket+sort layout and the
+    // day-directory retention mechanism must survive each other).
+    // Dml.expireDaysUnified drops fully-expired days from the CATALOG
+    // (ALTER TABLE DROP PARTITION — O(dropped) metadata, then the dir)
+    // and rewrites the one straddling day THROUGH the table (INSERT
+    // OVERWRITE that partition), so the replacement keeps the bucket-id
+    // file naming and in-file series sort. The lane copies the staged
+    // unified root, registers a private table over it, expires before
+    // the middle day's noon, and throws unless (a) the catalog listing
+    // is exactly the surviving days, (b) the drop/rewrite stats are
+    // exact, (c) the rewritten boundary directory still holds
+    // bucket-named parquet files, and (d) BOTH layout witnesses hold on
+    // the post-TTL table — a one-day window prunes the catalog listing
+    // to 1 partition AND the per-series aggregate plans zero hash
+    // exchanges. The answer is the expired table's UNFILTERED per-series
+    // aggregate vs the raw lake's `ts >= cutoff` oracle (ts_ttl_expire's
+    // SQL verbatim — both lifecycles must implement the same predicate).
+    "ts_ttl_unified" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val shared = Tables.eventsUnifiedTable(s, dir)
+      val ident = s.sessionState.sqlParser.parseTableIdentifier(shared)
+      val srcRoot = java.nio.file.Paths.get(
+        new java.net.URI(s.sessionState.catalog.getTableMetadata(ident)
+          .location.toString).getPath)
+      val root = java.nio.file.Files.createTempDirectory("graft_ttl_unified")
+      copyTree(srcRoot, root)
+      val tbl = s"graft_ttl_unified_${System.nanoTime()}"
+      s.sql(
+        s"""CREATE TABLE $tbl (
+           |  event_id BIGINT, ts BIGINT, user_id BIGINT,
+           |  event_type STRING, value DOUBLE, props STRING, day DATE)
+           |USING parquet
+           |PARTITIONED BY (day)
+           |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO 4 BUCKETS
+           |LOCATION '$root'""".stripMargin)
+      s.sql(s"MSCK REPAIR TABLE $tbl")
+      def partitions(): Seq[String] = s.sql(s"SHOW PARTITIONS $tbl").collect()
+        .map(_.getString(0).stripPrefix("day=")).sorted.toSeq
+      val days = partitions()
+      require(days.size > 2, s"unified table spans ${days.size} day(s); need 3+")
+      val mid = days(days.size / 2)
+      val cutoffNs = java.time.LocalDate.parse(mid).toEpochDay * Tables.NsPerDay +
+        Tables.NsPerDay / 2
+      val stats = graft.operators.Dml.expireDaysUnified(s, tbl, cutoffNs)
+      val remaining = partitions()
+      require(remaining == days.filter(_ >= mid),
+        s"unified TTL catalog listing wrong: expected days >= $mid, " +
+          s"table lists ${remaining.mkString(",")}")
+      require(stats.droppedDays == days.count(_ < mid) && stats.boundaryRewritten,
+        s"unified TTL stats wrong: $stats for cutoff $mid+12h over ${days.size} days")
+      // the INSERT OVERWRITE path preserved the bucketed layout: every
+      // parquet file in the rewritten boundary dir carries a bucket id
+      val bFiles = Option(new java.io.File(root.toFile, s"day=$mid").listFiles())
+        .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".parquet"))
+      require(bFiles.nonEmpty && bFiles.forall(_.matches(".*_\\d{5}\\..*parquet")),
+        s"boundary rewrite lost the bucket file layout: ${bFiles.mkString(",")}")
+      // both layout witnesses still hold AFTER retention
+      val d1 = java.time.LocalDate.parse(remaining(1))
+      val probe = s.table(tbl)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .filter(col("tstamp") >= expr(s"TIMESTAMP '$d1 00:00:00'") &&
+          col("tstamp") < expr(s"TIMESTAMP '${d1.plusDays(1)} 00:00:00'"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val (scanned, _) = scannedPartitions(probe)
+      require(scanned == 1,
+        s"post-TTL pruning failed: one-day window scanned $scanned of " +
+          s"${remaining.size} partitions")
+      val q = s.table(tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy("event_type")
+      require(!q.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+        "post-TTL per-series aggregate over the unified table must not shuffle")
+      q
+    }),
+
     "q_lake_contract" -> ((s, dir) => {
       val bad = expected.flatMap { case (table, _) =>
         val df = Tables(s, dir, table) // events → normalized view (or its readable error)
@@ -767,6 +847,27 @@ object LakeContract {
       else Files.copy(p, q, StandardCopyOption.REPLACE_EXISTING)
     } finally walk.close()
   }
+
+  /** Everything at or after the middle day's noon over the RAW lake —
+    * shared by ts_ttl_expire (path-lake lifecycle) and ts_ttl_unified
+    * (catalog-table lifecycle): both mechanisms must implement exactly
+    * `ts >= cutoff`.
+    */
+  private val oracleSqlTtl: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS tstamp,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT day AS mid FROM (
+      |        SELECT day, row_number() OVER (ORDER BY day) AS rn,
+      |               count(*) OVER () AS cnt
+      |        FROM (SELECT DISTINCT day FROM e))
+      |      WHERE rn = cnt // 2 + 1)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+      |FROM e, m WHERE e.tstamp >= CAST(mid AS TIMESTAMP) + INTERVAL 12 HOUR
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** The second day's per-type aggregate over the RAW lake — shared by
     * ts_prune_hidden and ts_compact_daylake (the compacted layout must
@@ -891,21 +992,11 @@ object LakeContract {
       // lake: the Spark side FULL-SCANS its expired copy with no
       // residual filter — matching hashes prove the directory-drop +
       // boundary-rewrite lifecycle implements exactly `ts >= cutoff`
-      "ts_ttl_expire" ->
-        """WITH e AS (
-          |  SELECT event_type, CAST(ts AS TIMESTAMP) AS tstamp,
-          |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-          |    CAST(round(value * 100) AS BIGINT) AS cents
-          |  FROM events),
-          |m AS (SELECT day AS mid FROM (
-          |        SELECT day, row_number() OVER (ORDER BY day) AS rn,
-          |               count(*) OVER () AS cnt
-          |        FROM (SELECT DISTINCT day FROM e))
-          |      WHERE rn = cnt // 2 + 1)
-          |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
-          |FROM e, m WHERE e.tstamp >= CAST(mid AS TIMESTAMP) + INTERVAL 12 HOUR
-          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "ts_ttl_expire" -> oracleSqlTtl,
+      // the SAME oracle verbatim for the catalog-table lifecycle: the
+      // path-lake expireDays and the catalog expireDaysUnified must
+      // implement the identical retention predicate
+      "ts_ttl_unified" -> oracleSqlTtl,
       // the second day over the RAW lake, verbatim ts_prune_hidden SQL:
       // the fragmented-then-compacted layout must answer identically to
       // the never-fragmented one

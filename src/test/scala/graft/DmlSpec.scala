@@ -193,4 +193,65 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h3 == Dml.ExpireStats(2, false, 0L, healedDays = 1), h3.toString)
     assert(spark.read.parquet(lake3).count() == 2)
   }
+
+  test("expireDaysUnified: catalog partition drops + bucket-preserving boundary rewrite (r13)") {
+    import spark.implicits._
+    val N = graft.Tables.NsPerDay
+    // a tiny day-partitioned + tag-bucketed catalog table, the unified
+    // layout's shape: 4 days × 3 rows (06:00/12:00/18:00), 2 tag buckets
+    def mkTable(): (String, String) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_ttl_uni").toString
+      val tbl = s"graft_ttl_uni_${System.nanoTime()}"
+      val stage = tbl + "_stage"
+      (0L until 4L).flatMap(d => Seq(6L, 12L, 18L).map(h =>
+          (d * 100 + h, d * N + h * 3600L * 1000000000L, s"t${h % 2}")))
+        .toDF("id", "ts", "tag")
+        .withColumn("day", expr(graft.Tables.dayOfNsSql("ts")))
+        .repartition(1)
+        .write.partitionBy("day").bucketBy(2, "tag").sortBy("tag", "ts")
+        .option("path", root).saveAsTable(stage)
+      spark.sql(s"DROP TABLE $stage")
+      spark.sql(
+        s"""CREATE TABLE $tbl (id BIGINT, ts BIGINT, tag STRING, day DATE)
+           |USING parquet PARTITIONED BY (day)
+           |CLUSTERED BY (tag) SORTED BY (tag, ts) INTO 2 BUCKETS
+           |LOCATION '$root'""".stripMargin)
+      spark.sql(s"MSCK REPAIR TABLE $tbl")
+      (tbl, root)
+    }
+    def parts(tbl: String) = spark.sql(s"SHOW PARTITIONS $tbl").collect()
+      .map(_.getString(0)).sorted.toSeq
+
+    // mid-day cutoff: day 0 dropped from catalog AND disk; day 1
+    // rewritten THROUGH the table keeping 12:00 + 18:00
+    val (t1, r1) = mkTable()
+    val s1 = Dml.expireDaysUnified(spark, t1, N + 12L * 3600L * 1000000000L)
+    assert(s1 == Dml.ExpireStats(1, true, 2L), s1.toString)
+    assert(parts(t1) == Seq("day=1970-01-02", "day=1970-01-03", "day=1970-01-04"))
+    assert(!new java.io.File(s"$r1/day=1970-01-01").exists(), "expired dir must be gone")
+    assert(spark.table(t1).count() == 8)
+    // the rewritten boundary partition kept the bucket-id file naming...
+    val bFiles = new java.io.File(s"$r1/day=1970-01-02").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(bFiles.nonEmpty && bFiles.forall(_.matches(".*_\\d{5}\\..*parquet")),
+      s"boundary rewrite lost bucket naming: ${bFiles.mkString(",")}")
+    // ...so the per-tag aggregate still plans WITHOUT a shuffle
+    val agg = spark.table(t1).groupBy("tag").count()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      "post-TTL bucketed aggregate must not shuffle")
+    assert(agg.collect().map(_.getLong(1)).sum == 8L)
+
+    // day-aligned cutoff: pure catalog + directory drops, no rewrite
+    val (t2, _) = mkTable()
+    val s2 = Dml.expireDaysUnified(spark, t2, 2L * N)
+    assert(s2 == Dml.ExpireStats(2, false, 0L), s2.toString)
+    assert(parts(t2) == Seq("day=1970-01-03", "day=1970-01-04"))
+    assert(spark.table(t2).count() == 6)
+
+    // cutoff before the table: a no-op
+    val (t3, _) = mkTable()
+    val s3 = Dml.expireDaysUnified(spark, t3, -5L * N)
+    assert(s3 == Dml.ExpireStats(0, false, 0L), s3.toString)
+    assert(spark.table(t3).count() == 12)
+  }
 }
