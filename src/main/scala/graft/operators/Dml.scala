@@ -251,4 +251,49 @@ object Dml {
     }
     ExpireStats(dropped, rewritten, boundaryKept)
   }
+
+  /** Small-file compaction of ONE partition of the unified catalog
+    * table — the maintenance pass its streaming ingest needs: every
+    * micro-batch `INSERT INTO` appends a fresh bucket-file SET per
+    * writing task (bucketed writes never shuffle — each task emits a
+    * file per bucket it sees), so a day of K triggers holds ~K× the
+    * files the layout wants. The rewrite goes THROUGH the table
+    * (`INSERT OVERWRITE` that partition from a materialized aside, as
+    * [[expireDaysUnified]]'s boundary rewrite) so the replacement keeps
+    * the bucket-id naming and in-file (tag, ts) sort; the aside frame is
+    * repartitioned to (bucketCount, bucketCols) first — Spark's
+    * repartition hash IS the bucket hash (Murmur3, pmod by count), so
+    * each writing task owns exactly one bucket and the partition levels
+    * to ≤ one file per non-empty bucket. At 100 TB this runs per
+    * partition directory past a file-count threshold, like [[compact]].
+    * Returns (files before, files after).
+    */
+  def compactUnified(spark: org.apache.spark.sql.SparkSession, table: String,
+                     dayName: String, bucketCount: Int,
+                     bucketCols: Seq[String]): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val rootP = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayDir = new Path(rootP, s"day=$dayName")
+    def files(): Int = fs.listStatus(dayDir)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val before = files()
+    val aside = new Path(rootP, s".compact-aside-$dayName")
+    val dataCols = spark.table(table).columns.filterNot(_ == "day")
+    spark.table(table)
+      .filter(col("day") === to_date(lit(dayName)))
+      .select(dataCols.map(col): _*)
+      .write.mode("overwrite").parquet(aside.toString)
+    val view = s"graft_compact_aside_${System.nanoTime()}"
+    spark.read.parquet(aside.toString)
+      .repartition(bucketCount, bucketCols.map(col): _*)
+      .createOrReplaceTempView(view)
+    spark.sql(
+      s"""INSERT OVERWRITE TABLE $table PARTITION (day='$dayName')
+         |SELECT ${dataCols.mkString(", ")} FROM $view""".stripMargin)
+    spark.catalog.dropTempView(view)
+    fs.delete(aside, true)
+    (before, files())
+  }
 }

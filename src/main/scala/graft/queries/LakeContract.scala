@@ -760,23 +760,7 @@ object LakeContract {
     // SQL verbatim — both lifecycles must implement the same predicate).
     "ts_ttl_unified" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val shared = Tables.eventsUnifiedTable(s, dir)
-      val ident = s.sessionState.sqlParser.parseTableIdentifier(shared)
-      val srcRoot = java.nio.file.Paths.get(
-        new java.net.URI(s.sessionState.catalog.getTableMetadata(ident)
-          .location.toString).getPath)
-      val root = java.nio.file.Files.createTempDirectory("graft_ttl_unified")
-      copyTree(srcRoot, root)
-      val tbl = s"graft_ttl_unified_${System.nanoTime()}"
-      s.sql(
-        s"""CREATE TABLE $tbl (
-           |  event_id BIGINT, ts BIGINT, user_id BIGINT,
-           |  event_type STRING, value DOUBLE, props STRING, day DATE)
-           |USING parquet
-           |PARTITIONED BY (day)
-           |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO 4 BUCKETS
-           |LOCATION '$root'""".stripMargin)
-      s.sql(s"MSCK REPAIR TABLE $tbl")
+      val (tbl, root) = privateUnifiedCopy(s, dir, "graft_ttl_unified")
       def partitions(): Seq[String] = s.sql(s"SHOW PARTITIONS $tbl").collect()
         .map(_.getString(0).stripPrefix("day=")).sorted.toSeq
       val days = partitions()
@@ -820,6 +804,80 @@ object LakeContract {
       q
     }),
 
+    // Compaction ON the unified catalog table (new r13 — the other
+    // lifecycle op composed with the layout): every micro-batch INSERT
+    // INTO appends a fresh bucket-file set per task, so a day of K
+    // triggers holds ~K× the files. The lane fragments one day of a
+    // private copy exactly that way (4 single-task re-inserts of its own
+    // rows), then Dml.compactUnified re-levels the partition THROUGH the
+    // table — aside + INSERT OVERWRITE with the frame repartitioned on
+    // the bucket columns, so each task owns one bucket — and throws
+    // unless (a) fragmentation really happened, (b) compaction leveled
+    // to ≤ one file per bucket, all bucket-named, and (c) BOTH layout
+    // witnesses still hold (the compacted day prunes to 1 catalog
+    // partition; the per-series aggregate plans zero hash exchanges).
+    // Answer = the compacted day's per-series aggregate vs
+    // ts_prune_hidden's oracle SQL verbatim: the fragmented-then-
+    // compacted table must answer identically to the never-touched lake.
+    "ts_compact_unified" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val (tbl, root) = privateUnifiedCopy(s, dir, "graft_compact_unified")
+      val days = s.sql(s"SHOW PARTITIONS $tbl").collect()
+        .map(_.getString(0).stripPrefix("day=")).sorted.toSeq
+      require(days.size > 1, s"unified table holds ${days.size} day(s)")
+      val d1 = days(1)
+      val dataCols = s.table(tbl).columns.filterNot(_ == "day")
+      // materialize the day's rows BEFORE overwriting it (never a
+      // self-read), then land them back as 4 single-task inserts — the
+      // file state 4 micro-batch triggers leave behind
+      val frag = java.nio.file.Files.createTempDirectory("graft_compact_uni_frag")
+      s.table(tbl).filter(col("day") === to_date(lit(d1)))
+        .select(dataCols.map(col): _*)
+        .write.mode("overwrite").parquet(frag.toString)
+      (0 until 4).foreach { k =>
+        val v = s"graft_uni_frag_${k}_${System.nanoTime()}"
+        s.read.parquet(frag.toString)
+          .filter(pmod(col("event_id"), lit(4)) === k)
+          .repartition(1).createOrReplaceTempView(v)
+        val verb = if (k == 0) "OVERWRITE TABLE" else "INTO"
+        s.sql(s"INSERT $verb $tbl PARTITION (day='$d1') " +
+          s"SELECT ${dataCols.mkString(", ")} FROM $v")
+        s.catalog.dropTempView(v)
+      }
+      def dayFiles(): Array[String] =
+        Option(new java.io.File(root.toFile, s"day=$d1").listFiles())
+          .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".parquet"))
+      val fragged = dayFiles().length
+      require(fragged > 4,
+        s"fragmentation failed: day=$d1 holds $fragged file(s), want > 4")
+      val (before, after) =
+        graft.operators.Dml.compactUnified(s, tbl, d1, 4, Seq("event_type"))
+      require(before == fragged && after <= 4 && after < before,
+        s"unified compaction failed: $before files -> $after (want <= 4)")
+      require(dayFiles().forall(_.matches(".*_\\d{5}\\..*parquet")),
+        s"compaction lost bucket naming: ${dayFiles().mkString(",")}")
+      // both layout witnesses still hold on the compacted table
+      val day1 = java.time.LocalDate.parse(d1)
+      val q = s.table(tbl)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .filter(col("tstamp") >= expr(s"TIMESTAMP '$day1 00:00:00'") &&
+          col("tstamp") < expr(s"TIMESTAMP '${day1.plusDays(1)} 00:00:00'"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .withColumn("day", lit(d1))
+        .select("day", "event_type", "n", "sum_value")
+        .orderBy("event_type")
+      val (scanned, _) = scannedPartitions(q)
+      require(scanned == 1,
+        s"post-compaction pruning failed: scanned $scanned of ${days.size}")
+      require(!q.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+        "post-compaction per-series aggregate must not shuffle")
+      q
+    }),
+
     "q_lake_contract" -> ((s, dir) => {
       val bad = expected.flatMap { case (table, _) =>
         val df = Tables(s, dir, table) // events → normalized view (or its readable error)
@@ -834,6 +892,34 @@ object LakeContract {
         .orderBy("table_name", "column_name")
     })
   )
+
+  /** A PRIVATE copy of the staged unified catalog table, registered
+    * under a fresh name — the lifecycle lanes (TTL, compaction) mutate
+    * this copy, never the shared layout. Returns (table name, local
+    * root). The copy and its catalog entry live for the session, like
+    * the path-lake lifecycle lanes' tempdir copies.
+    */
+  private def privateUnifiedCopy(s: SparkSession, dir: String,
+                                 prefix: String): (String, java.nio.file.Path) = {
+    val shared = Tables.eventsUnifiedTable(s, dir)
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(shared)
+    val srcRoot = java.nio.file.Paths.get(
+      new java.net.URI(s.sessionState.catalog.getTableMetadata(ident)
+        .location.toString).getPath)
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    copyTree(srcRoot, root)
+    val tbl = s"${prefix}_${System.nanoTime()}"
+    s.sql(
+      s"""CREATE TABLE $tbl (
+         |  event_id BIGINT, ts BIGINT, user_id BIGINT,
+         |  event_type STRING, value DOUBLE, props STRING, day DATE)
+         |USING parquet
+         |PARTITIONED BY (day)
+         |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO 4 BUCKETS
+         |LOCATION '$root'""".stripMargin)
+    s.sql(s"MSCK REPAIR TABLE $tbl")
+    (tbl, root)
+  }
 
   /** Recursive file-tree copy — the TTL lane mutates a private copy of
     * the staged primary lake, never the shared layout itself.
@@ -1001,6 +1087,10 @@ object LakeContract {
       // the fragmented-then-compacted layout must answer identically to
       // the never-fragmented one
       "ts_compact_daylake" -> oracleSqlPruneHidden,
+      // same SQL again for the catalog-table compaction: the
+      // fragmented-then-compacted unified table must answer the second
+      // day identically to the never-touched lake
+      "ts_compact_unified" -> oracleSqlPruneHidden,
       // the 4th day's aggregate over the RAW lake — the Spark side named
       // the day through a date_format STRING equality and read only the
       // derived partition

@@ -708,6 +708,84 @@ object StreamQueries {
         s"pruning over the streaming-written lake failed: one-day predicate " +
           s"scanned $scanned of ${days.size} day partitions ($files files)")
       agg
+    }),
+
+    // Streaming ingest INTO the unified catalog table (new r13 —
+    // completing the table's lifecycle composition: this lane WRITES the
+    // day-partitioned + tag-bucketed + series-sorted layout,
+    // ts_compact_unified levels it, ts_ttl_unified retires it):
+    // writeStream has no bucketBy, so the production path for a bucketed
+    // catalog sink is foreachBatch + dynamic-partition INSERT INTO —
+    // every micro-batch writes bucket-named files through the table's
+    // own spec and registers any new day partitions in the catalog. The
+    // lane replays the K=4 micro-batch events stream that way into an
+    // EMPTY unified-shape table and throws unless the catalog lists >1
+    // day, a one-day µs window (never naming the partition column)
+    // prunes the catalog listing to exactly 1 partition, and the
+    // per-series aggregate plans zero hash exchanges — i.e. the table
+    // the STREAM wrote satisfies both layout witnesses. The oracle is
+    // ts_bucketed_series_agg's SQL verbatim over the raw lake: stream
+    // ingest and the batch writer must produce the same table, witness
+    // for witness.
+    "stream_sink_unified" -> ((s, dir) => {
+      graft.plans.EventTimeDayPruning.install(s)
+      val root = Files.createTempDirectory("graft_stream_unified")
+      val tbl = s"graft_stream_unified_${System.nanoTime()}"
+      s.sql(
+        s"""CREATE TABLE $tbl (
+           |  event_id BIGINT, ts BIGINT, user_id BIGINT,
+           |  event_type STRING, value DOUBLE, props STRING, day DATE)
+           |USING parquet
+           |PARTITIONED BY (day)
+           |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO 4 BUCKETS
+           |LOCATION '$root'""".stripMargin)
+      val dataCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", ReplayParts.toString)
+        val q0 = eventsStream(s, dir).writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = s"graft_stream_uni_b${batchId}_${System.nanoTime()}"
+            batch.withColumn("day", expr(graft.Tables.dayOfNsSql("ts")))
+              .createOrReplaceTempView(v)
+            batch.sparkSession.sql(s"INSERT INTO $tbl " +
+              s"SELECT ${dataCols.mkString(", ")}, day FROM $v")
+            batch.sparkSession.catalog.dropTempView(v)
+            ()
+          }
+          .option("checkpointLocation", s"$root/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      replayBatches("stream_sink_unified") = q.recentProgress.count(_.numInputRows > 0)
+      val days = s.sql(s"SHOW PARTITIONS $tbl").collect()
+        .map(_.getString(0).stripPrefix("day=")).sorted.toSeq
+      require(days.size > 1,
+        s"streaming unified sink registered ${days.size} day partition(s)")
+      val d1 = java.time.LocalDate.parse(days(1))
+      val probe = s.table(tbl)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .filter(col("tstamp") >= expr(s"TIMESTAMP '$d1 00:00:00'") &&
+          col("tstamp") < expr(s"TIMESTAMP '${d1.plusDays(1)} 00:00:00'"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val (scannedU, filesU) = LakeContract.scannedPartitions(probe)
+      require(scannedU == 1,
+        s"pruning over the streaming-written unified table failed: scanned " +
+          s"$scannedU of ${days.size} catalog partitions ($filesU files)")
+      val agg = s.table(tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"),
+          min("ts").as("first_ns"), max("ts").as("last_ns"))
+        .orderBy("event_type")
+      require(!agg.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+        "per-series aggregation over the streaming-written unified table " +
+          "must not shuffle")
+      agg
     })
   )
 
@@ -811,6 +889,9 @@ object StreamQueries {
     // streaming file sink's layout must answer exactly like the batch
     // writer's
     "stream_sink_partitioned" -> LakeContract.oracleSql("ts_partition_prune"),
+    // the batch writer's own witness SQL, verbatim: the table the STREAM
+    // wrote must answer the per-series lifetime aggregate identically
+    "stream_sink_unified" -> LakeContract.oracleSql("ts_bucketed_series_agg"),
     "stream_rollup" ->
       s"""WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
          |SELECT event_type,
