@@ -726,7 +726,12 @@ object StreamQueries {
     // the STREAM wrote satisfies both layout witnesses. The oracle is
     // ts_bucketed_series_agg's SQL verbatim over the raw lake: stream
     // ingest and the batch writer must produce the same table, witness
-    // for witness.
+    // for witness. Honesty note: unlike the parquet file sink's
+    // _spark_metadata log (stream_sink_partitioned / ExactlyOnceSpec),
+    // foreachBatch INSERT INTO is at-least-once under retry — a
+    // production deployment makes the insert idempotent per batchId
+    // (e.g. OVERWRITE of batch-scoped sub-partitions or a batch_id
+    // dedup column); the replay here runs each batch exactly once.
     "stream_sink_unified" -> ((s, dir) => {
       graft.plans.EventTimeDayPruning.install(s)
       val root = Files.createTempDirectory("graft_stream_unified")

@@ -253,5 +253,34 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s3 = Dml.expireDaysUnified(spark, t3, -5L * N)
     assert(s3 == Dml.ExpireStats(0, false, 0L), s3.toString)
     assert(spark.table(t3).count() == 12)
+
+    // compactUnified: fragment day 2 of t3 by re-inserting its own rows
+    // as 3 single-task appends (what 3 micro-batch triggers leave), then
+    // re-level through the table — bucket naming and content preserved
+    val (t4, r4) = mkTable()
+    val day = "1970-01-02"
+    def dayFiles() = new java.io.File(s"$r4/day=$day").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    val frag = java.nio.file.Files.createTempDirectory("graft_compact_uni_frag").toString
+    spark.table(t4).filter(col("day") === to_date(lit(day)))
+      .select("id", "ts", "tag").write.mode("overwrite").parquet(frag)
+    Seq(6L, 12L, 18L).zipWithIndex.foreach { case (h, k) =>
+      val v = s"uni_frag_spec_$k"
+      spark.read.parquet(frag).filter(col("id") % 100 === h)
+        .repartition(1).createOrReplaceTempView(v)
+      val verb = if (k == 0) "OVERWRITE TABLE" else "INTO"
+      spark.sql(s"INSERT $verb $t4 PARTITION (day='$day') SELECT id, ts, tag FROM $v")
+      spark.catalog.dropTempView(v)
+    }
+    val fragged = dayFiles().length
+    assert(fragged > 2, s"fragmentation wrote $fragged file(s)")
+    val (before, after) = Dml.compactUnified(spark, t4, day, 2, Seq("tag"))
+    assert(before == fragged && after <= 2 && after < before, s"$before -> $after")
+    assert(dayFiles().forall(_.matches(".*_\\d{5}\\..*parquet")), "bucket naming lost")
+    assert(spark.table(t4).filter(col("day") === to_date(lit(day))).count() == 3,
+      "compaction must preserve the day's rows")
+    val agg4 = spark.table(t4).groupBy("tag").count()
+    assert(!agg4.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      "post-compaction bucketed aggregate must not shuffle")
   }
 }
