@@ -255,6 +255,58 @@ object Tables {
     tbl
   }
 
+  /** The multi-tag series layout COMPOSED with time partitioning (new
+    * r13 — the tskv file organization for a multi-tag schema: time
+    * levels × multi-tag series files): `day=` partition directories,
+    * each holding 4 files bucketed on the FULL (event_type, region) tag
+    * tuple and sorted (event_type, region, ts). One catalog table gives
+    * O(K-day) listing via [[plans.EventTimeDayPruning]] AND
+    * shuffle-free per-tuple-series aggregation at once — the two-tag
+    * generalization of [[eventsUnifiedTable]]. Returns the table name.
+    */
+  def eventsMultiTagDayTable(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    plans.EventTimeDayPruning.install(spark)
+    val root = Lake.staged(s"multitag_day_lake_v1|$dir", Seq(s"$dir/events.parquet")) { p =>
+      val width = math.max(spark.sparkContext.defaultParallelism,
+        Sizing.shufflePartitions(s"$dir/events.parquet",
+          spark.sparkContext.defaultParallelism))
+      val tmpTbl = s"graft_mtday_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      eventsNanos(spark, dir)
+        .select(col("ts").cast("bigint").as("ts"),
+          col("event_type").cast("string").as("event_type"),
+          concat(lit("r"), pmod(col("user_id"), lit(3)).cast("string")).as("region"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("day", expr(dayOfNsSql("ts")))
+        .repartitionByRange(width, col("day"), col("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .bucketBy(4, "event_type", "region")
+        .sortBy("event_type", "region", "ts")
+        .option("path", p.toString)
+        .saveAsTable(tmpTbl)
+      spark.sql(s"DROP TABLE $tmpTbl")
+    }
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graft_events_mtday_$tag"
+    if (!spark.catalog.tableExists(tbl)) synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        spark.sql(
+          s"""CREATE TABLE $tbl (
+             |  ts BIGINT, event_type STRING, region STRING, cents BIGINT,
+             |  day DATE)
+             |USING parquet
+             |PARTITIONED BY (day)
+             |CLUSTERED BY (event_type, region)
+             |SORTED BY (event_type, region, ts) INTO 4 BUCKETS
+             |LOCATION '$root'""".stripMargin)
+        spark.sql(s"MSCK REPAIR TABLE $tbl")
+      }
+    }
+    tbl
+  }
+
   /** Sorted UTC days present in the partitioned lake, from the directory
     * listing alone — O(days), no file IO; the discovery path a 100 TB
     * time-bounded query planner uses.

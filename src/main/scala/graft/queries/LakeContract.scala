@@ -740,6 +740,44 @@ object LakeContract {
       q
     }),
 
+    // Multi-tag series keys COMPOSED with time partitioning (new r13 —
+    // the tskv shape for a multi-tag schema, time levels × multi-tag
+    // series files, on ONE catalog table): a one-day per-tuple-series
+    // dashboard aggregate over the day-partitioned + (event_type,
+    // region)-tuple-bucketed + tuple-sorted table must simultaneously
+    // (a) prune the catalog listing to exactly 1 of N day partitions
+    // via the derived time bound (never naming the partition column)
+    // and (b) aggregate shuffle-free off the tuple-bucketed scan — the
+    // two-tag generalization of ts_unified_layout. Answer oracle-checked
+    // in DuckDB with the same derived second tag.
+    "ts_multitag_day" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tbl = Tables.eventsMultiTagDayTable(s, dir)
+      val days = s.sql(s"SHOW PARTITIONS $tbl").collect()
+        .map(_.getString(0).stripPrefix("day=")).sorted.toSeq
+      require(days.size > 1, s"multi-tag day table holds ${days.size} day(s)")
+      val d1 = java.time.LocalDate.parse(days(1))
+      val q = s.table(tbl)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .filter(col("tstamp") >= expr(s"TIMESTAMP '$d1 00:00:00'") &&
+          col("tstamp") < expr(s"TIMESTAMP '${d1.plusDays(1)} 00:00:00'"))
+        .groupBy("event_type", "region")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
+        .withColumn("day", lit(d1.toString))
+        .select("day", "event_type", "region", "n", "sum_value")
+        .orderBy("event_type", "region")
+      val (scanned, _) = scannedPartitions(q)
+      require(scanned == 1,
+        s"multi-tag day pruning failed: one-day window scanned $scanned " +
+          s"of ${days.size} catalog partitions")
+      require(!q.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+        "one-day per-tuple-series aggregate over the multi-tag day table " +
+          "must not shuffle")
+      q
+    }),
+
     // TTL lifecycle ON the unified catalog table (new r13 — composing
     // r12's two headline pieces: the day+bucket+sort layout and the
     // day-directory retention mechanism must survive each other).
@@ -1173,6 +1211,23 @@ object LakeContract {
           |    AS sum_value,
           |  min(epoch_ns(ts)) AS first_ns, max(epoch_ns(ts)) AS last_ns
           |FROM events GROUP BY event_type, region
+          |ORDER BY event_type, region""".stripMargin,
+      // the second day's per-(type, region) aggregates over the RAW
+      // lake with the same derived region: the Spark side listed exactly
+      // 1 of N catalog partitions AND aggregated shuffle-free off the
+      // tuple-bucketed scan
+      "ts_multitag_day" ->
+        """WITH e AS (
+          |  SELECT event_type, 'r' || CAST(user_id % 3 AS VARCHAR) AS region,
+          |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+          |    CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |d AS (SELECT day AS d1 FROM (
+          |        SELECT DISTINCT day FROM e ORDER BY day OFFSET 1 LIMIT 1))
+          |SELECT d1 AS day, event_type, region, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+          |FROM e, d WHERE e.day = d.d1
+          |GROUP BY d1, event_type, region
           |ORDER BY event_type, region""".stripMargin,
       // per-series lifetime aggregate over the RAW lake: the Spark side
       // computed it shuffle-free off the tag-bucketed unified table
