@@ -121,6 +121,46 @@ object IngestQueries {
         .orderBy("event_id")
     }),
 
+    // Prometheus remote-write WIRE round-trip (new r13 — the wire half
+    // of the reference's prom remote server, previously descoped; its
+    // PromQL computational surface has been oracle-checked since r9):
+    // events are partitioned into 4 ts-range batches — the bounded POST
+    // bodies a real sender ships — each encoded as a prompb.WriteRequest
+    // (hand-rolled varint wire, the 1.0 spec's 4-message subset) and
+    // snappy BLOCK-compressed, then decoded back through the library
+    // surface (PromRemote.decode: narrow flatMap over the binary
+    // column, no shuffle at ingest). The per-metric aggregate of the
+    // DECODED samples is oracle-checked against the raw lake: matching
+    // hashes prove encode → snappy → decode loses nothing, and the
+    // golden-byte spec (PromRemoteSpec) pins the wire layout itself so
+    // a wrong-but-symmetric codec cannot pass.
+    "ts_prom_remote_write" -> ((s, dir) => {
+      import s.implicits._
+      val batches = graft.Tables.eventsNanos(s, dir)
+        .select(col("event_type"), expr("ts div 1000000").as("ts_ms"),
+          col("value"))
+        .repartitionByRange(4, col("event_type"), col("ts_ms"))
+        .as[(String, Long, Double)]
+        .mapPartitions { it =>
+          val bySeries = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map {
+            case (metric, rows) =>
+              (Seq("__name__" -> metric, "job" -> "graft"),
+                rows.sortBy(r => (r._2, r._3)).map(r => (r._3, r._2)))
+          }
+          if (bySeries.isEmpty) Iterator.empty
+          else Iterator.single(graft.sources.PromRemote.compress(
+            graft.sources.PromRemote.encodeWriteRequest(bySeries)))
+        }
+      graft.sources.PromRemote.decode(batches)
+        .filter(col("labels") === "job=graft")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"),
+          min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"))
+        .orderBy("metric")
+    }),
+
     "csv_roundtrip" -> ((s, dir) => {
       // external-table surface (create_external_table.slt / COPY INTO):
       // write nation as CSV, read it back through the CSV source.
@@ -172,6 +212,15 @@ object IngestQueries {
     "csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "json_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // per-metric aggregate over the RAW lake in remote-write units (ms
+    // timestamps): the Spark side computed it from DECODED wire samples
+    "ts_prom_remote_write" ->
+      """SELECT event_type AS metric, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value,
+        |  min(epoch_ns(ts) // 1000000) AS first_ms,
+        |  max(epoch_ns(ts) // 1000000) AS last_ms
+        |FROM events GROUP BY event_type ORDER BY metric""".stripMargin
   )
 }

@@ -615,4 +615,49 @@ class IngestSpec extends AnyFunSuite {
     val nd = Seq("""{"time": 1, "v": 1}""", "", "broken").toDS()
     assert(graft.sources.JsonLog.parseNdjson(nd).count() == 1)
   }
+
+  test("PromRemote decodes a GOLDEN hand-assembled prompb WriteRequest (wire pin)") {
+    import graft.sources.PromRemote
+    // WriteRequest{ TimeSeries{ Label{__name__, up}, Sample{1.5, 1000} } }
+    // assembled byte by byte from the proto3 wire spec — an encoder bug
+    // that round-trips against its own decoder cannot pass this.
+    val label = Array[Int](0x0A, 0x08) ++ "__name__".getBytes.map(_.toInt) ++
+      Array[Int](0x12, 0x02) ++ "up".getBytes.map(_.toInt)
+    val sample = Array[Int](0x09, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xF8, 0x3F,
+      0x10, 0xE8, 0x07) // double 1.5 LE; varint 1000
+    val ts = Array[Int](0x0A, label.length) ++ label ++
+      Array[Int](0x12, sample.length) ++ sample
+    val req = (Array[Int](0x0A, ts.length) ++ ts).map(_.toByte)
+    val rows = PromRemote.parseUncompressed(req)
+    assert(rows == Seq(PromRemote.PromRow("up", "", 1000L, 1.5)), rows.toString)
+    // and the library's own encoder emits EXACTLY those bytes
+    val enc = PromRemote.encodeWriteRequest(
+      Seq((Seq("__name__" -> "up"), Seq((1.5, 1000L)))))
+    assert(java.util.Arrays.equals(enc, req), "encoder diverges from the golden wire")
+    // snappy round-trip through the public POST-body surface
+    val viaWire = PromRemote.parseWriteRequest(PromRemote.compress(enc))
+    assert(viaWire == rows)
+    // unknown fields are skipped by wire type, per proto compatibility
+    // rules: append an unknown varint field (tag 3) to the request
+    val withUnknown = (Array[Int](0x0A, ts.length) ++ ts ++ Array[Int](0x18, 0x2A)).map(_.toByte)
+    assert(PromRemote.parseUncompressed(withUnknown) == rows)
+  }
+
+  test("PromRemote encode/decode round-trips multi-series payloads with label sets") {
+    import graft.sources.PromRemote
+    val series = Seq(
+      (Seq("__name__" -> "http_requests_total", "job" -> "api", "code" -> "200"),
+        Seq((1.0, 1000L), (4.0, 2000L))),
+      (Seq("__name__" -> "http_requests_total", "job" -> "api", "code" -> "500"),
+        Seq((2.0, 1500L))))
+    val rows = PromRemote.parseWriteRequest(
+      PromRemote.compress(PromRemote.encodeWriteRequest(series)))
+    assert(rows.size == 3)
+    assert(rows.forall(_.metric == "http_requests_total"))
+    // labels render sorted, __name__ extracted
+    assert(rows.map(_.labels).distinct.sorted ==
+      Seq("code=200,job=api", "code=500,job=api"))
+    assert(rows.map(r => (r.ts_ms, r.value)).toSet ==
+      Set((1000L, 1.0), (2000L, 4.0), (1500L, 2.0)))
+  }
 }
