@@ -161,6 +161,179 @@ object IngestQueries {
         .orderBy("metric")
     }),
 
+    // Loki push-protocol WIRE round-trip (new r13 — the snappy/protobuf
+    // transport half of the reference's Loki write route, previously
+    // descoped; its flattened-document row shape is the one
+    // ts_ndjson_ingest already oracle-checks): events become per-
+    // event_type streams of (timestamp, line) entries — the bounded
+    // POST bodies promtail ships — each encoded as a
+    // logproto.PushRequest and snappy-compressed, then decoded back
+    // through LokiPush.decode (narrow flatMap, no shuffle at ingest).
+    // Full-row check: event_id/value parse back out of the decoded
+    // lines and hash-match the raw lake, so the wire loses nothing;
+    // IngestSpec's golden bytes pin the wire layout itself.
+    "ts_loki_push" -> ((s, dir) => {
+      import s.implicits._
+      val batches = graft.Tables.eventsNanos(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .repartitionByRange(4, col("event_type"), col("ts"))
+        .as[(String, Long, Long, Double)]
+        .mapPartitions { it =>
+          val streams = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map {
+            case (et, rows) =>
+              (s"""{app="graft",event_type="$et"}""",
+                rows.sortBy(r => (r._2, r._3))
+                  .map(r => (r._2, s"event_id=${r._3} value=${r._4}")))
+          }
+          if (streams.isEmpty) Iterator.empty
+          else Iterator.single(graft.sources.LokiPush.compress(
+            graft.sources.LokiPush.encodePushRequest(streams)))
+        }
+      graft.sources.LokiPush.decode(batches)
+        .select(
+          regexp_extract(col("msg"), "event_id=(\\d+)", 1).cast("long")
+            .as("event_id"),
+          col("labels"), col("ts_ns"),
+          regexp_extract(col("msg"), "value=(.+)$", 1).cast("double")
+            .as("value"))
+        .orderBy("event_id")
+    }),
+
+    // OTLP trace WIRE round-trip (new r13 — the protobuf transport half
+    // of the reference's /api/v1/traces route, previously descoped):
+    // events become spans under per-event_type resources (service.name
+    // = svc_<type>, trace/span ids derived from event_id, duration from
+    // value), encoded as an ExportTraceServiceRequest (NOT snappy — the
+    // reference decodes the raw body) and decoded back through
+    // OtlpTrace.decode. The span ids round-trip through the hex
+    // rendering the reference uses, the kind through the enum-name
+    // rendering, user_id through a stringified AnyValue attribute —
+    // all hash-checked against the raw lake.
+    "ts_otlp_traces" -> ((s, dir) => {
+      import s.implicits._
+      val batches = graft.Tables.eventsNanos(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("user_id"), col("value"))
+        .repartitionByRange(4, col("event_type"), col("ts"))
+        .as[(String, Long, Long, Long, Double)]
+        .mapPartitions { it =>
+          val resources = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map {
+            case (et, rows) =>
+              (s"svc_$et", Seq(("graft-ingest",
+                rows.sortBy(r => (r._2, r._3)).map { r =>
+                  val tid = java.nio.ByteBuffer.allocate(16)
+                    .putLong(0L).putLong(r._3).array()
+                  val sid = java.nio.ByteBuffer.allocate(8).putLong(r._3).array()
+                  graft.sources.OtlpTrace.SpanIn(tid, sid, Array.emptyByteArray,
+                    et, 2, r._2, r._2 + Math.round(r._5 * 1000.0),
+                    attrs = Seq("user_id" -> r._4.toString))
+                })))
+          }
+          if (resources.isEmpty) Iterator.empty
+          else Iterator.single(graft.sources.OtlpTrace.encodeTraces(resources))
+        }
+      graft.sources.OtlpTrace.decode(batches)
+        .select(
+          expr("cast(conv(span_id, 16, 10) AS BIGINT)").as("event_id"),
+          col("service"), col("scope"), col("name").as("span_name"),
+          col("kind"), col("start_ns"), col("end_ns"),
+          regexp_extract(col("attrs"), "user_id=(\\d+)", 1).cast("long")
+            .as("user_id"))
+        .orderBy("event_id")
+    }),
+
+    // Prometheus remote-READ WIRE round-trip (new r13 — closes the
+    // matcher→filter half named in SURVEY §2.5's r13 narrowing; the
+    // remote-WRITE wire landed as ts_prom_remote_write): two Queries —
+    // (EQ __name__, RE tag, upper half-month) and (RE __name__, NEQ
+    // tag, lower half-month) — are encoded as a snappy
+    // prompb.ReadRequest, decoded back (request wire round-trip),
+    // translated to pushdown-eligible Catalyst filters over the lake's
+    // sample view (remote_server.rs:269's EQ/NEQ/RE/NRE + ms-bound
+    // rules), served as per-series TimeSeries blocks encoded ON THE
+    // EXECUTORS and concatenated into a snappy ReadResponse, then THAT
+    // wire is decoded back into rows (response round-trip) and the
+    // full sample set hash-checked against DuckDB running the same
+    // matcher semantics. Time bounds are constants on the generator's
+    // fixed Jan-2024 span (TESTDATA.md), so both halves and both
+    // engines see the same window at every SF.
+    "ts_prom_remote_read" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.PromRemote
+      val samples = graft.Tables.eventsNanos(s, dir).select(
+        col("event_type").as("metric"),
+        col("user_id").cast("string").as("user"),
+        expr("ts div 1000000").as("ts_ms"),
+        col("value"))
+      val midMs = 1705276800000L // 2024-01-15T00:00:00Z
+      val body = PromRemote.compress(PromRemote.encodeReadRequest(Seq(
+        PromRemote.ReadQuery(midMs, 1706659200000L,
+          Seq(PromRemote.Matcher(0, "__name__", "click"),
+            PromRemote.Matcher(2, "user", "1$"))),
+        PromRemote.ReadQuery(1704067200000L, midMs - 1,
+          Seq(PromRemote.Matcher(2, "__name__", "i"),
+            PromRemote.Matcher(1, "user", "42"))))))
+      val queries = PromRemote.parseReadRequest(body)
+      val resp = PromRemote.executeRead(samples, Seq("user"), queries)
+      PromRemote.parseReadResponse(resp).zipWithIndex.flatMap {
+        case (rs, qi) => rs.map(r => (qi.toLong, r.metric, r.labels, r.ts_ms, r.value))
+      }.toDF("query_idx", "metric", "labels", "ts_ms", "value")
+        .orderBy("query_idx", "metric", "labels", "ts_ms", "value")
+    }),
+
+    // Wire HTTP LISTENER end-to-end (new r13, closes the final
+    // transport slice: the reference's /api/v1/prom/write route,
+    // http_service.rs:1259): the 4 bounded remote-write POST bodies are
+    // shipped over a REAL loopback HTTP hop into WireHttp's dumb-spool
+    // listener (raw body → write-aside + atomic rename, zero parsing on
+    // the listener thread), then decoded where it scales — a
+    // binaryFile scan of the spool through PromRemote.decode's narrow
+    // flatMap — and the per-metric aggregate is oracle-checked against
+    // the raw lake. Same aggregate as ts_prom_remote_write: matching
+    // hashes prove the HTTP+spool hop loses nothing.
+    "ts_wire_http_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val bodies = graft.Tables.eventsNanos(s, dir)
+        .select(col("event_type"), expr("ts div 1000000").as("ts_ms"),
+          col("value"))
+        .repartitionByRange(4, col("event_type"), col("ts_ms"))
+        .as[(String, Long, Double)]
+        .mapPartitions { it =>
+          val bySeries = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map {
+            case (metric, rows) =>
+              (Seq("__name__" -> metric, "job" -> "graft"),
+                rows.sortBy(r => (r._2, r._3)).map(r => (r._3, r._2)))
+          }
+          if (bySeries.isEmpty) Iterator.empty
+          else Iterator.single(graft.sources.PromRemote.compress(
+            graft.sources.PromRemote.encodeWriteRequest(bySeries)))
+        }.collect()
+      require(bodies.length <= 8, s"wire http: ${bodies.length} POST bodies")
+      // overwrite per run — deterministic, one spool per sf dir
+      val spool = java.nio.file.Paths.get(
+        s"/tmp/graft_wire_http/${new java.io.File(dir).getName}")
+      if (java.nio.file.Files.exists(spool))
+        java.nio.file.Files.walk(spool)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      val srv = graft.sources.WireHttp.start(spool.toString)
+      try bodies.foreach { b =>
+        val (code, _) = graft.sources.WireHttp.post(
+          s"${srv.base}/api/v1/prom/write", b)
+        require(code == 204, s"wire http: POST answered $code")
+      } finally srv.stop()
+      graft.sources.PromRemote.decode(
+        s.read.format("binaryFile").load(s"$spool/prom")
+          .select(col("content")).as[Array[Byte]])
+        .filter(col("labels") === "job=graft")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"),
+          min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"))
+        .orderBy("metric")
+    }),
+
     "csv_roundtrip" -> ((s, dir) => {
       // external-table surface (create_external_table.slt / COPY INTO):
       // write nation as CSV, read it back through the CSV source.
@@ -213,6 +386,52 @@ object IngestQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // full-row recompute over the RAW lake: the Spark side produced
+    // these from DECODED Loki wire entries
+    "ts_loki_push" ->
+      """SELECT event_id,
+        |  '{app="graft",event_type="' || event_type || '"}' AS labels,
+        |  epoch_ns(cast(events.ts AS TIMESTAMP)) AS ts_ns, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // full-row recompute in OTLP units: span ids/kind/duration as the
+    // Spark side derived them from DECODED wire spans
+    "ts_otlp_traces" ->
+      """SELECT event_id, 'svc_' || event_type AS service,
+        |  'graft-ingest' AS scope, event_type AS span_name,
+        |  'SPAN_KIND_SERVER' AS kind,
+        |  epoch_ns(cast(events.ts AS TIMESTAMP)) AS start_ns,
+        |  epoch_ns(cast(events.ts AS TIMESTAMP))
+        |    + CAST(round(value * 1000) AS BIGINT) AS end_ns,
+        |  user_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the same matcher semantics the Spark side translated from the
+    // decoded ReadRequest (EQ/NEQ = equality, RE/NRE = UNANCHORED
+    // regex, inclusive ms bounds), recomputed over the raw lake
+    "ts_prom_remote_read" ->
+      """WITH s AS (
+        |  SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS u,
+        |    epoch_ns(cast(events.ts AS TIMESTAMP)) // 1000000 AS ts_ms,
+        |    value
+        |  FROM events
+        |)
+        |SELECT CAST(0 AS BIGINT) AS query_idx, metric,
+        |  'user=' || u AS labels, ts_ms, value FROM s
+        |WHERE metric = 'click' AND regexp_matches(u, '1$')
+        |  AND ts_ms BETWEEN 1705276800000 AND 1706659200000
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), metric, 'user=' || u, ts_ms, value FROM s
+        |WHERE regexp_matches(metric, 'i') AND u != '42'
+        |  AND ts_ms BETWEEN 1704067200000 AND 1705276799999
+        |ORDER BY query_idx, metric, labels, ts_ms, value""".stripMargin,
+    // the HTTP-hop lane computes ts_prom_remote_write's exact aggregate
+    // from bodies that crossed a real loopback POST + spool
+    "ts_wire_http_ingest" ->
+      """SELECT event_type AS metric, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value,
+        |  min(epoch_ns(ts) // 1000000) AS first_ms,
+        |  max(epoch_ns(ts) // 1000000) AS last_ms
+        |FROM events GROUP BY event_type ORDER BY metric""".stripMargin,
     // per-metric aggregate over the RAW lake in remote-write units (ms
     // timestamps): the Spark side computed it from DECODED wire samples
     "ts_prom_remote_write" ->

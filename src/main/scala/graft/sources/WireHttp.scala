@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** The wire HTTP LISTENER — the last transport slice of the
+  * reference's write surface (main/src/http/http_service.rs routes:
+  * `/api/v1/write` line protocol :484, `/api/v1/opentsdb/write` :691,
+  * `/api/v1/prom/write` :1259, `/api/v1/prom/read` :1149,
+  * `/api/v1/es/_bulk` :1524 — which also carries Loki-protobuf bodies
+  * via content-type dispatch :2806 — and `/api/v1/traces` :1673,
+  * plus `/api/v1/ping` :305). Loopback-only, JDK built-in HttpServer —
+  * no network dependency, no added jars.
+  *
+  * Design: the listener is a DUMB SPOOL. Write routes append the raw
+  * POST body to `<spool>/<route-key>/body-NNNNNN.bin` (write-aside +
+  * atomic rename, so a concurrent Spark reader never sees a
+  * half-written blob) and do ZERO parsing on the listener thread —
+  * decoding happens where it scales, as the existing narrow-flatMap
+  * decoders ([[LineProtocol]], [[OpenTsdb]], [[JsonLog]],
+  * [[PromRemote]], [[LokiPush]], [[OtlpTrace]]) over a
+  * `binaryFile`-format scan of the spool (batch) or a file stream
+  * (Structured Streaming micro-batches). That is the 100 TB shape: N
+  * ingest listeners spool to shared storage; executors decode.
+  * `/api/v1/prom/read` is the one compute route: it decodes the
+  * ReadRequest INLINE (bounded — matchers + bounds, a few hundred
+  * bytes) and delegates to the caller's serve function, which runs
+  * [[PromRemote.executeRead]]'s pushdown-translated Spark plan.
+  */
+final class WireHttp private (server: HttpServer, val spoolDir: String) {
+  def port: Int = server.getAddress.getPort
+  def base: String = s"http://127.0.0.1:$port"
+  def stop(): Unit = server.stop(0)
+}
+
+object WireHttp {
+
+  /** route path → spool subdirectory (route keys mirror the reference's
+    * write families).
+    */
+  val writeRoutes: Map[String, String] = Map(
+    "/api/v1/write" -> "lp",
+    "/api/v1/opentsdb/write" -> "opentsdb",
+    "/api/v1/prom/write" -> "prom",
+    "/api/v1/es/_bulk" -> "log",
+    "/api/v1/traces" -> "otlp")
+
+  private def handler(f: HttpExchange => Unit): HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try f(ex)
+      catch {
+        case e: Throwable =>
+          // the reference's write routes answer parse errors with 4xx
+          // (http_service.rs error replies); a poison body must not
+          // kill the listener
+          val msg = ("parse error: " + Option(e.getMessage).getOrElse(e.getClass.getName))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(400, msg.length)
+          ex.getResponseBody.write(msg)
+          ex.close()
+      }
+  }
+
+  /** Start a loopback listener on an ephemeral port. `promRead`, when
+    * given, serves `/api/v1/prom/read` (decoded queries in, snappy
+    * ReadResponse bytes out).
+    */
+  def start(spoolDir: String,
+            promRead: Seq[PromRemote.ReadQuery] => Array[Byte] = null): WireHttp = {
+    val srv = HttpServer.create(
+      new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    writeRoutes.foreach { case (route, sub) =>
+      val dir = Paths.get(spoolDir, sub)
+      Files.createDirectories(dir)
+      val seq = new java.util.concurrent.atomic.AtomicLong()
+      srv.createContext(route, handler { ex =>
+        require(ex.getRequestMethod == "POST", s"$route accepts POST")
+        val body = ex.getRequestBody.readAllBytes()
+        val n = seq.incrementAndGet()
+        val tmp = dir.resolve(s".in-$n.tmp")
+        Files.write(tmp, body)
+        Files.move(tmp, dir.resolve(f"body-$n%06d.bin"),
+          StandardCopyOption.ATOMIC_MOVE)
+        ex.sendResponseHeaders(204, -1)
+        ex.close()
+      })
+    }
+    srv.createContext("/api/v1/ping", handler { ex =>
+      val body = """{"version":"graft"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    if (promRead != null)
+      srv.createContext("/api/v1/prom/read", handler { ex =>
+        val queries = PromRemote.parseReadRequest(ex.getRequestBody.readAllBytes())
+        val resp = promRead(queries)
+        ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
+        ex.getResponseHeaders.add("Content-Encoding", "snappy")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      })
+    srv.start()
+    new WireHttp(srv, spoolDir)
+  }
+
+  /** Client half for lanes/specs: POST `body` to `url`, return
+    * (status, response bytes).
+    */
+  def post(url: String, body: Array[Byte],
+           contentType: String = "application/x-protobuf"): (Int, Array[Byte]) = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", contentType)
+    conn.getOutputStream.write(body)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val bytes = if (in == null) Array.emptyByteArray else in.readAllBytes()
+    conn.disconnect()
+    (code, bytes)
+  }
+}

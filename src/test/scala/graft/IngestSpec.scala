@@ -643,6 +643,165 @@ class IngestSpec extends AnyFunSuite {
     assert(PromRemote.parseUncompressed(withUnknown) == rows)
   }
 
+  test("LokiPush decodes a GOLDEN hand-assembled logproto PushRequest (wire pin)") {
+    import graft.sources.LokiPush
+    // PushRequest{ Stream{ labels={app="x"},
+    //   Entry{ Timestamp{seconds=1, nanos=5}, line="hello" } } }
+    // assembled byte by byte from Loki's public push.proto — an encoder
+    // bug that round-trips against its own decoder cannot pass this.
+    val labels = """{app="x"}""".getBytes.map(_.toInt)
+    val tsMsg = Array[Int](0x08, 0x01, 0x10, 0x05) // seconds=1, nanos=5
+    val entry = Array[Int](0x0A, tsMsg.length) ++ tsMsg ++
+      Array[Int](0x12, 0x05) ++ "hello".getBytes.map(_.toInt)
+    val stream = Array[Int](0x0A, labels.length) ++ labels ++
+      Array[Int](0x12, entry.length) ++ entry
+    val req = (Array[Int](0x0A, stream.length) ++ stream).map(_.toByte)
+    val rows = LokiPush.parseUncompressed(req)
+    // parser.rs:203: ts = seconds * 1e9 + nanos
+    assert(rows == Seq(LokiPush.LokiRow("""{app="x"}""", 1000000005L, "hello")), rows.toString)
+    // and the library's own encoder emits EXACTLY those bytes
+    val enc = LokiPush.encodePushRequest(
+      Seq(("""{app="x"}""", Seq((1000000005L, "hello")))))
+    assert(java.util.Arrays.equals(enc, req), "encoder diverges from the golden wire")
+    // snappy round-trip through the public POST-body surface
+    assert(LokiPush.parsePushRequest(LokiPush.compress(enc)) == rows)
+    // unknown fields skip by wire type: append stream hash (field 3, varint)
+    val withHash = (Array[Int](0x0A, stream.length + 2) ++ stream ++
+      Array[Int](0x18, 0x2A)).map(_.toByte)
+    assert(LokiPush.parseUncompressed(withHash) == rows)
+  }
+
+  test("LokiPush round-trips multi-stream payloads and pre-epoch timestamps") {
+    import graft.sources.LokiPush
+    val streams = Seq(
+      ("""{job="a"}""", Seq((1700000000123456789L, "line one"), (1700000001000000000L, "line two"))),
+      ("""{job="b"}""", Seq((-5L, "before the epoch")))) // floorDiv/floorMod split
+    val rows = LokiPush.parsePushRequest(
+      LokiPush.compress(LokiPush.encodePushRequest(streams)))
+    assert(rows.size == 3)
+    assert(rows.map(r => (r.labels, r.ts_ns, r.msg)).toSet == Set(
+      ("""{job="a"}""", 1700000000123456789L, "line one"),
+      ("""{job="a"}""", 1700000001000000000L, "line two"),
+      ("""{job="b"}""", -5L, "before the epoch")))
+  }
+
+  test("OtlpTrace decodes a GOLDEN hand-assembled ExportTraceServiceRequest (wire pin)") {
+    import graft.sources.OtlpTrace
+    // ResourceSpans{ Resource{ KeyValue{service.name, AnyValue{"svc"}} },
+    //   ScopeSpans{ Scope{name="sc"}, Span{ trace_id=ABCD, span_id=EF,
+    //     name="op", kind=SERVER(2), start=1, end=2,
+    //     attr u=AnyValue{int 7}, one Event{t=5, "e"} } } }
+    val svcAv = Array[Int](0x0A, 0x03) ++ "svc".getBytes.map(_.toInt)
+    val svcKv = Array[Int](0x0A, 0x0C) ++ "service.name".getBytes.map(_.toInt) ++
+      Array[Int](0x12, svcAv.length) ++ svcAv
+    // Resource message = its attributes field; then wrapped once more
+    // as ResourceSpans.resource (field 1)
+    val resourceMsg = Array[Int](0x0A, svcKv.length) ++ svcKv
+    val resource = Array[Int](0x0A, resourceMsg.length) ++ resourceMsg
+    val scope = Array[Int](0x0A, 0x02) ++ "sc".getBytes.map(_.toInt)
+    val uKv = Array[Int](0x0A, 0x01) ++ "u".getBytes.map(_.toInt) ++
+      Array[Int](0x12, 0x02, 0x18, 0x07) // AnyValue{int_value=7}
+    val event = Array[Int](0x09, 5, 0, 0, 0, 0, 0, 0, 0, // fixed64 t=5
+      0x12, 0x01) ++ "e".getBytes.map(_.toInt)
+    val span = Array[Int](0x0A, 0x02, 0xAB, 0xCD, 0x12, 0x01, 0xEF,
+      0x2A, 0x02) ++ "op".getBytes.map(_.toInt) ++
+      Array[Int](0x30, 0x02,
+        0x39, 1, 0, 0, 0, 0, 0, 0, 0, // fixed64 start=1
+        0x41, 2, 0, 0, 0, 0, 0, 0, 0, // fixed64 end=2
+        0x4A, uKv.length) ++ uKv ++
+      Array[Int](0x5A, event.length) ++ event
+    val scopeSpans = Array[Int](0x0A, scope.length) ++ scope ++
+      Array[Int](0x12, span.length) ++ span
+    val rs = resource ++ Array[Int](0x12, scopeSpans.length) ++ scopeSpans
+    val req = (Array[Int](0x0A, rs.length) ++ rs).map(_.toByte)
+    val rows = OtlpTrace.parseTraces(req)
+    assert(rows == Seq(OtlpTrace.SpanRow("svc", "sc", "abcd", "ef", "",
+      "op", "SPAN_KIND_SERVER", 1L, 2L, "u=7", 1)), rows.toString)
+    // unknown fields skip by wire type: a Status submessage (field 15)
+    // and fixed32 flags (field 16) appended to the span
+    val span2 = span ++ Array[Int](0x7A, 0x02, 0x10, 0x01, 0x85, 0x01, 1, 0, 0, 0)
+    val scopeSpans2 = Array[Int](0x0A, scope.length) ++ scope ++
+      Array[Int](0x12, span2.length) ++ span2
+    val rs2 = resource ++ Array[Int](0x12, scopeSpans2.length) ++ scopeSpans2
+    val req2 = (Array[Int](0x0A, rs2.length) ++ rs2).map(_.toByte)
+    assert(OtlpTrace.parseTraces(req2) == rows)
+  }
+
+  test("OtlpTrace encoder round-trips the tree; AnyValue variants stringify") {
+    import graft.sources.OtlpTrace
+    val spans = Seq(OtlpTrace.SpanIn(
+      Array.tabulate(16)(_.toByte), Array.tabulate(8)(i => (i + 16).toByte),
+      Array.tabulate(8)(i => (i + 32).toByte), "GET /api", 3,
+      1700000000000000000L, 1700000000500000000L,
+      attrs = Seq("http.status" -> "200", "retry" -> "false"),
+      events = Seq((1700000000100000000L, "sent"), (1700000000200000000L, "recv"))))
+    val rows = OtlpTrace.parseTraces(OtlpTrace.encodeTraces(
+      Seq(("api-svc", Seq(("http-scope", spans))))))
+    assert(rows.size == 1)
+    val r = rows.head
+    assert(r.service == "api-svc" && r.scope == "http-scope")
+    assert(r.trace_id == "000102030405060708090a0b0c0d0e0f")
+    assert(r.span_id == "1011121314151617")
+    assert(r.parent_span_id == "2021222324252627")
+    assert(r.kind == "SPAN_KIND_CLIENT" && r.events_n == 2)
+    assert(r.attrs == "http.status=200,retry=false")
+    assert(r.start_ns == 1700000000000000000L && r.end_ns == 1700000000500000000L)
+  }
+
+  test("PromRemote remote-read: GOLDEN ReadRequest wire + matcher semantics end-to-end") {
+    import graft.sources.PromRemote
+    import spark.implicits._
+    // ReadRequest{ Query{ start=1000, end=2000,
+    //   Matcher{EQ(default), __name__, up}, Matcher{RE(2), job, a.*} } }
+    val m1 = Array[Int](0x12, 0x08) ++ "__name__".getBytes.map(_.toInt) ++
+      Array[Int](0x1A, 0x02) ++ "up".getBytes.map(_.toInt)
+    val m2 = Array[Int](0x08, 0x02, 0x12, 0x03) ++ "job".getBytes.map(_.toInt) ++
+      Array[Int](0x1A, 0x03) ++ "a.*".getBytes.map(_.toInt)
+    val q = Array[Int](0x08, 0xE8, 0x07, 0x10, 0xD0, 0x0F,
+      0x1A, m1.length) ++ m1 ++ Array[Int](0x1A, m2.length) ++ m2
+    val golden = (Array[Int](0x0A, q.length) ++ q).map(_.toByte)
+    val queries = Seq(PromRemote.ReadQuery(1000L, 2000L, Seq(
+      PromRemote.Matcher(0, "__name__", "up"),
+      PromRemote.Matcher(2, "job", "a.*"))))
+    assert(java.util.Arrays.equals(PromRemote.encodeReadRequest(queries), golden),
+      "encoder diverges from the golden wire")
+    assert(PromRemote.parseReadRequest(PromRemote.compress(golden)) == queries)
+
+    // matcher translation over an in-memory samples table: EQ selects
+    // the metric, RE is unanchored, time bounds are inclusive
+    val samples = Seq(
+      ("up", "api", 1000L, 1.0),  // kept (start bound inclusive)
+      ("up", "api", 2000L, 2.0),  // kept (end bound inclusive)
+      ("up", "api", 2001L, 3.0),  // dropped: time
+      ("up", "web", 1500L, 4.0),  // dropped: job !~ a.*
+      ("dn", "api", 1500L, 5.0),  // dropped: __name__
+      ("up", "xapi", 1500L, 6.0)  // kept: unanchored RE matches mid-string
+    ).toDF("metric", "job", "ts_ms", "value")
+    val resp = PromRemote.executeRead(samples, Seq("job"),
+      PromRemote.parseReadRequest(PromRemote.compress(
+        PromRemote.encodeReadRequest(queries))))
+    val results = PromRemote.parseReadResponse(resp)
+    assert(results.size == 1)
+    assert(results.head.map(r => (r.labels, r.ts_ms, r.value)).sorted == Seq(
+      ("job=api", 1000L, 1.0), ("job=api", 2000L, 2.0), ("job=xapi", 1500L, 6.0)))
+    assert(results.head.forall(_.metric == "up"))
+
+    // NEQ/NRE arms + per-query result indexing
+    val multi = PromRemote.executeRead(samples, Seq("job"), Seq(
+      PromRemote.ReadQuery(0L, 9999L, Seq(PromRemote.Matcher(1, "job", "api"))),
+      PromRemote.ReadQuery(0L, 9999L, Seq(PromRemote.Matcher(3, "job", "^a")))))
+    val mr = PromRemote.parseReadResponse(multi)
+    assert(mr.size == 2)
+    assert(mr(0).map(_.labels).toSet == Set("job=web", "job=xapi"))
+    assert(mr(1).map(_.labels).toSet == Set("job=web", "job=xapi"))
+    // the reference rejects non-equal matchers on the metric name
+    // (remote_server.rs:325); so does the translation
+    intercept[IllegalArgumentException] {
+      PromRemote.queryFilter(PromRemote.ReadQuery(0L, 1L,
+        Seq(PromRemote.Matcher(1, "__name__", "up"))))
+    }
+  }
+
   test("PromRemote encode/decode round-trips multi-series payloads with label sets") {
     import graft.sources.PromRemote
     val series = Seq(
