@@ -15,7 +15,7 @@ object SparkEntry {
       graft.queries.TimeSeriesQueries.queries ++
       graft.queries.QualityGisQueries.queries ++ graft.queries.PipelineQueries.queries ++
       graft.queries.IngestQueries.queries ++ graft.queries.StreamQueries.queries ++
-      graft.queries.LakeContract.queries
+      graft.queries.LakeContract.queries ++ graft.queries.AdminQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
       graft.queries.TimeSeriesQueries.oracleSql ++
       graft.queries.QualityGisQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql ++
       graft.queries.IngestQueries.oracleSql ++ graft.queries.StreamQueries.oracleSql ++
-      graft.queries.LakeContract.oracleSql
+      graft.queries.LakeContract.oracleSql ++ graft.queries.AdminQueries.oracleSql
 }

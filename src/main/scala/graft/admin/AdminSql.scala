@@ -1,0 +1,892 @@
+package graft.admin
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Per-connection context: which tenant/user/database statements run
+  * as — the reference's `--#TENANT= / --#USER_NAME= / --#DATABASE=`
+  * session switches in the sqllogic harness.
+  */
+final class AdminSession(
+    var tenant: String = MetaCatalog.SystemTenant,
+    var user: String = MetaCatalog.RootUser,
+    var database: String = "public")
+
+/** The mutating admin DDL/DCL surface of the reference, executed
+  * against a [[MetaCatalog]]: tenants, users, roles, grants,
+  * databases (TTL/SHARD/VNODE_DURATION/REPLICA/PRECISION), TSKV
+  * tables, deferred DROP ... AFTER / RECOVER, sys tables
+  * (information_schema.* / cluster_schema.*), @@variables, and the
+  * access-control checks that gate each of them.
+  *
+  * Architecture note (100 TB posture): every statement here touches
+  * METADATA only — a driver-side catalog measured in KB. The two
+  * places admin semantics meet data are delegated to the distributed
+  * machinery: INSERT/SELECT go through ordinary Spark parquet
+  * scans/writes under `dataRoot`, and database-TTL enforcement maps
+  * to [[graft.operators.Dml.expireDays]]'s O(expired-days) directory
+  * lifecycle on the day lake. The reference draws the same line
+  * between its raft meta service and tskv data nodes.
+  *
+  * Statement grammar and error wording mirror
+  * query_server/sqllogicaltests/cases/{dcl,ddl,sys_table,variable}/.
+  */
+final class AdminEngine(
+    spark: SparkSession,
+    val catalog: MetaCatalog,
+    dataRoot: String,
+    nowNs: () => Long) {
+
+  val session = new AdminSession()
+
+  /** In-flight statement registry backing information_schema.queries
+    * (the reference's query tracker: a running SELECT sees itself in
+    * the listing — sys_table/information_schema/queries.slt). Keyed
+    * by a monotonically assigned id; entries live for the duration of
+    * execute().
+    */
+  private val running = scala.collection.mutable.LinkedHashMap.empty[Long, (String, String, String, String)]
+  private var nextQueryId = 0L
+
+  import MetaCatalog._
+
+  // ------------------------------------------------------------------
+  // privilege model
+  // ------------------------------------------------------------------
+
+  private def isAdmin(user: String): Boolean =
+    catalog.users.get(user).exists(_.admin)
+
+  /** The session user's role inside a tenant, resolved through custom
+    * roles to the system role it inherits. None = not a member. */
+  private def roleOf(tenant: TenantDef, user: String): Option[(String, String)] =
+    tenant.members.get(user).map { r =>
+      if (SystemRoles.contains(r)) (r, r)
+      else (r, tenant.roles.get(r).map(_.inherit).getOrElse("member"))
+    }
+
+  private def requireMember(tenantName: String): TenantDef = {
+    val t = catalog.tenant(tenantName)
+    if (!isAdmin(session.user) && roleOf(t, session.user).isEmpty)
+      AdminError.auth(s"The member ${session.user} of tenant $tenantName not found")
+    t
+  }
+
+  /** CREATE/DROP ROLE, GRANT/REVOKE, tenant membership changes need
+    * the maintainer capability (owner-inherit role or admin). */
+  private def requireMaintainer(tenantName: String): TenantDef = {
+    val t = catalog.tenant(tenantName)
+    val ok = isAdmin(session.user) || roleOf(t, session.user).exists(_._2 == "owner")
+    if (!ok) AdminError.privilege(s"maintainer for all roles of tenant $tenantName")
+    t
+  }
+
+  private def requireWriteAllDbs(tenantName: String): TenantDef = {
+    val t = catalog.tenant(tenantName)
+    val ok = isAdmin(session.user) || roleOf(t, session.user).exists(_._2 == "owner")
+    if (!ok) AdminError.privilege(s"Write on all databases of tenant $tenantName")
+    t
+  }
+
+  private def grantLevelAllows(granted: String, needed: String): Boolean =
+    (granted, needed) match {
+      case ("All", _)           => true
+      case ("Write", _)         => true // Write ⊇ Read in the reference's enum ordering
+      case ("Read", "Read")     => true
+      case _                    => false
+    }
+
+  private def canOnDb(tenantName: String, db: String, needed: String): Boolean = {
+    if (isAdmin(session.user)) true
+    else {
+      val t = catalog.tenant(tenantName)
+      roleOf(t, session.user) match {
+        case Some((_, "owner"))  => true
+        case Some((roleName, _)) =>
+          t.grants.exists(g => g.database == db && g.role == roleName &&
+            grantLevelAllows(g.level, needed))
+        case None => false
+      }
+    }
+  }
+
+  private def requireOnDb(tenantName: String, db: String, needed: String): Unit =
+    if (!canOnDb(tenantName, db, needed))
+      AdminError.privilege(s"$needed on database $db of tenant $tenantName")
+
+  /** Databases the session user may Read in a tenant; privilege error
+    * if the user is a member with zero readable databases
+    * (dcl_role.slt: `show databases` under a grant-less member). */
+  private def readableDbs(tenantName: String): Vector[String] = {
+    val t = requireMember(tenantName)
+    val visible = t.databases.collect { case (n, d) if !d.hidden => n }.toVector.sorted
+    if (isAdmin(session.user) || roleOf(t, session.user).exists(_._2 == "owner")) visible
+    else {
+      val readable = visible.filter(db => canOnDb(tenantName, db, "Read"))
+      if (readable.isEmpty)
+        AdminError.privilege(s"Read on all databases of tenant $tenantName")
+      readable
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // execute
+  // ------------------------------------------------------------------
+
+  /** Execute one statement; Some(df) for statements that return rows. */
+  def execute(sql: String): Option[DataFrame] = {
+    val stripped = sql.trim.stripSuffix(";").trim
+    // the sqllogic harness's session switches
+    val sw = "(?i)^--#\\s*(TENANT|USER_NAME|DATABASE)\\s*=\\s*(\\S+)$".r
+    stripped match {
+      case sw(k, v) =>
+        k.toUpperCase match {
+          case "TENANT"    => session.tenant = v
+          case "USER_NAME" => session.user = v
+          case "DATABASE"  => session.database = v
+        }
+        return None
+      case _ =>
+    }
+    val p = new AdminParser(stripped)
+    val qid = { nextQueryId += 1; nextQueryId }
+    running(qid) = ("batch", sql.trim, session.user, session.database)
+    try p.peekUpper match {
+      case "CREATE"   => p.next(); create(p); None
+      case "ALTER"    => p.next(); alter(p); None
+      case "DROP"     => p.next(); drop(p); None
+      case "RECOVER"  => p.next(); recover(p); None
+      case "GRANT"    => p.next(); grantStmt(p); None
+      case "REVOKE"   => p.next(); revokeStmt(p); None
+      case "DESCRIBE" => p.next(); Some(describe(p))
+      case "SHOW"     => p.next(); Some(show(p))
+      case "INSERT"   => p.next(); Some(insert(p))
+      case "SELECT"   => Some(select(stripped))
+      case other      => AdminError.parser(s"Expected statement, found: $other")
+    } finally running.remove(qid)
+  }
+
+  // ---- CREATE --------------------------------------------------------
+
+  private def create(p: AdminParser): Unit = p.nextUpper match {
+    case "TENANT" =>
+      if (!isAdmin(session.user))
+        AdminError.privilege("admin to create tenants")
+      val ine = p.tryIfNotExists()
+      val name = p.name()
+      val opts = if (p.tryKw("WITH")) p.optionAssignments() else Map.empty[String, String]
+      catalog.createTenant(name, ine, opts)
+    case "USER" =>
+      if (!isAdmin(session.user)) AdminError.privilege("admin to create users")
+      val ine = p.tryIfNotExists()
+      val name = p.name()
+      val opts = if (p.tryKw("WITH")) p.optionAssignments() else Map.empty[String, String]
+      catalog.createUser(name, ine, opts)
+    case "ROLE" =>
+      val ine = p.tryIfNotExists()
+      val name = p.name()
+      p.expectKw("INHERIT")
+      val base = p.name()
+      requireMaintainer(session.tenant)
+      catalog.createRole(session.tenant, name, base, ine)
+    case "DATABASE" =>
+      val ine = p.tryIfNotExists()
+      val name = p.name()
+      requireWriteAllDbs(session.tenant)
+      var d = DatabaseDef(name)
+      if (p.tryKw("WITH")) {
+        var advancing = true
+        while (advancing) p.peekUpperOpt match {
+          case Some("TTL")            => p.next(); d = d.copy(ttlNs = Some(parseDuration(p.stringLit())))
+          case Some("SHARD")          => p.next(); d = d.copy(shard = p.intLit())
+          case Some("VNODE_DURATION") => p.next(); d = d.copy(vnodeDurationNs = parseDuration(p.stringLit()))
+          case Some("REPLICA")        => p.next(); d = d.copy(replica = p.intLit())
+          case Some("PRECISION")      => p.next(); d = d.copy(precision = p.stringLit().toUpperCase)
+          case _                      => advancing = false
+        }
+      }
+      if (!Set("NS", "US", "MS").contains(d.precision))
+        AdminError.parser(s"invalid precision: '${d.precision}'")
+      catalog.createDatabase(session.tenant, name, ine, d)
+    case "TABLE" =>
+      val ine = p.tryIfNotExists()
+      val (db, name) = p.qualifiedName(session.database)
+      requireOnDb(session.tenant, db, "Write")
+      catalog.database(session.tenant, db) // Meta: Database not found before parse of cols
+      p.expectSym("(")
+      var tags = Vector.empty[String]
+      var fields = Vector.empty[(String, String, String)] // name, type, codec
+      var more = true
+      while (more) {
+        if (p.peekUpper == "TAGS") {
+          p.next(); p.expectSym("(")
+          tags = tags ++ p.nameList()
+          p.expectSym(")")
+        } else {
+          val cn = p.name()
+          val dt = p.dataType()
+          val codec = if (p.tryKw("CODEC")) { p.expectSym("("); val c = p.name().toUpperCase; p.expectSym(")"); c }
+                      else "DEFAULT"
+          fields = fields :+ ((cn, dt, codec))
+        }
+        more = p.trySym(",")
+      }
+      p.expectSym(")")
+      // ordinals: TIME 0, tags 1..T, fields T+1.. (columns.slt)
+      val cols = Vector(ColumnDef("time", "TIME", "TIMESTAMP(NANOSECOND)", "DEFAULT", 0)) ++
+        tags.zipWithIndex.map { case (t, i) => ColumnDef(t, "TAG", "STRING", "DEFAULT", i + 1) } ++
+        fields.zipWithIndex.map { case ((n, dt, c), i) => ColumnDef(n, "FIELD", dt, c, tags.size + 1 + i) }
+      val dup = cols.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+      if (dup.nonEmpty) AdminError.semantic(s"Column already exists: ${dup.head}")
+      catalog.createTable(session.tenant, db, TableDef(name, cols), ine)
+    case other => AdminError.parser(s"Expected object type after CREATE, found: $other")
+  }
+
+  // ---- ALTER ---------------------------------------------------------
+
+  private def alter(p: AdminParser): Unit = p.nextUpper match {
+    case "TENANT" =>
+      val name = p.name()
+      p.nextUpper match {
+        case "SET" =>
+          requireMaintainer(name)
+          val (k, v) = p.optionAssignment()
+          catalog.alterTenantSet(name, k, v)
+        case "UNSET" =>
+          requireMaintainer(name)
+          catalog.alterTenantUnset(name, p.name().toLowerCase)
+        case "ADD" =>
+          p.expectKw("USER"); val u = p.name(); p.expectKw("AS"); val r = p.name()
+          requireMaintainer(name)
+          catalog.addMember(name, u, r)
+        case "REMOVE" =>
+          p.expectKw("USER"); val u = p.name()
+          requireMaintainer(name)
+          catalog.removeMember(name, u)
+        case other => AdminError.parser(s"Expected SET/UNSET/ADD/REMOVE, found: $other")
+      }
+    case "USER" =>
+      val name = p.name()
+      p.expectKw("SET")
+      val (k, v) = p.optionAssignment()
+      if (k == "granted_admin" && !isAdmin(session.user))
+        AdminError.privilege("admin to grant admin")
+      catalog.alterUserSet(name, k, v)
+    case "DATABASE" =>
+      val name = p.name()
+      p.expectKw("SET")
+      requireOnDb(session.tenant, name, "Write")
+      catalog.database(session.tenant, name) // existence first (alter_database.slt)
+      p.nextUpper match {
+        case "TTL"            => val v = p.stringLit(); catalog.alterDatabase(session.tenant, name, _.copy(ttlNs = Some(parseDuration(v))))
+        case "SHARD"          => val v = p.intLit(); catalog.alterDatabase(session.tenant, name, _.copy(shard = v))
+        case "VNODE_DURATION" => val v = p.stringLit(); catalog.alterDatabase(session.tenant, name, _.copy(vnodeDurationNs = parseDuration(v)))
+        case "REPLICA"        => val v = p.intLit(); catalog.alterDatabase(session.tenant, name, _.copy(replica = v))
+        case "PRECISION"      => AdminError.semantic("precision is immutable after CREATE DATABASE")
+        case other            => AdminError.parser(s"Unknown database option: $other")
+      }
+      // exactly ONE option per ALTER (alter_database.slt: "Expected end
+      // of statement, found: SHARD")
+      p.peekUpperOpt.foreach(t => AdminError.parser(s"Expected end of statement, found: $t"))
+    case "TABLE" =>
+      val (db, name) = p.qualifiedName(session.database)
+      requireOnDb(session.tenant, db, "Write")
+      p.nextUpper match {
+        case "ADD" =>
+          p.nextUpper match {
+            case "FIELD" =>
+              val cn = p.name(); val dt = p.dataType()
+              val codec = if (p.tryKw("CODEC")) { p.expectSym("("); val c = p.name().toUpperCase; p.expectSym(")"); c } else "DEFAULT"
+              catalog.alterTable(session.tenant, db, name, t => {
+                if (t.columns.exists(_.name == cn)) AdminError.semantic(s"Column already exists: $cn")
+                t.copy(columns = t.columns :+ ColumnDef(cn, "FIELD", dt, codec, t.columns.map(_.ordinal).max + 1))
+              })
+            case "TAG" =>
+              val cn = p.name()
+              catalog.alterTable(session.tenant, db, name, t => {
+                if (t.columns.exists(_.name == cn)) AdminError.semantic(s"Column already exists: $cn")
+                val tagOrd = t.tags.map(_.ordinal).maxOption.getOrElse(0) + 1
+                val shifted = t.columns.map(c => if (c.colType == "FIELD") c.copy(ordinal = c.ordinal + 1) else c)
+                t.copy(columns = shifted :+ ColumnDef(cn, "TAG", "STRING", "DEFAULT", tagOrd))
+              })
+            case other => AdminError.parser(s"Expected FIELD or TAG, found: $other")
+          }
+        case "DROP" =>
+          val cn = p.name()
+          catalog.alterTable(session.tenant, db, name, t => {
+            val c = t.columns.find(_.name == cn).getOrElse(AdminError.meta(s"Column not found: \"$cn\""))
+            if (c.colType == "TIME") AdminError.semantic("the time column cannot be dropped")
+            t.copy(columns = t.columns.filterNot(_.name == cn))
+          })
+        case "RENAME" =>
+          p.expectKw("COLUMN"); val from = p.name(); p.expectKw("TO"); val to = p.name()
+          catalog.alterTable(session.tenant, db, name, t => {
+            if (!t.columns.exists(_.name == from)) AdminError.meta(s"Column not found: \"$from\"")
+            if (t.columns.exists(_.name == to)) AdminError.semantic(s"Column already exists: $to")
+            t.copy(columns = t.columns.map(c => if (c.name == from) c.copy(name = to) else c))
+          })
+        case "ALTER" =>
+          val cn = p.name(); p.expectKw("SET"); p.expectKw("CODEC")
+          p.expectSym("("); val c = p.name().toUpperCase; p.expectSym(")")
+          catalog.alterTable(session.tenant, db, name, t => {
+            if (!t.columns.exists(_.name == cn)) AdminError.meta(s"Column not found: \"$cn\"")
+            t.copy(columns = t.columns.map(col => if (col.name == cn) col.copy(codec = c) else col))
+          })
+        case other => AdminError.parser(s"Expected ADD/DROP/RENAME/ALTER, found: $other")
+      }
+    case other => AdminError.parser(s"Expected object type after ALTER, found: $other")
+  }
+
+  // ---- DROP / RECOVER ------------------------------------------------
+
+  private def drop(p: AdminParser): Unit = p.nextUpper match {
+    case "TENANT" =>
+      if (!isAdmin(session.user)) AdminError.privilege("admin to drop tenants")
+      val ife = p.tryIfExists()
+      val name = p.name()
+      val after = if (p.tryKw("AFTER")) Some(parseDuration(p.stringLit())) else None
+      catalog.dropTenant(name, ife, after, nowNs())
+    case "USER" =>
+      if (!isAdmin(session.user)) AdminError.privilege("admin to drop users")
+      val ife = p.tryIfExists()
+      catalog.dropUser(p.name(), ife)
+    case "ROLE" =>
+      val ife = p.tryIfExists()
+      val name = p.name()
+      requireMaintainer(session.tenant)
+      catalog.dropRole(session.tenant, name, ife)
+    case "DATABASE" =>
+      val ife = p.tryIfExists()
+      val name = p.name()
+      requireWriteAllDbs(session.tenant)
+      val after = if (p.tryKw("AFTER")) Some(parseDuration(p.stringLit())) else None
+      catalog.dropDatabase(session.tenant, name, ife, after, nowNs())
+    case "TABLE" =>
+      val ife = p.tryIfExists()
+      val (db, name) = p.qualifiedName(session.database)
+      requireOnDb(session.tenant, db, "Write")
+      catalog.dropTable(session.tenant, db, name, ife)
+    case other => AdminError.parser(s"Expected object type after DROP, found: $other")
+  }
+
+  private def recover(p: AdminParser): Unit = p.nextUpper match {
+    case "TENANT"   => catalog.recoverTenant(p.name())
+    case "DATABASE" => catalog.recoverDatabase(session.tenant, p.name())
+    case other      => AdminError.parser(s"Expected TENANT or DATABASE, found: $other")
+  }
+
+  // ---- GRANT / REVOKE ------------------------------------------------
+
+  private def privLevel(s: String): String = s.toUpperCase match {
+    case "READ" => "Read"
+    case "WRITE" => "Write"
+    case "ALL" => "All"
+    case other => AdminError.parser(s"Expected READ/WRITE/ALL, found: $other")
+  }
+
+  private def grantStmt(p: AdminParser): Unit = {
+    val level = privLevel(p.next())
+    p.expectKw("ON"); p.expectKw("DATABASE")
+    val db = p.name()
+    p.expectKw("TO"); p.tryKw("ROLE")
+    val role = p.name()
+    requireMaintainer(session.tenant)
+    catalog.grant(session.tenant, db, role, level)
+  }
+
+  private def revokeStmt(p: AdminParser): Unit = {
+    val level = privLevel(p.next())
+    p.expectKw("ON"); p.expectKw("DATABASE")
+    val db = p.name()
+    p.expectKw("FROM"); p.tryKw("ROLE")
+    val role = p.name()
+    requireMaintainer(session.tenant)
+    catalog.revoke(session.tenant, db, role, level)
+  }
+
+  // ---- DESCRIBE / SHOW -----------------------------------------------
+
+  private def describe(p: AdminParser): DataFrame = p.nextUpper match {
+    case "DATABASE" =>
+      val name = p.name()
+      requireOnDb(session.tenant, name, "Read")
+      val d = catalog.database(session.tenant, name)
+      mkDf(Seq("ttl", "shard", "vnode_duration", "replica", "precision",
+        "max_memcache_size", "memcache_partitions", "wal_max_file_size",
+        "wal_sync", "strict_write", "max_cache_readers"),
+        Seq(Row(d.ttlNs.map(formatDuration).getOrElse("INF"), d.shard.toLong,
+          formatDuration(d.vnodeDurationNs), d.replica.toLong, d.precision,
+          "128 MiB", 16L, "128 MiB", false, false, 32L)),
+        Seq(StringType, LongType, StringType, LongType, StringType,
+          StringType, LongType, StringType, BooleanType, BooleanType, LongType))
+    case "TABLE" =>
+      val (db, name) = p.qualifiedName(session.database)
+      requireOnDb(session.tenant, db, "Read")
+      val t = catalog.table(session.tenant, db, name)
+      mkDf(Seq("column_name", "data_type", "column_type", "compression_codec"),
+        t.columns.sortBy(_.name).map(c => Row(c.name, c.dataType, c.colType, c.codec)),
+        Seq(StringType, StringType, StringType, StringType))
+    case other => AdminError.parser(s"Expected DATABASE or TABLE, found: $other")
+  }
+
+  private def show(p: AdminParser): DataFrame = p.nextUpper match {
+    case "DATABASES" =>
+      mkDf(Seq("database_name"), readableDbs(session.tenant).map(Row(_)), Seq(StringType))
+    case "TABLES" =>
+      requireOnDb(session.tenant, session.database, "Read")
+      val d = catalog.database(session.tenant, session.database)
+      mkDf(Seq("table_name"), d.tables.keys.toVector.sorted.map(Row(_)), Seq(StringType))
+    case "TENANTS" =>
+      val names =
+        if (isAdmin(session.user)) catalog.tenants.values.filterNot(_.hidden).map(_.name).toVector.sorted
+        else Vector(requireMember(session.tenant).name)
+      mkDf(Seq("tenant_name"), names.map(Row(_)), Seq(StringType))
+    case other => AdminError.parser(s"Expected DATABASES/TABLES/TENANTS, found: $other")
+  }
+
+  // ---- INSERT / SELECT (data path — real Spark storage) --------------
+
+  private def tablePath(db: String, table: String): String =
+    s"$dataRoot/${session.tenant}/$db/$table"
+
+  private def sparkType(dt: String): DataType = dt match {
+    case "BIGINT" | "BIGINT UNSIGNED" => LongType
+    case "DOUBLE"                     => DoubleType
+    case "BOOLEAN"                    => BooleanType
+    case _                            => StringType
+  }
+
+  /** Multiplier from the db's declared TIME precision to stored ns. */
+  private def precisionToNs(p: String): Long = p match {
+    case "NS" => 1L; case "US" => 1000L; case "MS" => 1000000L
+  }
+
+  private def insert(p: AdminParser): DataFrame = {
+    p.expectKw("INTO")
+    val (db, name) = p.qualifiedName(session.database)
+    requireOnDb(session.tenant, db, "Write")
+    val d = catalog.database(session.tenant, db)
+    val t = catalog.table(session.tenant, db, name)
+    p.expectSym("(")
+    val colNames = p.nameList()
+    p.expectSym(")")
+    p.expectKw("VALUES")
+    val byName = t.columns.map(c => c.name.toLowerCase -> c).toMap
+    val defs = colNames.map { cn =>
+      byName.getOrElse(cn.toLowerCase, AdminError.meta(s"Column not found: \"$cn\""))
+    }
+    val rows = Vector.newBuilder[Row]
+    var more = true
+    while (more) {
+      p.expectSym("(")
+      val lits = p.literalList()
+      p.expectSym(")")
+      if (lits.size != defs.size)
+        AdminError.semantic(s"INSERT column/value arity mismatch: ${defs.size} vs ${lits.size}")
+      val vals = defs.zip(lits).map { case (c, l) =>
+        c.colType match {
+          case "TIME"  => l.toLong * precisionToNs(d.precision)
+          case "TAG"   => l
+          case "FIELD" => c.dataType match {
+            case "DOUBLE" => l.toDouble
+            case "BIGINT" | "BIGINT UNSIGNED" => l.toLong
+            case "BOOLEAN" => l.toBoolean
+            case _ => l
+          }
+        }
+      }
+      rows += Row(vals: _*)
+      more = p.trySym(",")
+    }
+    val schema = StructType(defs.map { c =>
+      if (c.colType == "TIME") StructField("time_ns", LongType)
+      else StructField(c.name, if (c.colType == "TAG") StringType else sparkType(c.dataType))
+    })
+    val data = rows.result()
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
+    df.write.mode("append").parquet(tablePath(db, name))
+    mkDf(Seq("rows"), Seq(Row(data.size.toLong)), Seq(LongType))
+  }
+
+  /** Read a TSKV table's stored rows as a DataFrame with a `time`
+    * timestamp column (µs-truncated view of the stored ns). */
+  def readTable(db: String, name: String): DataFrame = {
+    requireOnDb(session.tenant, db, "Read")
+    val t = catalog.table(session.tenant, db, name)
+    val raw = spark.read.parquet(tablePath(db, name))
+    import org.apache.spark.sql.functions._
+    val ordered = Seq(col("time")) ++
+      t.columns.filter(_.colType != "TIME").sortBy(_.ordinal)
+        .filter(c => raw.columns.contains(c.name)).map(c => col(c.name))
+    raw.withColumn("time", timestamp_micros((col("time_ns") / 1000L).cast("long")))
+      .select(ordered: _*)
+  }
+
+  /** SELECT passthrough: resolves table names in the session tenant's
+    * current database (tenant isolation: a table of tenant A is
+    * unresolvable from tenant B — user_access.slt), registers sys
+    * views, rewrites `information_schema.x`/`cluster_schema.x` and
+    * @@variables, then delegates to spark.sql — the full Catalyst
+    * surface applies.
+    */
+  private def select(sql: String): DataFrame = {
+    requireMember(session.tenant)
+    var q = sql
+    // @@variables (variable/system.slt)
+    val varPat = "@@([A-Za-z_]*)".r
+    q = varPat.replaceAllIn(q, m => m.group(1).toLowerCase match {
+      case "cluster_name"    => "'graft'"
+      case "server_version"  => "'4.1.2-graft'"
+      case "deployment_mode" => "'singleton'"
+      case "node_id"         => "'1'"
+      case other             => AdminError.parser(s"variable [\"@@$other\"] has no type information")
+    })
+    val sysPat = "(?i)\\b(information_schema|cluster_schema)\\s*\\.\\s*([A-Za-z_]+)".r
+    val sysRefs = sysPat.findAllMatchIn(q)
+      .map(m => (m.group(1).toLowerCase, m.group(2).toLowerCase)).toSet
+    q = sysPat.replaceAllIn(q, m => s"${m.group(1).toLowerCase}_${m.group(2).toLowerCase}")
+    sysRefs.foreach { case (schema, tbl) =>
+      sysTable(schema, tbl).createOrReplaceTempView(s"${schema}_$tbl")
+    }
+    // register the current database's tables (only those referenced);
+    // views are dropped again after eager analysis so nothing leaks
+    // across tenants sharing the SparkSession (tenant isolation:
+    // user_access.slt's cross-tenant "Table not found")
+    val registered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val t = catalog.tenant(session.tenant)
+    t.databases.get(session.database).foreach { d =>
+      d.tables.foreach { case (tn, _) =>
+        val path = new org.apache.hadoop.fs.Path(tablePath(session.database, tn))
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val referenced = ("(?i)\\b" + java.util.regex.Pattern.quote(tn) + "\\b").r
+          .findFirstIn(q).isDefined
+        if (referenced) {
+          if (fs.exists(path)) readTable(session.database, tn).createOrReplaceTempView(tn)
+          else {
+            val tdef = catalog.table(session.tenant, session.database, tn)
+            val schema = StructType(tdef.columns.sortBy(_.ordinal).map { c =>
+              if (c.colType == "TIME") StructField("time", TimestampType)
+              else StructField(c.name, if (c.colType == "TAG") StringType else sparkType(c.dataType))
+            })
+            spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+              .createOrReplaceTempView(tn)
+          }
+          registered += tn
+        }
+      }
+    }
+    // bare table refs in OTHER tenants must not resolve: qualified refs
+    // like tenant.db.table are rejected up front
+    if ("(?i)\\bfrom\\s+[A-Za-z_][\\w]*\\.[A-Za-z_][\\w]*\\.[A-Za-z_]".r.findFirstIn(q).isDefined)
+      AdminError.meta("cross-tenant qualified table references are not supported")
+    try spark.sql(q) // analysis is eager; the views can go right after
+    finally registered.foreach(v => spark.catalog.dropTempView(v))
+  }
+
+  // ------------------------------------------------------------------
+  // sys tables
+  // ------------------------------------------------------------------
+
+  /** Tenants visible to the session: admins see the cluster, others
+    * their own tenant (sys_table/cluster_schema/tenants.slt's
+    * visibility flip under a non-admin user). */
+  private def visibleTenants: Vector[TenantDef] =
+    if (isAdmin(session.user)) catalog.tenants.values.toVector.filterNot(_.hidden)
+    else catalog.tenants.get(session.tenant).filterNot(_.hidden)
+      .filter(t => roleOf(t, session.user).isDefined).toVector
+
+  private def jsonStr(s: Option[String]): String =
+    s.map(v => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+
+  def sysTable(schema: String, name: String): DataFrame = (schema, name) match {
+    case ("cluster_schema", "tenants") =>
+      val rows = visibleTenants.map { t =>
+        val opts = s"""{"comment":${jsonStr(t.comment)},"limiter_config":null,""" +
+          s""""drop_after":${jsonStr(t.dropAfter)},"tenant_is_hidden":${t.hidden}}"""
+        Row(t.name, opts)
+      }
+      mkDf(Seq("tenant_name", "tenant_options"), rows, Seq(StringType, StringType))
+    case ("cluster_schema", "users") =>
+      val us = if (isAdmin(session.user)) catalog.users.values.toVector
+               else catalog.users.get(session.user).toVector
+      val rows = us.map { u =>
+        val parts = Vector(Some("\"hash_password\":\"*****\"")).flatten ++
+          (if (u.mustChangePassword) Vector(s""""must_change_password":true""") else Vector.empty) ++
+          u.comment.map(c => s""""comment":${jsonStr(Some(c))}""").toVector
+        Row(u.name, u.admin, "{" + parts.mkString(",") + "}")
+      }
+      mkDf(Seq("user_name", "is_admin", "user_options"), rows,
+        Seq(StringType, BooleanType, StringType))
+    case ("information_schema", "databases") =>
+      val rows = for {
+        t <- visibleTenants
+        (dn, d) <- t.databases.toVector.sortBy(_._1) if !d.hidden
+      } yield Row(t.name, dn, d.ttlNs.map(formatDuration).getOrElse("INF"), d.shard.toLong,
+        formatDuration(d.vnodeDurationNs), d.replica.toLong, d.precision,
+        "128 MiB", 16L, "128 MiB", false, false, 32L)
+      mkDf(Seq("tenant_name", "database_name", "ttl", "shard", "vnode_duration",
+        "replica", "precision", "max_memcache_size", "memcache_partitions",
+        "wal_max_file_size", "wal_sync", "strict_write", "max_cache_readers"),
+        rows, Seq(StringType, StringType, StringType, LongType, StringType, LongType,
+          StringType, StringType, LongType, StringType, BooleanType, BooleanType, LongType))
+    case ("information_schema", "tables") =>
+      val rows = for {
+        t <- visibleTenants
+        (dn, d) <- t.databases.toVector.sortBy(_._1) if !d.hidden
+        tn <- d.tables.keys.toVector.sorted
+      } yield Row(t.name, dn, tn, "TABLE", "TSKV", "TODO")
+      mkDf(Seq("tenant_name", "database_name", "table_name", "table_type",
+        "table_engine", "table_options"), rows,
+        Seq(StringType, StringType, StringType, StringType, StringType, StringType))
+    case ("information_schema", "columns") =>
+      // tags + fields only; TIME omitted (columns.slt)
+      val rows = for {
+        t <- visibleTenants
+        (dn, d) <- t.databases.toVector.sortBy(_._1) if !d.hidden
+        (tn, tbl) <- d.tables.toVector.sortBy(_._1)
+        c <- tbl.columns.sortBy(_.ordinal) if c.colType != "TIME"
+      } yield Row(t.name, dn, tn, c.name, c.colType, c.ordinal.toLong, "NULL", true,
+        c.dataType, c.codec)
+      mkDf(Seq("tenant_name", "database_name", "table_name", "column_name",
+        "column_type", "ordinal_position", "column_default", "is_nullable",
+        "data_type", "compression_codec"), rows,
+        Seq(StringType, StringType, StringType, StringType, StringType, LongType,
+          StringType, BooleanType, StringType, StringType))
+    case ("information_schema", "database_privileges") =>
+      val t = catalog.tenant(session.tenant)
+      val rows = t.grants.sortBy(g => (g.database, g.role))
+        .map(g => Row(t.name, g.database, g.level, g.role))
+      mkDf(Seq("tenant_name", "database_name", "privilege_type", "role_name"),
+        rows, Seq(StringType, StringType, StringType, StringType))
+    case ("information_schema", "members") =>
+      val t = catalog.tenant(session.tenant)
+      val rows = t.members.toVector.sortBy(_._1).map { case (u, r) => Row(u, r) }
+      mkDf(Seq("user_name", "role_name"), rows, Seq(StringType, StringType))
+    case ("information_schema", "roles") =>
+      val t = catalog.tenant(session.tenant)
+      val canSee = isAdmin(session.user) || roleOf(t, session.user).exists(_._2 == "owner")
+      val rows =
+        if (!canSee) Vector.empty // member sees none (dcl_role.slt)
+        else Vector(Row("member", "system", "NULL"), Row("owner", "system", "NULL")) ++
+          t.roles.values.toVector.sortBy(_.name).map(r => Row(r.name, "custom", r.inherit))
+      mkDf(Seq("role_name", "role_type", "inherit_role"), rows,
+        Seq(StringType, StringType, StringType))
+    case ("information_schema", "enabled_roles") =>
+      val t = catalog.tenant(session.tenant)
+      val rows = roleOf(t, session.user).toVector.map { case (r, _) => Row(r) }
+      mkDf(Seq("role_name"), rows, Seq(StringType))
+    case ("information_schema", "queries") =>
+      val rows = running.toVector.map { case (id, (qt, text, user, db)) =>
+        Row(id.toString, qt, text, user, session.tenant, db, "RUNNING")
+      }
+      mkDf(Seq("query_id", "query_type", "query_text", "user_name",
+        "tenant_name", "database_name", "state"), rows,
+        Seq(StringType, StringType, StringType, StringType, StringType,
+          StringType, StringType))
+    case ("information_schema", "resource_status") =>
+      val rows = catalog.resources.values.toVector.sortBy(_.name)
+        .map(r => Row(r.name, r.action, r.tryCount.toString, r.status))
+      mkDf(Seq("name", "action", "try_count", "status"), rows,
+        Seq(StringType, StringType, StringType, StringType))
+    case _ => AdminError.meta(s"Table not found: \"$schema.$name\"")
+  }
+
+  // ------------------------------------------------------------------
+  // database TTL → lake lifecycle
+  // ------------------------------------------------------------------
+
+  /** Enforce a database's TTL against a day-partitioned lake root:
+    * cutoff = now − ttl, expiry via the O(expired-days) Hadoop-FS
+    * directory lifecycle. The admin surface supplies the POLICY
+    * (catalog TTL); [[graft.operators.Dml.expireDays]] supplies the
+    * 100 TB MECHANISM. No-op for TTL-less databases.
+    */
+  def enforceTtl(db: String, lakeRoot: String,
+                 asOfNs: Long): Option[graft.operators.Dml.ExpireStats] = {
+    requireOnDb(session.tenant, db, "Write")
+    val d = catalog.database(session.tenant, db)
+    d.ttlNs.map(ttl => graft.operators.Dml.expireDays(spark, lakeRoot, asOfNs - ttl))
+  }
+
+  // ------------------------------------------------------------------
+
+  private def mkDf(names: Seq[String], rows: Seq[Row], types: Seq[DataType]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(names.zip(types).map { case (n, t) => StructField(n, t) })
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+}
+
+/** Hand-rolled tokenizer/cursor for the admin statement grammar.
+  * Tokens: bare identifiers/keywords (case preserved; matched
+  * case-insensitively), single- or double-quoted names/strings,
+  * integer literals, and single-char symbols. Statement keywords are
+  * case-insensitive throughout, mirroring the reference's parser
+  * (`CREATE DATABASE x WITH TTl '10d' SHARD 5 VNOdE_DURATiON '3d'` is
+  * valid — ddl/alter_database.slt).
+  */
+final class AdminParser(sql: String) {
+  import AdminParser._
+
+  private val toks: Vector[Tok] = tokenize(sql)
+  private var pos = 0
+
+  def done: Boolean = pos >= toks.size
+  def peekOpt: Option[Tok] = if (done) None else Some(toks(pos))
+  def peekUpperOpt: Option[String] = peekOpt.collect {
+    case Word(w) => w.toUpperCase
+    case Sym(s)  => s
+  }
+  def peekUpper: String =
+    peekUpperOpt.getOrElse(AdminError.parser("Unexpected end of statement"))
+
+  def next(): String = {
+    val t = peekOpt.getOrElse(AdminError.parser("Unexpected end of statement"))
+    pos += 1
+    t match { case Word(w) => w; case Quoted(s, _) => s; case Sym(s) => s; case Num(n) => n }
+  }
+  def nextUpper(): String = next().toUpperCase
+
+  def tryKw(kw: String): Boolean = peekOpt match {
+    case Some(Word(w)) if w.equalsIgnoreCase(kw) => pos += 1; true
+    case _ => false
+  }
+  def expectKw(kw: String): Unit =
+    if (!tryKw(kw)) AdminError.parser(s"Expected $kw, found: ${peekUpperOpt.getOrElse("<eof>")}")
+  def trySym(s: String): Boolean = peekOpt match {
+    case Some(Sym(x)) if x == s => pos += 1; true
+    case _ => false
+  }
+  def expectSym(s: String): Unit =
+    if (!trySym(s)) AdminError.parser(s"Expected '$s', found: ${peekUpperOpt.getOrElse("<eof>")}")
+
+  def tryIfNotExists(): Boolean =
+    if (tryKw("IF")) { expectKw("NOT"); expectKw("EXISTS"); true } else false
+  def tryIfExists(): Boolean =
+    if (tryKw("IF")) { expectKw("EXISTS"); true } else false
+
+  /** An object name: bare identifier or quoted ('d  d', "dd c"). */
+  def name(): String = peekOpt match {
+    case Some(Word(w))      => pos += 1; w
+    case Some(Quoted(s, _)) => pos += 1; s
+    case Some(Num(n))       => pos += 1; n
+    case other => AdminError.parser(s"Expected name, found: ${other.fold("<eof>")(_.toString)}")
+  }
+
+  def stringLit(): String = peekOpt match {
+    case Some(Quoted(s, _)) => pos += 1; s
+    case other => AdminError.parser(s"Expected string literal, found: ${other.fold("<eof>")(_.toString)}")
+  }
+
+  def intLit(): Int = peekOpt match {
+    case Some(Num(n)) => pos += 1; n.toInt
+    case other => AdminError.parser(s"Expected integer, found: ${other.fold("<eof>")(_.toString)}")
+  }
+
+  /** `db.table` or bare `table` resolved against the session db. */
+  def qualifiedName(defaultDb: String): (String, String) = {
+    val first = name()
+    if (trySym(".")) (first, name()) else (defaultDb, first)
+  }
+
+  def nameList(): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    b += name()
+    while (trySym(",")) b += name()
+    b.result()
+  }
+
+  /** Literal values inside an INSERT tuple, as raw strings. */
+  def literalList(): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    def one(): String = peekOpt match {
+      case Some(Num(n))       => pos += 1; n
+      case Some(Quoted(s, _)) => pos += 1; s
+      case Some(Word(w)) if w.equalsIgnoreCase("true") || w.equalsIgnoreCase("false") => pos += 1; w
+      case Some(Sym("-"))     => pos += 1; "-" + one()
+      case other => AdminError.parser(s"Expected literal, found: ${other.fold("<eof>")(_.toString)}")
+    }
+    b += one()
+    while (trySym(",")) b += one()
+    b.result()
+  }
+
+  /** `opt = value` where value is quoted, numeric, or a bare word. */
+  def optionAssignment(): (String, String) = {
+    val k = name().toLowerCase
+    expectSym("=")
+    val v = peekOpt match {
+      case Some(Quoted(s, _)) => pos += 1; s
+      case Some(Num(n))       => pos += 1; n
+      case Some(Word(w))      => pos += 1; w
+      case other => AdminError.parser(s"Expected option value, found: ${other.fold("<eof>")(_.toString)}")
+    }
+    (k, v)
+  }
+
+  def optionAssignments(): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    b += optionAssignment()
+    while (trySym(",")) b += optionAssignment()
+    b.result()
+  }
+
+  /** Data type for a field column: BIGINT [UNSIGNED] | STRING |
+    * BOOLEAN | DOUBLE | TIMESTAMP. */
+  def dataType(): String = {
+    val base = nextUpper()
+    base match {
+      case "BIGINT" => if (tryKw("UNSIGNED")) "BIGINT UNSIGNED" else "BIGINT"
+      case "STRING" | "BOOLEAN" | "DOUBLE" | "TIMESTAMP" => base
+      case other => AdminError.parser(s"Unknown data type: $other")
+    }
+  }
+}
+
+object AdminParser {
+  sealed trait Tok
+  final case class Word(s: String) extends Tok
+  final case class Quoted(s: String, quote: Char) extends Tok
+  final case class Num(s: String) extends Tok
+  final case class Sym(s: String) extends Tok
+
+  def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val d = sql.charAt(j)
+          if (d == c) {
+            if (j + 1 < n && sql.charAt(j + 1) == c) { sb.append(c); j += 2 } // '' escape
+            else { closed = true; j += 1 }
+          } else { sb.append(d); j += 1 }
+        }
+        if (!closed) AdminError.parser(s"Unterminated quoted name/string starting at offset $i")
+        out += Quoted(sb.toString, c)
+        i = j
+      } else if (c.isDigit) {
+        var j = i
+        while (j < n && (sql.charAt(j).isDigit || sql.charAt(j) == '.')) j += 1
+        // "1.5" stays one numeric token; "db.tbl" is handled as words
+        out += Num(sql.substring(i, j))
+        i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        out += Word(sql.substring(i, j))
+        i = j
+      } else {
+        out += Sym(c.toString)
+        i += 1
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.Tables
+import graft.admin.{AdminEngine, AdminError, MetaCatalog}
+
+/** The mutating admin DDL/DCL surface (SURVEY §2.5 → closed):
+  * tenants, users, roles, grants, databases with
+  * TTL/SHARD/VNODE_DURATION/REPLICA/PRECISION, TSKV table DDL,
+  * deferred DROP ... AFTER / RECOVER, sys tables, and the two places
+  * admin policy meets data — database-TTL enforcement through the
+  * day-lake lifecycle, and INSERT/SELECT through real parquet
+  * storage.
+  *
+  * Every lane drives [[graft.admin.AdminEngine]] with a FIXED
+  * statement script and a FIXED logical clock, so the catalog state —
+  * and therefore the emitted rows — are fully deterministic; the
+  * DuckDB oracles pin them row-for-row. The q_admin_ttl_expire lane
+  * is additionally data-backed: the catalog TTL must reproduce
+  * ts_ttl_expire's `ts >= cutoff` aggregate on the real events lake
+  * through [[graft.operators.Dml.expireDays]].
+  *
+  * Reference: query_server/sqllogicaltests/cases/{dcl,ddl,sys_table}.
+  */
+object AdminQueries {
+
+  private val FixedNowNs = 1700000000000000000L // 2023-11-14T22:13:20Z
+
+  private def strDf(s: SparkSession, names: Seq[String], rows: Seq[Seq[String]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(names.map(StructField(_, StringType)))
+    val df = s.createDataFrame(rows.map(r => Row(r: _*)).toList.asJava, schema)
+    df.orderBy(names.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  private def freshEngine(s: SparkSession): (AdminEngine, java.nio.file.Path) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_admin_lane")
+    (new AdminEngine(s, new MetaCatalog, root.toString, () => FixedNowNs), root)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().forEachRemaining(Files.delete(_))
+      finally walk.close()
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The full catalog surface in one deterministic script: two
+    // tenants, three users, a custom role, grants, databases with the
+    // option zoo (normalized durations, precision), a TSKV table with
+    // codecs, an ALTER, and a deferred drop — then every sys table's
+    // essential projection as one sorted (src, a, b, c, d) union.
+    "q_admin_sys_catalog" -> ((s, _) => {
+      val (e, root) = freshEngine(s)
+      try {
+        Seq(
+          "CREATE TENANT t_iot WITH comment='iot fleet'",
+          "CREATE USER ops WITH comment='ops team'",
+          "CREATE USER analyst",
+          "ALTER TENANT t_iot ADD USER ops AS owner",
+          "--#TENANT=t_iot", "--#USER_NAME=ops",
+          "CREATE ROLE readers INHERIT member",
+          "ALTER TENANT t_iot ADD USER analyst AS readers",
+          "CREATE DATABASE telemetry WITH TTL '90d' SHARD 8 VNODE_DURATION '7d' REPLICA 2 PRECISION 'MS'",
+          "CREATE DATABASE archive",
+          "GRANT READ ON DATABASE telemetry TO readers",
+          "CREATE TABLE telemetry.sensors(temp DOUBLE CODEC(GORILLA), status STRING CODEC(GZIP), ok BOOLEAN, TAGS(region, device))",
+          "ALTER DATABASE archive SET TTL '365d'",
+          "DROP DATABASE archive AFTER '1h'",
+          "--#TENANT=t_iot", "--#USER_NAME=root"
+        ).foreach(e.execute)
+
+        def all(schema: String, table: String): Seq[Row] =
+          e.sysTable(schema, table).collect().toSeq // bounded: catalog metadata
+
+        val rows =
+          all("information_schema", "databases").map(r =>
+            Seq("db", r.getString(0), r.getString(1), r.getString(2), r.getString(6))) ++
+          all("information_schema", "columns").map(r =>
+            Seq("col", r.getString(2), r.getString(3), s"${r.getString(4)}#${r.getLong(5)}", r.getString(9))) ++
+          all("information_schema", "members").map(r =>
+            Seq("member", r.getString(0), r.getString(1), "", "")) ++
+          all("information_schema", "roles").map(r =>
+            Seq("role", r.getString(0), r.getString(1), r.getString(2), "")) ++
+          all("information_schema", "database_privileges").map(r =>
+            Seq("grant", r.getString(1), r.getString(2), r.getString(3), "")) ++
+          all("information_schema", "resource_status").map(r =>
+            Seq("resource", r.getString(0), r.getString(1), r.getString(3), "")) ++
+          all("cluster_schema", "tenants").map(r =>
+            Seq("tenant", r.getString(0), r.getString(1), "", "")) ++
+          all("cluster_schema", "users").map(r =>
+            Seq("user", r.getString(0), r.getBoolean(1).toString, r.getString(2), ""))
+        strDf(s, Seq("src", "a", "b", "c", "d"), rows)
+      } finally deleteTree(root)
+    }),
+
+    // The access-control matrix of user_access.slt/dcl_role.slt as
+    // data: each (user, op) attempt's outcome class — statements that
+    // must succeed, privilege denials, auth denials for non-members,
+    // tenant isolation (a foreign tenant's table is unresolvable), and
+    // the Meta errors for absent roles/privileges.
+    "q_admin_access_matrix" -> ((s, _) => {
+      val (e, root) = freshEngine(s)
+      try {
+        Seq(
+          "CREATE TENANT tenant_a", "CREATE TENANT tenant_b",
+          "CREATE USER user_a", "CREATE USER user_b",
+          "CREATE USER user_c", "CREATE USER user_d",
+          "ALTER TENANT tenant_a ADD USER user_a AS owner",
+          "ALTER TENANT tenant_b ADD USER user_b AS owner",
+          "--#TENANT=tenant_a", "--#USER_NAME=user_a",
+          "CREATE ROLE role_a INHERIT member",
+          "ALTER TENANT tenant_a ADD USER user_d AS role_a",
+          "CREATE DATABASE db_a", "--#DATABASE=db_a",
+          "CREATE TABLE air_a (visibility DOUBLE,temperature DOUBLE,pressure DOUBLE,TAGS(station))",
+          "INSERT INTO air_a (TIME, station, visibility, temperature, pressure) VALUES(1666165200290401000, 'XiaoMaiDao', 56, 69, 77)",
+          "GRANT READ ON DATABASE db_a TO role_a"
+        ).foreach(e.execute)
+
+        def attempt(user: String, tenant: String, db: String, op: String,
+                    sql: String): Seq[String] = {
+          e.session.user = user; e.session.tenant = tenant; e.session.database = db
+          val outcome =
+            try {
+              val res = e.execute(sql)
+              "ok:" + res.map(_.count().toString).getOrElse("-")
+            } catch {
+              case ae: AdminError => ae.kind
+              case _: Exception   => "unresolvable"
+            }
+          Seq(user, op, outcome)
+        }
+
+        val rows = Seq(
+          attempt("root", "cnosdb", "public", "drop_root", "DROP USER root"),
+          attempt("user_a", "tenant_a", "db_a", "select_own", "SELECT * FROM air_a"),
+          attempt("user_b", "tenant_b", "public", "select_foreign", "SELECT * FROM air_a"),
+          attempt("user_c", "tenant_b", "public", "select_not_member", "SELECT 1 AS one"),
+          attempt("user_d", "tenant_a", "db_a", "create_db_as_member", "CREATE DATABASE db_x"),
+          attempt("user_d", "tenant_a", "db_a", "create_role_as_member", "CREATE ROLE r_x INHERIT member"),
+          attempt("user_d", "tenant_a", "db_a", "show_granted_dbs", "SHOW DATABASES"),
+          attempt("user_d", "tenant_a", "db_a", "read_granted_table", "SELECT station FROM air_a"),
+          attempt("user_d", "tenant_a", "db_a", "write_with_read_only", "INSERT INTO air_a (TIME, station, visibility, temperature, pressure) VALUES(2, 'x', 1, 1, 1)"),
+          attempt("root", "tenant_a", "db_a", "grant_missing_role", "GRANT READ ON DATABASE db_a TO ROLE ghost"),
+          attempt("root", "tenant_a", "db_a", "revoke_absent_priv", "REVOKE WRITE ON DATABASE db_a FROM role_a"),
+          attempt("root", "tenant_a", "db_a", "add_user_missing_role", "ALTER TENANT tenant_a ADD USER user_c AS ghost"))
+        strDf(s, Seq("usr", "op", "outcome"), rows)
+      } finally deleteTree(root)
+    }),
+
+    // Database-TTL POLICY driving the day-lake MECHANISM: a catalog
+    // database with TTL '30d' over a private copy of the primary
+    // events lake, enforced as-of (cutoff + 30d) — must answer
+    // exactly like ts_ttl_expire's explicit-cutoff lifecycle (the
+    // oracle is that lane's SQL verbatim). Policy is metadata; the
+    // expiry work stays O(expired days) through the Hadoop FS.
+    "q_admin_ttl_expire" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val src = java.nio.file.Paths.get(Tables.eventsLakeRoot(s, dir))
+      val root = java.nio.file.Files.createTempDirectory("graft_admin_ttl_lake")
+      LakeContract.copyTree(src, root)
+      val days = Tables.eventsLakeDays(s, dir)
+      require(days.size > 2, s"lake spans ${days.size} day(s); need at least 3")
+      val mid = days(days.size / 2)
+      val cutoffNs = java.time.LocalDate.parse(mid).toEpochDay * Tables.NsPerDay +
+        Tables.NsPerDay / 2
+      val ttlNs = 30L * Tables.NsPerDay
+      val (e, eroot) = freshEngine(s)
+      try {
+        e.execute("CREATE DATABASE evts WITH TTL '30d'")
+        val stats = e.enforceTtl("evts", root.toString, cutoffNs + ttlNs).get
+        require(stats.droppedDays == days.count(_ < mid) && stats.boundaryRewritten,
+          s"TTL-policy expiry wrong: $stats for cutoff $mid+12h over ${days.size} days")
+      } finally deleteTree(eroot)
+      s.read.parquet(root.toString)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // INSERT/SELECT through the engine under a µs-precision database:
+    // TIME literals are scaled by the catalog's precision on ingest
+    // (db_precision.slt), storage is real parquet, and the SELECT goes
+    // through the Catalyst passthrough.
+    "q_admin_insert_select" -> ((s, _) => {
+      val (e, root) = freshEngine(s)
+      try {
+        Seq(
+          "CREATE DATABASE weather WITH PRECISION 'us'",
+          "--#DATABASE=weather",
+          "CREATE TABLE air (visibility DOUBLE,temperature DOUBLE,pressure DOUBLE,TAGS(station))",
+          "INSERT INTO air (TIME, station, visibility, temperature, pressure) VALUES" +
+            " (1666165200290401, 'XiaoMaiDao', 56, 69, 77)," +
+            " (1666165260290401, 'XiaoMaiDao', 50, 70, 77)," +
+            " (1666165200290401, 'LianYunGang', 55, 68, 78)"
+        ).foreach(e.execute)
+        val out = e.execute(
+          "SELECT station, count(*) AS n, sum(pressure) AS sum_p," +
+            " min(cast(time as string)) AS first_t" +
+            " FROM air GROUP BY station ORDER BY station").get
+        val rows = out.collect().toSeq.map(r => // bounded: 2 stations
+          Seq(r.getString(0), r.getLong(1).toString, r.getDouble(2).toString, r.getString(3)))
+        strDf(s, Seq("station", "n", "sum_p", "first_t"), rows)
+      } finally deleteTree(root)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_admin_sys_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('db','cnosdb','public','INF','NS'),
+        |  ('db','t_iot','telemetry','90days','MS'),
+        |  ('col','sensors','region','TAG#1','DEFAULT'),
+        |  ('col','sensors','device','TAG#2','DEFAULT'),
+        |  ('col','sensors','temp','FIELD#3','GORILLA'),
+        |  ('col','sensors','status','FIELD#4','GZIP'),
+        |  ('col','sensors','ok','FIELD#5','DEFAULT'),
+        |  ('member','analyst','readers','',''),
+        |  ('member','ops','owner','',''),
+        |  ('role','member','system','NULL',''),
+        |  ('role','owner','system','NULL',''),
+        |  ('role','readers','custom','member',''),
+        |  ('grant','telemetry','Read','readers',''),
+        |  ('resource','t_iot-archive','DropDatabase','Schedule',''),
+        |  ('tenant','cnosdb','{"comment":null,"limiter_config":null,"drop_after":null,"tenant_is_hidden":false}','',''),
+        |  ('tenant','t_iot','{"comment":"iot fleet","limiter_config":null,"drop_after":null,"tenant_is_hidden":false}','',''),
+        |  ('user','root','true','{"hash_password":"*****","must_change_password":true,"comment":"system admin"}',''),
+        |  ('user','ops','false','{"hash_password":"*****","comment":"ops team"}',''),
+        |  ('user','analyst','false','{"hash_password":"*****"}','')
+        |) AS t(src, a, b, c, d)
+        |ORDER BY src, a, b, c, d""".stripMargin,
+    "q_admin_access_matrix" ->
+      """SELECT * FROM (VALUES
+        |  ('root','drop_root','Semantic error'),
+        |  ('user_a','select_own','ok:1'),
+        |  ('user_b','select_foreign','unresolvable'),
+        |  ('user_c','select_not_member','Auth error'),
+        |  ('user_d','create_db_as_member','Insufficient privileges'),
+        |  ('user_d','create_role_as_member','Insufficient privileges'),
+        |  ('user_d','show_granted_dbs','ok:1'),
+        |  ('user_d','read_granted_table','ok:1'),
+        |  ('user_d','write_with_read_only','Insufficient privileges'),
+        |  ('root','grant_missing_role','Meta'),
+        |  ('root','revoke_absent_priv','Meta'),
+        |  ('root','add_user_missing_role','Meta')
+        |) AS t(usr, op, outcome)
+        |ORDER BY usr, op, outcome""".stripMargin,
+    "q_admin_ttl_expire" -> LakeContract.oracleSqlTtl,
+    "q_admin_insert_select" ->
+      """SELECT * FROM (VALUES
+        |  ('LianYunGang','1','78.0','2022-10-19 07:40:00.290401'),
+        |  ('XiaoMaiDao','2','154.0','2022-10-19 07:40:00.290401')
+        |) AS t(station, n, sum_p, first_t)
+        |ORDER BY station""".stripMargin)
+}

@@ -962,7 +962,7 @@ object LakeContract {
   /** Recursive file-tree copy — the TTL lane mutates a private copy of
     * the staged primary lake, never the shared layout itself.
     */
-  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+  private[queries] def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     import java.nio.file._
     val walk = Files.walk(src)
     try walk.iterator().forEachRemaining { p =>
@@ -977,7 +977,7 @@ object LakeContract {
     * (catalog-table lifecycle): both mechanisms must implement exactly
     * `ts >= cutoff`.
     */
-  private val oracleSqlTtl: String =
+  private[queries] val oracleSqlTtl: String =
     """WITH e AS (
       |  SELECT event_type, CAST(ts AS TIMESTAMP) AS tstamp,
       |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
