@@ -692,6 +692,65 @@ final class AdminEngine(
   }
 
   // ------------------------------------------------------------------
+  // HTTP entry point (the reference's /api/v1/sql route)
+  // ------------------------------------------------------------------
+
+  /** Basic-auth check: the user must exist and the password must match
+    * its stored SHA-256 (users created without a password accept an
+    * empty one — the reference's fresh-install root). */
+  def authenticate(user: String, password: String): Boolean =
+    catalog.users.get(user).exists { u =>
+      u.passwordHash match {
+        case Some(h) => MetaCatalog.sha256Hex(password) == h
+        case None    => password.isEmpty
+      }
+    }
+
+  /** One authenticated HTTP statement: basic-auth credentials +
+    * tenant/db request params select the session, the statement runs
+    * through [[execute]], and row-returning statements come back as
+    * CSV (header + RFC-4180-quoted rows). Status mapping mirrors the
+    * reference's http_service error replies: 401 bad credentials, 403
+    * insufficient privileges / not a member, 404 missing objects, 422
+    * everything else the planner rejects.
+    */
+  def execHttp(user: String, password: String, tenant: String, db: String,
+               sql: String): Either[(Int, String), String] = {
+    if (!authenticate(user, password))
+      return Left(401 -> s"Auth error: invalid credentials for user $user")
+    val saved = (session.user, session.tenant, session.database)
+    session.user = user; session.tenant = tenant; session.database = db
+    try {
+      execute(sql) match {
+        case None => Right("")
+        case Some(df) =>
+          def csv(v: Any): String = {
+            val s = if (v == null) "" else v.toString
+            if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+              "\"" + s.replace("\"", "\"\"") + "\"" else s
+          }
+          val header = df.columns.mkString(",")
+          val body = df.collect().iterator // HTTP result set: bounded by the query's own LIMIT, as in the reference
+            .map(_.toSeq.map(csv).mkString(",")).mkString("\n")
+          Right(if (body.isEmpty) header else header + "\n" + body)
+      }
+    } catch {
+      case ae: AdminError =>
+        val code = ae.kind match {
+          case "Auth error"               => 401
+          case "Insufficient privileges"  => 403
+          case "Meta"                     => 404
+          case _                          => 422
+        }
+        Left(code -> s"${ae.kind}: ${ae.message}")
+      case e: Exception =>
+        Left(422 -> ("Build logical plan: " + Option(e.getMessage).getOrElse(e.getClass.getName)))
+    } finally {
+      session.user = saved._1; session.tenant = saved._2; session.database = saved._3
+    }
+  }
+
+  // ------------------------------------------------------------------
   // database TTL → lake lifecycle
   // ------------------------------------------------------------------
 

@@ -74,7 +74,8 @@ final case class UserDef(
     name: String,
     admin: Boolean = false,
     comment: Option[String] = None,
-    mustChangePassword: Boolean = false)
+    mustChangePassword: Boolean = false,
+    passwordHash: Option[String] = None) // SHA-256 hex; sys tables render "*****"
 
 /** A scheduled/cancelled async resource action, mirroring
   * information_schema.resource_status rows like
@@ -224,7 +225,8 @@ final class MetaCatalog {
     } else {
       users(name) = UserDef(name,
         comment = opts.get("comment"),
-        mustChangePassword = opts.get("must_change_password").exists(_.toBoolean))
+        mustChangePassword = opts.get("must_change_password").exists(_.toBoolean),
+        passwordHash = opts.get("password").map(MetaCatalog.sha256Hex))
     }
   }
 
@@ -234,7 +236,7 @@ final class MetaCatalog {
       case "granted_admin"        => users(name) = u.copy(admin = value.toBoolean)
       case "comment"              => users(name) = u.copy(comment = Some(value))
       case "must_change_password" => users(name) = u.copy(mustChangePassword = value.toBoolean)
-      case "password"             => () // stored as "*****" in sys tables; nothing to keep
+      case "password"             => users(name) = u.copy(passwordHash = Some(MetaCatalog.sha256Hex(value)))
       case other                  => AdminError.parser(s"Unknown user option: $other")
     }
   }
@@ -474,4 +476,9 @@ object MetaCatalog {
   }
 
   def normalizeDuration(s: String): String = formatDuration(parseDuration(s))
+
+  def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 }

@@ -187,6 +187,43 @@ object AdminQueries {
         .orderBy("event_type")
     }),
 
+    // The reference's authenticated /api/v1/sql HTTP route end-to-end
+    // over REAL loopback sockets: basic-auth credentials select the
+    // user, tenant/db query params select the session, DDL + INSERT +
+    // SELECT round-trip as CSV, and the status mapping (401 bad
+    // credentials / non-member, 404 missing object, 422 parse reject)
+    // is pinned. The listener thread only routes; execution is the
+    // same AdminEngine path as every other admin lane.
+    "q_admin_http_sql" -> ((s, _) => {
+      val (e, root) = freshEngine(s)
+      val spool = java.nio.file.Files.createTempDirectory("graft_admin_http_lane")
+      val srv = graft.sources.WireHttp.start(spool.toString, sqlExec = e.execHttp)
+      try {
+        def post(stmt: String, user: String = "root", pass: String = "",
+                 db: String = "public"): (Int, String) = {
+          val (code, body) = graft.sources.WireHttp.post(
+            s"${srv.base}/api/v1/sql?tenant=cnosdb&db=$db",
+            stmt.getBytes("UTF-8"), contentType = "text/plain",
+            basicAuth = (user, pass))
+          (code, new String(body, "UTF-8").replace("\n", "|"))
+        }
+        def step(name: String, r: (Int, String), keepBody: Boolean): Seq[String] =
+          Seq(name, r._1.toString, if (keepBody) r._2 else "")
+        val rows = Seq(
+          step("create_db", post("CREATE DATABASE wdb"), keepBody = false),
+          step("create_user", post("CREATE USER wu WITH password='s3cret'"), keepBody = false),
+          step("add_member", post("ALTER TENANT cnosdb ADD USER wu AS owner"), keepBody = false),
+          step("create_table", post("CREATE TABLE wdb.m(v DOUBLE, TAGS(host))"), keepBody = false),
+          step("insert", post("INSERT INTO m (TIME, host, v) VALUES (1000000000, 'h1', 2.5), (2000000000, 'h2', 3.5)", db = "wdb"), keepBody = true),
+          step("select_csv", post("SELECT host, v FROM m ORDER BY host", user = "wu", pass = "s3cret", db = "wdb"), keepBody = true),
+          step("bad_password", post("SELECT 1 AS one", user = "wu", pass = "wrong"), keepBody = false),
+          step("unknown_user", post("SELECT 1 AS one", user = "ghost"), keepBody = false),
+          step("missing_db", post("DESCRIBE DATABASE nope"), keepBody = false),
+          step("parse_reject", post("FROBNICATE x"), keepBody = false))
+        strDf(s, Seq("step", "status", "body"), rows)
+      } finally { srv.stop(); deleteTree(spool); deleteTree(root) }
+    }),
+
     // INSERT/SELECT through the engine under a µs-precision database:
     // TIME literals are scaled by the catalog's precision on ingest
     // (db_precision.slt), storage is real parquet, and the SELECT goes
@@ -254,6 +291,20 @@ object AdminQueries {
         |) AS t(usr, op, outcome)
         |ORDER BY usr, op, outcome""".stripMargin,
     "q_admin_ttl_expire" -> LakeContract.oracleSqlTtl,
+    "q_admin_http_sql" ->
+      """SELECT * FROM (VALUES
+        |  ('create_db','200',''),
+        |  ('create_user','200',''),
+        |  ('add_member','200',''),
+        |  ('create_table','200',''),
+        |  ('insert','200','rows|2'),
+        |  ('select_csv','200','host,v|h1,2.5|h2,3.5'),
+        |  ('bad_password','401',''),
+        |  ('unknown_user','401',''),
+        |  ('missing_db','404',''),
+        |  ('parse_reject','422','')
+        |) AS t(step, status, body)
+        |ORDER BY step, status, body""".stripMargin,
     "q_admin_insert_select" ->
       """SELECT * FROM (VALUES
         |  ('LianYunGang','1','78.0','2022-10-19 07:40:00.290401'),

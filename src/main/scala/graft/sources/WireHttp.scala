@@ -65,10 +65,19 @@ object WireHttp {
 
   /** Start a loopback listener on an ephemeral port. `promRead`, when
     * given, serves `/api/v1/prom/read` (decoded queries in, snappy
-    * ReadResponse bytes out).
+    * ReadResponse bytes out). `sqlExec`, when given, serves
+    * `/api/v1/sql` — the reference's authenticated query route
+    * (http_service.rs:324): basic-auth credentials + `tenant`/`db`
+    * query params + the POST body's SQL go to the callback
+    * ((user, password, tenant, db, sql) → Right(CSV) or
+    * Left(status → message)); typically
+    * [[graft.admin.AdminEngine.execHttp]], which maps auth failures to
+    * 401, privilege denials to 403, missing objects to 404, and
+    * planner rejections to 422.
     */
   def start(spoolDir: String,
-            promRead: Seq[PromRemote.ReadQuery] => Array[Byte] = null): WireHttp = {
+            promRead: Seq[PromRemote.ReadQuery] => Array[Byte] = null,
+            sqlExec: (String, String, String, String, String) => Either[(Int, String), String] = null): WireHttp = {
     val srv = HttpServer.create(
       new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
     writeRoutes.foreach { case (route, sub) =>
@@ -105,20 +114,72 @@ object WireHttp {
         ex.getResponseBody.write(resp)
         ex.close()
       })
+    if (sqlExec != null)
+      srv.createContext("/api/v1/sql", handler { ex =>
+        require(ex.getRequestMethod == "POST", "/api/v1/sql accepts POST")
+        val (user, password) = basicAuth(ex)
+        val params = queryParams(ex)
+        val tenant = params.getOrElse("tenant", "cnosdb")
+        val db = params.getOrElse("db", "public")
+        val sql = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        sqlExec(user, password, tenant, db, sql) match {
+          case Right(csv) =>
+            val bytes = csv.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ex.getResponseHeaders.add("Content-Type", "text/csv")
+            if (bytes.isEmpty) ex.sendResponseHeaders(200, -1)
+            else { ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes) }
+            ex.close()
+          case Left((code, msg)) =>
+            val bytes = msg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(code, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+        }
+      })
     srv.start()
     new WireHttp(srv, spoolDir)
   }
+
+  /** Decode an `Authorization: Basic` header to (user, password);
+    * ("", "") when absent/malformed so the auth callback rejects it. */
+  private def basicAuth(ex: HttpExchange): (String, String) = {
+    val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (!h.startsWith("Basic ")) ("", "")
+    else try {
+      val dec = new String(java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ").trim),
+        java.nio.charset.StandardCharsets.UTF_8)
+      dec.split(":", 2) match {
+        case Array(u, p) => (u, p)
+        case Array(u)    => (u, "")
+      }
+    } catch { case _: IllegalArgumentException => ("", "") }
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").toSeq
+      .filter(_.nonEmpty).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _           => None
+        }
+      }.toMap
 
   /** Client half for lanes/specs: POST `body` to `url`, return
     * (status, response bytes).
     */
   def post(url: String, body: Array[Byte],
-           contentType: String = "application/x-protobuf"): (Int, Array[Byte]) = {
+           contentType: String = "application/x-protobuf",
+           basicAuth: (String, String) = null): (Int, Array[Byte]) = {
     val conn = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", contentType)
+    if (basicAuth != null)
+      conn.setRequestProperty("Authorization", "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"${basicAuth._1}:${basicAuth._2}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     conn.getOutputStream.write(body)
     conn.getOutputStream.close()
     val code = conn.getResponseCode

@@ -388,6 +388,46 @@ class AdminSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("/api/v1/sql over real sockets: auth, tenancy params, CSV results, status mapping") {
+    import graft.sources.WireHttp
+    val e = freshEngine()
+    val spool = java.nio.file.Files.createTempDirectory("graft_admin_http").toString
+    val srv = WireHttp.start(spool, sqlExec = e.execHttp)
+    try {
+      def sql(stmt: String, user: String = "root", pass: String = "",
+              tenant: String = "cnosdb", db: String = "public"): (Int, String) = {
+        val (code, body) = WireHttp.post(s"${srv.base}/api/v1/sql?tenant=$tenant&db=$db",
+          stmt.getBytes("UTF-8"), contentType = "text/plain", basicAuth = (user, pass))
+        (code, new String(body, "UTF-8"))
+      }
+      // DDL over the wire as root (no password on a fresh install)
+      assert(sql("CREATE DATABASE wdb WITH TTL '7d'")._1 == 200)
+      assert(sql("CREATE USER wu WITH password='s3cret'")._1 == 200)
+      assert(sql("ALTER TENANT cnosdb ADD USER wu AS owner")._1 == 200)
+      assert(sql("CREATE TABLE wdb.m(v DOUBLE, TAGS(host))")._1 == 200)
+      assert(sql("INSERT INTO m (TIME, host, v) VALUES (1000000000, 'h1', 2.5), (2000000000, 'h2', 3.5)",
+        db = "wdb")._1 == 200)
+      // SELECT as the password'd user — CSV with header
+      val (qc, qb) = sql("SELECT host, v FROM m ORDER BY host", user = "wu",
+        pass = "s3cret", db = "wdb")
+      assert(qc == 200 && qb == "host,v\nh1,2.5\nh2,3.5")
+      // status mapping: bad password 401; unknown user 401; non-member
+      // 403/401 auth; missing object 404; parse garbage 422
+      assert(sql("SELECT 1", user = "wu", pass = "wrong")._1 == 401)
+      assert(sql("SELECT 1", user = "ghost")._1 == 401)
+      assert(sql("CREATE USER lone")._2.isEmpty && {
+        val (c, b) = sql("SELECT host FROM m", user = "lone", db = "wdb")
+        c == 401 && b.contains("The member lone of tenant cnosdb not found")
+      })
+      assert(sql("DESCRIBE DATABASE nope")._1 == 404)
+      assert(sql("FROBNICATE x")._1 == 422)
+      // CSV quoting: values with commas/quotes round-trip
+      assert(sql("INSERT INTO m (TIME, host, v) VALUES (3000000000, 'a,\"b', 1.0)", db = "wdb")._1 == 200)
+      val (_, q2) = sql("SELECT host FROM m WHERE v = 1.0", db = "wdb")
+      assert(q2 == "host\n\"a,\"\"b\"")
+    } finally srv.stop()
+  }
+
   // ---- TTL policy → lake mechanism ----------------------------------
 
   test("enforceTtl drives Dml.expireDays from the catalog's database TTL") {
