@@ -151,18 +151,26 @@ final class AdminEngine(
     val p = new AdminParser(stripped)
     val qid = { nextQueryId += 1; nextQueryId }
     running(qid) = ("batch", sql.trim, session.user, session.database)
-    try p.peekUpper match {
-      case "CREATE"   => p.next(); create(p); None
-      case "ALTER"    => p.next(); alter(p); None
-      case "DROP"     => p.next(); drop(p); None
-      case "RECOVER"  => p.next(); recover(p); None
-      case "GRANT"    => p.next(); grantStmt(p); None
-      case "REVOKE"   => p.next(); revokeStmt(p); None
-      case "DESCRIBE" => p.next(); Some(describe(p))
-      case "SHOW"     => p.next(); Some(show(p))
-      case "INSERT"   => p.next(); Some(insert(p))
-      case "SELECT"   => Some(select(stripped))
-      case other      => AdminError.parser(s"Expected statement, found: $other")
+    try {
+      val res = p.peekUpper match {
+        case "CREATE"   => p.next(); create(p); None
+        case "ALTER"    => p.next(); alter(p); None
+        case "DROP"     => p.next(); drop(p); None
+        case "RECOVER"  => p.next(); recover(p); None
+        case "GRANT"    => p.next(); grantStmt(p); None
+        case "REVOKE"   => p.next(); revokeStmt(p); None
+        case "DESCRIBE" => p.next(); Some(describe(p))
+        case "SHOW"     => p.next(); Some(show(p))
+        case "INSERT"   => p.next(); Some(insert(p))
+        case "SELECT"   => Some(select(stripped))
+        case other      => AdminError.parser(s"Expected statement, found: $other")
+      }
+      // trailing tokens after a fully parsed statement are an error,
+      // not silently dropped configuration (SELECT consumes nothing
+      // from the cursor — it goes through Catalyst whole)
+      if (p.peekUpperOpt.isDefined && !stripped.toUpperCase.startsWith("SELECT"))
+        AdminError.parser(s"Expected end of statement, found: ${p.peekUpper}")
+      res
     } finally running.remove(qid)
   }
 
@@ -207,6 +215,10 @@ final class AdminEngine(
       }
       if (!Set("NS", "US", "MS").contains(d.precision))
         AdminError.parser(s"invalid precision: '${d.precision}'")
+      // validate BEFORE the catalog mutation: a trailing typo'd option
+      // ("SHRD 5") must reject the statement, not create a half-
+      // configured database
+      p.peekUpperOpt.foreach(t => AdminError.parser(s"Expected end of statement, found: $t"))
       catalog.createDatabase(session.tenant, name, ine, d)
     case "TABLE" =>
       val ine = p.tryIfNotExists()
@@ -269,6 +281,12 @@ final class AdminEngine(
       val name = p.name()
       p.expectKw("SET")
       val (k, v) = p.optionAssignment()
+      // only an admin may alter OTHER users; a user may alter itself
+      // (password/comment) but never its own admin bit — otherwise any
+      // authenticated session could reset root's password through the
+      // HTTP route and escalate to cluster admin
+      if (!isAdmin(session.user) && session.user != name)
+        AdminError.privilege(s"admin to alter user $name")
       if (k == "granted_admin" && !isAdmin(session.user))
         AdminError.privilege("admin to grant admin")
       catalog.alterUserSet(name, k, v)
@@ -484,7 +502,11 @@ final class AdminEngine(
       if (lits.size != defs.size)
         AdminError.semantic(s"INSERT column/value arity mismatch: ${defs.size} vs ${lits.size}")
       val vals = defs.zip(lits).map { case (c, l) =>
-        c.colType match {
+        // coercion failures are statement errors in the reference's
+        // taxonomy, not raw NumberFormatExceptions surfacing as 500s
+        def bad(): Nothing =
+          AdminError.semantic(s"invalid literal '$l' for ${c.colType} column ${c.name} (${c.dataType})")
+        try c.colType match {
           case "TIME"  => l.toLong * precisionToNs(d.precision)
           case "TAG"   => l
           case "FIELD" => c.dataType match {
@@ -493,7 +515,7 @@ final class AdminEngine(
             case "BOOLEAN" => l.toBoolean
             case _ => l
           }
-        }
+        } catch { case _: IllegalArgumentException => bad() }
       }
       rows += Row(vals: _*)
       more = p.trySym(",")
@@ -541,46 +563,53 @@ final class AdminEngine(
       case "node_id"         => "'1'"
       case other             => AdminError.parser(s"variable [\"@@$other\"] has no type information")
     })
+    // bare table refs in OTHER tenants must not resolve: qualified refs
+    // like tenant.db.table are rejected BEFORE any view registration
+    if ("(?i)\\bfrom\\s+[A-Za-z_][\\w]*\\.[A-Za-z_][\\w]*\\.[A-Za-z_]".r.findFirstIn(q).isDefined)
+      AdminError.meta("cross-tenant qualified table references are not supported")
     val sysPat = "(?i)\\b(information_schema|cluster_schema)\\s*\\.\\s*([A-Za-z_]+)".r
     val sysRefs = sysPat.findAllMatchIn(q)
       .map(m => (m.group(1).toLowerCase, m.group(2).toLowerCase)).toSet
     q = sysPat.replaceAllIn(q, m => s"${m.group(1).toLowerCase}_${m.group(2).toLowerCase}")
-    sysRefs.foreach { case (schema, tbl) =>
-      sysTable(schema, tbl).createOrReplaceTempView(s"${schema}_$tbl")
-    }
-    // register the current database's tables (only those referenced);
-    // views are dropped again after eager analysis so nothing leaks
-    // across tenants sharing the SparkSession (tenant isolation:
-    // user_access.slt's cross-tenant "Table not found")
+    // EVERY view registered below — sys views included — is dropped in
+    // the finally, whatever throws in between: a leaked view in the
+    // shared SparkSession would either hand tenant A's rows to tenant B
+    // (data views) or bypass visibleTenants scoping on a later
+    // underscore-form reference (sys views). Analysis in spark.sql is
+    // eager, so the returned frame stays valid after the drop.
     val registered = scala.collection.mutable.ArrayBuffer.empty[String]
-    val t = catalog.tenant(session.tenant)
-    t.databases.get(session.database).foreach { d =>
-      d.tables.foreach { case (tn, _) =>
-        val path = new org.apache.hadoop.fs.Path(tablePath(session.database, tn))
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val referenced = ("(?i)\\b" + java.util.regex.Pattern.quote(tn) + "\\b").r
-          .findFirstIn(q).isDefined
-        if (referenced) {
-          if (fs.exists(path)) readTable(session.database, tn).createOrReplaceTempView(tn)
-          else {
-            val tdef = catalog.table(session.tenant, session.database, tn)
-            val schema = StructType(tdef.columns.sortBy(_.ordinal).map { c =>
-              if (c.colType == "TIME") StructField("time", TimestampType)
-              else StructField(c.name, if (c.colType == "TAG") StringType else sparkType(c.dataType))
-            })
-            spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-              .createOrReplaceTempView(tn)
+    try {
+      sysRefs.foreach { case (schema, tbl) =>
+        sysTable(schema, tbl).createOrReplaceTempView(s"${schema}_$tbl")
+        registered += s"${schema}_$tbl"
+      }
+      // register the current database's tables (only those referenced);
+      // the Read gate applies whether or not the table has data yet
+      val t = catalog.tenant(session.tenant)
+      t.databases.get(session.database).foreach { d =>
+        d.tables.foreach { case (tn, _) =>
+          val path = new org.apache.hadoop.fs.Path(tablePath(session.database, tn))
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val referenced = ("(?i)\\b" + java.util.regex.Pattern.quote(tn) + "\\b").r
+            .findFirstIn(q).isDefined
+          if (referenced) {
+            requireOnDb(session.tenant, session.database, "Read")
+            if (fs.exists(path)) readTable(session.database, tn).createOrReplaceTempView(tn)
+            else {
+              val tdef = catalog.table(session.tenant, session.database, tn)
+              val schema = StructType(tdef.columns.sortBy(_.ordinal).map { c =>
+                if (c.colType == "TIME") StructField("time", TimestampType)
+                else StructField(c.name, if (c.colType == "TAG") StringType else sparkType(c.dataType))
+              })
+              spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+                .createOrReplaceTempView(tn)
+            }
+            registered += tn
           }
-          registered += tn
         }
       }
-    }
-    // bare table refs in OTHER tenants must not resolve: qualified refs
-    // like tenant.db.table are rejected up front
-    if ("(?i)\\bfrom\\s+[A-Za-z_][\\w]*\\.[A-Za-z_][\\w]*\\.[A-Za-z_]".r.findFirstIn(q).isDefined)
-      AdminError.meta("cross-tenant qualified table references are not supported")
-    try spark.sql(q) // analysis is eager; the views can go right after
-    finally registered.foreach(v => spark.catalog.dropTempView(v))
+      spark.sql(q)
+    } finally registered.foreach(v => spark.catalog.dropTempView(v))
   }
 
   // ------------------------------------------------------------------
@@ -838,7 +867,11 @@ final class AdminParser(sql: String) {
   }
 
   def intLit(): Int = peekOpt match {
-    case Some(Num(n)) => pos += 1; n.toInt
+    case Some(Num(n)) =>
+      pos += 1
+      try n.toInt
+      catch { case _: NumberFormatException =>
+        AdminError.parser(s"Expected integer, found: $n") }
     case other => AdminError.parser(s"Expected integer, found: ${other.fold("<eof>")(_.toString)}")
   }
 

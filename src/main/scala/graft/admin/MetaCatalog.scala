@@ -83,7 +83,8 @@ final case class UserDef(
   */
 final case class ResourceStatusEntry(name: String, action: String,
                                      tryCount: Int, status: String,
-                                     dueAtNs: Long)
+                                     dueAtNs: Long,
+                                     tenant: String = "", db: String = "")
 
 /** Snapshot shape used for JSON persistence. */
 final case class CatalogSnapshot(tenants: Vector[TenantDef],
@@ -149,7 +150,10 @@ final class MetaCatalog {
     validateName(name)
     opts.keys.find(k => !TenantOptions.contains(k)).foreach(k =>
       AdminError.parser(s"Unknown tenant option: $k"))
-    if (tenants.contains(name) && !tenants(name).hidden) {
+    // a HIDDEN tenant (deferred drop pending) still owns its name:
+    // overwriting it would leave the armed DropTenant resource to
+    // destroy the new tenant at the old deadline — RECOVER first
+    if (tenants.contains(name)) {
       if (!ifNotExists) AdminError.meta(s"Tenant already exists: \"$name\"")
     } else {
       tenants(name) = TenantDef(name,
@@ -183,11 +187,16 @@ final class MetaCatalog {
     tenants.get(name).filterNot(_.hidden) match {
       case None => if (!ifExists) AdminError.meta(s"Tenant not found: \"$name\"")
       case Some(t) =>
+        // resources are keyed action|tenant|db — the DISPLAY name
+        // ("tenant" / "tenant-db") is not unique once names may contain
+        // '-' (quoted identifiers), and parsing it back would misroute
+        // the deferred drop
         afterNs match {
           case Some(d) =>
             tenants(name) = t.copy(hidden = true)
-            resources(name) = ResourceStatusEntry(name, "DropTenant", 0, "Schedule", nowNs + d)
-          case None => tenants.remove(name); resources.remove(name)
+            resources(s"DropTenant|$name|") =
+              ResourceStatusEntry(name, "DropTenant", 0, "Schedule", nowNs + d, tenant = name)
+          case None => tenants.remove(name); resources.remove(s"DropTenant|$name|")
         }
     }
   }
@@ -195,7 +204,8 @@ final class MetaCatalog {
   def recoverTenant(name: String): Unit = tenants.get(name) match {
     case Some(t) if t.hidden =>
       tenants(name) = t.copy(hidden = false)
-      resources.get(name).foreach(r => resources(name) = r.copy(status = "Cancel"))
+      val key = s"DropTenant|$name|"
+      resources.get(key).foreach(r => resources(key) = r.copy(status = "Cancel"))
     case Some(_) => () // visible already — recover is a no-op
     case None    => AdminError.meta(s"Tenant not found: \"$name\"")
   }
@@ -301,7 +311,9 @@ final class MetaCatalog {
     validateName(name)
     requireNotReservedDb(name)
     val t = tenant(tenantName)
-    if (t.databases.get(name).exists(!_.hidden)) {
+    // hidden (drop-scheduled) databases also hold their name — see
+    // createTenant
+    if (t.databases.contains(name)) {
       if (!ifNotExists) AdminError.meta(s"Database already exists: \"$name\"")
     } else tenants(tenantName) = t.copy(databases = t.databases + (name -> d))
   }
@@ -321,15 +333,17 @@ final class MetaCatalog {
       case None => if (!ifExists) AdminError.meta(s"Database not found: \"$name\"")
       case Some(d) =>
         val rname = s"$tenantName-$name"
+        val key = s"DropDatabase|$tenantName|$name"
         afterNs match {
           case Some(delay) =>
             tenants(tenantName) = t.copy(databases = t.databases + (name -> d.copy(hidden = true)))
-            resources(rname) = ResourceStatusEntry(rname, "DropDatabase", 0, "Schedule", nowNs + delay)
+            resources(key) = ResourceStatusEntry(rname, "DropDatabase", 0, "Schedule",
+              nowNs + delay, tenant = tenantName, db = name)
           case None =>
             tenants(tenantName) = t.copy(
               databases = t.databases - name,
               grants = t.grants.filterNot(_.database == name))
-            resources.remove(rname)
+            resources.remove(key)
         }
     }
   }
@@ -339,8 +353,8 @@ final class MetaCatalog {
     t.databases.get(name) match {
       case Some(d) if d.hidden =>
         tenants(tenantName) = t.copy(databases = t.databases + (name -> d.copy(hidden = false)))
-        val rname = s"$tenantName-$name"
-        resources.get(rname).foreach(r => resources(rname) = r.copy(status = "Cancel"))
+        val key = s"DropDatabase|$tenantName|$name"
+        resources.get(key).foreach(r => resources(key) = r.copy(status = "Cancel"))
       case Some(_) => ()
       case None    => AdminError.meta(s"Database not found: \"$name\"")
     }
@@ -351,17 +365,22 @@ final class MetaCatalog {
     * tests replay deterministically).
     */
   def runDueResources(nowNs: Long): Vector[String] = {
-    val due = resources.values.filter(r => r.status == "Schedule" && r.dueAtNs <= nowNs).toVector
-    due.foreach { r =>
-      r.action match {
-        case "DropTenant" => tenants.remove(r.name)
-        case "DropDatabase" =>
-          val Array(tn, db) = r.name.split("-", 2)
-          tenants.get(tn).foreach(t => tenants(tn) = t.copy(databases = t.databases - db))
-      }
-      resources(r.name) = r.copy(status = "Executing", tryCount = r.tryCount + 1)
+    val due = resources.toVector.collect {
+      case (key, r) if r.status == "Schedule" && r.dueAtNs <= nowNs => (key, r)
     }
-    due.map(_.name)
+    due.foreach { case (key, r) =>
+      r.action match {
+        case "DropTenant" => tenants.remove(r.tenant)
+        case "DropDatabase" =>
+          // same cleanup as the immediate path: grants must not outlive
+          // the database and silently re-attach to a future same name
+          tenants.get(r.tenant).foreach(t => tenants(r.tenant) = t.copy(
+            databases = t.databases - r.db,
+            grants = t.grants.filterNot(_.database == r.db)))
+      }
+      resources(key) = r.copy(status = "Executing", tryCount = r.tryCount + 1)
+    }
+    due.map(_._2.name)
   }
 
   // ---- tables --------------------------------------------------------
@@ -374,7 +393,7 @@ final class MetaCatalog {
                   ifNotExists: Boolean): Unit = {
     val d = database(tenantName, db)
     if (d.tables.contains(t.name)) {
-      if (!ifNotExists) AdminError.meta(s"Table already exists: \"$t.name\"")
+      if (!ifNotExists) AdminError.meta(s"Table already exists: \"${t.name}\"")
     } else alterDatabase(tenantName, db, _.copy(tables = d.tables + (t.name -> t)))
   }
 

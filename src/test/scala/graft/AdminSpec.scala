@@ -359,6 +359,84 @@ class AdminSpec extends AnyFunSuite {
       Seq(Seq(1L)))
   }
 
+  // ---- review-hardening regressions ----------------------------------
+
+  test("a non-admin cannot alter another user (root password escalation blocked)") {
+    val e = freshEngine()
+    e.execute("CREATE USER lone")
+    e.execute("ALTER TENANT cnosdb ADD USER lone AS member")
+    e.execute("--#USER_NAME=lone")
+    val esc = err(e, "ALTER USER root SET password='pwned'")
+    assert(esc.kind == "Insufficient privileges")
+    // self-service stays allowed, but never the admin bit
+    e.execute("ALTER USER lone SET password='mine'")
+    assert(err(e, "ALTER USER lone SET granted_admin=true").kind == "Insufficient privileges")
+    // root's empty password still authenticates: nothing was overwritten
+    assert(e.authenticate("root", "") && e.authenticate("lone", "mine"))
+  }
+
+  test("a failing SELECT leaves no temp views behind (tenant isolation survives errors)") {
+    val e = freshEngine()
+    e.execute("CREATE TENANT iso_a"); e.execute("CREATE USER iso_u")
+    e.execute("ALTER TENANT iso_a ADD USER iso_u AS owner")
+    e.execute("--#TENANT=iso_a"); e.execute("--#USER_NAME=iso_u")
+    e.execute("CREATE DATABASE iso_db"); e.execute("--#DATABASE=iso_db")
+    e.execute("CREATE TABLE secret(v DOUBLE, TAGS(k))")
+    e.execute("INSERT INTO secret (TIME, k, v) VALUES (1, 'a', 9.0)")
+    // cross-tenant qualified ref now rejected BEFORE registration; and
+    // a query erroring mid-analysis must still clean up
+    intercept[Exception](e.execute("SELECT * FROM secret, t.x.y"))
+    intercept[Exception](e.execute("SELECT secret.v + no_such_col FROM secret"))
+    assert(spark.catalog.tableExists("secret") == false,
+      "temp view leaked after failed SELECT")
+    // sys views do not linger either (underscore-form bypass)
+    e.execute("--#TENANT=cnosdb"); e.execute("--#USER_NAME=root")
+    e.execute("select * from information_schema.databases")
+    assert(!spark.catalog.tableExists("information_schema_databases"),
+      "sys view leaked after SELECT")
+  }
+
+  test("hidden drop-scheduled names stay reserved; dashed names route deferred drops correctly") {
+    var now = 1700000000000000000L
+    val root = java.nio.file.Files.createTempDirectory("graft_admin_spec").toString
+    val e = new AdminEngine(spark, new MetaCatalog, root, () => now)
+    // re-creating over a pending deferred drop must fail, not arm a
+    // time bomb against the new object
+    e.execute("CREATE TENANT tz")
+    e.execute("DROP TENANT tz AFTER '1h'")
+    assert(err(e, "CREATE TENANT tz").message.contains("already exists"))
+    e.execute("RECOVER TENANT tz")
+    // tenant with '-' in the name: the deferred DATABASE drop still
+    // lands on the right object
+    e.execute("CREATE TENANT 'my-tenant'")
+    e.execute("--#TENANT=my-tenant")
+    e.execute("CREATE DATABASE d1")
+    e.execute("CREATE ROLE rr INHERIT member")
+    e.execute("GRANT WRITE ON DATABASE d1 TO rr")
+    e.execute("DROP DATABASE d1 AFTER '3m'")
+    now += 181L * 1000000000L
+    e.catalog.runDueResources(now)
+    assert(rows(e, "select database_name from information_schema.databases where database_name='d1'").isEmpty)
+    // grants died with the database (no silent re-attach on re-create)
+    e.execute("CREATE DATABASE d1")
+    assert(rows(e, "select * from information_schema.database_privileges").isEmpty)
+  }
+
+  test("parser strictness: trailing tokens and bad literals are statement errors") {
+    val e = freshEngine()
+    val typo = err(e, "CREATE DATABASE typo_db WITH TTL '1d' SHRD 5")
+    assert(typo.kind == "sql parser error" &&
+      typo.message == "Expected end of statement, found: SHRD")
+    // the statement was REJECTED whole: no half-configured database
+    assert(rows(e, "select database_name from information_schema.databases where database_name='typo_db'").isEmpty)
+    assert(err(e, "SHOW DATABASES junk").kind == "sql parser error")
+    e.execute("CREATE DATABASE pl"); e.execute("--#DATABASE=pl")
+    e.execute("CREATE TABLE m(v DOUBLE, TAGS(h))")
+    val lit = err(e, "INSERT INTO m (TIME, h, v) VALUES ('2022-10-19T07:40:00', 'x', 1.0)")
+    assert(lit.kind == "Semantic error" && lit.message.contains("invalid literal"))
+    assert(err(e, "CREATE DATABASE f WITH SHARD 99999999999999999999").kind == "sql parser error")
+  }
+
   // ---- persistence ---------------------------------------------------
 
   test("catalog JSON round-trips through the Hadoop FS (file: URI)") {
