@@ -459,7 +459,10 @@ final class AdminEngine(
         if (isAdmin(session.user)) catalog.tenants.values.filterNot(_.hidden).map(_.name).toVector.sorted
         else Vector(requireMember(session.tenant).name)
       mkDf(Seq("tenant_name"), names.map(Row(_)), Seq(StringType))
-    case other => AdminError.parser(s"Expected DATABASES/TABLES/TENANTS, found: $other")
+    case "QUERIES" =>
+      requireMember(session.tenant)
+      sysTable("information_schema", "queries")
+    case other => AdminError.parser(s"Expected DATABASES/TABLES/TENANTS/QUERIES, found: $other")
   }
 
   // ---- INSERT / SELECT (data path — real Spark storage) --------------

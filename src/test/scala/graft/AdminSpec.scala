@@ -357,6 +357,9 @@ class AdminSpec extends AnyFunSuite {
     // ONLY itself, not the finished first select
     assert(rows(e, "select count(*) as n from information_schema.queries") ==
       Seq(Seq(1L)))
+    // SHOW QUERIES surfaces the same registry
+    val sq = rows(e, "SHOW QUERIES")
+    assert(sq.size == 1 && sq.head(1) == "batch" && sq.head(2) == "SHOW QUERIES")
   }
 
   // ---- review-hardening regressions ----------------------------------
