@@ -353,6 +353,71 @@ object StreamQueries {
         .orderBy("event_type", "w_start_us")
     }),
 
+    // END-TO-END wire ingest, streamed, PROTOBUF edition (late r13 —
+    // the prom remote-write path as it actually arrives in production:
+    // a sequence of snappy prompb.WriteRequest POST bodies landing
+    // over time): K time-ranged wire bodies staged as binary files,
+    // streamed ONE POST PER MICRO-BATCH through readStream
+    // .format("binaryFile") → PromRemote.decode (narrow flatMap, no
+    // ingest shuffle) → the same watermarked tumbling-window aggregate
+    // as stream_windowed, with the same oracle VERBATIM — matching
+    // hashes prove wire encode → snappy → streamed decode → windowed
+    // agg equals the batch engine on parquet, window for window. The
+    // bounded driver collect exists only to write the POST bodies a
+    // real deployment's senders ship from outside.
+    "stream_wire_prom" -> ((s, dir) => {
+      import s.implicits._
+      val bodiesDir = stageDir(dir, "prom_wire_bodies_by_ts", d => {
+        val bodies = Tables.eventsNanos(s, dir)
+          .select(col("event_type"), expr("ts div 1000000").as("ts_ms"),
+            col("value"))
+          .repartitionByRange(StageFiles, col("ts_ms")) // TIME-ordered arrival
+          .as[(String, Long, Double)]
+          .mapPartitions { it =>
+            val bySeries = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map {
+              case (metric, rows) =>
+                (Seq("__name__" -> metric, "job" -> "graft"),
+                  rows.sortBy(r => (r._2, r._3)).map(r => (r._3, r._2)))
+            }
+            if (bySeries.isEmpty) Iterator.empty
+            else Iterator.single(graft.sources.PromRemote.compress(
+              graft.sources.PromRemote.encodeWriteRequest(bySeries)))
+          }.collect() // ≤ StageFiles POST bodies by construction
+        require(bodies.length <= StageFiles,
+          s"stream_wire_prom: ${bodies.length} POST bodies")
+        Files.createDirectories(d) // parquet writers make their own dir; we must too
+        bodies.zipWithIndex.foreach { case (b, i) =>
+          Files.write(d.resolve(f"part-$i%04d.bin"), b)
+        }
+        // Lake.staged trusts only completed writes (Spark writers leave
+        // this marker; a hand-rolled writer must too)
+        Files.write(d.resolve("_SUCCESS"), Array.emptyByteArray)
+      })
+      val raw = s.readStream.format("binaryFile")
+        // the binaryFile source's fixed schema, stated explicitly —
+        // streaming sources don't infer
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+        .option("pathGlobFilter", "part-*")
+        .option("maxFilesPerTrigger", "1")
+        .load(bodiesDir)
+      val evs = graft.sources.PromRemote.decode(raw.select("content").as[Array[Byte]])
+        .filter(col("labels") === "job=graft")
+        .select(timestamp_millis(col("ts_ms")).as("tstamp"),
+          col("metric").as("event_type"), col("value"))
+      val agg = StreamIngest.windowedStats(evs, "tstamp", "event_type",
+        "1 hour", "0 seconds")
+      val sink = replay(s, agg, "stream_wire_prom_sink")
+      val maxUs = globalMaxUs(s, dir)
+      sink.select(col("event_type"), unix_micros(col("w_start")).as("w_start_us"),
+          col("n"), col("sum_value"))
+        .filter(col("w_start_us") + 3600000000L < maxUs)
+        .orderBy("event_type", "w_start_us")
+    }),
+
     // Streaming exact dedup: first occurrence per content hash
     // survives, state bounded by the watermark horizon
     // (dropDuplicatesWithinWatermark — the streaming analogue of the
@@ -887,6 +952,10 @@ object StreamQueries {
         |  CASE WHEN varnum > 0 THEN num * num > 9 * varnum ELSE FALSE END AS is_outlier
         |FROM j ORDER BY event_id LIMIT 10000""".stripMargin,
     "stream_windowed" -> WindowedAggOracle,
+    // IDENTICAL SQL again — wire-PROTOBUF streaming ingest (snappy
+    // prompb bodies, one POST per micro-batch) == batch engine on
+    // parquet, window for window
+    "stream_wire_prom" -> WindowedAggOracle,
     // IDENTICAL SQL — THE point: wire-text streaming ingest == batch
     // engine on parquet, window for window
     "stream_ingest_lp" -> WindowedAggOracle,

@@ -416,6 +416,12 @@ class IngestSpec extends AnyFunSuite {
     assert(ss.count() > 0)
     val ssB = graft.queries.StreamQueries.replayBatches("stream_session_sink")
     assert(ssB > 1, s"session expected >1 data-bearing micro-batch, got $ssB")
+    // the protobuf-wire streamed ingest: one snappy WriteRequest POST
+    // body per micro-batch — the windowed state must span POSTs
+    val wp = graft.queries.StreamQueries.queries("stream_wire_prom")(spark, sf)
+    assert(wp.count() > 0)
+    val wpB = graft.queries.StreamQueries.replayBatches("stream_wire_prom_sink")
+    assert(wpB > 1, s"wire-prom expected >1 data-bearing micro-batch, got $wpB")
   }
 
   test("candlestickStats in batch mode equals the batch candlestick operator") {
