@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // event-time predicates (the per-session form is installed by
     // Tables.events via experimental.extraOptimizations)
     ext.injectOptimizerRule(_ => graft.plans.EventTimeDayPruning)
+    // tenant/user/role/grant DCL through plain spark.sql(...) — the
+    // statements Spark has no grammar for; Spark-owned DDL (CREATE
+    // DATABASE/TABLE, SHOW DATABASES, ...) falls through untouched
+    ext.injectParser((_, parser) => new graft.admin.GraftAdminParser(parser))
     def info(name: String) = new ExpressionInfo("graft", name)
     // session-info functions (reference session_function/): resolved
     // from session confs at analysis time; current_user/

@@ -29,6 +29,55 @@ class ExtensionsSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  test("tenant/user/role DCL runs through plain spark.sql; Spark-owned DDL untouched") {
+    import graft.functions.SessionFunctions
+    // the statements Spark has no grammar for route to the admin engine
+    spark.sql("CREATE TENANT ext_t WITH comment='via spark.sql'")
+    spark.sql("CREATE USER ext_u")
+    spark.sql("ALTER TENANT ext_t ADD USER ext_u AS owner")
+    val tenants = spark.sql("SHOW TENANTS").collect().map(_.getString(0)).toSeq
+    assert(tenants.contains("ext_t") && tenants.contains("cnosdb"))
+    // session context follows the same confs as current_tenant()
+    spark.conf.set(SessionFunctions.TenantKey, "ext_t")
+    spark.conf.set(graft.admin.AdminDcl.UserKey, "ext_u")
+    try {
+      spark.sql("CREATE ROLE ext_r INHERIT member")
+      spark.sql("GRANT READ ON DATABASE x TO ext_r") // db missing → Meta error
+      fail("grant on missing database must throw")
+    } catch {
+      case e: graft.admin.AdminError => assert(e.kind == "Meta")
+    } finally {
+      spark.conf.unset(SessionFunctions.TenantKey)
+      spark.conf.unset(graft.admin.AdminDcl.UserKey)
+    }
+    // SHOW QUERIES resolves with its fixed schema
+    assert(spark.sql("SHOW QUERIES").columns.toSeq ==
+      Seq("query_id", "query_type", "query_text", "user_name", "tenant_name",
+        "database_name", "state"))
+    // Spark-owned DDL falls through to Spark's parser: these are NOT
+    // hijacked (CREATE DATABASE/SHOW DATABASES are Spark's own)
+    spark.sql("CREATE DATABASE IF NOT EXISTS spark_own_db")
+    assert(spark.sql("SHOW DATABASES").collect()
+      .exists(_.getString(0) == "spark_own_db"))
+    spark.sql("DROP DATABASE spark_own_db")
+    spark.sql("DROP TENANT ext_t")
+    spark.sql("DROP USER ext_u")
+  }
+
+  test("DCL catalog persists across engines via spark.graft.admin.metaPath") {
+    val meta = java.nio.file.Files.createTempDirectory("graft_ext_meta").toString + "/meta.json"
+    spark.conf.set(graft.admin.AdminDcl.MetaPathKey, s"file:$meta")
+    try {
+      spark.sql("CREATE TENANT persist_t")
+      // a FRESH engine over the same path sees the tenant
+      val e2 = new graft.admin.AdminEngine(spark, new graft.admin.MetaCatalog,
+        java.nio.file.Files.createTempDirectory("graft_ext_data").toString, () => 0L)
+      e2.catalog.load(spark, s"file:$meta")
+      assert(e2.catalog.tenants.contains("persist_t"))
+      spark.sql("DROP TENANT persist_t")
+    } finally spark.conf.unset(graft.admin.AdminDcl.MetaPathKey)
+  }
+
   test("extension-registered functions resolve in plain SQL") {
     val row = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
