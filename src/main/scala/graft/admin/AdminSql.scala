@@ -317,7 +317,11 @@ final class AdminEngine(
               val codec = if (p.tryKw("CODEC")) { p.expectSym("("); val c = p.name().toUpperCase; p.expectSym(")"); c } else "DEFAULT"
               catalog.alterTable(session.tenant, db, name, t => {
                 if (t.columns.exists(_.name == cn)) AdminError.semantic(s"Column already exists: $cn")
-                t.copy(columns = t.columns :+ ColumnDef(cn, "FIELD", dt, codec, t.columns.map(_.ordinal).max + 1))
+                // fresh physical id: re-adding a dropped name must read
+                // as nulls, never resurrect the dropped column's data
+                t.copy(columns = t.columns :+ ColumnDef(cn, "FIELD", dt, codec,
+                    t.columns.map(_.ordinal).max + 1, storedId = s"__c${t.nextColId}_$cn"),
+                  nextColId = t.nextColId + 1)
               })
             case "TAG" =>
               val cn = p.name()
@@ -325,7 +329,9 @@ final class AdminEngine(
                 if (t.columns.exists(_.name == cn)) AdminError.semantic(s"Column already exists: $cn")
                 val tagOrd = t.tags.map(_.ordinal).maxOption.getOrElse(0) + 1
                 val shifted = t.columns.map(c => if (c.colType == "FIELD") c.copy(ordinal = c.ordinal + 1) else c)
-                t.copy(columns = shifted :+ ColumnDef(cn, "TAG", "STRING", "DEFAULT", tagOrd))
+                t.copy(columns = shifted :+ ColumnDef(cn, "TAG", "STRING", "DEFAULT",
+                    tagOrd, storedId = s"__c${t.nextColId}_$cn"),
+                  nextColId = t.nextColId + 1)
               })
             case other => AdminError.parser(s"Expected FIELD or TAG, found: $other")
           }
@@ -341,7 +347,11 @@ final class AdminEngine(
           catalog.alterTable(session.tenant, db, name, t => {
             if (!t.columns.exists(_.name == from)) AdminError.meta(s"Column not found: \"$from\"")
             if (t.columns.exists(_.name == to)) AdminError.semantic(s"Column already exists: $to")
-            t.copy(columns = t.columns.map(c => if (c.name == from) c.copy(name = to) else c))
+            // metadata-only rename: the physical storage key stays what
+            // it was (pin it explicitly — empty storedId means "= name",
+            // which would otherwise follow the rename)
+            t.copy(columns = t.columns.map(c =>
+              if (c.name == from) c.copy(name = to, storedId = c.physical) else c))
           })
         case "ALTER" =>
           val cn = p.name(); p.expectKw("SET"); p.expectKw("CODEC")
@@ -525,7 +535,9 @@ final class AdminEngine(
     }
     val schema = StructType(defs.map { c =>
       if (c.colType == "TIME") StructField("time_ns", LongType)
-      else StructField(c.name, if (c.colType == "TAG") StringType else sparkType(c.dataType))
+      // storage is keyed by the PHYSICAL id, so a later RENAME is
+      // metadata-only (readTable aliases physical → current name)
+      else StructField(c.physical, if (c.colType == "TAG") StringType else sparkType(c.dataType))
     })
     val data = rows.result()
     val df = spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
@@ -534,15 +546,24 @@ final class AdminEngine(
   }
 
   /** Read a TSKV table's stored rows as a DataFrame with a `time`
-    * timestamp column (µs-truncated view of the stored ns). */
+    * timestamp column (µs-truncated view of the stored ns). Columns
+    * resolve by PHYSICAL id and surface under their CURRENT catalog
+    * names — a renamed column keeps its data, a dropped+re-added name
+    * reads as nulls (fresh id), exactly the reference's column-id
+    * semantics. Catalog columns absent from storage (never inserted)
+    * surface as typed nulls so the schema is total. */
   def readTable(db: String, name: String): DataFrame = {
     requireOnDb(session.tenant, db, "Read")
     val t = catalog.table(session.tenant, db, name)
-    val raw = spark.read.parquet(tablePath(db, name))
+    // mergeSchema: appends made before an ADD COLUMN carry fewer
+    // physical columns than later ones; the union schema is the table
+    val raw = spark.read.option("mergeSchema", "true").parquet(tablePath(db, name))
     import org.apache.spark.sql.functions._
     val ordered = Seq(col("time")) ++
-      t.columns.filter(_.colType != "TIME").sortBy(_.ordinal)
-        .filter(c => raw.columns.contains(c.name)).map(c => col(c.name))
+      t.columns.filter(_.colType != "TIME").sortBy(_.ordinal).map { c =>
+        if (raw.columns.contains(c.physical)) col(c.physical).as(c.name)
+        else lit(null).cast(if (c.colType == "TAG") StringType else sparkType(c.dataType)).as(c.name)
+      }
     raw.withColumn("time", timestamp_micros((col("time_ns") / 1000L).cast("long")))
       .select(ordered: _*)
   }

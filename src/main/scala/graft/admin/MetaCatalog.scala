@@ -28,13 +28,26 @@ object AdminError {
   * 1..T, fields T+1..; information_schema.columns lists tags+fields
   * only, DESCRIBE TABLE lists all three).
   *
+  * `storedId` is the PHYSICAL column key in parquet storage — the
+  * Spark form of the reference's column ids (tskv stores by column
+  * id, names are catalog metadata). RENAME COLUMN changes `name` and
+  * keeps `storedId`, so existing rows stay readable under the new
+  * name without any data rewrite; a column ADDED after creation gets
+  * a FRESH ordinal-derived id, so dropping a column and re-adding the
+  * same name yields nulls instead of resurrecting the dropped data.
+  * Empty storedId (older snapshots) means "same as name".
+  *
   * Reference: sys_table/information_schema/columns.slt,
-  * ddl/describe_table.slt.
+  * ddl/describe_table.slt, ddl/rename_field.slt.
   */
 final case class ColumnDef(name: String, colType: String, dataType: String,
-                           codec: String, ordinal: Int)
+                           codec: String, ordinal: Int,
+                           storedId: String = "") {
+  def physical: String = if (storedId.isEmpty) name else storedId
+}
 
-final case class TableDef(name: String, columns: Vector[ColumnDef]) {
+final case class TableDef(name: String, columns: Vector[ColumnDef],
+                          nextColId: Int = 0) {
   def tags: Vector[ColumnDef]   = columns.filter(_.colType == "TAG")
   def fields: Vector[ColumnDef] = columns.filter(_.colType == "FIELD")
 }

@@ -362,6 +362,27 @@ class AdminSpec extends AnyFunSuite {
     assert(sq.size == 1 && sq.head(1) == "batch" && sq.head(2) == "SHOW QUERIES")
   }
 
+  test("column-id storage semantics: rename keeps data, drop+re-add reads nulls") {
+    val e = freshEngine()
+    e.execute("create database cid"); e.execute("--#DATABASE=cid")
+    e.execute("CREATE TABLE m(v DOUBLE, TAGS(host))")
+    e.execute("INSERT INTO m (TIME, host, v) VALUES (1000000000, 'h1', 2.5)")
+    // metadata-only rename: existing rows surface under the NEW name
+    e.execute("ALTER TABLE m RENAME COLUMN v TO val")
+    assert(rows(e, "SELECT host, val FROM m") == Seq(Seq("h1", 2.5)))
+    // appends after the rename land in the SAME physical column
+    e.execute("INSERT INTO m (TIME, host, val) VALUES (2000000000, 'h2', 3.5)")
+    assert(rows(e, "SELECT host, val FROM m ORDER BY host") ==
+      Seq(Seq("h1", 2.5), Seq("h2", 3.5)))
+    // a column ADDED later reads null for pre-existing rows...
+    e.execute("ALTER TABLE m ADD FIELD extra DOUBLE")
+    assert(rows(e, "SELECT count(extra) AS n FROM m") == Seq(Seq(0L)))
+    // ...and dropping + re-adding a NAME must NOT resurrect old data
+    e.execute("ALTER TABLE m DROP val")
+    e.execute("ALTER TABLE m ADD FIELD val DOUBLE")
+    assert(rows(e, "SELECT count(val) AS n FROM m") == Seq(Seq(0L)))
+  }
+
   // ---- review-hardening regressions ----------------------------------
 
   test("a non-admin cannot alter another user (root password escalation blocked)") {
