@@ -48,6 +48,12 @@ final class AdminEngine(
   private val running = scala.collection.mutable.LinkedHashMap.empty[Long, (String, String, String, String)]
   private var nextQueryId = 0L
 
+  /** Wire listener whose counters back usage_schema.http_* — attach
+    * the serving [[graft.sources.WireHttp]] so its per-route metrics
+    * surface as sys tables. */
+  @volatile var wire: graft.sources.WireHttp = _
+  def attachWire(w: graft.sources.WireHttp): Unit = wire = w
+
   import MetaCatalog._
 
   // ------------------------------------------------------------------
@@ -591,7 +597,7 @@ final class AdminEngine(
     // like tenant.db.table are rejected BEFORE any view registration
     if ("(?i)\\bfrom\\s+[A-Za-z_][\\w]*\\.[A-Za-z_][\\w]*\\.[A-Za-z_]".r.findFirstIn(q).isDefined)
       AdminError.meta("cross-tenant qualified table references are not supported")
-    val sysPat = "(?i)\\b(information_schema|cluster_schema)\\s*\\.\\s*([A-Za-z_]+)".r
+    val sysPat = "(?i)\\b(information_schema|cluster_schema|usage_schema)\\s*\\.\\s*([A-Za-z_]+)".r
     val sysRefs = sysPat.findAllMatchIn(q)
       .map(m => (m.group(1).toLowerCase, m.group(2).toLowerCase)).toSet
     q = sysPat.replaceAllIn(q, m => s"${m.group(1).toLowerCase}_${m.group(2).toLowerCase}")
@@ -741,6 +747,25 @@ final class AdminEngine(
         .map(r => Row(r.name, r.action, r.tryCount.toString, r.status))
       mkDf(Seq("name", "action", "try_count", "status"), rows,
         Seq(StringType, StringType, StringType, StringType))
+    // usage_schema http metrics — real counters from the attached wire
+    // listener (usage_schema/http_metrics.slt tags rows (api, host);
+    // host here is the loopback listener address)
+    case ("usage_schema", "http_data_in") =>
+      val rows = Option(wire).toVector.flatMap(w =>
+        w.metrics.dataInRows.map { case (api, v) => Row(api, w.base, v) })
+      mkDf(Seq("api", "host", "value"), rows, Seq(StringType, StringType, LongType))
+    case ("usage_schema", "http_writes") =>
+      val rows = Option(wire).toVector.flatMap(w =>
+        w.metrics.writeRows.map { case (api, v) => Row(api, w.base, v) })
+      mkDf(Seq("api", "host", "value"), rows, Seq(StringType, StringType, LongType))
+    case ("usage_schema", "http_queries") =>
+      val rows = Option(wire).toVector.map(w =>
+        Row("/api/v1/sql", w.base, w.metrics.queries.get))
+      mkDf(Seq("api", "host", "value"), rows, Seq(StringType, StringType, LongType))
+    case ("usage_schema", "http_data_out") =>
+      val rows = Option(wire).toVector.map(w =>
+        Row("/api/v1/sql", w.base, w.metrics.dataOut.get))
+      mkDf(Seq("api", "host", "value"), rows, Seq(StringType, StringType, LongType))
     case _ => AdminError.meta(s"Table not found: \"$schema.$name\"")
   }
 

@@ -29,13 +29,43 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * bytes) and delegates to the caller's serve function, which runs
   * [[PromRemote.executeRead]]'s pushdown-translated Spark plan.
   */
-final class WireHttp private (server: HttpServer, val spoolDir: String) {
+final class WireHttp private (server: HttpServer, val spoolDir: String,
+                              /** Cumulative per-route wire counters backing the
+                                * reference's usage_schema http metrics tables
+                                * (http_data_in / http_writes / http_queries /
+                                * http_data_out). Updated by the handlers; a few
+                                * AtomicLongs, no request-path allocation beyond
+                                * the counter bump. */
+                              val metrics: WireHttp.Metrics) {
   def port: Int = server.getAddress.getPort
   def base: String = s"http://127.0.0.1:$port"
   def stop(): Unit = server.stop(0)
 }
 
 object WireHttp {
+
+  final class Metrics {
+    import java.util.concurrent.atomic.AtomicLong
+    import java.util.concurrent.ConcurrentHashMap
+    private val bytesIn = new ConcurrentHashMap[String, AtomicLong]()
+    private val writes = new ConcurrentHashMap[String, AtomicLong]()
+    val queries = new AtomicLong()
+    val dataOut = new AtomicLong()
+    private def bump(m: ConcurrentHashMap[String, AtomicLong], k: String, v: Long): Unit =
+      m.computeIfAbsent(k, _ => new AtomicLong()).addAndGet(v)
+    private[sources] def recordWrite(api: String, bodyBytes: Long): Unit = {
+      bump(writes, api, 1L); bump(bytesIn, api, bodyBytes)
+    }
+    private[sources] def recordQuery(bodyBytes: Long, outBytes: Long): Unit = {
+      queries.incrementAndGet(); bump(bytesIn, "/api/v1/sql", bodyBytes)
+      dataOut.addAndGet(outBytes)
+    }
+    import scala.jdk.CollectionConverters._
+    def dataInRows: Seq[(String, Long)] =
+      bytesIn.asScala.toSeq.map { case (k, v) => (k, v.get) }.sortBy(_._1)
+    def writeRows: Seq[(String, Long)] =
+      writes.asScala.toSeq.map { case (k, v) => (k, v.get) }.sortBy(_._1)
+  }
 
   /** route path → spool subdirectory (route keys mirror the reference's
     * write families).
@@ -80,6 +110,7 @@ object WireHttp {
             sqlExec: (String, String, String, String, String) => Either[(Int, String), String] = null): WireHttp = {
     val srv = HttpServer.create(
       new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    val metrics = new Metrics
     writeRoutes.foreach { case (route, sub) =>
       val dir = Paths.get(spoolDir, sub)
       Files.createDirectories(dir)
@@ -87,6 +118,7 @@ object WireHttp {
       srv.createContext(route, handler { ex =>
         require(ex.getRequestMethod == "POST", s"$route accepts POST")
         val body = ex.getRequestBody.readAllBytes()
+        metrics.recordWrite(route, body.length.toLong)
         val n = seq.incrementAndGet()
         val tmp = dir.resolve(s".in-$n.tmp")
         Files.write(tmp, body)
@@ -126,6 +158,7 @@ object WireHttp {
         sqlExec(user, password, tenant, db, sql) match {
           case Right(csv) =>
             val bytes = csv.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            metrics.recordQuery(sql.length.toLong, bytes.length.toLong)
             ex.getResponseHeaders.add("Content-Type", "text/csv")
             if (bytes.isEmpty) ex.sendResponseHeaders(200, -1)
             else { ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes) }
@@ -138,7 +171,7 @@ object WireHttp {
         }
       })
     srv.start()
-    new WireHttp(srv, spoolDir)
+    new WireHttp(srv, spoolDir, metrics)
   }
 
   /** Decode an `Authorization: Basic` header to (user, password);

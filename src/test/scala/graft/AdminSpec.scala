@@ -527,6 +527,19 @@ class AdminSpec extends AnyFunSuite {
       assert(sql("INSERT INTO m (TIME, host, v) VALUES (3000000000, 'a,\"b', 1.0)", db = "wdb")._1 == 200)
       val (_, q2) = sql("SELECT host FROM m WHERE v = 1.0", db = "wdb")
       assert(q2 == "host\n\"a,\"\"b\"")
+      // usage_schema http metrics from the REAL wire counters: writes
+      // spooled earlier in WireHttpSpec-free isolation — here, exercise
+      // one write route, then read the counters through sys tables
+      e.attachWire(srv)
+      val (wc, _) = WireHttp.post(s"${srv.base}/api/v1/write", "m,v=1 f=1 1".getBytes("UTF-8"))
+      assert(wc == 204)
+      val min = rows(e, "select api, value from usage_schema.http_writes where api = '/api/v1/write'")
+      assert(min == Seq(Seq("/api/v1/write", 1L)))
+      val di = rows(e, "select value from usage_schema.http_data_in where api = '/api/v1/write'")
+      assert(di == Seq(Seq(11L))) // the 11-byte LP body
+      val hq = rows(e, "select value from usage_schema.http_queries").head.head.asInstanceOf[Long]
+      assert(hq >= 3L) // the successful /api/v1/sql SELECTs above
+      assert(rows(e, "select value from usage_schema.http_data_out").head.head.asInstanceOf[Long] > 0L)
     } finally srv.stop()
   }
 
