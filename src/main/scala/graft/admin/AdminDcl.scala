@@ -45,13 +45,13 @@ object AdminDcl {
   private def attr(n: String): Attribute = AttributeReference(n, StringType)()
 
   /** Fixed output schema per statement shape (needed at analysis time,
-    * before the command runs). */
+    * before the command runs). Whitespace-normalized so every spelling
+    * the ownership regex accepts ("SHOW\t\tTENANTS") maps to the same
+    * schema. */
   def outputFor(sqlText: String): Seq[Attribute] = {
-    val up = sqlText.trim.toUpperCase
+    val up = sqlText.trim.toUpperCase.replaceAll("\\s+", " ")
     if (up.startsWith("SHOW TENANTS")) Seq(attr("tenant_name"))
-    else if (up.startsWith("SHOW QUERIES"))
-      Seq("query_id", "query_type", "query_text", "user_name", "tenant_name",
-        "database_name", "state").map(attr)
+    else if (up.startsWith("SHOW QUERIES")) AdminEngine.QueriesColumns.map(attr)
     else Nil
   }
 
@@ -67,29 +67,48 @@ object AdminDcl {
         .getOrElse(java.nio.file.Files.createTempDirectory("graft_admin_sql").toString)
       val e = new AdminEngine(spark, new MetaCatalog, dataRoot,
         () => System.currentTimeMillis() * 1000000L)
-      spark.conf.getOption(MetaPathKey).foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(hp)) e.catalog.load(spark, p)
-      }
+      // hydration from MetaPathKey happens in exec(), which tracks the
+      // loaded path so conf changes re-hydrate instead of clobbering
       engines.put(spark, e)
       e
     }
   }
 
+  // which meta path each engine last loaded — a save must never
+  // clobber a path the in-memory catalog was not hydrated from
+  private val loadedPaths =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Execute one DCL statement under the conf-derived session context;
-    * persist the catalog afterwards when a meta path is configured. */
+    * persist the catalog afterwards when a meta path is configured.
+    * Serialized per engine: the conf-derived session assignment and the
+    * statement must be atomic against concurrent spark.sql threads, or
+    * one thread's tenant could leak into another's statement. */
   def exec(spark: SparkSession, sqlText: String): Seq[Row] = {
     val e = engineFor(spark)
-    e.session.tenant = spark.conf.get(graft.functions.SessionFunctions.TenantKey, "cnosdb")
-    e.session.user = spark.conf.get(UserKey, "root")
-    val res = e.execute(sqlText) match {
-      case None     => Nil
-      case Some(df) => df.collect().toSeq // SHOW TENANTS/QUERIES: catalog-bounded
+    e.synchronized {
+      // hydrate from the CURRENT conf's meta path before mutating: an
+      // engine created before the conf was set (or pointed at a new
+      // path) must merge-load, not blind-save over persisted state
+      spark.conf.getOption(MetaPathKey).foreach { p =>
+        if (loadedPaths.get(spark) != p) {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(hp)) e.catalog.load(spark, p)
+          loadedPaths.put(spark, p)
+        }
+      }
+      e.session.tenant = spark.conf.get(graft.functions.SessionFunctions.TenantKey, "cnosdb")
+      e.session.user = spark.conf.get(UserKey, "root")
+      val res = e.execute(sqlText) match {
+        case None     => Nil
+        case Some(df) => df.collect().toSeq // SHOW TENANTS/QUERIES: catalog-bounded
+      }
+      if (!sqlText.trim.toUpperCase.startsWith("SHOW"))
+        spark.conf.getOption(MetaPathKey).foreach(p => e.catalog.save(spark, p))
+      res
     }
-    if (!sqlText.trim.toUpperCase.startsWith("SHOW"))
-      spark.conf.getOption(MetaPathKey).foreach(p => e.catalog.save(spark, p))
-    res
   }
 }
 

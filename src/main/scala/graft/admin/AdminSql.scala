@@ -32,10 +32,20 @@ final class AdminSession(
   * query_server/sqllogicaltests/cases/{dcl,ddl,sys_table,variable}/.
   */
 final class AdminEngine(
-    spark: SparkSession,
+    spark0: SparkSession,
     val catalog: MetaCatalog,
     dataRoot: String,
     nowNs: () => Long) {
+
+  // held WEAKLY so a cache keyed by the session (AdminDcl's
+  // WeakHashMap) can actually collect the pair once the session is
+  // unreachable — a strong field here would pin the weak key forever
+  private val sparkRef = new java.lang.ref.WeakReference(spark0)
+  private def spark: SparkSession = {
+    val s = sparkRef.get()
+    require(s != null, "the AdminEngine's SparkSession has been collected")
+    s
+  }
 
   val session = new AdminSession()
 
@@ -139,8 +149,11 @@ final class AdminEngine(
   // execute
   // ------------------------------------------------------------------
 
-  /** Execute one statement; Some(df) for statements that return rows. */
-  def execute(sql: String): Option[DataFrame] = {
+  /** Execute one statement; Some(df) for statements that return rows.
+    * Synchronized on the engine: the session context, statement
+    * registry, and catalog are shared mutable state, and the spark.sql
+    * front / HTTP route may be driven from multiple threads. */
+  def execute(sql: String): Option[DataFrame] = synchronized {
     val stripped = sql.trim.stripSuffix(";").trim
     // the sqllogic harness's session switches
     val sw = "(?i)^--#\\s*(TENANT|USER_NAME|DATABASE)\\s*=\\s*(\\S+)$".r
@@ -738,8 +751,7 @@ final class AdminEngine(
       val rows = running.toVector.map { case (id, (qt, text, user, db)) =>
         Row(id.toString, qt, text, user, session.tenant, db, "RUNNING")
       }
-      mkDf(Seq("query_id", "query_type", "query_text", "user_name",
-        "tenant_name", "database_name", "state"), rows,
+      mkDf(AdminEngine.QueriesColumns, rows,
         Seq(StringType, StringType, StringType, StringType, StringType,
           StringType, StringType))
     case ("information_schema", "resource_status") =>
@@ -749,7 +761,12 @@ final class AdminEngine(
         Seq(StringType, StringType, StringType, StringType))
     // usage_schema http metrics — real counters from the attached wire
     // listener (usage_schema/http_metrics.slt tags rows (api, host);
-    // host here is the loopback listener address)
+    // host here is the loopback listener address). Cluster-global
+    // traffic volumes: admin-only, like the reference's usage_schema
+    // privilege gate (usage_schema_privilege.slt)
+    case ("usage_schema", _)
+        if !isAdmin(session.user) =>
+      AdminError.privilege(s"Read on usage_schema of tenant ${session.tenant}")
     case ("usage_schema", "http_data_in") =>
       val rows = Option(wire).toVector.flatMap(w =>
         w.metrics.dataInRows.map { case (api, v) => Row(api, w.base, v) })
@@ -793,7 +810,7 @@ final class AdminEngine(
     * everything else the planner rejects.
     */
   def execHttp(user: String, password: String, tenant: String, db: String,
-               sql: String): Either[(Int, String), String] = {
+               sql: String): Either[(Int, String), String] = synchronized {
     if (!authenticate(user, password))
       return Left(401 -> s"Auth error: invalid credentials for user $user")
     val saved = (session.user, session.tenant, session.database)
@@ -852,6 +869,15 @@ final class AdminEngine(
     val schema = StructType(names.zip(types).map { case (n, t) => StructField(n, t) })
     spark.createDataFrame(rows.toList.asJava, schema)
   }
+}
+
+object AdminEngine {
+  /** information_schema.queries / SHOW QUERIES column list — shared
+    * with the spark.sql front's fixed output schema so the two cannot
+    * drift. */
+  val QueriesColumns: Seq[String] =
+    Seq("query_id", "query_type", "query_text", "user_name", "tenant_name",
+      "database_name", "state")
 }
 
 /** Hand-rolled tokenizer/cursor for the admin statement grammar.

@@ -56,10 +56,11 @@ object WireHttp {
     private[sources] def recordWrite(api: String, bodyBytes: Long): Unit = {
       bump(writes, api, 1L); bump(bytesIn, api, bodyBytes)
     }
-    private[sources] def recordQuery(bodyBytes: Long, outBytes: Long): Unit = {
+    private[sources] def recordQueryIn(bodyBytes: Long): Unit = {
       queries.incrementAndGet(); bump(bytesIn, "/api/v1/sql", bodyBytes)
-      dataOut.addAndGet(outBytes)
     }
+    private[sources] def recordQueryOut(outBytes: Long): Unit =
+      dataOut.addAndGet(outBytes)
     import scala.jdk.CollectionConverters._
     def dataInRows: Seq[(String, Long)] =
       bytesIn.asScala.toSeq.map { case (k, v) => (k, v.get) }.sortBy(_._1)
@@ -153,12 +154,15 @@ object WireHttp {
         val params = queryParams(ex)
         val tenant = params.getOrElse("tenant", "cnosdb")
         val db = params.getOrElse("db", "public")
-        val sql = new String(ex.getRequestBody.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
+        val sqlBytes = ex.getRequestBody.readAllBytes()
+        val sql = new String(sqlBytes, java.nio.charset.StandardCharsets.UTF_8)
+        // wire BYTES in, counted for every request — failed queries are
+        // traffic too (they still consumed the wire and the planner)
+        metrics.recordQueryIn(sqlBytes.length.toLong)
         sqlExec(user, password, tenant, db, sql) match {
           case Right(csv) =>
             val bytes = csv.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            metrics.recordQuery(sql.length.toLong, bytes.length.toLong)
+            metrics.recordQueryOut(bytes.length.toLong)
             ex.getResponseHeaders.add("Content-Type", "text/csv")
             if (bytes.isEmpty) ex.sendResponseHeaders(200, -1)
             else { ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes) }

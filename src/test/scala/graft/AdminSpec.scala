@@ -540,6 +540,12 @@ class AdminSpec extends AnyFunSuite {
       val hq = rows(e, "select value from usage_schema.http_queries").head.head.asInstanceOf[Long]
       assert(hq >= 3L) // the successful /api/v1/sql SELECTs above
       assert(rows(e, "select value from usage_schema.http_data_out").head.head.asInstanceOf[Long] > 0L)
+      // cluster-global traffic volumes are admin-only (the reference's
+      // usage_schema privilege gate)
+      e.session.user = "wu"
+      val deny = intercept[AdminError](rows(e, "select * from usage_schema.http_queries"))
+      assert(deny.kind == "Insufficient privileges")
+      e.session.user = "root"
     } finally srv.stop()
   }
 
