@@ -477,12 +477,13 @@ object MetaCatalog {
   /** Parse a reference duration literal ('100ms' '3m' '1h' '10d'
     * '1year') to nanoseconds. */
   def parseDuration(s: String): Long = {
-    val m = "(?i)^(\\d+)\\s*(ms|s|m|h|d|w|y|year|years|day|days|hour|hours|min|minute|minutes|inf)?$".r
+    val m = "(?i)^(\\d+)\\s*(ns|us|ms|s|m|h|d|w|y|year|years|day|days|hour|hours|min|minute|minutes|inf)?$".r
       .findFirstMatchIn(s.trim)
       .getOrElse(AdminError.parser(s"invalid duration literal: '$s'"))
     val n = m.group(1).toLong
     val unit = Option(m.group(2)).map(_.toLowerCase).getOrElse("ns")
     val perUnit: Long = unit match {
+      case "us" => 1000L
       case "ms" => 1000000L
       case "s" => 1000000000L
       case "m" | "min" | "minute" | "minutes" => 60L * 1000000000L
@@ -492,7 +493,11 @@ object MetaCatalog {
       case "y" | "year" | "years" => NsPerYear
       case _ => 1L
     }
-    n * perUnit
+    // 100000 years of nanoseconds overflows Long — reject loudly
+    // instead of wrapping into a negative TTL
+    try Math.multiplyExact(n, perUnit)
+    catch { case _: ArithmeticException =>
+      AdminError.parser(s"duration overflows the nanosecond range: '$s'") }
   }
 
   /** Format nanoseconds the way DESCRIBE DATABASE does: "10days",
