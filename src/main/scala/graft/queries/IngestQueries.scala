@@ -334,6 +334,59 @@ object IngestQueries {
         .orderBy("metric")
     }),
 
+    // Kafka WIRE end-to-end (closes SURVEY §2.5 #1 — the reference's
+    // stream-table transport, query_server/query/src/stream/): events
+    // rows are rendered to line protocol and PRODUCED through the
+    // graft-kafka DSv2 SINK (each write task opens its own wire client
+    // and ships record-batch-v2 bytes to the topic-partition named by
+    // the row's `partition` column — the distributed-producer shape;
+    // no driver collect), then read back partition-parallel through
+    // the graft-kafka SOURCE (one fetch loop per topic-partition,
+    // CRC32C-verified), parsed, and aggregated per series. The lane
+    // also proves PLACEMENT: it throws if any consumed row sits in a
+    // topic-partition other than the one its key hashes to. Oracle
+    // recomputes from the raw lake — matching hashes prove sink encode
+    // → TCP → broker log → fetch → decode loses nothing.
+    "ts_kafka_wire" -> ((s, dir) => {
+      import s.implicits._
+      val broker = graft.sources.KafkaMiniBroker.start(Map("events" -> 4))
+      try {
+        val bs = broker.bootstrap
+        Tables.eventsNanos(s, dir)
+          .select(col("event_type").cast("binary").as("key"),
+            format_string("%s value=%s %s",
+              col("event_type"), col("value"), col("ts")).as("value"),
+            pmod(xxhash64(col("event_type")), lit(4)).cast("int").as("partition"),
+            expr("ts div 1000000").cast("long").as("timestamp"))
+          .write.format("graft-kafka")
+          .option("bootstrap", bs).option("topic", "events")
+          .mode("append").save()
+        // materialize the wire read before the broker stops (the
+        // returned frame is evaluated later); fixed per-sf path,
+        // overwritten per run — no tmpdir leak (ADVICE r12 low)
+        val tmp = s"/tmp/graft_kafka_wire/${new java.io.File(dir).getName}"
+        s.read.format("graft-kafka")
+          .option("bootstrap", bs).option("subscribe", "events").load()
+          .selectExpr("CAST(value AS STRING) AS line",
+            "CAST(key AS STRING) AS k", "partition")
+          .write.mode("overwrite").parquet(tmp)
+        val back = s.read.parquet(tmp)
+        val misplaced = back
+          .filter(pmod(xxhash64(col("k")), lit(4)).cast("int") =!= col("partition"))
+          .count()
+        require(misplaced == 0,
+          s"ts_kafka_wire: $misplaced rows in the wrong topic-partition")
+        LineProtocol.parseWithField(back.select("line").as[String], "value")
+          .groupBy(col("measurement").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(expr("CAST(round(value * 100) AS BIGINT)")).cast("double") / 100.0)
+              .as("sum_value"),
+            min(expr("ts_ns div 1000")).as("first_us"),
+            max(expr("ts_ns div 1000")).as("last_us"))
+          .orderBy("event_type")
+      } finally broker.stop()
+    }),
+
     "csv_roundtrip" -> ((s, dir) => {
       // external-table surface (create_external_table.slt / COPY INTO):
       // write nation as CSV, read it back through the CSV source.
@@ -432,6 +485,15 @@ object IngestQueries {
         |  min(epoch_ns(ts) // 1000000) AS first_ms,
         |  max(epoch_ns(ts) // 1000000) AS last_ms
         |FROM events GROUP BY event_type ORDER BY metric""".stripMargin,
+    // per-series aggregate over the RAW lake: the Spark side computed
+    // it from rows that crossed produce → broker log → fetch → decode
+    "ts_kafka_wire" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value,
+        |  min(epoch_ns(ts) // 1000) AS first_us,
+        |  max(epoch_ns(ts) // 1000) AS last_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // per-metric aggregate over the RAW lake in remote-write units (ms
     // timestamps): the Spark side computed it from DECODED wire samples
     "ts_prom_remote_write" ->

@@ -418,6 +418,61 @@ object StreamQueries {
         .orderBy("event_type", "w_start_us")
     }),
 
+    // The KAFKA transport, streamed (SURVEY §2.5 #1 — the reference's
+    // CREATE STREAM TABLE consumes a topic through per-partition
+    // offset trackers, query_server/query/src/stream/): events are
+    // rendered to line protocol, PRODUCED over a real TCP hop into a
+    // single time-sorted topic-partition (one executor task, ordered —
+    // so delivery order == event-time order whatever the trigger
+    // slicing, the same by-construction watermark guarantee the file
+    // replay gives), then consumed through the `graft-kafka` DSv2
+    // source with maxOffsetsPerTrigger rationing the log into ~4 REAL
+    // micro-batches under AvailableNow, into the same watermarked
+    // windowed aggregate and the same oracle VERBATIM as
+    // stream_windowed/stream_wire_prom: matching hashes prove wire
+    // produce → broker log → offset-tracked fetch → windowed agg
+    // equals the batch engine on parquet, window for window.
+    "stream_kafka_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val broker = graft.sources.KafkaMiniBroker.start(Map("events" -> 1))
+      try {
+        val bs = broker.bootstrap
+        // produce through the graft-kafka SINK: one write task (the
+        // 1-partition topic wants ordered append), rows pre-sorted so
+        // the partition's log is in event-time order
+        Tables.eventsNanos(s, dir)
+          .select(expr("ts div 1000000").cast("long").as("timestamp"),
+            format_string("%s value=%s %s",
+              col("event_type"), col("value"), col("ts")).as("value"))
+          .repartition(1)
+          .sortWithinPartitions("timestamp", "value")
+          .write.format("graft-kafka")
+          .option("bootstrap", bs).option("topic", "events")
+          .option("compression", "snappy") // wire bytes ship compressed
+          .mode("append").save()
+        val total = broker.endOffset("events", 0)
+        val perTrigger = math.max(1L, (total + StageFiles - 1) / StageFiles)
+        val raw = s.readStream.format("graft-kafka")
+          .option("bootstrap", bs)
+          .option("subscribe", "events")
+          .option("maxOffsetsPerTrigger", perTrigger.toString)
+          .load()
+        val evs = LineProtocol.parseWithField(
+            raw.selectExpr("CAST(value AS STRING) AS line").as[String], "value")
+          .select(timestamp_micros(expr("ts_ns div 1000")).as("tstamp"),
+            col("measurement").as("event_type"), col("value"))
+        val agg = StreamIngest.windowedStats(evs, "tstamp", "event_type",
+          "1 hour", "0 seconds")
+        val sink = replay(s, agg, "stream_kafka_ingest_sink")
+        val maxUs = globalMaxUs(s, dir)
+        sink.select(col("event_type"),
+            unix_micros(col("w_start")).as("w_start_us"),
+            col("n"), col("sum_value"))
+          .filter(col("w_start_us") + 3600000000L < maxUs)
+          .orderBy("event_type", "w_start_us")
+      } finally broker.stop()
+    }),
+
     // Streaming exact dedup: first occurrence per content hash
     // survives, state bounded by the watermark horizon
     // (dropDuplicatesWithinWatermark — the streaming analogue of the
@@ -956,6 +1011,9 @@ object StreamQueries {
     // prompb bodies, one POST per micro-batch) == batch engine on
     // parquet, window for window
     "stream_wire_prom" -> WindowedAggOracle,
+    // the kafka lane computes the same windows from rows that crossed
+    // a real produce → broker-log → offset-tracked-fetch wire hop
+    "stream_kafka_ingest" -> WindowedAggOracle,
     // IDENTICAL SQL — THE point: wire-text streaming ingest == batch
     // engine on parquet, window for window
     "stream_ingest_lp" -> WindowedAggOracle,

@@ -1,0 +1,458 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, Socket}
+import java.nio.ByteBuffer
+import java.util.zip.CRC32C
+
+/** Kafka WIRE protocol — the last transport descope (SURVEY §2.5 item
+  * 1; VERDICT r12 "what's missing" #1). The reference's stream tables
+  * are Kafka-fed (`query_server/query/src/stream/`, offset/watermark
+  * trackers; `ddl/create_stream_table.slt`): a `CREATE STREAM TABLE`
+  * names a topic and the engine consumes offset ranges per poll. This
+  * box ships no connector jar and has zero egress to fetch one, so the
+  * transport is implemented from the PUBLIC protocol spec
+  * (kafka.apache.org/protocol + KIP-98's record-batch v2 layout), the
+  * same way [[PromRemote]]/[[LokiPush]]/[[OtlpTrace]] implement their
+  * wire formats from the protobuf spec:
+  *
+  *   - this file: the byte-level codec (request/response framing,
+  *     primitive + array encodings, zigzag varints, record-batch v2
+  *     with CRC32C) and a minimal blocking CLIENT speaking
+  *     ApiVersions v0 / Metadata v1 / ListOffsets v1 / Produce v3 /
+  *     Fetch v4 — deliberately the pre-"flexible versions" (pre-KIP-482)
+  *     encodings, which every broker since 0.11 still serves;
+  *   - [[KafkaMiniBroker]]: a loopback single-node broker serving the
+  *     same five APIs from an in-memory log, so the transport is
+  *     EXECUTABLE end-to-end on this box (real TCP hop, real record
+  *     batches, real CRCs) instead of a canceled assume-gate;
+  *   - [[graft.sources.kafka.GraftKafkaProvider]]: the Spark DSv2
+  *     source (`format("graft-kafka")`) that turns topic partitions
+  *     into input partitions — one fetch loop per topic-partition, the
+  *     exact shape the stock connector uses, so the 100 TB story is
+  *     "partition count = parallelism" with no driver-side data.
+  *
+  * Scale note: the CLIENT is per-task and single-connection — each
+  * Spark input partition owns one topic-partition and streams its
+  * offset range in bounded fetches (`maxBytes` per round trip), so
+  * memory per task is one fetch response, never a partition's worth.
+  */
+object KafkaWire {
+
+  // ---- primitive codec (big-endian, per the Kafka protocol) ----
+
+  final class Writer {
+    private val out = new java.io.ByteArrayOutputStream()
+    def i8(v: Int): this.type = { out.write(v & 0xff); this }
+    def i16(v: Int): this.type = { out.write((v >> 8) & 0xff); out.write(v & 0xff); this }
+    def i32(v: Int): this.type = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff); this
+    }
+    def i64(v: Long): this.type = { i32((v >> 32).toInt); i32(v.toInt) }
+    /** STRING: INT16 length + UTF-8 bytes; null encodes as -1. */
+    def str(s: String): this.type =
+      if (s == null) i16(-1)
+      else { val b = s.getBytes("UTF-8"); i16(b.length); raw(b) }
+    /** BYTES: INT32 length + bytes; null encodes as -1. */
+    def bytes(b: Array[Byte]): this.type =
+      if (b == null) i32(-1) else { i32(b.length); raw(b) }
+    def raw(b: Array[Byte]): this.type = { out.write(b, 0, b.length); this }
+    /** ARRAY: INT32 count + elements. */
+    def array[T](xs: Seq[T])(f: (Writer, T) => Unit): this.type = {
+      i32(xs.length); xs.foreach(x => f(this, x)); this
+    }
+    /** Zigzag varint (protobuf sint32/sint64 encoding — what record
+      * batches use for all per-record integers).
+      */
+    def varlong(v0: Long): this.type = {
+      var v = (v0 << 1) ^ (v0 >> 63)
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt); this
+    }
+    def varint(v: Int): this.type = varlong(v.toLong)
+    def result(): Array[Byte] = out.toByteArray
+    def size: Int = out.size()
+  }
+
+  final class Reader(buf: ByteBuffer) {
+    def this(b: Array[Byte]) = this(ByteBuffer.wrap(b))
+    def i8(): Byte = buf.get()
+    def i16(): Short = buf.getShort()
+    def i32(): Int = buf.getInt()
+    def i64(): Long = buf.getLong()
+    def str(): String = {
+      val n = i16()
+      if (n < 0) null
+      else { val b = new Array[Byte](n); buf.get(b); new String(b, "UTF-8") }
+    }
+    def bytes(): Array[Byte] = {
+      val n = i32()
+      if (n < 0) null else { val b = new Array[Byte](n); buf.get(b); b }
+    }
+    def raw(n: Int): Array[Byte] = { val b = new Array[Byte](n); buf.get(b); b }
+    def array[T](f: Reader => T): Vector[T] = {
+      val n = i32()
+      if (n < 0) Vector.empty else Vector.fill(n)(f(this))
+    }
+    def varlong(): Long = {
+      var v = 0L; var shift = 0
+      var b = buf.get()
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7fL) << shift; shift += 7
+        require(shift < 64, "kafka wire: varint overflow")
+        b = buf.get()
+      }
+      v |= (b & 0x7fL) << shift
+      (v >>> 1) ^ -(v & 1) // un-zigzag
+    }
+    def varint(): Int = varlong().toInt
+    def remaining: Int = buf.remaining()
+    def position: Int = buf.position()
+    def skip(n: Int): Unit = buf.position(buf.position() + n)
+  }
+
+  // ---- record batch v2 (magic 2, KIP-98) ----
+
+  final case class Record(offset: Long, timestampMs: Long,
+                          key: Array[Byte], value: Array[Byte])
+
+  /** Batch compression codecs (attributes bits 0–2). The stream
+    * framings are the public ones Kafka names for each codec — gzip
+    * (JDK), xerial snappy stream, LZ4 FRAME (what Kafka emits since
+    * its framing fix), zstd — all via libraries already on Spark's
+    * classpath. Only the RECORDS section compresses; the 61-byte batch
+    * header (through recordCount) stays plain and the CRC32C covers
+    * the compressed bytes, per the spec.
+    */
+  val CodecNone = 0
+  val CodecGzip = 1
+  val CodecSnappy = 2
+  val CodecLz4 = 3
+  val CodecZstd = 4
+
+  def codecOf(name: String): Int = name.toLowerCase match {
+    case "none" | "uncompressed" => CodecNone
+    case "gzip" => CodecGzip
+    case "snappy" => CodecSnappy
+    case "lz4" => CodecLz4
+    case "zstd" => CodecZstd
+    case other => sys.error(s"kafka wire: unknown compression '$other'")
+  }
+
+  private def compress(codec: Int, data: Array[Byte]): Array[Byte] =
+    if (codec == CodecNone) data
+    else {
+      val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val out = codec match {
+        case CodecGzip => new java.util.zip.GZIPOutputStream(bos)
+        case CodecSnappy => new org.xerial.snappy.SnappyOutputStream(bos)
+        case CodecLz4 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        case CodecZstd => new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(bos)
+        case c => sys.error(s"kafka wire: unknown codec $c")
+      }
+      out.write(data); out.close()
+      bos.toByteArray
+    }
+
+  private def decompress(codec: Int, data: Array[Byte]): Array[Byte] = {
+    val bis = new java.io.ByteArrayInputStream(data)
+    val in = codec match {
+      case CodecGzip => new java.util.zip.GZIPInputStream(bis)
+      case CodecSnappy => new org.xerial.snappy.SnappyInputStream(bis)
+      case CodecLz4 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case CodecZstd => new com.github.luben.zstd.ZstdInputStreamNoFinalizer(bis)
+      case c => sys.error(s"kafka wire: unsupported compression codec $c")
+    }
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Encode one record batch. `records` are (timestampMs, key, value);
+    * offsets are baseOffset + index. CreateTime, non-transactional;
+    * `codec` compresses the records section (none by default).
+    */
+  def encodeBatch(baseOffset: Long,
+                  records: Seq[(Long, Array[Byte], Array[Byte])],
+                  codec: Int = CodecNone): Array[Byte] = {
+    require(records.nonEmpty, "kafka wire: empty record batch")
+    val baseTs = records.map(_._1).min
+    val maxTs = records.map(_._1).max
+    val recs = new Writer
+    records.zipWithIndex.foreach { case ((ts, k, v), i) =>
+      val r = new Writer
+      r.i8(0)                            // record attributes
+      r.varlong(ts - baseTs)             // timestampDelta
+      r.varint(i)                        // offsetDelta
+      if (k == null) r.varint(-1) else { r.varint(k.length); r.raw(k) }
+      if (v == null) r.varint(-1) else { r.varint(v.length); r.raw(v) }
+      r.varint(0)                        // headers
+      val rb = r.result()
+      recs.varint(rb.length); recs.raw(rb)
+    }
+    // body from `attributes` onward — the CRC32C covers exactly this
+    val body = new Writer
+    body.i16(codec & 0x7)                // attributes: codec, CreateTime
+    body.i32(records.length - 1)         // lastOffsetDelta
+    body.i64(baseTs)                     // baseTimestamp
+    body.i64(maxTs)                      // maxTimestamp
+    body.i64(-1L)                        // producerId
+    body.i16(-1)                         // producerEpoch
+    body.i32(-1)                         // baseSequence
+    body.i32(records.length)             // record count
+    body.raw(compress(codec, recs.result()))
+    val bodyBytes = body.result()
+    val crc = new CRC32C
+    crc.update(bodyBytes, 0, bodyBytes.length)
+    val w = new Writer
+    w.i64(baseOffset)
+    w.i32(4 + 1 + 4 + bodyBytes.length)  // batchLength: leaderEpoch..end
+    w.i32(-1)                            // partitionLeaderEpoch
+    w.i8(2)                              // magic
+    w.i32(crc.getValue.toInt)            // crc (u32 as i32 bits)
+    w.raw(bodyBytes)
+    w.result()
+  }
+
+  /** Decode a record-SET (zero or more batches back to back, as a Fetch
+    * response carries them — possibly with a trailing partial batch the
+    * broker truncated at maxBytes, which is skipped). Verifies each
+    * batch's CRC32C before touching the payload; decompresses
+    * gzip/snappy/lz4-frame/zstd records sections.
+    */
+  def decodeBatches(data: Array[Byte]): Vector[Record] = {
+    if (data == null || data.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[Record]
+    var pos = 0
+    while (pos + 12 <= data.length) {
+      val hdr = new Reader(ByteBuffer.wrap(data, pos, data.length - pos).slice())
+      val baseOffset = hdr.i64()
+      val batchLength = hdr.i32()
+      if (pos + 12 + batchLength > data.length) return out.result() // truncated tail
+      hdr.i32()                          // partitionLeaderEpoch
+      val magic = hdr.i8()
+      require(magic == 2, s"kafka wire: record batch magic $magic (only v2 supported)")
+      val crcStored = hdr.i32()
+      val bodyLen = batchLength - 9      // minus leaderEpoch(4)+magic(1)+crc(4)...
+      // batchLength counts from leaderEpoch; body (crc-covered) starts
+      // after crc: batchLength - 4 (epoch) - 1 (magic) - 4 (crc)
+      val bodyStart = pos + 12 + 4 + 1 + 4
+      val crc = new CRC32C
+      crc.update(data, bodyStart, batchLength - 9)
+      require(crc.getValue.toInt == crcStored,
+        s"kafka wire: record batch CRC mismatch at offset $baseOffset")
+      val hdrR = new Reader(ByteBuffer.wrap(data, bodyStart, bodyLen).slice())
+      val attributes = hdrR.i16()
+      val codec = attributes & 0x7
+      val isControl = (attributes & 0x20) != 0
+      hdrR.i32()                         // lastOffsetDelta
+      val baseTs = hdrR.i64()
+      hdrR.i64()                         // maxTimestamp
+      hdrR.i64(); hdrR.i16(); hdrR.i32() // producer id/epoch/sequence
+      val count = hdrR.i32()
+      val body =
+        if (codec == CodecNone) hdrR
+        else new Reader(decompress(codec, hdrR.raw(hdrR.remaining)))
+      var i = 0
+      while (i < count) {
+        val recLen = body.varint()
+        val recEnd = body.position + recLen
+        body.i8()                        // record attributes
+        val tsDelta = body.varlong()
+        val offDelta = body.varint()
+        val kLen = body.varint()
+        val k = if (kLen < 0) null else body.raw(kLen)
+        val vLen = body.varint()
+        val v = if (vLen < 0) null else body.raw(vLen)
+        body.skip(recEnd - body.position) // headers (ignored)
+        if (!isControl)
+          out += Record(baseOffset + offDelta, baseTs + tsDelta, k, v)
+        i += 1
+      }
+      pos += 12 + batchLength
+    }
+    out.result()
+  }
+
+  // ---- request/response framing ----
+
+  val ApiProduce = 0
+  val ApiFetch = 1
+  val ApiListOffsets = 2
+  val ApiMetadata = 3
+  val ApiVersions = 18
+
+  val EarliestTs: Long = -2L
+  val LatestTs: Long = -1L
+
+  final case class PartitionMeta(partition: Int, leader: Int)
+  final case class TopicMeta(name: String, partitions: Vector[PartitionMeta])
+  final case class FetchResult(highWatermark: Long, records: Vector[Record])
+
+  /** Minimal blocking client: one socket, strictly request→response
+    * (Kafka guarantees in-order responses per connection). Thread-safe
+    * via a per-call lock; readers each hold their own instance.
+    */
+  final class Client(host: String, port: Int,
+                     clientId: String = "graft") extends AutoCloseable {
+    private val socket = new Socket(InetAddress.getByName(host), port)
+    socket.setTcpNoDelay(true)
+    private val out = new DataOutputStream(socket.getOutputStream)
+    private val in = new DataInputStream(socket.getInputStream)
+    private var correlation = 0
+
+    private def call(apiKey: Int, version: Int,
+                     body: Writer => Unit): Reader = synchronized {
+      correlation += 1
+      val w = new Writer
+      w.i16(apiKey); w.i16(version); w.i32(correlation); w.str(clientId)
+      body(w)
+      val payload = w.result()
+      out.writeInt(payload.length)
+      out.write(payload)
+      out.flush()
+      val respLen = in.readInt()
+      require(respLen >= 4 && respLen < (1 << 26),
+        s"kafka wire: bad response frame length $respLen")
+      val resp = new Array[Byte](respLen)
+      in.readFully(resp)
+      val r = new Reader(resp)
+      val corr = r.i32()
+      require(corr == correlation,
+        s"kafka wire: correlation mismatch ($corr != $correlation)")
+      r
+    }
+
+    /** ApiVersions v0 → (apiKey → (min, max)). */
+    def apiVersions(): Map[Int, (Int, Int)] = {
+      val r = call(ApiVersions, 0, _ => ())
+      val err = r.i16()
+      require(err == 0, s"kafka wire: ApiVersions error $err")
+      r.array(rr => (rr.i16().toInt, (rr.i16().toInt, rr.i16().toInt))).toMap
+    }
+
+    /** Metadata v1 over the named topics (all topics if empty). */
+    def metadata(topics: Seq[String]): Vector[TopicMeta] = {
+      val r = call(ApiMetadata, 1, w =>
+        if (topics.isEmpty) w.i32(-1) else w.array(topics)((ww, t) => ww.str(t)))
+      r.array { b => // brokers
+        b.i32(); b.str(); b.i32(); b.str()
+      }
+      r.i32() // controllerId
+      r.array { t =>
+        val err = t.i16()
+        val name = t.str()
+        t.i8() // isInternal
+        val parts = t.array { p =>
+          val perr = p.i16()
+          val idx = p.i32()
+          val leader = p.i32()
+          p.array(_.i32()); p.array(_.i32()) // replicas, isr
+          require(perr == 0, s"kafka wire: metadata partition error $perr")
+          PartitionMeta(idx, leader)
+        }
+        require(err == 0, s"kafka wire: metadata topic error $err for $name")
+        TopicMeta(name, parts.sortBy(_.partition))
+      }
+    }
+
+    /** ListOffsets v1: timestamp -2 = earliest, -1 = latest (log end). */
+    def listOffset(topic: String, partition: Int, timestamp: Long): Long = {
+      val r = call(ApiListOffsets, 1, { w =>
+        w.i32(-1) // replicaId (consumer)
+        w.array(Seq(topic)) { (ww, t) =>
+          ww.str(t)
+          ww.array(Seq(partition)) { (www, p) => www.i32(p); www.i64(timestamp) }
+        }
+      })
+      var result = -1L
+      r.array { t =>
+        t.str()
+        t.array { p =>
+          p.i32()
+          val err = p.i16()
+          require(err == 0, s"kafka wire: ListOffsets error $err")
+          p.i64() // timestamp
+          result = p.i64()
+        }
+      }
+      result
+    }
+
+    /** Produce v3 (acks=-1): returns the batch's assigned base offset. */
+    def produce(topic: String, partition: Int,
+                records: Seq[(Long, Array[Byte], Array[Byte])],
+                codec: Int = CodecNone): Long =
+      produceRaw(topic, partition, encodeBatch(0L, records, codec)) // broker re-bases
+
+    /** Produce a PRE-ENCODED record set (one or more batches back to
+      * back) — lets executors encode where the rows live and ship
+      * bytes, the distributed-producer shape.
+      */
+    def produceRaw(topic: String, partition: Int,
+                   batch: Array[Byte]): Long = {
+      val r = call(ApiProduce, 3, { w =>
+        w.str(null) // transactionalId
+        w.i16(-1)   // acks: full ISR
+        w.i32(30000)
+        w.array(Seq(topic)) { (ww, t) =>
+          ww.str(t)
+          ww.array(Seq(partition)) { (www, p) => www.i32(p); www.bytes(batch) }
+        }
+      })
+      var base = -1L
+      r.array { t =>
+        t.str()
+        t.array { p =>
+          p.i32()
+          val err = p.i16()
+          require(err == 0, s"kafka wire: Produce error $err")
+          base = p.i64()
+          p.i64() // logAppendTime
+        }
+      }
+      r.i32() // throttle
+      base
+    }
+
+    /** Fetch v4 from `offset`, up to `maxBytes` (the broker always
+      * includes at least one full batch even above maxBytes, so
+      * progress is guaranteed).
+      */
+    def fetch(topic: String, partition: Int, offset: Long,
+              maxBytes: Int = 1 << 20): FetchResult = {
+      val r = call(ApiFetch, 4, { w =>
+        w.i32(-1)        // replicaId
+        w.i32(100)       // maxWaitMs
+        w.i32(1)         // minBytes
+        w.i32(maxBytes)  // response maxBytes
+        w.i8(0)          // isolationLevel: read_uncommitted
+        w.array(Seq(topic)) { (ww, t) =>
+          ww.str(t)
+          ww.array(Seq(partition)) { (www, p) =>
+            www.i32(p); www.i64(offset); www.i32(maxBytes)
+          }
+        }
+      })
+      r.i32() // throttle
+      var hw = -1L
+      var recs = Vector.empty[Record]
+      r.array { t =>
+        t.str()
+        t.array { p =>
+          p.i32()
+          val err = p.i16()
+          require(err == 0, s"kafka wire: Fetch error $err")
+          hw = p.i64()
+          p.i64()          // lastStableOffset
+          p.array { a => a.i64(); a.i64() } // abortedTransactions
+          val data = p.bytes()
+          recs = decodeBatches(data)
+        }
+      }
+      FetchResult(hw, recs)
+    }
+
+    override def close(): Unit =
+      try socket.close() catch { case _: java.io.IOException => () }
+  }
+}

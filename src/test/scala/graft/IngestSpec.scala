@@ -422,6 +422,12 @@ class IngestSpec extends AnyFunSuite {
     assert(wp.count() > 0)
     val wpB = graft.queries.StreamQueries.replayBatches("stream_wire_prom_sink")
     assert(wpB > 1, s"wire-prom expected >1 data-bearing micro-batch, got $wpB")
+    // the kafka-wire streamed ingest: maxOffsetsPerTrigger rations the
+    // broker log into offset ranges — windowed state must span them
+    val kf = graft.queries.StreamQueries.queries("stream_kafka_ingest")(spark, sf)
+    assert(kf.count() > 0)
+    val kfB = graft.queries.StreamQueries.replayBatches("stream_kafka_ingest_sink")
+    assert(kfB > 1, s"kafka expected >1 data-bearing micro-batch, got $kfB")
   }
 
   test("candlestickStats in batch mode equals the batch candlestick operator") {
