@@ -74,11 +74,14 @@ object AdminDcl {
     }
   }
 
-  // which meta path each engine last loaded — a save must never
-  // clobber a path the in-memory catalog was not hydrated from
+  // which meta path each engine last loaded, and that file's
+  // modification time at load/save — a save must never clobber a path
+  // the in-memory catalog was not hydrated from, and a SECOND session
+  // sharing the same path must pick up the first's mutations instead
+  // of last-writer-wins overwriting them
   private val loadedPaths =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String]())
+      new java.util.WeakHashMap[SparkSession, (String, Long)]())
 
   /** Execute one DCL statement under the conf-derived session context;
     * persist the catalog afterwards when a meta path is configured.
@@ -88,15 +91,21 @@ object AdminDcl {
   def exec(spark: SparkSession, sqlText: String): Seq[Row] = {
     val e = engineFor(spark)
     e.synchronized {
-      // hydrate from the CURRENT conf's meta path before mutating: an
-      // engine created before the conf was set (or pointed at a new
-      // path) must merge-load, not blind-save over persisted state
+      // hydrate from the CURRENT conf's meta path before EVERY
+      // statement when the file changed since our last load/save: an
+      // engine created before the conf was set must merge-load rather
+      // than blind-save over persisted state, and a second session
+      // sharing the path (newSession()) must see the first's mutations
+      // instead of overwriting them. Statements stay read-modify-write
+      // at statement granularity; true concurrent writers on one path
+      // still need external coordination (documented constraint).
       spark.conf.getOption(MetaPathKey).foreach { p =>
-        if (loadedPaths.get(spark) != p) {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(hp)) e.catalog.load(spark, p)
-          loadedPaths.put(spark, p)
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mtime = if (fs.exists(hp)) fs.getFileStatus(hp).getModificationTime else -1L
+        if (loadedPaths.get(spark) != ((p, mtime))) {
+          if (mtime >= 0L) e.catalog.load(spark, p)
+          loadedPaths.put(spark, (p, mtime))
         }
       }
       e.session.tenant = spark.conf.get(graft.functions.SessionFunctions.TenantKey, "cnosdb")
@@ -106,7 +115,12 @@ object AdminDcl {
         case Some(df) => df.collect().toSeq // SHOW TENANTS/QUERIES: catalog-bounded
       }
       if (!sqlText.trim.toUpperCase.startsWith("SHOW"))
-        spark.conf.getOption(MetaPathKey).foreach(p => e.catalog.save(spark, p))
+        spark.conf.getOption(MetaPathKey).foreach { p =>
+          e.catalog.save(spark, p)
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          loadedPaths.put(spark, (p, fs.getFileStatus(hp).getModificationTime))
+        }
       res
     }
   }

@@ -621,10 +621,21 @@ final class AdminEngine(
     // underscore-form reference (sys views). Analysis in spark.sql is
     // eager, so the returned frame stays valid after the drop.
     val registered = scala.collection.mutable.ArrayBuffer.empty[String]
+    // createTempView (NOT createOrReplace): if the shared session
+    // already holds a user temp view under this name, replacing it and
+    // dropping it in the finally would permanently destroy state
+    // outside the admin surface — fail loudly instead
+    def registerView(df: DataFrame, name: String): Unit = {
+      try df.createTempView(name)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        AdminError.semantic(
+          s"temporary view '$name' already exists in this SparkSession; " +
+          "drop it before running admin SQL that references that name") }
+      registered += name
+    }
     try {
       sysRefs.foreach { case (schema, tbl) =>
-        sysTable(schema, tbl).createOrReplaceTempView(s"${schema}_$tbl")
-        registered += s"${schema}_$tbl"
+        registerView(sysTable(schema, tbl), s"${schema}_$tbl")
       }
       // register the current database's tables (only those referenced);
       // the Read gate applies whether or not the table has data yet
@@ -637,17 +648,15 @@ final class AdminEngine(
             .findFirstIn(q).isDefined
           if (referenced) {
             requireOnDb(session.tenant, session.database, "Read")
-            if (fs.exists(path)) readTable(session.database, tn).createOrReplaceTempView(tn)
+            if (fs.exists(path)) registerView(readTable(session.database, tn), tn)
             else {
               val tdef = catalog.table(session.tenant, session.database, tn)
               val schema = StructType(tdef.columns.sortBy(_.ordinal).map { c =>
                 if (c.colType == "TIME") StructField("time", TimestampType)
                 else StructField(c.name, if (c.colType == "TAG") StringType else sparkType(c.dataType))
               })
-              spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-                .createOrReplaceTempView(tn)
+              registerView(spark.createDataFrame(new java.util.ArrayList[Row](), schema), tn)
             }
-            registered += tn
           }
         }
       }

@@ -52,6 +52,20 @@ final case class TableDef(name: String, columns: Vector[ColumnDef],
   def fields: Vector[ColumnDef] = columns.filter(_.colType == "FIELD")
 }
 
+/** One declared column of a STREAM TABLE (name + declared type). */
+final case class StreamColDef(name: String, dataType: String)
+
+/** A stream table: a named streaming VIEW over a tskv source table —
+  * the reference's `CREATE STREAM TABLE .. WITH (db, table,
+  * event_time_column) engine = tskv` (the stream sqllogic suite,
+  * ddl/create_stream_table.slt). Carries no storage of its own; the
+  * Spark execution is readStream over the source table's parquet path
+  * with a watermark on `eventTimeColumn`.
+  */
+final case class StreamTableDef(name: String, columns: Vector[StreamColDef],
+                                db: String, table: String,
+                                eventTimeColumn: String)
+
 /** Database options. Display/default semantics mirror
   * information_schema.databases: ("INF", 1, "1year", 1, "NS",
   * "128 MiB", 16, "128 MiB", false, false, 32) for a bare CREATE
@@ -67,7 +81,8 @@ final case class DatabaseDef(
     replica: Int = 1,
     precision: String = "NS",
     hidden: Boolean = false,
-    tables: Map[String, TableDef] = Map.empty)
+    tables: Map[String, TableDef] = Map.empty,
+    streamTables: Map[String, StreamTableDef] = Map.empty)
 
 final case class RoleDef(name: String, inherit: String) // inherit ∈ {owner, member}
 
@@ -145,6 +160,11 @@ final class MetaCatalog {
   def validateName(n: String): String = {
     if (n.trim.isEmpty) AdminError.parser("Name cannot be empty or contain only spaces")
     if (n.contains("/")) AdminError.parser(s"not supported keyword contains '/': $n")
+    // quoted identifiers bypass the tokenizer's charset, and these names
+    // become lake directories — "." / ".." / backslashes would escape
+    // the tenant/db prefix on a path-joining filesystem
+    if (n == "." || n == ".." || n.contains("\\"))
+      AdminError.parser(s"not supported keyword contains path traversal: $n")
     n
   }
 
@@ -404,6 +424,10 @@ final class MetaCatalog {
 
   def createTable(tenantName: String, db: String, t: TableDef,
                   ifNotExists: Boolean): Unit = {
+    // same rules as tenants/databases: the name becomes a storage path
+    // under tenant/db, so '/' (and quoted "../x") must be rejected here
+    // too — ddl/create_table.slt pins 'tb/1' as a parse error
+    validateName(t.name)
     val d = database(tenantName, db)
     if (d.tables.contains(t.name)) {
       if (!ifNotExists) AdminError.meta(s"Table already exists: \"${t.name}\"")
@@ -431,7 +455,12 @@ final class MetaCatalog {
     tenants.clear(); users.clear(); resources.clear()
     s.tenants.foreach(t => tenants(t.name) = t)
     s.users.foreach(u => users(u.name) = u)
-    s.resources.foreach(r => resources(r.name) = r)
+    // re-derive the composite map key — every mutation path keys by
+    // action|tenant|db; keying by the DISPLAY name here would strand a
+    // RECOVERed drop as status=Schedule after a save/load round-trip
+    // (resources.get(key) misses) and runDueResources would then drop
+    // the recovered database/tenant
+    s.resources.foreach(r => resources(s"${r.action}|${r.tenant}|${r.db}") = r)
   }
 
   /** Persist the catalog as one JSON document beside the lake, via the

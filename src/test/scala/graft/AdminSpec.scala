@@ -575,4 +575,59 @@ class AdminSpec extends AnyFunSuite {
     e.execute("CREATE DATABASE nottl")
     assert(e.enforceTtl("nottl", lake, asOf).isEmpty)
   }
+
+  // ---- persistence vs the deferred-drop queue ------------------------
+
+  test("restore re-derives composite resource keys: RECOVER sticks after a save/load round-trip") {
+    var now = 1700000000000000000L
+    val root = java.nio.file.Files.createTempDirectory("graft_admin_spec").toString
+    val e = new AdminEngine(spark, new MetaCatalog, root, () => now)
+    e.execute("CREATE DATABASE rdb")
+    e.execute("DROP DATABASE rdb AFTER '1h'")
+    e.execute("CREATE TENANT rt")
+    e.execute("DROP TENANT rt AFTER '1h'")
+    val path = java.nio.file.Files.createTempDirectory("graft_admin_meta").toString + "/meta.json"
+    e.catalog.save(spark, s"file:$path")
+
+    // fresh engine hydrated from disk — the armed drops came back under
+    // their composite keys, so RECOVER can find and Cancel them
+    val e2 = new AdminEngine(spark, new MetaCatalog, root, () => now)
+    e2.catalog.load(spark, s"file:$path")
+    e2.execute("RECOVER DATABASE rdb")
+    e2.execute("RECOVER TENANT rt")
+    now += 3601L * 1000000000L
+    e2.catalog.runDueResources(now)
+    // neither recovered object was dropped by the (cancelled) deadline
+    assert(rows(e2, "select database_name from information_schema.databases where database_name='rdb'").nonEmpty)
+    e2.execute("ALTER TENANT rt SET comment='alive'") // throws if rt was dropped
+    assert(rows(e2, "select status from information_schema.resource_status").forall(_ == Seq("Cancel")))
+  }
+
+  test("table names are path-validated like tenants/databases") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE tnv"); e.execute("--#DATABASE=tnv")
+    val slash = err(e, "CREATE TABLE 'tb/1'(v DOUBLE, TAGS(h))")
+    assert(slash.kind == "sql parser error" && slash.message.contains("/"))
+    val dots = err(e, "CREATE TABLE '..'(v DOUBLE, TAGS(h))")
+    assert(dots.kind == "sql parser error")
+    assert(rows(e, "select table_name from information_schema.tables where database_name='tnv'").isEmpty)
+  }
+
+  test("select never clobbers a pre-existing session temp view") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE cv"); e.execute("--#DATABASE=cv")
+    e.execute("CREATE TABLE mcv(v DOUBLE, TAGS(h))")
+    spark.range(3).createOrReplaceTempView("mcv")
+    spark.range(5).createOrReplaceTempView("information_schema_tables")
+    try {
+      assert(err(e, "SELECT v FROM mcv").message.contains("already exists"))
+      assert(err(e, "SELECT * FROM information_schema.tables").message.contains("already exists"))
+      // the user's views survived untouched
+      assert(spark.table("mcv").count() == 3)
+      assert(spark.table("information_schema_tables").count() == 5)
+    } finally {
+      spark.catalog.dropTempView("mcv")
+      spark.catalog.dropTempView("information_schema_tables")
+    }
+  }
 }

@@ -78,6 +78,26 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.admin.AdminDcl.MetaPathKey)
   }
 
+  test("two sessions sharing one metaPath see each other's mutations (no last-writer-wins)") {
+    val meta = java.nio.file.Files.createTempDirectory("graft_ext_meta2").toString + "/meta.json"
+    val s2 = spark.newSession()
+    spark.conf.set(graft.admin.AdminDcl.MetaPathKey, s"file:$meta")
+    s2.conf.set(graft.admin.AdminDcl.MetaPathKey, s"file:$meta")
+    try {
+      spark.sql("CREATE TENANT share_a")
+      s2.sql("CREATE TENANT share_b")    // hydrates share_a first, then saves both
+      spark.sql("CREATE TENANT share_c") // re-hydrates (mtime changed) → sees share_b
+      val n1 = spark.sql("SHOW TENANTS").collect().map(_.getString(0)).toSet
+      val n2 = s2.sql("SHOW TENANTS").collect().map(_.getString(0)).toSet
+      assert(Set("share_a", "share_b", "share_c").subsetOf(n1), n1.toString)
+      assert(Set("share_a", "share_b", "share_c").subsetOf(n2), n2.toString)
+      Seq("share_a", "share_b", "share_c").foreach(t => spark.sql(s"DROP TENANT $t"))
+    } finally {
+      spark.conf.unset(graft.admin.AdminDcl.MetaPathKey)
+      s2.conf.unset(graft.admin.AdminDcl.MetaPathKey)
+    }
+  }
+
   test("extension-registered functions resolve in plain SQL") {
     val row = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
