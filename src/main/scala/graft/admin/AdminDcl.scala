@@ -32,13 +32,17 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
 object AdminDcl {
 
   val UserKey = "spark.graft.user"
+  val DatabaseKey = "spark.graft.database"
   val MetaPathKey = "spark.graft.admin.metaPath"
   val DataRootKey = "spark.graft.admin.dataRoot"
 
   /** Statement shapes this front owns. Deliberately EXCLUDES every
     * form Spark's own parser accepts. */
   private val Dcl =
-    "(?is)^\\s*(?:(?:CREATE|ALTER|DROP)\\s+(?:TENANT|USER|ROLE)|RECOVER\\s+(?:TENANT|DATABASE)|(?:GRANT|REVOKE)\\s+(?:READ|WRITE|ALL)\\s+ON\\s+DATABASE|SHOW\\s+(?:TENANTS|QUERIES))\\b.*".r
+    ("(?is)^\\s*(?:(?:CREATE|ALTER|DROP)\\s+(?:TENANT|USER|ROLE)|RECOVER\\s+(?:TENANT|DATABASE)" +
+      "|(?:GRANT|REVOKE)\\s+(?:READ|WRITE|ALL)\\s+ON\\s+DATABASE" +
+      "|SHOW\\s+(?:TENANTS|QUERIES|SERIES|TAG\\s+VALUES)" +
+      "|CREATE\\s+STREAM\\s+TABLE)\\b.*").r
 
   def matches(sqlText: String): Boolean = Dcl.matches(sqlText)
 
@@ -52,6 +56,8 @@ object AdminDcl {
     val up = sqlText.trim.toUpperCase.replaceAll("\\s+", " ")
     if (up.startsWith("SHOW TENANTS")) Seq(attr("tenant_name"))
     else if (up.startsWith("SHOW QUERIES")) AdminEngine.QueriesColumns.map(attr)
+    else if (up.startsWith("SHOW SERIES")) Seq(attr("key"))
+    else if (up.startsWith("SHOW TAG VALUES")) Seq(attr("key"), attr("value"))
     else Nil
   }
 
@@ -110,6 +116,7 @@ object AdminDcl {
       }
       e.session.tenant = spark.conf.get(graft.functions.SessionFunctions.TenantKey, "cnosdb")
       e.session.user = spark.conf.get(UserKey, "root")
+      e.session.database = spark.conf.get(DatabaseKey, "public")
       val res = e.execute(sqlText) match {
         case None     => Nil
         case Some(df) => df.collect().toSeq // SHOW TENANTS/QUERIES: catalog-bounded

@@ -180,7 +180,7 @@ final class AdminEngine(
         case "REVOKE"   => p.next(); revokeStmt(p); None
         case "DESCRIBE" => p.next(); Some(describe(p))
         case "SHOW"     => p.next(); Some(show(p))
-        case "INSERT"   => p.next(); Some(insert(p))
+        case "INSERT"   => p.next(); Some(insert(p, stripped))
         case "SELECT"   => Some(select(stripped))
         case other      => AdminError.parser(s"Expected statement, found: $other")
       }
@@ -239,6 +239,9 @@ final class AdminEngine(
       // configured database
       p.peekUpperOpt.foreach(t => AdminError.parser(s"Expected end of statement, found: $t"))
       catalog.createDatabase(session.tenant, name, ine, d)
+    case "STREAM" =>
+      p.expectKw("TABLE")
+      createStreamTable(p)
     case "TABLE" =>
       val ine = p.tryIfNotExists()
       val (db, name) = p.qualifiedName(session.database)
@@ -271,6 +274,62 @@ final class AdminEngine(
       if (dup.nonEmpty) AdminError.semantic(s"Column already exists: ${dup.head}")
       catalog.createTable(session.tenant, db, TableDef(name, cols), ine)
     case other => AdminError.parser(s"Expected object type after CREATE, found: $other")
+  }
+
+  /** CREATE STREAM TABLE name (col TYPE, ..) WITH (db=, table=,
+    * event_time_column=) engine = tskv — grammar, validation order and
+    * error wording from the reference's stream sqllogic suite
+    * (syntax.slt, stream_table_create.slt, ddl/create_stream_table.slt).
+    */
+  private def createStreamTable(p: AdminParser): Unit = {
+    val ine = p.tryIfNotExists()
+    val (db, name) = p.qualifiedName(session.database)
+    requireOnDb(session.tenant, db, "Write")
+    p.expectSym("(")
+    var cols = Vector.empty[StreamColDef]
+    var more = true
+    while (more) {
+      val cn = p.name(); val dt = p.dataType()
+      cols = cols :+ StreamColDef(cn, dt)
+      more = p.trySym(",")
+    }
+    p.expectSym(")")
+    // 1. duplicate column names (fires before source resolution —
+    //    stream_table_create.slt's dup case names columns the source
+    //    lacks and still gets the same-name error)
+    cols.groupBy(_.name.toLowerCase).collectFirst { case (n, g) if g.size > 1 => n }
+      .foreach(n => AdminError.semantic(s"Field or Tag have the same name $n"))
+    p.expectKw("WITH"); p.expectSym("(")
+    val opts = p.optionAssignments()
+    p.expectSym(")")
+    p.expectKw("ENGINE"); p.expectSym("=")
+    val engine = p.name()
+    val lname = name.toLowerCase
+    // 2. required options, in the reference's order
+    val srcDb = opts.getOrElse("db",
+      AdminError.semantic(s"Missing option [db] of table $lname"))
+    val srcTable = opts.getOrElse("table",
+      AdminError.semantic(s"Missing option [table] of table $lname"))
+    val etc = opts.getOrElse("event_time_column",
+      AdminError.semantic(s"Missing option [event_time_column] of table $lname"))
+    // 3. engine
+    if (!engine.equalsIgnoreCase("tskv"))
+      AdminError.semantic(s"Unsupported stream type: $engine")
+    // 4. the source table must exist and every declared column (and the
+    //    event-time column) must be one of its fields
+    val srcT = catalog.table(session.tenant, srcDb, srcTable)
+    val valid = "time" +: srcT.columns.filter(_.colType != "TIME").sortBy(_.ordinal).map(_.name)
+    def requireField(cn: String): Unit =
+      if (!valid.contains(cn)) AdminError.schema(
+        s"""Unable to get field named "$cn". Valid fields: [${valid.map(v => "\"" + v + "\"").mkString(", ")}]""")
+    cols.foreach(c => requireField(c.name))
+    requireField(etc)
+    // 5. the event-time column must be the source's timestamp (`time`
+    //    is the only timestamp column a tskv table has)
+    if (etc != "time") AdminError.semantic(
+      s"Invalid option [event_time_column] of table $lname: The data type of column '$etc' is not timestamp")
+    catalog.createStreamTable(session.tenant, db,
+      StreamTableDef(name, cols, srcDb, srcTable, etc), ine)
   }
 
   // ---- ALTER ---------------------------------------------------------
@@ -328,6 +387,10 @@ final class AdminEngine(
     case "TABLE" =>
       val (db, name) = p.qualifiedName(session.database)
       requireOnDb(session.tenant, db, "Write")
+      // stream tables reject ALTER with the reference's wording
+      // (stream/unsupport_op.slt)
+      if (catalog.database(session.tenant, db).streamTables.contains(name))
+        AdminError.notImplemented("only tskv table support alter")
       p.nextUpper match {
         case "ADD" =>
           p.nextUpper match {
@@ -491,7 +554,153 @@ final class AdminEngine(
     case "QUERIES" =>
       requireMember(session.tenant)
       sysTable("information_schema", "queries")
+    case "SERIES" => showSeries(p)
+    case "TAG"    => p.expectKw("VALUES"); showTagValues(p)
     case other => AdminError.parser(s"Expected DATABASES/TABLES/TENANTS/QUERIES, found: $other")
+  }
+
+  // ---- SHOW SERIES / SHOW TAG VALUES (dql/show_series.slt,
+  // dql/show_tag_values.slt) ------------------------------------------
+
+  /** Reconstruct a WHERE clause (up to ORDER/eof) as Spark SQL text. */
+  private def parseWhere(p: AdminParser): Option[String] =
+    if (!p.tryKw("WHERE")) None
+    else {
+      val sb = new StringBuilder
+      while (!p.done && !p.peekUpperOpt.contains("ORDER"))
+        sb.append(p.nextRendered()).append(' ')
+      Some(sb.toString.trim)
+    }
+
+  /** ORDER BY over the statement's fixed output schema; any other
+    * column is the reference's schema error. */
+  private def parseOrderByDirs(p: AdminParser, valid: Set[String],
+                               validDesc: String): Vector[(String, Boolean)] =
+    if (!p.tryKw("ORDER")) Vector.empty
+    else {
+      p.expectKw("BY")
+      val b = Vector.newBuilder[(String, Boolean)]
+      var more = true
+      while (more) {
+        val c = p.name().toLowerCase
+        if (!valid.contains(c))
+          AdminError.schema(s"No field named $c. Valid fields are $validDesc.")
+        val asc = if (p.tryKw("ASC")) true else !p.tryKw("DESC")
+        b += ((c, asc))
+        more = p.trySym(",")
+      }
+      b.result()
+    }
+
+  /** The WHERE clause may reference tags and time only — a FIELD is
+    * the reference's semantic error (wording says SHOW SERIES for both
+    * statements — the reference shares the code path). */
+  private def requireTagTimeOnly(cond: Option[String], t: TableDef): Unit =
+    cond.foreach { c =>
+      val e = spark.sessionState.sqlParser.parseExpression(c)
+      val names = e.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }
+      val fields = t.fields.map(_.name.toLowerCase).toSet
+      names.find(n => fields.contains(n.toLowerCase)).foreach(f =>
+        AdminError.semantic(s"SHOW SERIES does not support where clause contains field $f"))
+    }
+
+  private def orderedBy(df: DataFrame, order: Vector[(String, Boolean)],
+                        default: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (order.isEmpty) df.orderBy(default.map(col): _*)
+    else df.orderBy(order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+  }
+
+  /** SHOW SERIES [ON db] FROM tbl [WHERE ..] [ORDER BY key] — one
+    * `key` column "tbl,tagA=vA,tagB=vB" listing each DISTINCT tag
+    * combination present; null tags are omitted from the key, empty
+    * strings kept (`t0=`). The scan is a distinct over the tag columns
+    * only — column pruning reaches the parquet scan, so at 100 TB this
+    * reads the tag dictionary pages, not the fields.
+    */
+  private def showSeries(p: AdminParser): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val db = if (p.tryKw("ON")) p.name() else session.database
+    if (!p.tryKw("FROM"))
+      AdminError.parser(s"Expected FROM, found: ${p.peekUpperOpt.getOrElse(";")}")
+    val tbl = p.name()
+    val cond = parseWhere(p)
+    val order = parseOrderByDirs(p, Set("key"), "key")
+    // parse errors (e.g. a qualified `db.tbl` after FROM) fire before
+    // any catalog resolution — dql/show_series.slt pins the wording
+    p.peekUpperOpt.foreach(t => AdminError.parser(s"Expected end of statement, found: $t"))
+    requireOnDb(session.tenant, db, "Read")
+    val t = catalog.table(session.tenant, db, tbl)
+    requireTagTimeOnly(cond, t)
+    val df0 = readTableOrEmpty(db, tbl)
+    val filtered = cond.map(c => df0.where(expr(c))).getOrElse(df0)
+    val tags = t.tags.sortBy(_.ordinal)
+    val keyCol =
+      if (tags.isEmpty) lit(tbl)
+      else concat((lit(tbl) +: tags.map(tg =>
+        when(col(tg.name).isNull, lit(""))
+          .otherwise(concat(lit(s",${tg.name}="), col(tg.name))))): _*)
+    orderedBy(filtered.select(keyCol.as("key")).distinct(), order, Seq("key"))
+  }
+
+  /** SHOW TAG VALUES [ON db] FROM tbl WITH KEY =|!=|IN|NOT IN (..)
+    * [WHERE ..] [ORDER BY key,value] — distinct (tag name, value)
+    * pairs with non-null values. WITH is mandatory. */
+  private def showTagValues(p: AdminParser): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val db = if (p.tryKw("ON")) p.name() else session.database
+    if (!p.tryKw("FROM"))
+      AdminError.parser(s"Expected FROM, found: ${p.peekUpperOpt.getOrElse(";")}")
+    val tbl = p.name()
+    if (!p.tryKw("WITH"))
+      AdminError.parser(s"Expected WITH, found: ${p.peekUpperOpt.getOrElse(";")}")
+    p.expectKw("KEY")
+    requireOnDb(session.tenant, db, "Read")
+    val t = catalog.table(session.tenant, db, tbl)
+    val allTags = t.tags.sortBy(_.ordinal).map(_.name)
+    val selected: Vector[String] = p.peekUpperOpt match {
+      case Some("=")  => p.next(); val k = p.name(); allTags.filter(_ == k)
+      case Some("!=") => p.next(); val k = p.name(); allTags.filterNot(_ == k)
+      case Some("IN") =>
+        p.next(); p.expectSym("("); val ks = p.nameList(); p.expectSym(")")
+        allTags.filter(ks.contains)
+      case Some("NOT") =>
+        p.next(); p.expectKw("IN"); p.expectSym("("); val ks = p.nameList(); p.expectSym(")")
+        allTags.filterNot(ks.contains)
+      case other => AdminError.parser(s"Expected =, !=, IN or NOT IN, found: ${other.getOrElse(";")}")
+    }
+    val cond = parseWhere(p)
+    val order = parseOrderByDirs(p, Set("key", "value"), "key, value")
+    requireTagTimeOnly(cond, t)
+    if (selected.isEmpty)
+      return orderedBy(mkDf(Seq("key", "value"), Nil, Seq(StringType, StringType)),
+        order, Seq("key", "value"))
+    val df0 = readTableOrEmpty(db, tbl)
+    val filtered = cond.map(c => df0.where(expr(c))).getOrElse(df0)
+    // one pass: stack the selected tag columns into (key, value) rows
+    val stacked = filtered.selectExpr(
+      s"stack(${selected.size}, ${selected.map(tg => s"'$tg', `$tg`").mkString(", ")}) as (key, value)")
+      .where(col("value").isNotNull)
+      .distinct()
+    orderedBy(stacked, order, Seq("key", "value"))
+  }
+
+  /** readTable when storage exists; the table's empty typed frame
+    * otherwise (a created-but-never-written table has no series). */
+  private def readTableOrEmpty(db: String, name: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(tablePath(db, name))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) readTable(db, name)
+    else {
+      val t = catalog.table(session.tenant, db, name)
+      val schema = StructType(t.columns.sortBy(_.ordinal).map { c =>
+        if (c.colType == "TIME") StructField("time", TimestampType)
+        else StructField(c.name, if (c.colType == "TAG") StringType else sparkType(c.dataType))
+      })
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
   }
 
   // ---- INSERT / SELECT (data path — real Spark storage) --------------
@@ -511,15 +720,26 @@ final class AdminEngine(
     case "NS" => 1L; case "US" => 1000L; case "MS" => 1000000L
   }
 
-  private def insert(p: AdminParser): DataFrame = {
+  private def insert(p: AdminParser, raw: String): DataFrame = {
     p.expectKw("INTO")
     val (db, name) = p.qualifiedName(session.database)
     requireOnDb(session.tenant, db, "Write")
     val d = catalog.database(session.tenant, db)
     val t = catalog.table(session.tenant, db, name)
-    p.expectSym("(")
-    val colNames = p.nameList()
-    p.expectSym(")")
+    val colNames: Vector[String] =
+      if (p.trySym("(")) { val l = p.nameList(); p.expectSym(")"); l }
+      else Vector.empty
+    if (p.peekUpperOpt.contains("SELECT")) {
+      // INSERT .. SELECT: the select text goes to Catalyst whole — find
+      // its raw start (first SELECT keyword; nothing before it in this
+      // statement shape can contain one unquoted)
+      p.consumeRest()
+      val selIdx = "(?i)\\bSELECT\\b".r.findFirstMatchIn(raw)
+        .getOrElse(AdminError.parser("Expected SELECT")).start
+      return insertSelect(db, t, colNames, raw.substring(selIdx))
+    }
+    if (colNames.isEmpty)
+      AdminError.parser(s"Expected '(', found: ${p.peekUpperOpt.getOrElse("<eof>")}")
     p.expectKw("VALUES")
     val byName = t.columns.map(c => c.name.toLowerCase -> c).toMap
     val defs = colNames.map { cn =>
@@ -562,6 +782,161 @@ final class AdminEngine(
     val df = spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
     df.write.mode("append").parquet(tablePath(db, name))
     mkDf(Seq("rows"), Seq(Row(data.size.toLong)), Seq(LongType))
+  }
+
+  // ---- INSERT .. SELECT, batch and streaming -------------------------
+
+  /** Stream jobs started by INSERT-from-stream-table statements, kept
+    * so callers can drain (`awaitStreams`) or stop them — the
+    * reference's continuous stream jobs behind `insert into sink
+    * select .. from stream_table`. */
+  private val streamJobs =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
+
+  /** Block until every stream job has consumed all currently-available
+    * source files (the sqllogic harness's `sleep 7s` equivalent, made
+    * deterministic). */
+  def awaitStreams(): Unit = streamJobs.foreach(_.processAllAvailable())
+
+  def stopStreams(): Unit = { streamJobs.foreach(_.stop()); streamJobs.clear() }
+
+  /** Micro-batches that delivered rows across all stream jobs — the
+    * lanes' proof that a stream REALLY ran multi-batch. */
+  def streamBatchesDelivered: Int =
+    streamJobs.map(_.recentProgress.count(_.numInputRows > 0)).sum
+
+  /** The reference's `time_window(col, interval '..')` spelled as
+    * Spark's `window(col, '..')`; `alias.start/.end` on the window
+    * struct then works unchanged. */
+  private def rewriteTimeWindow(q: String): String =
+    "(?i)\\btime_window\\s*\\(\\s*([A-Za-z_][\\w.]*)\\s*,\\s*interval\\s*'([^']+)'\\s*\\)".r
+      .replaceAllIn(q, m => s"window(${m.group(1)}, '${m.group(2)}')")
+
+  /** Map a SELECT's output positionally onto a tskv table's columns
+    * for storage: TIME → ns epoch under `time_ns`, tags/fields cast to
+    * their storage type under their PHYSICAL ids. */
+  private def projectForStorage(targets: Vector[ColumnDef], out: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (out.columns.length != targets.size)
+      AdminError.semantic(
+        s"INSERT column/value arity mismatch: ${targets.size} vs ${out.columns.length}")
+    val cols = targets.zipWithIndex.map { case (c, i) =>
+      val in = col(s"`${out.columns(i)}`")
+      c.colType match {
+        case "TIME"  => (unix_micros(in.cast(TimestampType)) * 1000L).as("time_ns")
+        case "TAG"   => in.cast(StringType).as(c.physical)
+        case _       => in.cast(sparkType(c.dataType)).as(c.physical)
+      }
+    }
+    out.select(cols: _*)
+  }
+
+  /** A stream table as a streaming DataFrame: readStream over the
+    * source tskv table's parquet path (each INSERT lands one file →
+    * one micro-batch at the default maxFilesPerTrigger=1), projected
+    * to the declared columns, watermarked on the event-time column
+    * with the reference's 0ms delay (the explain in stream/basic.slt:
+    * "Watermark: event_time=time, delay=0ms"). */
+  private def streamSource(st: StreamTableDef): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val srcT = catalog.table(session.tenant, st.db, st.table)
+    val phys = StructType(
+      StructField("time_ns", LongType) +:
+      srcT.columns.filter(_.colType != "TIME").sortBy(_.ordinal)
+        .map(c => StructField(c.physical,
+          if (c.colType == "TAG") StringType else sparkType(c.dataType))))
+    val maxFiles = spark.conf.get("spark.graft.stream.maxFilesPerTrigger", "1")
+    val raw = spark.readStream.schema(phys)
+      .option("maxFilesPerTrigger", maxFiles)
+      .parquet(tablePath(st.db, st.table))
+    val byName = srcT.columns.map(c => c.name -> c).toMap
+    val cols = st.columns.map { sc =>
+      if (sc.name.equalsIgnoreCase("time"))
+        timestamp_micros((col("time_ns") / 1000L).cast(LongType)).as("time")
+      else col(byName(sc.name).physical).as(sc.name)
+    }
+    raw.select(cols: _*).withWatermark(st.eventTimeColumn, "0 milliseconds")
+  }
+
+  /** The reference's streaming-query restrictions
+    * (stream/unsupport_op.slt): reject plans Spark could sometimes run
+    * but the reference's engine defines as unsupported, with its
+    * wording. */
+  private def checkStreamingPlan(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bad(what: String): Nothing =
+      AdminError.planning(s"Unsupported operation in streaming query: $what")
+    val plan = df.queryExecution.analyzed
+    if (plan.collect { case a: Aggregate => a }.size > 1) bad("multiple aggregate")
+    plan.foreach {
+      case j: Join =>
+        if (j.condition.isEmpty || j.joinType == org.apache.spark.sql.catalyst.plans.Cross)
+          bad("cross join")
+        else bad("join")
+      case _: GlobalLimit => bad("limit")
+      case _: Sort        => bad("sort")
+      case _              => ()
+    }
+  }
+
+  /** INSERT INTO sink [(cols)] SELECT ... — batch append when every
+    * source is a tskv table; a CONTINUOUS stream job when the SELECT
+    * reads a stream table (the reference's stream-job creation). The
+    * job is Structured Streaming end to end: file-stream source →
+    * watermarked aggregate → foreachBatch append into the sink table's
+    * parquet storage; micro-batch work is all on executors. */
+  private def insertSelect(db: String, sinkT: TableDef, colNames: Vector[String],
+                           selectSql: String): DataFrame = {
+    val targets: Vector[ColumnDef] =
+      if (colNames.isEmpty) sinkT.columns.sortBy(_.ordinal)
+      else {
+        val byName = sinkT.columns.map(c => c.name.toLowerCase -> c).toMap
+        colNames.map(cn => byName.getOrElse(cn.toLowerCase,
+          AdminError.meta(s"Column not found: \"$cn\"")))
+      }
+    val d = catalog.database(session.tenant, session.database)
+    val streamRefs = d.streamTables.values.filter(st =>
+      ("(?i)\\b" + java.util.regex.Pattern.quote(st.name) + "\\b").r
+        .findFirstIn(selectSql).isDefined).toVector
+    val sinkPath = tablePath(db, sinkT.name)
+    if (streamRefs.isEmpty) {
+      val out = select(rewriteTimeWindow(selectSql))
+      val projected = projectForStorage(targets, out)
+      // count() then write: two passes, but this is the admin surface's
+      // batch-import path (the bulk path is the lake writer); the
+      // reference returns the inserted row count
+      val n = projected.count()
+      projected.write.mode("append").parquet(sinkPath)
+      mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
+    } else {
+      val st = streamRefs.head
+      val registered = scala.collection.mutable.ArrayBuffer.empty[String]
+      def registerView(df: DataFrame, name: String): Unit = {
+        try df.createTempView(name)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          AdminError.semantic(
+            s"temporary view '$name' already exists in this SparkSession") }
+        registered += name
+      }
+      val job = try {
+        registerView(streamSource(st), st.name)
+        // batch tables referenced alongside the stream (joins etc.)
+        // must RESOLVE so the unsupported-op check can name the real
+        // problem ("join"), not an unresolved-table analysis error
+        registerDbTableViews(selectSql, registerView)
+        val q = spark.sql(rewriteTimeWindow(selectSql))
+        checkStreamingPlan(q)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_job").toString
+        q.writeStream
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            projectForStorage(targets, batch).write.mode("append").parquet(sinkPath))
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+      } finally registered.foreach(v => spark.catalog.dropTempView(v))
+      streamJobs += job
+      mkDf(Seq("job"), Seq(Row(job.id.toString)), Seq(StringType))
+    }
   }
 
   /** Read a TSKV table's stored rows as a DataFrame with a `time`
@@ -640,29 +1015,34 @@ final class AdminEngine(
       // register the current database's tables (only those referenced);
       // the Read gate applies whether or not the table has data yet
       val t = catalog.tenant(session.tenant)
+      // a stream table outside INSERT..SELECT is the reference's
+      // not-implemented error (stream/unsupport_op.slt)
       t.databases.get(session.database).foreach { d =>
-        d.tables.foreach { case (tn, _) =>
-          val path = new org.apache.hadoop.fs.Path(tablePath(session.database, tn))
-          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val referenced = ("(?i)\\b" + java.util.regex.Pattern.quote(tn) + "\\b").r
-            .findFirstIn(q).isDefined
-          if (referenced) {
-            requireOnDb(session.tenant, session.database, "Read")
-            if (fs.exists(path)) registerView(readTable(session.database, tn), tn)
-            else {
-              val tdef = catalog.table(session.tenant, session.database, tn)
-              val schema = StructType(tdef.columns.sortBy(_.ordinal).map { c =>
-                if (c.colType == "TIME") StructField("time", TimestampType)
-                else StructField(c.name, if (c.colType == "TAG") StringType else sparkType(c.dataType))
-              })
-              registerView(spark.createDataFrame(new java.util.ArrayList[Row](), schema), tn)
-            }
-          }
-        }
+        d.streamTables.keys.find(n =>
+          ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r.findFirstIn(q).isDefined)
+          .foreach(_ => AdminError.notImplemented(
+            "Stream table can only be used as source table in insert select statements."))
       }
+      registerDbTableViews(q, registerView)
       spark.sql(q)
     } finally registered.foreach(v => spark.catalog.dropTempView(v))
   }
+
+  /** Register every tskv table of the session database that `q`
+    * references (Read-gated, typed-empty when never written) through
+    * the caller's collision-proof registrar. */
+  private def registerDbTableViews(q: String,
+                                   registerView: (DataFrame, String) => Unit): Unit =
+    catalog.tenant(session.tenant).databases.get(session.database).foreach { d =>
+      d.tables.keys.foreach { tn =>
+        val referenced = ("(?i)\\b" + java.util.regex.Pattern.quote(tn) + "\\b").r
+          .findFirstIn(q).isDefined
+        if (referenced) {
+          requireOnDb(session.tenant, session.database, "Read")
+          registerView(readTableOrEmpty(session.database, tn), tn)
+        }
+      }
+    }
 
   // ------------------------------------------------------------------
   // sys tables
@@ -917,6 +1297,24 @@ final class AdminParser(sql: String) {
     pos += 1
     t match { case Word(w) => w; case Quoted(s, _) => s; case Sym(s) => s; case Num(n) => n }
   }
+
+  /** Consume one token rendered back as Spark-SQL-parseable text —
+    * string literals re-quoted, double-quoted identifiers as
+    * backticks. Used to reconstruct WHERE clauses for Catalyst. */
+  def nextRendered(): String = {
+    val t = peekOpt.getOrElse(AdminError.parser("Unexpected end of statement"))
+    pos += 1
+    t match {
+      case Word(w)          => w
+      case Num(n)           => n
+      case Sym(s)           => s
+      case Quoted(s, '\'')  => "'" + s.replace("'", "''") + "'"
+      case Quoted(s, _)     => "`" + s.replace("`", "``") + "`"
+    }
+  }
+
+  /** True when the statement has no more tokens. */
+  def consumeRest(): Unit = pos = toks.size
   def nextUpper(): String = next().toUpperCase
 
   def tryKw(kw: String): Boolean = peekOpt match {
@@ -1059,8 +1457,17 @@ object AdminParser {
         out += Word(sql.substring(i, j))
         i = j
       } else {
-        out += Sym(c.toString)
-        i += 1
+        // two-char comparison operators stay ONE token so WHERE-clause
+        // reconstruction (SHOW SERIES/TAG VALUES) round-trips `!=`,
+        // `<=`, `>=`, `<>` instead of emitting "! =" Spark can't parse
+        if (i + 1 < n && "!<>".indexOf(c) >= 0 &&
+            (sql.charAt(i + 1) == '=' || (c == '<' && sql.charAt(i + 1) == '>'))) {
+          out += Sym(sql.substring(i, i + 2))
+          i += 2
+        } else {
+          out += Sym(c.toString)
+          i += 1
+        }
       }
     }
     out.result()

@@ -21,6 +21,14 @@ object AdminError {
   def auth(msg: String): Nothing      = throw AdminError("Auth error", msg)
   def privilege(expected: String): Nothing =
     throw AdminError("Insufficient privileges", s"expected [$expected]")
+  // the stream surface's three extra flavors (the reference wraps these
+  // in DataFusion's taxonomy; the message core is what the slts pin)
+  def notImplemented(msg: String): Nothing =
+    throw AdminError("This feature is not implemented", msg)
+  def planning(msg: String): Nothing =
+    throw AdminError("Error during planning", msg)
+  def schema(msg: String): Nothing =
+    throw AdminError("Schema error", msg)
 }
 
 /** One column of a TSKV table. `colType` is TIME | TAG | FIELD;
@@ -434,10 +442,26 @@ final class MetaCatalog {
     } else alterDatabase(tenantName, db, _.copy(tables = d.tables + (t.name -> t)))
   }
 
+  def createStreamTable(tenantName: String, db: String, st: StreamTableDef,
+                        ifNotExists: Boolean): Unit = {
+    validateName(st.name)
+    val d = database(tenantName, db)
+    // tskv and stream tables share one namespace: DROP TABLE addresses
+    // both, so a name may hold at most one of either kind
+    if (d.tables.contains(st.name) || d.streamTables.contains(st.name)) {
+      if (!ifNotExists) AdminError.meta(s"Table already exists: \"${st.name}\"")
+    } else alterDatabase(tenantName, db, _.copy(streamTables = d.streamTables + (st.name -> st)))
+  }
+
+  /** DROP TABLE addresses tskv AND stream tables (the reference's
+    * stream suite drops stream tables with plain DROP TABLE). */
   def dropTable(tenantName: String, db: String, name: String, ifExists: Boolean): Unit = {
     val d = database(tenantName, db)
-    if (!d.tables.contains(name)) { if (!ifExists) AdminError.meta(s"Table not found: \"$tenantName.$db.$name\"") }
-    else alterDatabase(tenantName, db, _.copy(tables = d.tables - name))
+    if (d.tables.contains(name))
+      alterDatabase(tenantName, db, _.copy(tables = d.tables - name))
+    else if (d.streamTables.contains(name))
+      alterDatabase(tenantName, db, _.copy(streamTables = d.streamTables - name))
+    else if (!ifExists) AdminError.meta(s"Table not found: \"$tenantName.$db.$name\"")
   }
 
   def alterTable(tenantName: String, db: String, name: String,

@@ -224,6 +224,87 @@ object AdminQueries {
       } finally { srv.stop(); deleteTree(spool); deleteTree(root) }
     }),
 
+    // CREATE STREAM TABLE end-to-end IN SQL (ddl/create_stream_table
+    // .slt + stream/basic.slt shape): the stream table is declared
+    // through the statement engine, its source tskv table's storage is
+    // fed K event-time-ranged parquet files (the landing pattern K
+    // INSERTs produce, mtimes pinned so the file stream delivers them
+    // as K ordered micro-batches), and `INSERT INTO sink SELECT ..
+    // time_window .. FROM stream` starts a REAL Structured Streaming
+    // job — watermark 0ms, append mode, foreachBatch into the sink
+    // table's storage. The oracle is stream_windowed's SQL VERBATIM
+    // over the raw lake: matching hashes prove the SQL-declared stream
+    // table computes exactly what the API-declared stream computes,
+    // window for window.
+    "q_admin_stream_table" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val (e, root) = freshEngine(s)
+      Seq(
+        "CREATE DATABASE sdb",
+        "--#DATABASE=sdb",
+        "CREATE TABLE evts(value DOUBLE, TAGS(event_type))",
+        "CREATE TABLE winagg(n BIGINT, sum_value DOUBLE, TAGS(event_type))"
+      ).foreach(e.execute)
+      val srcPath = root.resolve("cnosdb").resolve("sdb").resolve("evts")
+      Tables.eventsNanos(s, dir)
+        .select(col("ts").as("time_ns"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .repartitionByRange(StreamQueries.StageFiles, col("ts"))
+        .write.mode("overwrite").parquet(srcPath.toString)
+      StreamQueries.pinMtimes(srcPath)
+      e.execute("CREATE STREAM TABLE evstream (time TIMESTAMP, event_type STRING, value DOUBLE)" +
+        " WITH (db='sdb', table='evts', event_time_column='time') engine = tskv")
+      e.execute("INSERT INTO winagg SELECT time.start, event_type, n, sum_value FROM (" +
+        "SELECT time_window(time, interval '1 hour') AS time, event_type, count(*) AS n," +
+        " round(sum(value), 4) AS sum_value" +
+        " FROM evstream GROUP BY event_type, time_window(time, interval '1 hour'))")
+      try {
+        e.awaitStreams()
+        val batches = e.streamBatchesDelivered
+        require(batches > 1, s"stream table lane ran $batches micro-batch(es); need > 1")
+      } finally e.stopStreams()
+      // same emit-boundary clip as stream_windowed: only windows the
+      // watermark provably closed on both sides (root stays on disk —
+      // the returned frame reads the sink lazily)
+      val maxUs = Tables.eventsNanos(s, dir).agg(max(expr("ts div 1000"))).head.getLong(0)
+      e.execute("SELECT event_type, unix_micros(time) AS w_start_us, n, sum_value FROM winagg").get
+        .filter(col("w_start_us") + 3600000000L < maxUs)
+        .orderBy("event_type", "w_start_us")
+    }),
+
+    // SHOW SERIES as a parseable STATEMENT (dql/show_series.slt) over
+    // a tskv table holding the real events lake: the key column is the
+    // reference's "table,tag=value" synthesis, computed as a distinct
+    // over the TAG columns only (column pruning reaches the scan).
+    "q_admin_show_series" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val (e, root) = freshEngine(s)
+      Seq("CREATE DATABASE sdb", "--#DATABASE=sdb",
+        "CREATE TABLE evts(value DOUBLE, TAGS(event_type))").foreach(e.execute)
+      val srcPath = root.resolve("cnosdb").resolve("sdb").resolve("evts")
+      Tables.eventsNanos(s, dir)
+        .select(col("ts").as("time_ns"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .write.mode("overwrite").parquet(srcPath.toString)
+      e.execute("SHOW SERIES FROM evts ORDER BY key").get
+    }),
+
+    // SHOW TAG VALUES as a parseable STATEMENT (dql/show_tag_values
+    // .slt): WITH KEY IN selects the tag set; distinct non-null
+    // (key, value) pairs.
+    "q_admin_show_tag_values" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val (e, root) = freshEngine(s)
+      Seq("CREATE DATABASE sdb", "--#DATABASE=sdb",
+        "CREATE TABLE evts(value DOUBLE, TAGS(event_type))").foreach(e.execute)
+      val srcPath = root.resolve("cnosdb").resolve("sdb").resolve("evts")
+      Tables.eventsNanos(s, dir)
+        .select(col("ts").as("time_ns"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .write.mode("overwrite").parquet(srcPath.toString)
+      e.execute("SHOW TAG VALUES FROM evts WITH KEY IN (event_type) ORDER BY key, value").get
+    }),
+
     // INSERT/SELECT through the engine under a µs-precision database:
     // TIME literals are scaled by the catalog's precision on ingest
     // (db_precision.slt), storage is real parquet, and the SELECT goes
@@ -291,6 +372,15 @@ object AdminQueries {
         |) AS t(usr, op, outcome)
         |ORDER BY usr, op, outcome""".stripMargin,
     "q_admin_ttl_expire" -> LakeContract.oracleSqlTtl,
+    // stream_windowed's oracle VERBATIM — the SQL-declared stream table
+    // must compute exactly what the API-declared stream computes
+    "q_admin_stream_table" -> StreamQueries.oracleSql("stream_windowed"),
+    "q_admin_show_series" ->
+      """SELECT DISTINCT 'evts,event_type=' || event_type AS key
+        |FROM events ORDER BY key""".stripMargin,
+    "q_admin_show_tag_values" ->
+      """SELECT DISTINCT 'event_type' AS key, event_type AS value
+        |FROM events ORDER BY key, value""".stripMargin,
     "q_admin_http_sql" ->
       """SELECT * FROM (VALUES
         |  ('create_db','200',''),

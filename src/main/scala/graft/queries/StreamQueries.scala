@@ -56,7 +56,7 @@ import graft.streaming.StreamIngest
 object StreamQueries {
 
   private val BucketUs = 3600000000L // 1 hour
-  private val StageFiles = 4
+  private[queries] val StageFiles = 4
 
   /** Micro-batches that delivered rows in the most recent replay of
     * each sink name — the spec's proof that the lanes really run
@@ -126,7 +126,7 @@ object StreamQueries {
   // (ADVICE r10): a writer emitting >99999 files or a different naming
   // scheme would silently scramble the replay order.
   private val PartIdx = "part-(\\d+)".r.unanchored
-  private def pinMtimes(dir: java.nio.file.Path): Unit = {
+  private[queries] def pinMtimes(dir: java.nio.file.Path): Unit = {
     val parts = Files.list(dir).iterator()
     val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     while (parts.hasNext) { val p = parts.next(); if (p.getFileName.toString.startsWith("part-")) sorted += p }

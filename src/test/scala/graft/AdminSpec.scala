@@ -613,6 +613,188 @@ class AdminSpec extends AnyFunSuite {
     assert(rows(e, "select table_name from information_schema.tables where database_name='tnv'").isEmpty)
   }
 
+  // ---- stream tables (stream/{syntax,unsupport_op,basic}.slt,
+  // ddl/create_stream_table.slt) ---------------------------------------
+
+  private def streamFixture(): AdminEngine = {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE sdb"); e.execute("--#DATABASE=sdb")
+    e.execute("CREATE TABLE readings_kv(latitude DOUBLE, elevation DOUBLE, TAGS(name, driver))")
+    e
+  }
+
+  test("CREATE STREAM TABLE: the reference's validation order and error wording") {
+    val e = streamFixture()
+    def cst(body: String): AdminError = err(e,
+      s"CREATE STREAM TABLE TskvTable $body engine = tskv")
+    // duplicate column names fire before source-field resolution
+    val dup = err(e, "CREATE STREAM TABLE TskvTable (time TIMESTAMP, time TIMESTAMP, name STRING)" +
+      " WITH (db='sdb', table='readings_kv', event_time_column='time') engine = tskv")
+    assert(dup.message == "Field or Tag have the same name time")
+    // missing options, each named
+    assert(cst("(time TIMESTAMP, name STRING) WITH (table='readings_kv', event_time_column='time')")
+      .message == "Missing option [db] of table tskvtable")
+    assert(cst("(time TIMESTAMP, name STRING) WITH (db='sdb', event_time_column='time')")
+      .message == "Missing option [table] of table tskvtable")
+    assert(cst("(time TIMESTAMP, name STRING) WITH (db='sdb', table='readings_kv')")
+      .message == "Missing option [event_time_column] of table tskvtable")
+    // unknown engine
+    val eng = err(e, "CREATE STREAM TABLE TskvTable (time TIMESTAMP, name STRING)" +
+      " WITH (db='sdb', table='readings_kv', event_time_column='time') engine = xxx")
+    assert(eng.message == "Unsupported stream type: xxx")
+    // a declared column missing from the source table: schema error
+    // listing the source's full field set in ordinal order
+    val fld = cst("(time_x TIMESTAMP, name STRING) WITH (db='sdb', table='readings_kv', event_time_column='time')")
+    assert(fld.kind == "Schema error" && fld.message ==
+      """Unable to get field named "time_x". Valid fields: ["time", "name", "driver", "latitude", "elevation"]""")
+    // event_time_column exists but is not the timestamp
+    val ett = cst("(time TIMESTAMP, latitude DOUBLE) WITH (db='sdb', table='readings_kv', event_time_column='latitude')")
+    assert(ett.message ==
+      "Invalid option [event_time_column] of table tskvtable: The data type of column 'latitude' is not timestamp")
+    // and the happy path registers; DROP TABLE addresses it
+    e.execute("CREATE STREAM TABLE TskvTable (time TIMESTAMP, name STRING, elevation DOUBLE)" +
+      " WITH (db='sdb', table='readings_kv', event_time_column='time') engine = tskv")
+    assert(err(e, "CREATE STREAM TABLE TskvTable (time TIMESTAMP)" +
+      " WITH (db='sdb', table='readings_kv', event_time_column='time') engine = tskv")
+      .message.contains("already exists"))
+    e.execute("DROP TABLE TskvTable")
+    e.execute("DROP TABLE IF EXISTS TskvTable")
+  }
+
+  test("stream tables reject the reference's unsupported operations with its wording") {
+    val e = streamFixture()
+    e.execute("INSERT INTO readings_kv (TIME, name, elevation) VALUES (1000000000, 'n1', 1.5)")
+    e.execute("CREATE STREAM TABLE tstream (time TIMESTAMP, name STRING, elevation DOUBLE)" +
+      " WITH (db='sdb', table='readings_kv', event_time_column='time') engine = tskv")
+    e.execute("CREATE TABLE agg_sink(elevation DOUBLE, TAGS(name))")
+    def ins(sel: String): AdminError = err(e, s"INSERT INTO agg_sink $sel")
+    assert(ins("SELECT time, name, min(elevation) FROM (SELECT time, name, elevation FROM tstream" +
+      " GROUP BY time, name, elevation) GROUP BY time, name")
+      .message == "Unsupported operation in streaming query: multiple aggregate")
+    assert(ins("SELECT l.time, l.name, l.elevation FROM tstream AS l JOIN readings_kv ON l.time = readings_kv.time")
+      .message == "Unsupported operation in streaming query: join")
+    assert(ins("SELECT l.time, l.name, l.elevation FROM tstream AS l CROSS JOIN readings_kv")
+      .message == "Unsupported operation in streaming query: cross join")
+    assert(ins("SELECT time, name, elevation FROM tstream LIMIT 1")
+      .message == "Unsupported operation in streaming query: limit")
+    assert(ins("SELECT time, name, elevation FROM tstream ORDER BY time, name")
+      .message == "Unsupported operation in streaming query: sort")
+    // stream tables are insert-select sources ONLY
+    assert(err(e, "SELECT * FROM tstream").message ==
+      "Stream table can only be used as source table in insert select statements.")
+    // and reject ALTER
+    assert(err(e, "ALTER TABLE tstream ADD TAG ta").message == "only tskv table support alter")
+  }
+
+  test("a stream job drives micro-batches from INSERTs through a watermarked window into the sink") {
+    val e = streamFixture()
+    // one INSERT = one parquet file = one micro-batch; Spark append
+    // mode emits a window once the watermark (max event time of PRIOR
+    // batches, delay 0) passes its end
+    def at(hhmm: String): Long = // 2022-01-01 UTC, ns epoch
+      java.time.Instant.parse(s"2022-01-01T$hhmm:00Z").getEpochSecond * 1000000000L
+    e.execute(s"INSERT INTO readings_kv (TIME, name, elevation) VALUES (${at("04:01")}, 'test', 1)")
+    e.execute("CREATE TABLE win_sink(elevation DOUBLE, TAGS(name))")
+    e.execute("CREATE STREAM TABLE evstream (time TIMESTAMP, name STRING, elevation DOUBLE)" +
+      " WITH (db='sdb', table='readings_kv', event_time_column='time') engine = tskv")
+    e.execute("INSERT INTO win_sink SELECT time.start, name, elevation FROM (" +
+      "SELECT time_window(time, interval '5 minute') AS time, name, max(elevation) AS elevation" +
+      " FROM evstream GROUP BY name, time_window(time, interval '5 minute'))")
+    try {
+      Seq("04:06" -> 2, "04:11" -> 4, "04:16" -> 8).foreach { case (t, v) =>
+        e.execute(s"INSERT INTO readings_kv (TIME, name, elevation) VALUES (${at(t)}, 'test', $v)")
+        e.awaitStreams()
+      }
+      // processAllAvailable runs a final flush batch, so the watermark
+      // lands on the 04:16 max: windows through [04:10,04:15) are
+      // closed and emitted; [04:15,04:20) pends for later data
+      assert(rows(e, "SELECT cast(time AS string) AS w, name, elevation FROM win_sink ORDER BY time") ==
+        Seq(Seq("2022-01-01 04:00:00", "test", 1.0), Seq("2022-01-01 04:05:00", "test", 2.0),
+          Seq("2022-01-01 04:10:00", "test", 4.0)))
+    } finally e.stopStreams()
+  }
+
+  // ---- SHOW SERIES / SHOW TAG VALUES (dql/show_series.slt,
+  // dql/show_tag_values.slt) -------------------------------------------
+
+  private def seriesFixture(): AdminEngine = {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE show_series"); e.execute("--#DATABASE=show_series")
+    e.execute("CREATE TABLE test(f0 BIGINT, f1 STRING, TAGS(t0, t1, t2))")
+    Seq(
+      "INSERT INTO test(TIME, t0, t1, t2, f0, f1) VALUES (0, 'a', 'b', 'c', 1, '2')",
+      "INSERT INTO test(TIME, t0, f0) VALUES (1, 'a', 1)",
+      "INSERT INTO test(TIME, t1, f1) VALUES (2, 'b', '2')",
+      "INSERT INTO test(TIME, t2, f0) VALUES (3, 'c', 1)",
+      "INSERT INTO test(TIME, t0, t1, f0) VALUES (4, 'a', 'b', 1)",
+      "INSERT INTO test(TIME, t1, t2, f0) VALUES (5, 'b', 'c', 1)",
+      "INSERT INTO test(TIME, t0, f0) VALUES (6, '', 1)"
+    ).foreach(e.execute)
+    e
+  }
+
+  test("SHOW SERIES: key synthesis, ON db, WHERE on tags/time, ORDER BY key, error surface") {
+    val e = seriesFixture()
+    val all = Seq("test,t0=", "test,t0=a", "test,t0=a,t1=b", "test,t0=a,t1=b,t2=c",
+      "test,t1=b", "test,t1=b,t2=c", "test,t2=c")
+    assert(rows(e, "SHOW SERIES FROM test").map(_.head) == all)
+    assert(rows(e, "SHOW SERIES ON show_series FROM test").map(_.head) == all)
+    assert(rows(e, "SHOW SERIES FROM test ORDER BY key DESC").map(_.head) == all.reverse)
+    assert(rows(e, "SHOW SERIES FROM test WHERE time < now() ORDER BY key").map(_.head) == all)
+    assert(rows(e, "SHOW SERIES FROM test WHERE t0 != '' ORDER BY key").map(_.head) ==
+      Seq("test,t0=a", "test,t0=a,t1=b", "test,t0=a,t1=b,t2=c"))
+    assert(rows(e, "SHOW SERIES FROM test WHERE t0 IS NOT NULL ORDER BY key").map(_.head) ==
+      Seq("test,t0=", "test,t0=a", "test,t0=a,t1=b", "test,t0=a,t1=b,t2=c"))
+    assert(rows(e, "SHOW SERIES FROM test WHERE t1 = 'b' ORDER BY key").map(_.head) ==
+      Seq("test,t0=a,t1=b", "test,t0=a,t1=b,t2=c", "test,t1=b", "test,t1=b,t2=c"))
+    // error surface, reference wording
+    assert(err(e, "SHOW SERIES").message == "Expected FROM, found: ;")
+    assert(err(e, "SHOW SERIES ON public FROM show_series.test").message ==
+      "Expected end of statement, found: .")
+    assert(err(e, "SHOW SERIES FROM test ORDER BY f0").message ==
+      "No field named f0. Valid fields are key.")
+    assert(err(e, "SHOW SERIES FROM test ORDER BY time").message ==
+      "No field named time. Valid fields are key.")
+    val fw = err(e, "SHOW SERIES FROM test WHERE f1 IS NOT NULL ORDER BY key")
+    assert(fw.kind == "Semantic error" &&
+      fw.message == "SHOW SERIES does not support where clause contains field f1")
+  }
+
+  test("SHOW TAG VALUES: WITH KEY selectors, ordering, error surface") {
+    val e = seriesFixture()
+    def q(stmt: String): Seq[Seq[Any]] = rows(e, stmt)
+    assert(q("SHOW TAG VALUES FROM test WITH KEY IN (t0, t1, t2) ORDER BY key, value") ==
+      Seq(Seq("t0", ""), Seq("t0", "a"), Seq("t1", "b"), Seq("t2", "c")))
+    assert(q("SHOW TAG VALUES ON show_series FROM test WITH KEY IN (t0, t1, t2) ORDER BY key, value") ==
+      Seq(Seq("t0", ""), Seq("t0", "a"), Seq("t1", "b"), Seq("t2", "c")))
+    assert(q("SHOW TAG VALUES FROM test WITH KEY IN (t0, t1, t2) ORDER BY key ASC, value DESC") ==
+      Seq(Seq("t0", "a"), Seq("t0", ""), Seq("t1", "b"), Seq("t2", "c")))
+    assert(q("SHOW TAG VALUES FROM test WITH KEY = \"t0\" ORDER BY key, value") ==
+      Seq(Seq("t0", ""), Seq("t0", "a")))
+    assert(q("SHOW TAG VALUES FROM test WITH KEY IN (t0, t1, t2) ORDER BY key DESC, value ASC") ==
+      Seq(Seq("t2", "c"), Seq("t1", "b"), Seq("t0", ""), Seq("t0", "a")))
+    assert(q("SHOW TAG VALUES FROM test WITH KEY != \"t0\" ORDER BY key, value") ==
+      Seq(Seq("t1", "b"), Seq("t2", "c")))
+    assert(q("SHOW TAG VALUES FROM test WITH KEY NOT IN (t0, t1, t2) ORDER BY key, value").isEmpty)
+    assert(q("SHOW TAG VALUES FROM test WITH KEY NOT IN (t0) ORDER BY key, value") ==
+      Seq(Seq("t1", "b"), Seq("t2", "c")))
+    assert(q("SHOW TAG VALUES FROM test WITH KEY IN (t0, t1, t2) WHERE t0 != '' ORDER BY key, value") ==
+      Seq(Seq("t0", "a"), Seq("t1", "b"), Seq("t2", "c")))
+    assert(q("SHOW TAG VALUES FROM test WITH KEY IN (t0, t1, t2) WHERE time < now() ORDER BY key, value") ==
+      Seq(Seq("t0", ""), Seq("t0", "a"), Seq("t1", "b"), Seq("t2", "c")))
+    // error surface
+    assert(err(e, "SHOW TAG VALUES").message == "Expected FROM, found: ;")
+    assert(err(e, "SHOW TAG VALUES FROM test").message == "Expected WITH, found: ;")
+    assert(err(e, "SHOW TAG VALUES ON public FROM show_series.test").message ==
+      "Expected WITH, found: .")
+    assert(err(e, "SHOW TAG VALUES FROM test WITH KEY IN (t0) ORDER BY f0").message ==
+      "No field named f0. Valid fields are key, value.")
+    assert(err(e, "SHOW TAG VALUES FROM test WITH KEY IN (t0) ORDER BY time").message ==
+      "No field named time. Valid fields are key, value.")
+    assert(err(e, "SHOW TAG VALUES FROM test WITH KEY IN (t0) WHERE f1 IS NOT NULL").message ==
+      "SHOW SERIES does not support where clause contains field f1")
+  }
+
   test("select never clobbers a pre-existing session temp view") {
     val e = freshEngine()
     e.execute("CREATE DATABASE cv"); e.execute("--#DATABASE=cv")
