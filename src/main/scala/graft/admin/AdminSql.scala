@@ -1158,12 +1158,14 @@ final class AdminEngine(
       AdminError.privilege(s"Read on usage_schema of tenant ${session.tenant}")
     case ("usage_schema", "http_data_in") =>
       val rows = Option(wire).toVector.flatMap(w =>
-        w.metrics.dataInRows.map { case (api, v) => Row(api, w.base, v) })
-      mkDf(Seq("api", "host", "value"), rows, Seq(StringType, StringType, LongType))
+        w.metrics.dataInRows.map { case (api, tn, u, v) => Row(api, w.base, tn, u, v) })
+      mkDf(Seq("api", "host", "tenant", "user", "value"), rows,
+        Seq(StringType, StringType, StringType, StringType, LongType))
     case ("usage_schema", "http_writes") =>
       val rows = Option(wire).toVector.flatMap(w =>
-        w.metrics.writeRows.map { case (api, v) => Row(api, w.base, v) })
-      mkDf(Seq("api", "host", "value"), rows, Seq(StringType, StringType, LongType))
+        w.metrics.writeRows.map { case (api, tn, u, v) => Row(api, w.base, tn, u, v) })
+      mkDf(Seq("api", "host", "tenant", "user", "value"), rows,
+        Seq(StringType, StringType, StringType, StringType, LongType))
     case ("usage_schema", "http_queries") =>
       val rows = Option(wire).toVector.map(w =>
         Row("/api/v1/sql", w.base, w.metrics.queries.get))
@@ -1198,6 +1200,35 @@ final class AdminEngine(
     * insufficient privileges / not a member, 404 missing objects, 422
     * everything else the planner rejects.
     */
+  /** Authenticate + authorize one wire WRITE (the reference's
+    * construct_write_context_and_check_privilege behind every write
+    * route — http_service.rs:484 et al): credentials must verify and
+    * the user needs Write on (tenant, db). Status mapping matches
+    * execHttp's. Wire this as [[graft.sources.WireHttp.start]]'s
+    * `writeAuth` so rejected POSTs never reach the spool. */
+  def authWrite(user: String, password: String, tenant: String,
+                db: String): Either[(Int, String), Unit] = synchronized {
+    if (!authenticate(user, password))
+      return Left(401 -> s"Auth error: invalid credentials for user $user")
+    val saved = (session.user, session.tenant, session.database)
+    session.user = user; session.tenant = tenant; session.database = db
+    // existence first (404 for an unknown tenant/db, as the sql route
+    // answers), then the Write privilege (403)
+    try { catalog.database(tenant, db); requireOnDb(tenant, db, "Write"); Right(()) }
+    catch {
+      case ae: AdminError =>
+        val code = ae.kind match {
+          case "Auth error"              => 401
+          case "Insufficient privileges" => 403
+          case "Meta"                    => 404
+          case _                         => 422
+        }
+        Left(code -> s"${ae.kind}: ${ae.message}")
+    } finally {
+      session.user = saved._1; session.tenant = saved._2; session.database = saved._3
+    }
+  }
+
   def execHttp(user: String, password: String, tenant: String, db: String,
                sql: String): Either[(Int, String), String] = synchronized {
     if (!authenticate(user, password))

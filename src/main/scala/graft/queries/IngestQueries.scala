@@ -316,11 +316,40 @@ object IngestQueries {
         java.nio.file.Files.walk(spool)
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => java.nio.file.Files.delete(p))
-      val srv = graft.sources.WireHttp.start(spool.toString)
-      try bodies.foreach { b =>
-        val (code, _) = graft.sources.WireHttp.post(
-          s"${srv.base}/api/v1/prom/write", b)
-        require(code == 204, s"wire http: POST answered $code")
+      // the listener authenticates EVERY write route against the meta
+      // catalog before spooling, as http_service.rs does: an ingest
+      // user with Write on the target db, wired as writeAuth
+      val eng = {
+        val root = java.nio.file.Files.createTempDirectory("graft_wire_auth")
+        val e = new graft.admin.AdminEngine(s, new graft.admin.MetaCatalog,
+          root.toString, () => 0L)
+        Seq("CREATE DATABASE wiredb",
+          "CREATE USER ingest WITH password='w1re'",
+          "ALTER TENANT cnosdb ADD USER ingest AS member",
+          "CREATE ROLE writers INHERIT member",
+          "GRANT WRITE ON DATABASE wiredb TO writers",
+          "ALTER TENANT cnosdb ADD USER ingest AS writers").foreach(e.execute)
+        e
+      }
+      val srv = graft.sources.WireHttp.start(spool.toString, writeAuth = eng.authWrite)
+      try {
+        // wrong credentials / wrong db are rejected BEFORE the spool
+        val (bad, _) = graft.sources.WireHttp.post(
+          s"${srv.base}/api/v1/prom/write?tenant=cnosdb&db=wiredb", bodies.head,
+          basicAuth = ("ingest", "wrong"))
+        require(bad == 401, s"wire http: bad credentials answered $bad, want 401")
+        val (noDb, _) = graft.sources.WireHttp.post(
+          s"${srv.base}/api/v1/prom/write?tenant=cnosdb&db=nope", bodies.head,
+          basicAuth = ("ingest", "w1re"))
+        require(noDb == 404, s"wire http: missing db answered $noDb, want 404")
+        require(!java.nio.file.Files.list(spool.resolve("prom")).iterator().hasNext,
+          "wire http: a REJECTED write reached the spool")
+        bodies.foreach { b =>
+          val (code, _) = graft.sources.WireHttp.post(
+            s"${srv.base}/api/v1/prom/write?tenant=cnosdb&db=wiredb", b,
+            basicAuth = ("ingest", "w1re"))
+          require(code == 204, s"wire http: POST answered $code")
+        }
       } finally srv.stop()
       graft.sources.PromRemote.decode(
         s.read.format("binaryFile").load(s"$spool/prom")

@@ -47,25 +47,33 @@ object WireHttp {
   final class Metrics {
     import java.util.concurrent.atomic.AtomicLong
     import java.util.concurrent.ConcurrentHashMap
-    private val bytesIn = new ConcurrentHashMap[String, AtomicLong]()
-    private val writes = new ConcurrentHashMap[String, AtomicLong]()
+    // keyed per (api, tenant, user) — the reference tags its
+    // usage_schema http series with tenant/user, so multi-tenant
+    // traffic stays attributable (http_metrics.slt's column set)
+    private val bytesIn = new ConcurrentHashMap[(String, String, String), AtomicLong]()
+    private val writes = new ConcurrentHashMap[(String, String, String), AtomicLong]()
     val queries = new AtomicLong()
     val dataOut = new AtomicLong()
-    private def bump(m: ConcurrentHashMap[String, AtomicLong], k: String, v: Long): Unit =
+    private def bump(m: ConcurrentHashMap[(String, String, String), AtomicLong],
+                     k: (String, String, String), v: Long): Unit =
       m.computeIfAbsent(k, _ => new AtomicLong()).addAndGet(v)
-    private[sources] def recordWrite(api: String, bodyBytes: Long): Unit = {
-      bump(writes, api, 1L); bump(bytesIn, api, bodyBytes)
+    private[sources] def recordWrite(api: String, tenant: String, user: String,
+                                     bodyBytes: Long): Unit = {
+      bump(writes, (api, tenant, user), 1L); bump(bytesIn, (api, tenant, user), bodyBytes)
     }
-    private[sources] def recordQueryIn(bodyBytes: Long): Unit = {
-      queries.incrementAndGet(); bump(bytesIn, "/api/v1/sql", bodyBytes)
+    private[sources] def recordQueryIn(tenant: String, user: String,
+                                       bodyBytes: Long): Unit = {
+      queries.incrementAndGet(); bump(bytesIn, ("/api/v1/sql", tenant, user), bodyBytes)
     }
     private[sources] def recordQueryOut(outBytes: Long): Unit =
       dataOut.addAndGet(outBytes)
     import scala.jdk.CollectionConverters._
-    def dataInRows: Seq[(String, Long)] =
-      bytesIn.asScala.toSeq.map { case (k, v) => (k, v.get) }.sortBy(_._1)
-    def writeRows: Seq[(String, Long)] =
-      writes.asScala.toSeq.map { case (k, v) => (k, v.get) }.sortBy(_._1)
+    def dataInRows: Seq[(String, String, String, Long)] =
+      bytesIn.asScala.toSeq.map { case ((a, t, u), v) => (a, t, u, v.get) }
+        .sortBy(r => (r._1, r._2, r._3))
+    def writeRows: Seq[(String, String, String, Long)] =
+      writes.asScala.toSeq.map { case ((a, t, u), v) => (a, t, u, v.get) }
+        .sortBy(r => (r._1, r._2, r._3))
   }
 
   /** route path → spool subdirectory (route keys mirror the reference's
@@ -108,7 +116,8 @@ object WireHttp {
     */
   def start(spoolDir: String,
             promRead: Seq[PromRemote.ReadQuery] => Array[Byte] = null,
-            sqlExec: (String, String, String, String, String) => Either[(Int, String), String] = null): WireHttp = {
+            sqlExec: (String, String, String, String, String) => Either[(Int, String), String] = null,
+            writeAuth: (String, String, String, String) => Either[(Int, String), Unit] = null): WireHttp = {
     val srv = HttpServer.create(
       new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
     val metrics = new Metrics
@@ -118,15 +127,36 @@ object WireHttp {
       val seq = new java.util.concurrent.atomic.AtomicLong()
       srv.createContext(route, handler { ex =>
         require(ex.getRequestMethod == "POST", s"$route accepts POST")
-        val body = ex.getRequestBody.readAllBytes()
-        metrics.recordWrite(route, body.length.toLong)
-        val n = seq.incrementAndGet()
-        val tmp = dir.resolve(s".in-$n.tmp")
-        Files.write(tmp, body)
-        Files.move(tmp, dir.resolve(f"body-$n%06d.bin"),
-          StandardCopyOption.ATOMIC_MOVE)
-        ex.sendResponseHeaders(204, -1)
-        ex.close()
+        // tenant/db ride query params (the reference's WriteParam) or
+        // headers; credentials ride basic auth. When an authenticator
+        // is wired (http_service.rs authenticates EVERY write route),
+        // a rejected request is answered WITHOUT reading the body into
+        // the spool and without bumping the write counters.
+        val params = queryParams(ex)
+        def hdr(k: String): Option[String] = Option(ex.getRequestHeaders.getFirst(k))
+        val tenant = params.get("tenant").orElse(hdr("tenant")).getOrElse("cnosdb")
+        val db = params.get("db").orElse(hdr("db")).getOrElse("public")
+        val (user, password) = basicAuth(ex)
+        val denial =
+          if (writeAuth == null) None
+          else writeAuth(user, password, tenant, db).left.toOption
+        denial match {
+          case Some((code, msg)) =>
+            val bytes = msg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(code, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+          case None =>
+            val body = ex.getRequestBody.readAllBytes()
+            metrics.recordWrite(route, tenant, user, body.length.toLong)
+            val n = seq.incrementAndGet()
+            val tmp = dir.resolve(s".in-$n.tmp")
+            Files.write(tmp, body)
+            Files.move(tmp, dir.resolve(f"body-$n%06d.bin"),
+              StandardCopyOption.ATOMIC_MOVE)
+            ex.sendResponseHeaders(204, -1)
+            ex.close()
+        }
       })
     }
     srv.createContext("/api/v1/ping", handler { ex =>
@@ -158,7 +188,7 @@ object WireHttp {
         val sql = new String(sqlBytes, java.nio.charset.StandardCharsets.UTF_8)
         // wire BYTES in, counted for every request — failed queries are
         // traffic too (they still consumed the wire and the planner)
-        metrics.recordQueryIn(sqlBytes.length.toLong)
+        metrics.recordQueryIn(tenant, user, sqlBytes.length.toLong)
         sqlExec(user, password, tenant, db, sql) match {
           case Right(csv) =>
             val bytes = csv.getBytes(java.nio.charset.StandardCharsets.UTF_8)

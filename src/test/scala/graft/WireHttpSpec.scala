@@ -89,4 +89,47 @@ class WireHttpSpec extends AnyFunSuite {
       assert(pc == 200 && new String(pb, "UTF-8").contains("graft"))
     } finally srv.stop()
   }
+
+  test("authenticated write routes: reject before the spool, per-tenant counters") {
+    import graft.admin.{AdminEngine, MetaCatalog}
+    val spool = tmpSpool()
+    val root = java.nio.file.Files.createTempDirectory("graft_wirehttp_auth").toString
+    val e = new AdminEngine(spark, new MetaCatalog, root, () => 0L)
+    Seq("CREATE DATABASE wdb",
+      "CREATE USER wrt WITH password='pw'",
+      "ALTER TENANT cnosdb ADD USER wrt AS member",
+      "CREATE ROLE writers INHERIT member",
+      "GRANT WRITE ON DATABASE wdb TO writers",
+      "ALTER TENANT cnosdb ADD USER wrt AS writers",
+      "CREATE USER reader",
+      "ALTER TENANT cnosdb ADD USER reader AS member").foreach(e.execute)
+    val srv = WireHttp.start(spool, writeAuth = e.authWrite)
+    try {
+      val body = "m,t=a f=1 1".getBytes("UTF-8")
+      def post(route: String, auth: (String, String), q: String = "tenant=cnosdb&db=wdb"): Int =
+        WireHttp.post(s"${srv.base}$route?$q", body, basicAuth = auth)._1
+      // no credentials → 401; wrong password → 401; member without
+      // Write on the db → 403; unknown db → 404; unknown tenant → 404
+      assert(WireHttp.post(s"${srv.base}/api/v1/write?tenant=cnosdb&db=wdb", body)._1 == 401)
+      assert(post("/api/v1/write", ("wrt", "nope")) == 401)
+      assert(post("/api/v1/write", ("reader", "")) == 403)
+      assert(post("/api/v1/write", ("wrt", "pw"), q = "tenant=cnosdb&db=ghost") == 404)
+      assert(post("/api/v1/write", ("wrt", "pw"), q = "tenant=ghost&db=wdb") == 404)
+      // none of the rejects reached the spool or the write counters
+      assert(!java.nio.file.Files.list(java.nio.file.Paths.get(spool, "lp"))
+        .iterator().hasNext, "rejected write reached the spool")
+      assert(srv.metrics.writeRows.isEmpty)
+      // the authorized write spools, on every write route
+      WireHttp.writeRoutes.keys.foreach { route =>
+        assert(post(route, ("wrt", "pw")) == 204, route)
+      }
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(spool, "lp"))
+        .iterator().hasNext)
+      // counters keyed per (api, tenant, user)
+      assert(srv.metrics.writeRows.contains(("/api/v1/write", "cnosdb", "wrt", 1L)))
+      assert(srv.metrics.dataInRows.contains(("/api/v1/write", "cnosdb", "wrt", body.length.toLong)))
+      // admin (root, empty password on a fresh install) writes anywhere
+      assert(post("/api/v1/write", ("root", "")) == 204)
+    } finally srv.stop()
+  }
 }
