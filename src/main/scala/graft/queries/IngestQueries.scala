@@ -389,6 +389,10 @@ object IngestQueries {
             expr("ts div 1000000").cast("long").as("timestamp"))
           .write.format("graft-kafka")
           .option("bootstrap", bs).option("topic", "events")
+          // produce SNAPPY record batches: the broker stores them
+          // verbatim and the consumer side decompresses, so the codec
+          // round-trips through the real wire + log
+          .option("compression", "snappy")
           .mode("append").save()
         // materialize the wire read before the broker stops (the
         // returned frame is evaluated later); fixed per-sf path,

@@ -2,7 +2,11 @@ package graft.sources
 
 import java.io.{DataInputStream, DataOutputStream, EOFException, IOException}
 import java.net.{InetAddress, ServerSocket, Socket, SocketException}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, StandardOpenOption}
 import java.util.concurrent.atomic.AtomicBoolean
+import java.util.zip.CRC32C
 
 import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayBuffer
@@ -20,21 +24,42 @@ import KafkaWire._
   * source, one fetch loop per topic-partition) is identical whether
   * the other end is this loopback log or a 100-broker cluster.
   *
-  * The log is in-memory and decoded (one `(timestampMs, key, value)`
-  * triple per record); Fetch re-encodes record batches from the
-  * requested offset, capped at the request's `maxBytes` but always at
-  * least one batch so consumers make progress — the same contract a
-  * real broker honors. Appends synchronize per partition; each
-  * connection gets its own thread (bounded: one per Spark task + one
-  * per driver client).
+  * The log is what a real broker's log is: an APPEND-ONLY FILE of raw
+  * record-batch bytes per partition, stored VERBATIM (a compressed
+  * batch stays compressed — the broker never decodes records; only the
+  * 61-byte batch header is inspected, its CRC32C verified, and the
+  * baseOffset field rewritten to the assigned offset, exactly the
+  * mutation a real broker performs on append). Fetch answers raw file
+  * slices from a per-BATCH index (base offset, file position, length —
+  * a few dozen bytes per 512-record batch), so broker memory is
+  * O(batches), not O(records), and the topic spills to disk at any
+  * scale. Because stored bytes come back verbatim, the CONSUMER is the
+  * one decompressing — the codec round-trips through the wire for
+  * real. A fetch from an offset inside a batch returns the whole batch
+  * (a real broker does too); the source filters records below the
+  * requested offset. Appends synchronize per partition; fetch uses
+  * positional channel reads, so it never blocks producers.
   */
 final class KafkaMiniBroker private (server: ServerSocket,
-                                     partsByTopic: Map[String, Int]) {
+                                     partsByTopic: Map[String, Int],
+                                     logDir: Path) {
 
   private val closed = new AtomicBoolean(false)
-  private val log = TrieMap.empty[(String, Int), ArrayBuffer[(Long, Array[Byte], Array[Byte])]]
+
+  /** One partition's on-disk log + batch index. `index` rows are
+    * (baseOffset, filePos, byteLen); `nextOffset` is the log-end
+    * offset, `endPos` the file append position. */
+  private final class PartLog(path: Path) {
+    val chan: FileChannel = FileChannel.open(path,
+      StandardOpenOption.CREATE, StandardOpenOption.READ, StandardOpenOption.WRITE)
+    val index = new ArrayBuffer[(Long, Long, Int)]()
+    var nextOffset: Long = 0L
+    var endPos: Long = 0L
+  }
+
+  private val log = TrieMap.empty[(String, Int), PartLog]
   partsByTopic.foreach { case (t, n) =>
-    (0 until n).foreach(p => log((t, p)) = ArrayBuffer.empty)
+    (0 until n).foreach(p => log((t, p)) = new PartLog(logDir.resolve(s"$t-$p.log")))
   }
 
   def port: Int = server.getLocalPort
@@ -42,12 +67,19 @@ final class KafkaMiniBroker private (server: ServerSocket,
 
   /** Log-end offset (high watermark — everything is "committed"). */
   def endOffset(topic: String, partition: Int): Long = {
-    val buf = log((topic, partition))
-    buf.synchronized(buf.length.toLong)
+    val pl = log((topic, partition))
+    pl.synchronized(pl.nextOffset)
   }
 
   def stop(): Unit = if (closed.compareAndSet(false, true)) {
     try server.close() catch { case _: IOException => () }
+    log.values.foreach(pl => try pl.chan.close() catch { case _: IOException => () })
+    try {
+      val walk = Files.walk(logDir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().forEachRemaining(Files.deleteIfExists(_))
+      finally walk.close()
+    } catch { case _: IOException => () }
   }
 
   // ---- request dispatch ----
@@ -143,8 +175,8 @@ final class KafkaMiniBroker private (server: ServerSocket,
       ww.array(t._2) { (www, p) =>
         val (idx, ts) = p
         log.get((t._1, idx)) match {
-          case Some(buf) =>
-            val end = buf.synchronized(buf.length.toLong)
+          case Some(pl) =>
+            val end = pl.synchronized(pl.nextOffset)
             val off = if (ts == EarliestTs) 0L else end
             www.i32(idx); www.i16(0)
             if (version >= 1) { www.i64(-1L); www.i64(off) }
@@ -156,6 +188,42 @@ final class KafkaMiniBroker private (server: ServerSocket,
         }
       }
     }
+  }
+
+  /** Append a produced record-SET verbatim: per batch, verify the
+    * CRC32C (it covers attributes..records, so no decode is needed),
+    * rewrite baseOffset to the assigned offset (the one header field a
+    * real broker mutates on append — deliberately OUTSIDE the CRC), and
+    * append the bytes as-is. Returns the first assigned offset. */
+  private def appendVerbatim(pl: PartLog, data: Array[Byte]): Long = pl.synchronized {
+    val first = pl.nextOffset
+    var pos = 0
+    while (pos + 12 <= data.length) {
+      val hdr = ByteBuffer.wrap(data, pos, 12)
+      hdr.getLong                         // producer's baseOffset (rewritten)
+      val batchLength = hdr.getInt
+      require(pos + 12 + batchLength <= data.length,
+        s"kafka broker: truncated produce batch at $pos")
+      val magic = data(pos + 16)
+      require(magic == 2, s"kafka broker: record batch magic $magic (only v2 supported)")
+      val crcStored = ByteBuffer.wrap(data, pos + 17, 4).getInt
+      val crc = new CRC32C
+      crc.update(data, pos + 21, batchLength - 9)
+      require(crc.getValue.toInt == crcStored,
+        s"kafka broker: produce batch CRC mismatch at file offset ${pl.endPos}")
+      // record count from lastOffsetDelta (+1), at attributes+2
+      val lastOffsetDelta = ByteBuffer.wrap(data, pos + 23, 4).getInt
+      val count = lastOffsetDelta + 1
+      ByteBuffer.wrap(data, pos, 8).putLong(pl.nextOffset) // assign offsets
+      val batch = ByteBuffer.wrap(data, pos, 12 + batchLength)
+      var written = 0
+      while (batch.hasRemaining) written += pl.chan.write(batch, pl.endPos + written)
+      pl.index += ((pl.nextOffset, pl.endPos, 12 + batchLength))
+      pl.nextOffset += count
+      pl.endPos += 12 + batchLength
+      pos += 12 + batchLength
+    }
+    first
   }
 
   private def produceResp(r: Reader, w: Writer, version: Int): Unit = {
@@ -170,13 +238,8 @@ final class KafkaMiniBroker private (server: ServerSocket,
       ww.array(t._2) { (www, pr) =>
         val (idx, data) = pr
         log.get((t._1, idx)) match {
-          case Some(buf) =>
-            val records = decodeBatches(data)
-            val base = buf.synchronized {
-              val b = buf.length.toLong
-              records.foreach(rec => buf += ((rec.timestampMs, rec.key, rec.value)))
-              b
-            }
+          case Some(pl) =>
+            val base = appendVerbatim(pl, data)
             www.i32(idx); www.i16(0); www.i64(base)
             if (version >= 2) www.i64(-1L) // logAppendTime (CreateTime in use)
           case None =>
@@ -206,35 +269,54 @@ final class KafkaMiniBroker private (server: ServerSocket,
       ww.array(t._2) { (www, pr) =>
         val (idx, off, pmax) = pr
         log.get((t._1, idx)) match {
-          case Some(buf) =>
-            val (end, slice) = buf.synchronized {
-              val e = buf.length.toLong
+          case Some(pl) =>
+            // snapshot under the lock; file reads happen outside it
+            // (positional reads never see past endPos from the snapshot)
+            val (end, span) = pl.synchronized {
+              val e = pl.nextOffset
               if (off < 0 || off > e) (e, null)
-              else (e, buf.drop(off.toInt).toVector)
+              else if (off == e) (e, (0L, 0L)) // caught up: empty records
+              else {
+                // first batch whose LAST offset >= off (binary search on
+                // base offsets, then step back one if the previous batch
+                // still covers off)
+                var lo = 0; var hi = pl.index.length - 1; var s = pl.index.length - 1
+                while (lo <= hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (pl.index(mid)._1 <= off) { s = mid; lo = mid + 1 }
+                  else hi = mid - 1
+                }
+                val cap = math.min(respMaxBytes, pmax).toLong
+                val startPos = pl.index(s)._2
+                var endIdx = s
+                // always ship ≥1 whole batch so the consumer progresses
+                while (endIdx + 1 < pl.index.length &&
+                       pl.index(endIdx)._2 + pl.index(endIdx)._3 - startPos < cap)
+                  endIdx += 1
+                val endPos = pl.index(endIdx)._2 + pl.index(endIdx)._3
+                (e, (startPos, endPos))
+              }
             }
             // error 1 = OFFSET_OUT_OF_RANGE, as a real broker answers
-            www.i32(idx); www.i16(if (slice == null) 1 else 0); www.i64(end)
+            www.i32(idx); www.i16(if (span == null) 1 else 0); www.i64(end)
             if (version >= 4) {
               www.i64(end)                          // lastStableOffset
               www.array(Seq.empty[Int])((_, _) => ()) // abortedTransactions
             }
-            if (slice == null) www.bytes(null)
-            else if (off >= end || slice.isEmpty) www.bytes(Array.emptyByteArray)
+            if (span == null) www.bytes(null)
             else {
-              // batches of ≤512 records; stop past maxBytes but always
-              // send the first batch so the consumer makes progress
-              val cap = math.min(respMaxBytes, pmax)
-              val out = new Writer
-              var base = off
-              val groups = slice.grouped(512)
-              var full = false
-              while (groups.hasNext && !full) {
-                val g = groups.next()
-                out.raw(encodeBatch(base, g))
-                base += g.length
-                full = out.size >= cap // ≥1 batch always ships
+              val (s0, s1) = span
+              if (s1 == s0) www.bytes(Array.emptyByteArray)
+              else {
+                val buf = ByteBuffer.allocate((s1 - s0).toInt)
+                var read = 0
+                while (buf.hasRemaining) {
+                  val n = pl.chan.read(buf, s0 + read)
+                  require(n > 0, s"kafka broker: short log read at $s0")
+                  read += n
+                }
+                www.bytes(buf.array())
               }
-              www.bytes(out.result())
             }
           case None =>
             www.i32(idx); www.i16(3); www.i64(-1L)
@@ -251,11 +333,13 @@ final class KafkaMiniBroker private (server: ServerSocket,
 object KafkaMiniBroker {
 
   /** Start on an ephemeral loopback port with the given topics
-    * (name → partition count).
+    * (name → partition count). Partition logs live under a fresh temp
+    * directory, removed on stop().
     */
   def start(topics: Map[String, Int]): KafkaMiniBroker = {
     val server = new ServerSocket(0, 64, InetAddress.getByName("127.0.0.1"))
-    val broker = new KafkaMiniBroker(server, topics)
+    val logDir = Files.createTempDirectory("graft_kafka_log")
+    val broker = new KafkaMiniBroker(server, topics, logDir)
     val acceptor = new Thread(() => {
       try {
         while (!broker.closed.get) {

@@ -446,7 +446,10 @@ object KafkaWire {
           p.i64()          // lastStableOffset
           p.array { a => a.i64(); a.i64() } // abortedTransactions
           val data = p.bytes()
-          recs = decodeBatches(data)
+          // the broker returns whole batches verbatim, so a fetch from
+          // mid-batch carries earlier records — the CONSUMER skips
+          // below the requested offset, as real Kafka clients do
+          recs = decodeBatches(data).filter(_.offset >= offset)
         }
       }
       FetchResult(hw, recs)

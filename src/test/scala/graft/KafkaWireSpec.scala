@@ -102,6 +102,31 @@ class KafkaWireSpec extends AnyFunSuite {
 
   // ---- wire APIs over loopback TCP ----
 
+  test("the broker log stores compressed batches VERBATIM; the consumer decompresses") {
+    val broker = KafkaMiniBroker.start(Map("comp" -> 1))
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", broker.port)
+      try {
+        // snappy on the produce side; the broker never decodes records
+        // (it only rewrites baseOffset + verifies the CRC), so the
+        // fetch returns the SAME compressed bytes and this client-side
+        // decode is the real codec round-trip
+        val rows = (0 until 100).map(i => (1000L + i, bytes(s"k$i"), bytes(s"v$i" * 10)))
+        assert(c.produce("comp", 0, rows, KafkaWire.CodecSnappy) == 0L)
+        assert(c.produce("comp", 0, Seq((5000L, bytes("g"), bytes("gz"))),
+          KafkaWire.CodecGzip) == 100L)
+        val res = c.fetch("comp", 0, 0L)
+        assert(res.records.length == 101)
+        assert(str(res.records.head.value) == "v0" * 10)
+        assert(str(res.records.last.value) == "gz" && res.records.last.offset == 100L)
+        // mid-batch fetch: the whole containing batch ships; the
+        // consumer skips below the requested offset
+        val mid = c.fetch("comp", 0, 42L)
+        assert(mid.records.head.offset == 42L && mid.records.length == 59)
+      } finally c.close()
+    } finally broker.stop()
+  }
+
   test("five wire APIs round-trip against the mini broker") {
     val broker = KafkaMiniBroker.start(Map("events" -> 3))
     try {
