@@ -51,6 +51,27 @@ object Sizing {
     math.min(cap, math.max(cores, derived))
   }
 
+  /** Bucket count for a tag-bucketed (CLUSTERED BY) table — a capacity
+    * knob derived from the data like [[shufflePartitions]], not a
+    * constant: one bucket file per ~`targetFileBytes` of the table's
+    * per-partition bytes (for a day-partitioned table, bytes/day; for
+    * an unpartitioned one, the whole lake), rounded UP to a power of
+    * two so a future 2× rescale splits buckets evenly. Floor 4 keeps
+    * tiny-sf layouts identical to the driver rounds (a 17 MB lake
+    * derives the floor); the cap bounds small-file count at any scale
+    * — at 100 TB over 3,650 days (~27 GB/day) this derives 256 buckets
+    * ≈ 107 MB bucket files, the compaction target. The count is
+    * stamped into the staged layout (`_graft_buckets`) so the DDL that
+    * registers the table can never disagree with the files on disk.
+    */
+  def bucketCount(bytesPerPartition: Double,
+                  targetFileBytes: Long = 128L << 20,
+                  floor: Int = 4, cap: Int = 4096): Int = {
+    val raw = math.max(1, math.ceil(bytesPerPartition / targetFileBytes).toInt)
+    val p2 = Integer.highestOneBit(raw) * (if (Integer.bitCount(raw) == 1) 1 else 2)
+    math.min(cap, math.max(floor, p2))
+  }
+
   // NOTE (r11, negative result worth keeping): scaling
   // spark.sql.files.maxPartitionBytes DOWN for the small day-partitioned
   // lake (so the ~30 × 80 KB day files' opens parallelize instead of

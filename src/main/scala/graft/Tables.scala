@@ -162,9 +162,36 @@ object Tables {
     * the root, so a regenerated lake gets a fresh table) and recovers
     * the day partitions from the directory names.
     */
+  /** Bucket-count capacity knob (VERDICT r13 #7): derived from the
+    * lake via [[Sizing.bucketCount]], never hard-coded. The target is
+    * env-tunable so the layout witnesses can be RE-PROVEN at a second
+    * derived count; the env value rides the staging key, so flipping
+    * it stages a fresh layout instead of mislabeling an existing one.
+    */
+  private def bucketTargetBytes: Long =
+    sys.props.get("graft.bucket.target.bytes").orElse(
+      sys.env.get("SPARK_GRAFT_BUCKET_TARGET_BYTES")).map(_.toLong)
+      .getOrElse(128L << 20)
+
+  /** The staged layout carries its own bucket count (`_graft_buckets`,
+    * underscore-prefixed so Spark's file index ignores it): the DDL
+    * that registers a table over the files can never disagree with
+    * what was written — a mismatch would silently break the
+    * shuffle-free witnesses. */
+  private def stampBuckets(p: java.nio.file.Path, n: Int): Unit =
+    java.nio.file.Files.write(p.resolve("_graft_buckets"),
+      n.toString.getBytes("UTF-8"))
+  private def stampedBuckets(root: String): Int = {
+    val f = java.nio.file.Paths.get(root, "_graft_buckets")
+    require(java.nio.file.Files.exists(f),
+      s"staged bucketed layout at $root carries no _graft_buckets stamp")
+    new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
+  }
+
   def eventsUnifiedTable(spark: SparkSession, dir: String): String = {
     plans.EventTimeDayPruning.install(spark)
-    val root = Lake.staged(s"unified_lake_v1|$dir", Seq(s"$dir/events.parquet")) { p =>
+    val root = Lake.staged(s"unified_lake_v2|$dir|$bucketTargetBytes",
+        Seq(s"$dir/events.parquet")) { p =>
       import org.apache.spark.sql.functions._
       val width = math.max(spark.sparkContext.defaultParallelism,
         Sizing.shufflePartitions(s"$dir/events.parquet",
@@ -172,7 +199,7 @@ object Tables {
       val tmpTbl = s"graft_unified_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}"
       // canonical column types so the re-registration DDL below is
       // guaranteed to match the written parquet exactly
-      rawEventsNanos(spark, dir)
+      val frame = rawEventsNanos(spark, dir)
         .select(col("event_id").cast("bigint").as("event_id"),
           col("ts").cast("bigint").as("ts"),
           col("user_id").cast("bigint").as("user_id"),
@@ -180,17 +207,25 @@ object Tables {
           col("value").cast("double").as("value"),
           col("props").cast("string").as("props"))
         .withColumn("day", expr(dayOfNsSql("ts")))
+      // bucket count from bytes-per-DAY (the table's partition unit) —
+      // one distinct-count job, once per staged layout
+      val days = math.max(1L, frame.select(countDistinct(col("day"))).head.getLong(0))
+      val buckets = Sizing.bucketCount(
+        Sizing.parquetBytes(s"$dir/events.parquet").toDouble / days, bucketTargetBytes)
+      frame
         // day-locality-preserving parallelism, as in eventsLakeRoot; the
         // bucketBy/sortBy spec below adds the per-task (bucket, sort)
         // ordering itself
         .repartitionByRange(width, col("day"), col("ts"))
         .write.mode("overwrite")
         .partitionBy("day")
-        .bucketBy(4, "event_type").sortBy("event_type", "ts")
+        .bucketBy(buckets, "event_type").sortBy("event_type", "ts")
         .option("path", p.toString)
         .saveAsTable(tmpTbl)
       spark.sql(s"DROP TABLE $tmpTbl")
+      stampBuckets(p, buckets)
     }
+    val buckets = stampedBuckets(root)
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val tbl = s"graft_events_unified_$tag"
@@ -202,7 +237,7 @@ object Tables {
              |  event_type STRING, value DOUBLE, props STRING, day DATE)
              |USING parquet
              |PARTITIONED BY (day)
-             |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO 4 BUCKETS
+             |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO $buckets BUCKETS
              |LOCATION '$root'""".stripMargin)
         spark.sql(s"MSCK REPAIR TABLE $tbl")
       }
@@ -222,22 +257,28 @@ object Tables {
     */
   def eventsMultiTagTable(spark: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
-    val root = Lake.staged(s"multitag_lake_v1|$dir", Seq(s"$dir/events.parquet")) { p =>
+    val root = Lake.staged(s"multitag_lake_v2|$dir|$bucketTargetBytes",
+        Seq(s"$dir/events.parquet")) { p =>
       val tmpTbl = s"graft_multitag_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      // unpartitioned table: bytes-per-partition-unit = the whole lake
+      val buckets = Sizing.bucketCount(
+        Sizing.parquetBytes(s"$dir/events.parquet").toDouble, bucketTargetBytes)
       eventsNanos(spark, dir)
         .select(col("ts").cast("bigint").as("ts"),
           col("event_type").cast("string").as("event_type"),
           concat(lit("r"), pmod(col("user_id"), lit(3)).cast("string")).as("region"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        .repartition(4, col("event_type"), col("region"))
+        .repartition(buckets, col("event_type"), col("region"))
         .write.mode("overwrite")
-        .bucketBy(4, "event_type", "region")
+        .bucketBy(buckets, "event_type", "region")
         .sortBy("event_type", "region", "ts")
         .option("path", p.toString)
         .option("parquet.block.size", "4096")
         .saveAsTable(tmpTbl)
       spark.sql(s"DROP TABLE $tmpTbl")
+      stampBuckets(p, buckets)
     }
+    val buckets = stampedBuckets(root)
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val tbl = s"graft_events_multitag_$tag"
@@ -248,7 +289,7 @@ object Tables {
              |  ts BIGINT, event_type STRING, region STRING, cents BIGINT)
              |USING parquet
              |CLUSTERED BY (event_type, region)
-             |SORTED BY (event_type, region, ts) INTO 4 BUCKETS
+             |SORTED BY (event_type, region, ts) INTO $buckets BUCKETS
              |LOCATION '$root'""".stripMargin)
       }
     }
@@ -267,26 +308,33 @@ object Tables {
   def eventsMultiTagDayTable(spark: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
     plans.EventTimeDayPruning.install(spark)
-    val root = Lake.staged(s"multitag_day_lake_v1|$dir", Seq(s"$dir/events.parquet")) { p =>
+    val root = Lake.staged(s"multitag_day_lake_v2|$dir|$bucketTargetBytes",
+        Seq(s"$dir/events.parquet")) { p =>
       val width = math.max(spark.sparkContext.defaultParallelism,
         Sizing.shufflePartitions(s"$dir/events.parquet",
           spark.sparkContext.defaultParallelism))
       val tmpTbl = s"graft_mtday_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}"
-      eventsNanos(spark, dir)
+      val frame = eventsNanos(spark, dir)
         .select(col("ts").cast("bigint").as("ts"),
           col("event_type").cast("string").as("event_type"),
           concat(lit("r"), pmod(col("user_id"), lit(3)).cast("string")).as("region"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         .withColumn("day", expr(dayOfNsSql("ts")))
+      val days = math.max(1L, frame.select(countDistinct(col("day"))).head.getLong(0))
+      val buckets = Sizing.bucketCount(
+        Sizing.parquetBytes(s"$dir/events.parquet").toDouble / days, bucketTargetBytes)
+      frame
         .repartitionByRange(width, col("day"), col("ts"))
         .write.mode("overwrite")
         .partitionBy("day")
-        .bucketBy(4, "event_type", "region")
+        .bucketBy(buckets, "event_type", "region")
         .sortBy("event_type", "region", "ts")
         .option("path", p.toString)
         .saveAsTable(tmpTbl)
       spark.sql(s"DROP TABLE $tmpTbl")
+      stampBuckets(p, buckets)
     }
+    val buckets = stampedBuckets(root)
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val tbl = s"graft_events_mtday_$tag"
@@ -299,7 +347,7 @@ object Tables {
              |USING parquet
              |PARTITIONED BY (day)
              |CLUSTERED BY (event_type, region)
-             |SORTED BY (event_type, region, ts) INTO 4 BUCKETS
+             |SORTED BY (event_type, region, ts) INTO $buckets BUCKETS
              |LOCATION '$root'""".stripMargin)
         spark.sql(s"MSCK REPAIR TABLE $tbl")
       }

@@ -864,18 +864,19 @@ object LakeContract {
         .map(_.getString(0).stripPrefix("day=")).sorted.toSeq
       require(days.size > 1, s"unified table holds ${days.size} day(s)")
       val d1 = days(1)
+      val buckets = tableBuckets(s, tbl)
       val dataCols = s.table(tbl).columns.filterNot(_ == "day")
       // materialize the day's rows BEFORE overwriting it (never a
-      // self-read), then land them back as 4 single-task inserts — the
-      // file state 4 micro-batch triggers leave behind
+      // self-read), then land them back as `buckets` single-task
+      // inserts — the file state that many micro-batch triggers leave
       val frag = java.nio.file.Files.createTempDirectory("graft_compact_uni_frag")
       s.table(tbl).filter(col("day") === to_date(lit(d1)))
         .select(dataCols.map(col): _*)
         .write.mode("overwrite").parquet(frag.toString)
-      (0 until 4).foreach { k =>
+      (0 until buckets).foreach { k =>
         val v = s"graft_uni_frag_${k}_${System.nanoTime()}"
         s.read.parquet(frag.toString)
-          .filter(pmod(col("event_id"), lit(4)) === k)
+          .filter(pmod(col("event_id"), lit(buckets)) === k)
           .repartition(1).createOrReplaceTempView(v)
         val verb = if (k == 0) "OVERWRITE TABLE" else "INTO"
         s.sql(s"INSERT $verb $tbl PARTITION (day='$d1') " +
@@ -886,12 +887,12 @@ object LakeContract {
         Option(new java.io.File(root.toFile, s"day=$d1").listFiles())
           .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".parquet"))
       val fragged = dayFiles().length
-      require(fragged > 4,
-        s"fragmentation failed: day=$d1 holds $fragged file(s), want > 4")
+      require(fragged > buckets,
+        s"fragmentation failed: day=$d1 holds $fragged file(s), want > $buckets")
       val (before, after) =
-        graft.operators.Dml.compactUnified(s, tbl, d1, 4, Seq("event_type"))
-      require(before == fragged && after <= 4 && after < before,
-        s"unified compaction failed: $before files -> $after (want <= 4)")
+        graft.operators.Dml.compactUnified(s, tbl, d1, buckets, Seq("event_type"))
+      require(before == fragged && after <= buckets && after < before,
+        s"unified compaction failed: $before files -> $after (want <= $buckets)")
       require(dayFiles().forall(_.matches(".*_\\d{5}\\..*parquet")),
         s"compaction lost bucket naming: ${dayFiles().mkString(",")}")
       // both layout witnesses still hold on the compacted table
@@ -937,9 +938,20 @@ object LakeContract {
     * root). The copy and its catalog entry live for the session, like
     * the path-lake lifecycle lanes' tempdir copies.
     */
+  /** A catalog table's bucket count, from its metadata — the layout is
+    * input-derived (Sizing.bucketCount), so every consumer reads it
+    * rather than assuming a constant. */
+  private def tableBuckets(s: SparkSession, tbl: String): Int = {
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(tbl)
+    s.sessionState.catalog.getTableMetadata(ident).bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(sys.error(s"table $tbl carries no bucket spec"))
+  }
+
   private def privateUnifiedCopy(s: SparkSession, dir: String,
                                  prefix: String): (String, java.nio.file.Path) = {
     val shared = Tables.eventsUnifiedTable(s, dir)
+    val buckets = tableBuckets(s, shared)
     val ident = s.sessionState.sqlParser.parseTableIdentifier(shared)
     val srcRoot = java.nio.file.Paths.get(
       new java.net.URI(s.sessionState.catalog.getTableMetadata(ident)
@@ -953,7 +965,7 @@ object LakeContract {
          |  event_type STRING, value DOUBLE, props STRING, day DATE)
          |USING parquet
          |PARTITIONED BY (day)
-         |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO 4 BUCKETS
+         |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO $buckets BUCKETS
          |LOCATION '$root'""".stripMargin)
     s.sql(s"MSCK REPAIR TABLE $tbl")
     (tbl, root)

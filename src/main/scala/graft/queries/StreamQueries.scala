@@ -856,13 +856,18 @@ object StreamQueries {
       graft.plans.EventTimeDayPruning.install(s)
       val root = Files.createTempDirectory("graft_stream_unified")
       val tbl = s"graft_stream_unified_${System.nanoTime()}"
+      // same input-derived capacity rule as the batch-staged unified
+      // table: buckets from bytes-per-day, never a constant
+      val buckets = graft.Sizing.bucketCount(
+        graft.Sizing.parquetBytes(s"$dir/events.parquet").toDouble /
+          math.max(1, graft.Tables.eventsLakeDays(s, dir).size))
       s.sql(
         s"""CREATE TABLE $tbl (
            |  event_id BIGINT, ts BIGINT, user_id BIGINT,
            |  event_type STRING, value DOUBLE, props STRING, day DATE)
            |USING parquet
            |PARTITIONED BY (day)
-           |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO 4 BUCKETS
+           |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO $buckets BUCKETS
            |LOCATION '$root'""".stripMargin)
       val dataCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")

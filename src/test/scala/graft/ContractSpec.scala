@@ -366,6 +366,48 @@ class ContractSpec extends AnyFunSuite {
     assert(queries.LakeContract.queries("ts_prune_join")(spark, sf).count() > 0)
   }
 
+  test("unified table witnesses hold at a SECOND derived bucket count") {
+    // the bucket count is a derived capacity knob (Sizing.bucketCount),
+    // not a constant: shrink the per-file target so the SAME lake
+    // derives a different power-of-two, restage (the target rides the
+    // staging key), and re-prove both layout witnesses plus row parity
+    // with the default-target table
+    val defaultTbl = Tables.eventsUnifiedTable(spark, sf)
+    val days = Tables.eventsLakeDays(spark, sf).size
+    val perDay = Sizing.parquetBytes(s"$sf/events.parquet").toDouble / math.max(1, days)
+    System.setProperty("graft.bucket.target.bytes",
+      math.max(1L, (perDay / 5).toLong).toString) // raw 5–6 → pow2 8
+    try {
+      val tbl = Tables.eventsUnifiedTable(spark, sf)
+      assert(tbl != defaultTbl, "a new target must stage a new table")
+      def buckets(t: String): Int = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .bucketSpec.get.numBuckets
+      assert(buckets(defaultTbl) == 4 && buckets(tbl) == 8,
+        s"derived ${buckets(defaultTbl)} then ${buckets(tbl)}")
+      // witness 1: a one-day µs window still prunes the catalog listing
+      val d1 = java.time.LocalDate.parse(spark.sql(s"SHOW PARTITIONS $tbl")
+        .collect().map(_.getString(0).stripPrefix("day=")).sorted.apply(1))
+      val window = spark.table(tbl)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .filter(col("tstamp") >= expr(s"TIMESTAMP '$d1 00:00:00'") &&
+          col("tstamp") < expr(s"TIMESTAMP '${d1.plusDays(1)} 00:00:00'"))
+        .groupBy("event_type").count()
+      assert(scanOfPlan(window).selectedPartitions.partitionCount == 1)
+      // witness 2: the per-series agg still plans ZERO hash exchanges
+      // over a bucketed scan at the new count
+      val agg = spark.table(tbl).groupBy("event_type").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // row parity: both layouts answer identically
+      val a = spark.table(defaultTbl).groupBy("event_type").count()
+        .orderBy("event_type").collect().toSeq
+      val b = agg.orderBy("event_type").collect().toSeq
+      assert(a == b, "bucket-count change altered answers")
+    } finally System.clearProperty("graft.bucket.target.bytes")
+  }
+
   private def scanOfPlan(df: org.apache.spark.sql.DataFrame) = {
     val phys = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
