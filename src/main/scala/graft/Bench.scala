@@ -75,6 +75,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibProbe() // untimed: JIT-prime the probe's own codegen
+    // Memory-bandwidth sentinel (r13 #6): the steal counter has a blind
+    // spot — r13 documented kernel-lane flip-flops (doc_rep_stats
+    // 5.0 ↔ 0.19 s across adjacent runs, zero code change, zero steal)
+    // consistent with a co-tenant saturating the memory controller:
+    // preempted-vCPU time shows as steal, but cycles stalled on DRAM
+    // land on the running thread's clock like real work. This probe
+    // measures achieved bandwidth directly: 4 threads each streaming a
+    // 32 MB long array (far past LLC, so DRAM-bound) 4 times; aggregate
+    // GB/s at the same three suite points as the calib probe. A ≥1.5×
+    // disagreement marks the attempt noisy exactly like a calib spread.
+    @volatile var bwBlackhole = 0L
+    val bwArrays = Array.fill(4)(Array.tabulate(4 << 20)(_.toLong))
+    def bwProbe(): Double = {
+      val t0 = System.nanoTime()
+      val threads = bwArrays.map { a =>
+        val t = new Thread(() => {
+          var s = 0L; var pass = 0
+          while (pass < 4) {
+            var i = 0
+            while (i < a.length) { s += a(i); i += 1 }
+            pass += 1
+          }
+          bwBlackhole += s
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      val bytes = 4L * (4L << 20) * 8L * 4L
+      bytes / 1e9 / ((System.nanoTime() - t0) / 1e9)
+    }
+    bwProbe() // untimed JIT prime
     // Hypervisor steal sampler: /proc/stat's aggregate cpu line, field 8
     // (jiffies, USER_HZ=100). On a virtualized build box the r4/r5 bench
     // blowups (warm run2 7-20× slower than run1, a 9 s calibration
@@ -105,6 +136,7 @@ object Bench {
 
     final case class Attempt(results: Seq[(String, (Double, Double))],
                              calibs: Seq[Double], steals: Seq[Double],
+                             bws: Seq[Double], bwSpread: Double,
                              noisy: Boolean, spread: Double, unit: Double) {
       // A query whose either run threw (the -1.0 sentinel) is EXCLUDED
       // from the totals and listed by name: r6's artifact summed the
@@ -128,6 +160,8 @@ object Bench {
           ",\"calib\":[" + calibs.map(fmt).mkString(",") + "]" +
           ",\"calib_spread\":" + fmt(spread) + ",\"calib_unit\":" + fmt(unit) +
           ",\"steal_sec\":[" + steals.map(fmt).mkString(",") + "]" +
+          ",\"bw_gbps\":[" + bws.map(fmt).mkString(",") + "]" +
+          ",\"bw_spread\":" + fmt(bwSpread) +
           ",\"noisy\":" + noisy + "," + errJson + "}"
     }
 
@@ -161,21 +195,26 @@ object Bench {
       val stealA = stealJiffies()
       val wall0 = System.nanoTime()
       val calibA = calibProbe()
+      val bwA = bwProbe()
       val res1 = firstHalf.map { case (name, fn) =>
         name -> (oncePlusSteal(fn), oncePlusSteal(fn)) }
       val stealB = stealJiffies()
       val wall1 = System.nanoTime()
       val calibB = calibProbe()
+      val bwB = bwProbe()
       val res2 = secondHalf.map { case (name, fn) =>
         name -> (oncePlusSteal(fn), oncePlusSteal(fn)) }
       val stealC = stealJiffies()
       val wall2 = System.nanoTime()
       val calibC = calibProbe()
+      val bwC = bwProbe()
       val stealD = stealJiffies()
       val wall3 = System.nanoTime()
       val calibs = Seq(calibA, calibB, calibC)
       val spread = calibs.max / calibs.min
       val unit = calibs.sorted.apply(1)
+      val bws = Seq(bwA, bwB, bwC)
+      val bwSpread = bws.max / math.max(1e-9, bws.min)
       // steal per window in cpu-seconds (USER_HZ=100); -1 when
       // unavailable. A window is steal-noisy when the host took more
       // than 10% of the cpu-time the bench's own executor pool could
@@ -193,7 +232,8 @@ object Bench {
         poisoned(r1, s1) || poisoned(r2, s2)
       }
       Attempt(all.map { case (n, ((r1, _), (r2, _))) => n -> (r1, r2) },
-        calibs, steals, spread >= 1.5 || stealNoisy || laneNoisy, spread, unit)
+        calibs, steals, bws, bwSpread,
+        spread >= 1.5 || bwSpread >= 1.5 || stealNoisy || laneNoisy, spread, unit)
     }
 
     // Self-certifying measurement: re-run the whole suite until the
@@ -219,6 +259,8 @@ object Bench {
     val calibJson = "\"calib\":[" + kept.calibs.map(fmt).mkString(",") + "]," +
       "\"calib_spread\":" + fmt(kept.spread) + ",\"calib_unit\":" + fmt(kept.unit) +
       ",\"steal_sec\":[" + kept.steals.map(fmt).mkString(",") + "]" +
+      ",\"bw_gbps\":[" + kept.bws.map(fmt).mkString(",") + "]" +
+      ",\"bw_spread\":" + fmt(kept.bwSpread) +
       ",\"noisy\":" + (kept.noisy || kept.invalid) + "," + kept.errJson +
       ",\"attempts\":[" + attempts.mkString(",") + "]"
     val sfName = sfDir.split('/').lastOption.getOrElse(sfDir)
