@@ -232,7 +232,12 @@ final class MetaCatalog {
         // ("tenant" / "tenant-db") is not unique once names may contain
         // '-' (quoted identifiers), and parsing it back would misroute
         // the deferred drop
-        afterNs match {
+        //
+        // a tenant's drop_after OPTION is the DEFAULT delay for a bare
+        // DROP TENANT (drop_and_recover_tenant.slt: `drop tenant
+        // tenant_delay1` with drop_after='1m' set schedules, it does
+        // not drop immediately); an explicit AFTER overrides it
+        afterNs.orElse(t.dropAfter.map(parseDuration)) match {
           case Some(d) =>
             tenants(name) = t.copy(hidden = true)
             resources(s"DropTenant|$name|") =
@@ -419,7 +424,11 @@ final class MetaCatalog {
             databases = t.databases - r.db,
             grants = t.grants.filterNot(_.database == r.db)))
       }
-      resources(key) = r.copy(status = "Executing", tryCount = r.tryCount + 1)
+      // the reference's terminal state (its spelling preserved):
+      // Schedule → Executing → Successed; this executor is synchronous,
+      // so the readable post-tick state is the terminal one
+      // (drop_and_recover_tenant.slt's final resource_status rows)
+      resources(key) = r.copy(status = "Successed", tryCount = r.tryCount + 1)
     }
     due.map(_._2.name)
   }

@@ -70,7 +70,7 @@ class AdminSpec extends AnyFunSuite {
     now += 3600L * 1000000000L + 1
     e.catalog.runDueResources(now)
     assert(rows(e, "select status from information_schema.resource_status") ==
-      Seq(Seq("Executing")))
+      Seq(Seq("Successed")))
     assert(err(e, "ALTER TENANT t9 SET comment='x'").message.contains("Tenant not found"))
   }
 
@@ -275,7 +275,7 @@ class AdminSpec extends AnyFunSuite {
     e.catalog.runDueResources(now)
     assert(rows(e, "select database_name from information_schema.databases where database_name='db_delay'").isEmpty)
     assert(rows(e, "select status from information_schema.resource_status where name='cnosdb-db_delay'") ==
-      Seq(Seq("Executing")))
+      Seq(Seq("Successed")))
   }
 
   // ---- tables (create/describe/alter; information_schema.columns) ---
@@ -811,5 +811,55 @@ class AdminSpec extends AnyFunSuite {
       spark.catalog.dropTempView("mcv")
       spark.catalog.dropTempView("information_schema_tables")
     }
+  }
+
+  test("deferred-drop lifecycle end-to-end over /api/v1/sql with a mocked clock") {
+    // drop_and_recover_tenant.slt driven through the HTTP surface:
+    // schedule → hidden → RECOVER races the deadline (Cancel wins) →
+    // bare DROP uses the tenant's drop_after option as the default
+    // delay → the due tick executes → terminal status "Successed"
+    // (reference spelling)
+    import graft.sources.WireHttp
+    var now = 1700000000000000000L
+    val root = java.nio.file.Files.createTempDirectory("graft_admin_spec").toString
+    val e = new AdminEngine(spark, new MetaCatalog, root, () => now)
+    val spool = java.nio.file.Files.createTempDirectory("graft_admin_wire").toString
+    val srv = WireHttp.start(spool, sqlExec = e.execHttp)
+    try {
+      def sql(stmt: String, tenant: String = "cnosdb"): (Int, String) = {
+        val (c, b) = WireHttp.post(s"${srv.base}/api/v1/sql?tenant=$tenant&db=public",
+          stmt.getBytes("UTF-8"), contentType = "text/plain", basicAuth = ("root", ""))
+        (c, new String(b, "UTF-8"))
+      }
+      val status =
+        "select name,action,try_count,status from information_schema.resource_status" +
+          " where name = 'tenant_delay'"
+      assert(sql("CREATE TENANT tenant_delay WITH drop_after='7d'")._1 == 200)
+      assert(sql("DROP TENANT tenant_delay AFTER '3m'")._1 == 200)
+      assert(sql(status) ==
+        (200, "name,action,try_count,status\ntenant_delay,DropTenant,0,Schedule"))
+      // hidden while scheduled: statements AS the tenant answer 404
+      assert(sql("SHOW DATABASES", tenant = "tenant_delay")._1 == 404)
+      // RECOVER races the deadline and wins
+      now += 2L * 60 * 1000000000L
+      assert(sql("RECOVER TENANT tenant_delay")._1 == 200)
+      now += 2L * 60 * 1000000000L // past the original 3m deadline
+      e.catalog.runDueResources(now)
+      assert(sql(status) ==
+        (200, "name,action,try_count,status\ntenant_delay,DropTenant,0,Cancel"))
+      assert(sql("SHOW DATABASES", tenant = "tenant_delay")._1 == 200)
+      // bare DROP TENANT: the drop_after OPTION is the default delay
+      assert(sql("DROP TENANT tenant_delay")._1 == 200)
+      assert(sql(status) ==
+        (200, "name,action,try_count,status\ntenant_delay,DropTenant,0,Schedule"))
+      now += 6L * 86400L * 1000000000L
+      e.catalog.runDueResources(now) // 6d < 7d: not due yet
+      assert(sql(status)._2.endsWith("Schedule"))
+      now += 2L * 86400L * 1000000000L
+      e.catalog.runDueResources(now) // 8d: due
+      assert(sql(status) ==
+        (200, "name,action,try_count,status\ntenant_delay,DropTenant,1,Successed"))
+      assert(sql("SHOW DATABASES", tenant = "tenant_delay")._1 == 404)
+    } finally srv.stop()
   }
 }
