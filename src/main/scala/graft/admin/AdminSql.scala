@@ -939,6 +939,116 @@ final class AdminEngine(
     }
   }
 
+  // ---- schemaless line-protocol write --------------------------------
+
+  /** The reference's PRIMARY ingest path, schema-first ("schemaless")
+    * write: line-protocol rows CREATE the target tskv table implicitly
+    * and ADD columns on first sight, typed by the LP value
+    * ([[AdminEngine.lpType]]); a value whose type disagrees with the
+    * declared column is the reference's field-type conflict error.
+    * Two passes, both distributed: (1) a schema-sized distinct over
+    * (measurement, column, kind, type) drives the driver-side catalog
+    * mutations; (2) per measurement, one narrow typed projection
+    * appends parquet under the PHYSICAL column ids — same storage
+    * contract as INSERT, so RENAME/DROP/re-ADD semantics hold for
+    * wire-written columns too. Returns (measurement, rows) counts.
+    */
+  def writeLines(db: String,
+                 lines: org.apache.spark.sql.Dataset[String]): DataFrame = synchronized {
+    requireOnDb(session.tenant, db, "Write")
+    import org.apache.spark.sql.functions._
+    val parsed = graft.sources.LineProtocol.parse(lines)
+    val sp = lines.sparkSession
+    import sp.implicits._
+    // PASS 1 — observed schema (bounded collect: one row per distinct
+    // (measurement, column, type), i.e. schema-sized, never data-sized)
+    val observed = parsed
+      .select(col("measurement"), col("tags"), col("fields"))
+      .as[(String, Map[String, String], Map[String, String])]
+      .flatMap { case (m, tags, fields) => AdminEngine.lpObserved(m, tags, fields) }
+      .distinct().collect().toSeq
+    val byMeasurement = observed.groupBy(_._1).toSeq.sortBy(_._1)
+    byMeasurement.foreach { case (m, cols) =>
+      catalog.validateName(m)
+      val tagsSeen = cols.filter(_._3 == "TAG").map(_._2).distinct.sorted
+      val fieldsSeen = cols.filter(_._3 == "FIELD").map(c => (c._2, c._4)).distinct
+      fieldsSeen.groupBy(_._1).find(_._2.size > 1).foreach { case (f, ts) =>
+        AdminError.semantic(
+          s"field type conflict: $f arrives as ${ts.map(_._2).mkString(" and ")} in measurement $m")
+      }
+      val d = catalog.database(session.tenant, db)
+      d.tables.get(m) match {
+        case None =>
+          val tcols = Vector(ColumnDef("time", "TIME", "TIMESTAMP(NANOSECOND)", "DEFAULT", 0)) ++
+            tagsSeen.zipWithIndex.map { case (tn, i) =>
+              ColumnDef(tn, "TAG", "STRING", "DEFAULT", i + 1) } ++
+            fieldsSeen.sortBy(_._1).zipWithIndex.map { case ((fn, ft), i) =>
+              ColumnDef(fn, "FIELD", ft, "DEFAULT", tagsSeen.size + 1 + i) }
+          catalog.createTable(session.tenant, db, TableDef(m, tcols), ifNotExists = false)
+        case Some(t0) =>
+          // extend in place; a known FIELD must keep its declared type
+          fieldsSeen.foreach { case (fn, ft) =>
+            t0.columns.find(_.name == fn).foreach { c =>
+              if (c.colType == "TAG")
+                AdminError.semantic(s"column $fn of measurement $m is a TAG, written as a field")
+              if (c.colType == "FIELD" && c.dataType != ft)
+                AdminError.semantic(
+                  s"field type conflict: $fn is ${c.dataType}, written as $ft in measurement $m")
+            }
+          }
+          tagsSeen.filterNot(tn => t0.columns.exists(_.name == tn)).foreach { tn =>
+            catalog.alterTable(session.tenant, db, m, t => {
+              val tagOrd = t.tags.map(_.ordinal).maxOption.getOrElse(0) + 1
+              val shifted = t.columns.map(c =>
+                if (c.colType == "FIELD") c.copy(ordinal = c.ordinal + 1) else c)
+              t.copy(columns = shifted :+ ColumnDef(tn, "TAG", "STRING", "DEFAULT",
+                  tagOrd, storedId = s"__c${t.nextColId}_$tn"),
+                nextColId = t.nextColId + 1)
+            })
+          }
+          fieldsSeen.filterNot(fc => t0.columns.exists(_.name == fc._1))
+            .sortBy(_._1).foreach { case (fn, ft) =>
+              catalog.alterTable(session.tenant, db, m, t => {
+                t.copy(columns = t.columns :+ ColumnDef(fn, "FIELD", ft, "DEFAULT",
+                    t.columns.map(_.ordinal).max + 1, storedId = s"__c${t.nextColId}_$fn"),
+                  nextColId = t.nextColId + 1)
+              })
+            }
+      }
+    }
+    // PASS 2 — distributed typed append per measurement
+    val serverNowNs = nowNs()
+    val counts = byMeasurement.map { case (m, _) =>
+      val t = catalog.table(session.tenant, db, m)
+      val sub = parsed.filter(col("measurement") === m)
+      def typed(raw: org.apache.spark.sql.Column, dt: String): org.apache.spark.sql.Column =
+        dt match {
+          case "BIGINT" => regexp_replace(raw, "i$", "").cast(LongType)
+          case "BIGINT UNSIGNED" => regexp_replace(raw, "u$", "").cast(LongType)
+          case "BOOLEAN" => lower(substring(raw, 1, 1)) === "t"
+          case "STRING" =>
+            // quoted LP strings: strip the quotes, unescape \"
+            regexp_replace(
+              regexp_replace(regexp_replace(raw, "^\"", ""), "\"$", ""),
+              "\\\\\"", "\"")
+          case _ => raw.cast(DoubleType)
+        }
+      val proj =
+        when(col("ts") >= 0L, col("ts")).otherwise(lit(serverNowNs)).as("time_ns") +:
+        t.columns.filter(_.colType != "TIME").sortBy(_.ordinal).map { c =>
+          if (c.colType == "TAG") element_at(col("tags"), c.name).as(c.physical)
+          else typed(element_at(col("fields"), c.name), c.dataType).as(c.physical)
+        }
+      val frame = sub.select(proj: _*)
+      frame.write.mode("append").parquet(tablePath(db, m))
+      // one extra narrow count over this measurement's slice — an
+      // ingest batch is wire-sized; the reference answers rows written
+      (m, sub.count())
+    }
+    mkDf(Seq("measurement", "rows"),
+      counts.map { case (m, n) => Row(m, n) }, Seq(StringType, LongType))
+  }
+
   /** Read a TSKV table's stored rows as a DataFrame with a `time`
     * timestamp column (µs-truncated view of the stored ns). Columns
     * resolve by PHYSICAL id and surface under their CURRENT catalog
@@ -1298,6 +1408,32 @@ object AdminEngine {
   val QueriesColumns: Seq[String] =
     Seq("query_id", "query_type", "query_text", "user_name", "tenant_name",
       "database_name", "state")
+
+  /** A line-protocol field value's DECLARED tskv type — the reference's
+    * value dispatch (common/protocol_parser/src/line_protocol/
+    * parser.rs:328): `Ni` BIGINT, `Nu` BIGINT UNSIGNED, bare numeric
+    * DOUBLE, quoted STRING, t/f BOOLEAN. Static (companion) so the
+    * schema-observation closure serializes without the engine. */
+  def lpType(raw: String): String = {
+    val r = raw.trim
+    if (r.isEmpty) "STRING"
+    else r.charAt(0) match {
+      case 't' | 'T' | 'f' | 'F' => "BOOLEAN"
+      case '"'                   => "STRING"
+      case c if c == '+' || c == '-' || c.isDigit =>
+        if (r.endsWith("i")) "BIGINT"
+        else if (r.endsWith("u")) "BIGINT UNSIGNED"
+        else "DOUBLE"
+      case _ => "STRING"
+    }
+  }
+
+  /** One parsed line's schema facts: (measurement, column, TAG|FIELD,
+    * declared type). Static for executor-side use. */
+  def lpObserved(m: String, tags: Map[String, String],
+                 fields: Map[String, String]): Iterator[(String, String, String, String)] =
+    tags.keysIterator.map(k => (m, k, "TAG", "STRING")) ++
+      fields.iterator.map { case (k, v) => (m, k, "FIELD", lpType(v)) }
 }
 
 /** Hand-rolled tokenizer/cursor for the admin statement grammar.

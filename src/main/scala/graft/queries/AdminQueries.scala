@@ -305,6 +305,66 @@ object AdminQueries {
       e.execute("SHOW TAG VALUES FROM evts WITH KEY IN (event_type) ORDER BY key, value").get
     }),
 
+    // The reference's PRIMARY write path end-to-end over REAL sockets
+    // (http_service.rs:484 → coordinator schema-first write → SQL):
+    // events rendered to line protocol, POSTed in K bodies through the
+    // AUTHENTICATED /api/v1/write route (the catalog gates Write on
+    // the target db before the spool), the spool decoded executor-side
+    // and SCHEMALESSLY written — the `events` tskv table and its
+    // typed columns (event_id BIGINT from the `i` suffix, value DOUBLE,
+    // event_type TAG) are created BY the write — then queried through
+    // the engine's SQL front. The oracle recomputes from the raw lake:
+    // matching hashes prove wire render → auth → spool → implicit DDL →
+    // typed storage → SQL loses nothing.
+    "q_admin_wire_lp_sql" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val (e, root) = freshEngine(s)
+      e.execute("CREATE DATABASE wiredb")
+      e.execute("CREATE USER ingest WITH password='w1re'")
+      e.execute("ALTER TENANT cnosdb ADD USER ingest AS member")
+      e.execute("CREATE ROLE writers INHERIT member")
+      e.execute("GRANT WRITE ON DATABASE wiredb TO writers")
+      e.execute("ALTER TENANT cnosdb ADD USER ingest AS writers")
+      // K bounded LP bodies (one per event-time range), escaped per LP
+      // rules; event_id rides as an i-suffixed BIGINT field
+      val tagEsc = regexp_replace(col("event_type"), "([ ,=])", "\\\\$1")
+      val bodies = Tables.eventsNanos(s, dir)
+        .select(format_string("events,event_type=%s value=%s,event_id=%si %s",
+          tagEsc, col("value"), col("event_id"), col("ts")).as("line"),
+          pmod(col("event_id"), lit(4)).as("k"))
+        .groupBy("k").agg(concat_ws("\n", collect_list(col("line"))).as("body"))
+        .select("body").as[String].collect() // bounded: 4 POST bodies
+      val spool = java.nio.file.Files.createTempDirectory("graft_wire_lp")
+      val srv = graft.sources.WireHttp.start(spool.toString, writeAuth = e.authWrite)
+      try {
+        // a Write-less user is rejected before the spool
+        val (bad, _) = graft.sources.WireHttp.post(
+          s"${srv.base}/api/v1/write?tenant=cnosdb&db=wiredb",
+          bodies.head.getBytes("UTF-8"), basicAuth = ("ingest", "nope"))
+        require(bad == 401, s"wire lp: bad credentials answered $bad")
+        bodies.foreach { b =>
+          val (code, _) = graft.sources.WireHttp.post(
+            s"${srv.base}/api/v1/write?tenant=cnosdb&db=wiredb",
+            b.getBytes("UTF-8"), basicAuth = ("ingest", "w1re"))
+          require(code == 204, s"wire lp: POST answered $code")
+        }
+      } finally srv.stop()
+      // decode the spool where it scales — executors — and write
+      // schemalessly into the catalog (implicit CREATE TABLE events)
+      e.execute("--#DATABASE=wiredb")
+      val lines = s.read.format("binaryFile").load(s"$spool/lp")
+        .select(col("content").cast("string").as("body"))
+        .select(explode(split(col("body"), "\n")).as("value")).as[String]
+      e.writeLines("wiredb", lines)
+      // the implicit table answers SQL; root stays on disk (lazy frame)
+      e.execute(
+        "SELECT event_type, count(*) AS n," +
+          " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value," +
+          " min(event_id) AS min_id, max(event_id) AS max_id" +
+          " FROM events GROUP BY event_type ORDER BY event_type").get
+    }),
+
     // INSERT/SELECT through the engine under a µs-precision database:
     // TIME literals are scaled by the catalog's precision on ingest
     // (db_precision.slt), storage is real parquet, and the SELECT goes
@@ -375,6 +435,15 @@ object AdminQueries {
     // stream_windowed's oracle VERBATIM — the SQL-declared stream table
     // must compute exactly what the API-declared stream computes
     "q_admin_stream_table" -> StreamQueries.oracleSql("stream_windowed"),
+    // per-series aggregate over the RAW lake: the Spark side computed it
+    // from rows that crossed LP render → authenticated POST → spool →
+    // schemaless write → typed storage → SQL
+    "q_admin_wire_lp_sql" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_admin_show_series" ->
       """SELECT DISTINCT 'evts,event_type=' || event_type AS key
         |FROM events ORDER BY key""".stripMargin,

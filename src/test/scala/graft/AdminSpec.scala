@@ -813,6 +813,44 @@ class AdminSpec extends AnyFunSuite {
     }
   }
 
+  test("schemaless LP write: tables and columns appear implicitly, typed by the value") {
+    import spark.implicits._
+    val e = freshEngine()
+    e.execute("CREATE DATABASE lp"); e.execute("--#DATABASE=lp")
+    val out = e.writeLines("lp", Seq(
+      "test,t0=a,t1=b f0=1i,f1=\"x\\\"y\" 1000000000",
+      "test,t0=a f0=2i 2000000000",
+      "test,t2=c f2=true,f3=1.5 3000000000",
+      "other v=3.0 5000000000").toDS())
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("other", 1L), ("test", 3L)))
+    // implicit DDL: table + typed columns as the LP values declare them
+    assert(rows(e, "select column_name, data_type, column_type from information_schema.columns" +
+      " where table_name = 'test' order by column_name") ==
+      Seq(Seq("f0", "BIGINT", "FIELD"), Seq("f1", "STRING", "FIELD"),
+        Seq("f2", "BOOLEAN", "FIELD"), Seq("f3", "DOUBLE", "FIELD"),
+        Seq("t0", "STRING", "TAG"), Seq("t1", "STRING", "TAG"), Seq("t2", "STRING", "TAG")))
+    // data lands typed; absent tags/fields are null; \" unescaped
+    assert(rows(e, "SELECT t0, t1, t2, f0, f1, f2, f3 FROM test ORDER BY time") ==
+      Seq(Seq("a", "b", null, 1L, "x\"y", null, null),
+        Seq("a", null, null, 2L, null, null, null),
+        Seq(null, null, "c", null, null, true, 1.5)))
+    // the implicit table serves SHOW SERIES like any other
+    assert(rows(e, "SHOW SERIES FROM test ORDER BY key").map(_.head) ==
+      Seq("test,t0=a", "test,t0=a,t1=b", "test,t2=c"))
+    // a later write EXTENDS the schema (new tag + field, fresh ids)
+    e.writeLines("lp", Seq("test,t9=z f9=7i 9").toDS())
+    assert(rows(e, "SELECT t9, f9 FROM test WHERE t9 IS NOT NULL") == Seq(Seq("z", 7L)))
+    // type conflicts are statement errors, batch-internal or vs catalog
+    assert(intercept[AdminError](e.writeLines("lp", Seq("test f0=1.5 10").toDS()))
+      .message.contains("field type conflict"))
+    assert(intercept[AdminError](e.writeLines("lp",
+      Seq("m2 g=1i 0", "m2 g=2.5 1").toDS())).message.contains("field type conflict"))
+    // writing a TAG name as a field is rejected
+    assert(intercept[AdminError](e.writeLines("lp", Seq("test t0=5i 11").toDS()))
+      .message.contains("is a TAG"))
+  }
+
   test("deferred-drop lifecycle end-to-end over /api/v1/sql with a mocked clock") {
     // drop_and_recover_tenant.slt driven through the HTTP surface:
     // schedule → hidden → RECOVER races the deadline (Cancel wins) →
