@@ -142,6 +142,13 @@ object WireHttp {
           else writeAuth(user, password, tenant, db).left.toOption
         denial match {
           case Some((code, msg)) =>
+            // drain-and-discard the body (bounded chunks, nothing
+            // retained): responding while the client is mid-write
+            // resets the connection before it can read the status. The
+            // spool is never touched on a denial.
+            val in = ex.getRequestBody
+            val sink = new Array[Byte](64 << 10)
+            while (in.read(sink) >= 0) ()
             val bytes = msg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             ex.sendResponseHeaders(code, bytes.length)
             ex.getResponseBody.write(bytes)
