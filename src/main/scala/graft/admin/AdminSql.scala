@@ -182,6 +182,8 @@ final class AdminEngine(
         case "SHOW"     => p.next(); Some(show(p))
         case "INSERT"   => p.next(); Some(insert(p, stripped))
         case "SELECT"   => Some(select(stripped))
+        case "COPY"     => p.next(); Some(copyInto(p, stripped, explainOnly = false))
+        case "EXPLAIN"  => p.next(); Some(explain(p, stripped))
         case other      => AdminError.parser(s"Expected statement, found: $other")
       }
       // trailing tokens after a fully parsed statement are an error,
@@ -784,6 +786,251 @@ final class AdminEngine(
     mkDf(Seq("rows"), Seq(Row(data.size.toLong)), Seq(LongType))
   }
 
+  // ---- COPY INTO (dml/copy_into/*.slt) --------------------------------
+
+  /** The parsed option tails of COPY INTO. Names, defaults and error
+    * wording mirror the reference's builders
+    * (query_server/spi/src/query/logical_planner.rs:684-823): type
+    * defaults to csv, delimiter ',', with_header true,
+    * auto_infer_schema false; unknown keys are "Unsupported option
+    * [x]"; delimiter/with_header are CSV-only. */
+  private case class CopySpec(fileType: String, delimiter: String,
+                              withHeader: Boolean, autoInfer: Boolean)
+
+  private def parseCopyTail(p: AdminParser): CopySpec = {
+    var fopts = Map.empty[String, String]
+    var copts = Map.empty[String, String]
+    while (p.peekUpperOpt.exists(u => u == "FILE_FORMAT" || u == "COPY_OPTIONS")) {
+      val clause = p.nextUpper()
+      p.expectSym("=")
+      p.expectSym("(")
+      val m = if (p.peekUpperOpt.contains(")")) Map.empty[String, String]
+              else p.optionAssignments()
+      p.expectSym(")")
+      if (clause == "FILE_FORMAT") fopts = m else copts = m
+    }
+    def boolOpt(k: String, v: String): Boolean =
+      if (v.equalsIgnoreCase("true")) true
+      else if (v.equalsIgnoreCase("false")) false
+      else AdminError.parser(s"Expected boolean value for option [$k], found: $v")
+    val fileType = fopts.getOrElse("type", "csv").toLowerCase
+    if (!Set("csv", "json", "parquet").contains(fileType))
+      AdminError.semantic(s"Unsupported file format [$fileType]")
+    fopts.keys.find(k =>
+      !Set("type", "delimiter", "with_header", "file_compression_type").contains(k))
+      .foreach(k => AdminError.semantic(s"Unsupported option [$k]"))
+    if (fileType != "csv" && (fopts.contains("delimiter") || fopts.contains("with_header")))
+      AdminError.semantic("delimiter and with_header fields are specific to CSV")
+    copts.keys.find(_ != "auto_infer_schema")
+      .foreach(k => AdminError.semantic(s"Unsupported option [$k]"))
+    CopySpec(
+      fileType,
+      fopts.getOrElse("delimiter", ","),
+      fopts.get("with_header").forall(boolOpt("with_header", _)),
+      copts.get("auto_infer_schema").exists(boolOpt("auto_infer_schema", _)))
+  }
+
+  /** The parenthesized subquery text of `COPY INTO '<loc>' FROM (..)`:
+    * tokens carry no source offsets, so the text Catalyst gets is cut
+    * from `raw` — scan quote-aware from the first '(' after the
+    * location literal to its balanced close. */
+  private def subqueryText(raw: String, path: String): String = {
+    val anchor = raw.indexOf(path)
+    val start = raw.indexOf('(', if (anchor < 0) 0 else anchor + path.length)
+    if (start < 0) AdminError.parser("Expected subquery in COPY INTO")
+    var i = start + 1; var depth = 1; var quote: Char = 0
+    while (i < raw.length && depth > 0) {
+      val c = raw.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '('        => depth += 1
+        case ')'        => depth -= 1
+        case _          =>
+      }
+      i += 1
+    }
+    if (depth > 0) AdminError.parser("Unterminated subquery in COPY INTO")
+    raw.substring(start + 1, i - 1).trim
+  }
+
+  /** COPY INTO, both directions (reference parser.rs:1695-1830,
+    * planner.rs:2340-2520; dml/copy_into/{copy_into_table,
+    * copy_into_location__UNIX,copy_into_wide_table}.slt).
+    *
+    * Import — `COPY INTO tbl[(cols)] FROM '<path>' file_format=(...)
+    * [copy_options=(auto_infer_schema=..)]`: the file is decoded with
+    * the TARGET's schema (csv positionally over the listed columns — a
+    * value that won't parse as the declared type is the reference's
+    * csv parser error; json/parquet by column name), then projected
+    * through the same storage cast as INSERT (physical column ids,
+    * TIME → ns) and appended to the table's parquet path as one
+    * distributed write. With auto_infer_schema=true the source's OWN
+    * inferred schema must match the target's — the reference's "Insert
+    * columns and Source columns not match" (json loses types, so it
+    * fails; parquet carries metadata, so it passes —
+    * copy_into_table.slt:128-151).
+    *
+    * Export — `COPY INTO '<location>' FROM tbl|(subquery)
+    * file_format=(...)`: the frame goes through the Catalyst
+    * passthrough and is APPENDED at the location (exporting twice
+    * doubles the external table — copy_into_location__UNIX.slt:47-60).
+    *
+    * Both return the copied row count as `rows` (the slt `query I`
+    * shape). Scale posture: row data never touches the driver — both
+    * directions are ordinary distributed scans/writes; the returned
+    * count is the one extra job, same trade as insertSelect. */
+  private def copyInto(p: AdminParser, raw: String, explainOnly: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    p.expectKw("INTO")
+    val isLocation = p.peekOpt match {
+      case Some(AdminParser.Quoted(_, '\'')) => true
+      case _                                 => false
+    }
+    if (isLocation) {
+      // ---- export: COPY INTO '<location>' FROM ... ----
+      val path = p.stringLit()
+      p.expectKw("FROM")
+      val src: DataFrame =
+        if (p.trySym("(")) {
+          val sub = subqueryText(raw, path)
+          var depth = 1 // skip the subquery's tokens on the cursor
+          while (depth > 0) p.peekOpt match {
+            case Some(AdminParser.Sym("(")) => p.next(); depth += 1
+            case Some(AdminParser.Sym(")")) => p.next(); depth -= 1
+            case Some(_)                    => p.next()
+            case None => AdminError.parser("Unterminated subquery in COPY INTO")
+          }
+          select(sub)
+        } else {
+          val (db, name) = p.qualifiedName(session.database)
+          requireOnDb(session.tenant, db, "Read")
+          catalog.table(session.tenant, db, name) // must exist
+          readTableOrEmpty(db, name)
+        }
+      val spec = parseCopyTail(p)
+      if (explainOnly) return planFrame(src)
+      val n = src.count()
+      val w = src.write.mode("append")
+      spec.fileType match {
+        case "csv" =>
+          w.option("header", spec.withHeader)
+            .option("delimiter", spec.delimiter)
+            // µs-full ISO instants so a csv round-trip preserves TIME
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .csv(path)
+        case "json"    => w.json(path)
+        case "parquet" => w.parquet(path)
+      }
+      mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
+    } else {
+      // ---- import: COPY INTO tbl[(cols)] FROM '<path>' ----
+      val (db, name) = p.qualifiedName(session.database)
+      requireOnDb(session.tenant, db, "Write")
+      val t = catalog.table(session.tenant, db, name)
+      val colNames: Vector[String] =
+        if (p.trySym("(")) { val l = p.nameList(); p.expectSym(")"); l }
+        else Vector.empty
+      p.expectKw("FROM")
+      val path = p.stringLit()
+      val spec = parseCopyTail(p)
+      val targets: Vector[ColumnDef] =
+        if (colNames.isEmpty) t.columns.sortBy(_.ordinal)
+        else {
+          val byName = t.columns.map(c => c.name.toLowerCase -> c).toMap
+          colNames.map(cn => byName.getOrElse(cn.toLowerCase,
+            AdminError.meta(s"Column not found: \"$cn\"")))
+        }
+      def logicalType(c: ColumnDef): DataType = c.colType match {
+        case "TIME" => TimestampType
+        case "TAG"  => StringType
+        case _      => sparkType(c.dataType)
+      }
+      val src: DataFrame = spec.fileType match {
+        case "csv" =>
+          val schema = StructType(targets.map(c => StructField(c.name, logicalType(c))))
+          spark.read
+            .option("header", spec.withHeader)
+            .option("delimiter", spec.delimiter)
+            .option("mode", "FAILFAST")
+            .schema(schema).csv(path)
+        case _ =>
+          val r = if (spec.fileType == "json") spark.read.json(path)
+                  else spark.read.parquet(path)
+          val byLower = r.columns.map(c => c.toLowerCase -> c).toMap
+          def sourceCol(c: ColumnDef): String =
+            byLower.getOrElse(c.name.toLowerCase,
+              AdminError.semantic("Insert columns and Source columns not match"))
+          if (spec.autoInfer) {
+            if (r.columns.length != targets.size)
+              AdminError.semantic("Insert columns and Source columns not match")
+            targets.foreach { c =>
+              if (r.schema(sourceCol(c)).dataType != logicalType(c))
+                AdminError.semantic("Insert columns and Source columns not match")
+            }
+          }
+          r.select(targets.map(c => col(s"`${sourceCol(c)}`")): _*)
+      }
+      val projected = projectForStorage(targets, src)
+      if (explainOnly) return planFrame(projected)
+      // count AND write sit under one catch: a count() over csv prunes
+      // every column (no parse happens), so FAILFAST only fires at the
+      // write — both surface as the reference's csv parse error
+      val n = try {
+        val c = projected.count()
+        projected.write.mode("append").parquet(tablePath(db, name))
+        c
+      } catch {
+        case e: AdminError => throw e
+        case e: Throwable if spec.fileType == "csv" =>
+          var root: Throwable = e
+          while (root.getCause != null && (root.getCause ne root)) root = root.getCause
+          AdminError.semantic(s"Error while parsing value for COPY INTO $name: " +
+            Option(root.getMessage).getOrElse("malformed record").linesIterator.next())
+      }
+      mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
+    }
+  }
+
+  // ---- EXPLAIN (dml/explain/*.slt) ------------------------------------
+
+  /** EXPLAIN SELECT / EXPLAIN COPY INTO: the reference answers with a
+    * two-row (plan_type, plan) frame — logical_plan + physical_plan
+    * (explain_select.slt, explain_copy_into.slt); a SELECT over a
+    * stream table prints the streaming logical plan only
+    * (explain_stream_query.slt — there is no physical plan until the
+    * stream starts). Here the rows carry Catalyst's optimized logical
+    * plan and the Spark physical plan; nothing is executed. */
+  private def explain(p: AdminParser, raw: String): DataFrame = {
+    val inner = raw.replaceFirst("(?i)^\\s*explain\\s+", "")
+    p.peekUpper match {
+      case "SELECT" =>
+        p.consumeRest()
+        planFrame(select(inner, allowStream = true))
+      case "COPY" =>
+        p.next()
+        copyInto(p, inner, explainOnly = true)
+      case other =>
+        AdminError.notImplemented(
+          s"EXPLAIN is supported for SELECT and COPY INTO, found: $other")
+    }
+  }
+
+  /** Render a frame's plans as the reference's EXPLAIN output shape.
+    * A streaming frame reports its ANALYZED plan (the optimizer chain
+    * asserts batch-ness; the watermark node is what the reference
+    * prints anyway) and no physical row — physical planning only
+    * exists once the stream starts. */
+  private def planFrame(df: DataFrame): DataFrame = {
+    val rows =
+      if (df.isStreaming)
+        Seq(Row("logical_plan", df.queryExecution.analyzed.treeString.trim))
+      else
+        Seq(Row("logical_plan", df.queryExecution.optimizedPlan.treeString.trim),
+            Row("physical_plan", df.queryExecution.executedPlan.treeString.trim))
+    mkDf(Seq("plan_type", "plan"), rows, Seq(StringType, StringType))
+  }
+
   // ---- INSERT .. SELECT, batch and streaming -------------------------
 
   /** Stream jobs started by INSERT-from-stream-table statements, kept
@@ -1079,7 +1326,7 @@ final class AdminEngine(
     * @@variables, then delegates to spark.sql — the full Catalyst
     * surface applies.
     */
-  private def select(sql: String): DataFrame = {
+  private def select(sql: String, allowStream: Boolean = false): DataFrame = {
     requireMember(session.tenant)
     var q = sql
     // @@variables (variable/system.slt)
@@ -1126,12 +1373,19 @@ final class AdminEngine(
       // the Read gate applies whether or not the table has data yet
       val t = catalog.tenant(session.tenant)
       // a stream table outside INSERT..SELECT is the reference's
-      // not-implemented error (stream/unsupport_op.slt)
+      // not-implemented error (stream/unsupport_op.slt) — except under
+      // EXPLAIN, which the reference answers with the stream's logical
+      // plan (dml/explain/explain_stream_query.slt: "explain select *
+      // from TskvTable" prints Watermark + StreamScan); there the
+      // stream table resolves to its readStream frame, never started
       t.databases.get(session.database).foreach { d =>
-        d.streamTables.keys.find(n =>
-          ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r.findFirstIn(q).isDefined)
-          .foreach(_ => AdminError.notImplemented(
-            "Stream table can only be used as source table in insert select statements."))
+        d.streamTables.values.filter(st =>
+          ("(?i)\\b" + java.util.regex.Pattern.quote(st.name) + "\\b").r.findFirstIn(q).isDefined)
+          .foreach { st =>
+            if (allowStream) registerView(streamSource(st), st.name)
+            else AdminError.notImplemented(
+              "Stream table can only be used as source table in insert select statements.")
+          }
       }
       registerDbTableViews(q, registerView)
       spark.sql(q)

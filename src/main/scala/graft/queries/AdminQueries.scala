@@ -310,7 +310,7 @@ object AdminQueries {
     // events rendered to line protocol, POSTed in K bodies through the
     // AUTHENTICATED /api/v1/write route (the catalog gates Write on
     // the target db before the spool), the spool decoded executor-side
-    // and SCHEMALESSLY written — the `events` tskv table and its
+    // and SCHEMALESSLY written — the `wire_events` tskv table and its
     // typed columns (event_id BIGINT from the `i` suffix, value DOUBLE,
     // event_type TAG) are created BY the write — then queried through
     // the engine's SQL front. The oracle recomputes from the raw lake:
@@ -330,7 +330,12 @@ object AdminQueries {
       // rules; event_id rides as an i-suffixed BIGINT field
       val tagEsc = regexp_replace(col("event_type"), "([ ,=])", "\\\\$1")
       val bodies = Tables.eventsNanos(s, dir)
-        .select(format_string("events,event_type=%s value=%s,event_id=%si %s",
+        // measurement named wire_events, NOT events: CoreSql lanes leak
+        // a createOrReplace temp view called `events` into the shared
+        // session by design, and the engine's collision check (fail
+        // loudly instead of destroying foreign views) would reject the
+        // lane's final SELECT depending on lane execution order
+        .select(format_string("wire_events,event_type=%s value=%s,event_id=%si %s",
           tagEsc, col("value"), col("event_id"), col("ts")).as("line"),
           pmod(col("event_id"), lit(4)).as("k"))
         .groupBy("k").agg(concat_ws("\n", collect_list(col("line"))).as("body"))
@@ -351,7 +356,7 @@ object AdminQueries {
         }
       } finally srv.stop()
       // decode the spool where it scales — executors — and write
-      // schemalessly into the catalog (implicit CREATE TABLE events)
+      // schemalessly into the catalog (implicit CREATE TABLE wire_events)
       e.execute("--#DATABASE=wiredb")
       val lines = s.read.format("binaryFile").load(s"$spool/lp")
         .select(col("content").cast("string").as("body"))
@@ -362,7 +367,53 @@ object AdminQueries {
         "SELECT event_type, count(*) AS n," +
           " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value," +
           " min(event_id) AS min_id, max(event_id) AS max_id" +
-          " FROM events GROUP BY event_type ORDER BY event_type").get
+          " FROM wire_events GROUP BY event_type ORDER BY event_type").get
+    }),
+
+    // COPY INTO as a parseable statement, both directions
+    // (dml/copy_into/{copy_into_table,copy_into_location__UNIX}.slt;
+    // reference parser.rs:1695-1830): the real events lake is imported
+    // into a tskv table from parquet, exported to csv through a
+    // subquery, and re-imported positionally — the final per-series
+    // aggregate over the DOUBLED table hash-matches the raw lake's,
+    // proving both directions and the csv round trip lose nothing.
+    // EXPLAIN COPY INTO is witnessed in-lane: two plan rows over the
+    // parquet scan, nothing executed (dml/explain/explain_copy_into.slt).
+    "q_admin_copy_into" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val (e, root) = freshEngine(s)
+      Seq(
+        "CREATE DATABASE copydb",
+        "--#DATABASE=copydb",
+        "CREATE TABLE metrics(value DOUBLE, TAGS(event_type))"
+      ).foreach(e.execute)
+      val srcDir = root.resolve("copy_src").toString
+      Tables.events(s, dir)
+        .select(col("ts").as("time"), col("event_type"), col("value"))
+        .write.parquet(srcDir)
+      val n0 = s.read.parquet(srcDir).count()
+      def one(sql: String): Long = e.execute(sql).get.head().getLong(0)
+      val n1 = one(s"COPY INTO metrics FROM 'file://$srcDir/' file_format = (type = 'parquet')")
+      require(n1 == n0, s"copy into: parquet import copied $n1 of $n0")
+      val ex = e.execute(s"EXPLAIN COPY INTO 'file://${root.resolve("never")}/'" +
+        " FROM (SELECT time, event_type, value FROM metrics)" +
+        " file_format = (type = 'parquet')").get.collect() // bounded: 2 plan rows
+      require(ex.map(_.getString(0)).toSeq == Seq("logical_plan", "physical_plan") &&
+        ex(1).getString(1).toLowerCase.contains("parquet"),
+        "copy into: EXPLAIN must print logical+physical plans over the parquet scan")
+      require(!java.nio.file.Files.exists(root.resolve("never")),
+        "copy into: EXPLAIN must not execute the copy")
+      val csvOut = root.resolve("copy_csv").toString
+      val n2 = one(s"COPY INTO 'file://$csvOut/' FROM" +
+        " (SELECT time, event_type, value FROM metrics) file_format = (type = 'csv')")
+      require(n2 == n1, s"copy into: csv export copied $n2 of $n1")
+      val n3 = one(s"COPY INTO metrics FROM 'file://$csvOut/' file_format = (type = 'csv')")
+      require(n3 == n1, s"copy into: csv re-import copied $n3 of $n1")
+      // root stays on disk — the returned frame reads the table lazily
+      e.execute("SELECT event_type, count(*) AS n," +
+        " cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_q," +
+        " min(unix_micros(time)) AS min_us, max(unix_micros(time)) AS max_us" +
+        " FROM metrics GROUP BY event_type ORDER BY event_type").get
     }),
 
     // INSERT/SELECT through the engine under a µs-precision database:
@@ -392,6 +443,15 @@ object AdminQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the table holds the lake TWICE (parquet import + csv re-import),
+    // so every group doubles; integer-quantized sums keep the compare
+    // exact across the csv round trip
+    "q_admin_copy_into" ->
+      """SELECT event_type, cast(2 * count(*) AS BIGINT) AS n,
+        |  cast(2 * sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  min(epoch_us(cast(ts AS TIMESTAMP))) AS min_us,
+        |  max(epoch_us(cast(ts AS TIMESTAMP))) AS max_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_admin_sys_catalog" ->
       """SELECT * FROM (VALUES
         |  ('db','cnosdb','public','INF','NS'),

@@ -672,7 +672,40 @@ object TimeSeriesQueries {
           expr("ts_us div 60000000").as("minute"))
         .agg(expr("max_by(value, event_id)").as("value"),
           max(col("event_id")).as("last_write"))
-        .orderBy("user_id", "event_type", "minute"))
+        .orderBy("user_id", "event_type", "minute")),
+
+    // Per-FIELD merge on duplicate (series, time) keys: the reference
+    // merges repeated writes field-by-field — each field independently
+    // keeps its LAST NON-NULL write, so `f0=1,f1=true` then `f0=2` at
+    // one timestamp reads back (2.0, true)
+    // (sqlancer/repeat_write.slt:28-46 — four LP writes at ts 2 and 3
+    // collapse to per-field last-write-wins; tskv's row merge). The
+    // whole-row mirror is ts_upsert_lww. Spark shape: the write log is
+    // a union of PARTIAL writes (each carrying a subset of fields as
+    // nulls-elsewhere rows), merged in ONE hash aggregate — max_by
+    // with a null ordering key for null field writes, which both
+    // engines skip, so a later null never beats an earlier value.
+    "ts_upsert_field_merge" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val minute = expr("ts_us div 60000000").as("minute")
+      // write 1 (seq 2k): f_value only; write 2 (seq 2k+1, every 3rd
+      // event): OVERRIDES f_value and FILLS f_flag — merged keys must
+      // read w2's f_value where present and w1's elsewhere
+      val w1 = e.select(col("user_id"), col("event_type"), minute,
+        (col("event_id") * 2).as("seq"), col("value").as("f_value"),
+        lit(null).cast("long").as("f_flag"))
+      val w2 = e.filter(col("event_id") % 3 === 0)
+        .select(col("user_id"), col("event_type"), minute,
+          (col("event_id") * 2 + 1).as("seq"),
+          (col("value") * 2).as("f_value"), col("event_id").as("f_flag"))
+      w1.unionByName(w2)
+        .groupBy("user_id", "event_type", "minute")
+        .agg(
+          expr("max_by(f_value, CASE WHEN f_value IS NOT NULL THEN seq END)").as("f_value"),
+          expr("max_by(f_flag, CASE WHEN f_flag IS NOT NULL THEN seq END)").as("f_flag"),
+          max(col("seq")).as("last_seq"))
+        .orderBy("user_id", "event_type", "minute")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1469,6 +1502,22 @@ object TimeSeriesQueries {
       s"""SELECT user_id, event_type, epoch_us(ts) // 60000000 AS minute,
          |  arg_max(value, event_id) AS value, max(event_id) AS last_write
          |FROM $E
+         |GROUP BY user_id, event_type, minute
+         |ORDER BY user_id, event_type, minute""".stripMargin,
+    "ts_upsert_field_merge" ->
+      s"""WITH writes AS (
+         |  SELECT user_id, event_type, epoch_us(ts) // 60000000 AS minute,
+         |    2 * event_id AS seq, value AS f_value, CAST(NULL AS BIGINT) AS f_flag
+         |  FROM $E
+         |  UNION ALL
+         |  SELECT user_id, event_type, epoch_us(ts) // 60000000 AS minute,
+         |    2 * event_id + 1, value * 2, event_id
+         |  FROM $E WHERE event_id % 3 = 0)
+         |SELECT user_id, event_type, minute,
+         |  arg_max(f_value, CASE WHEN f_value IS NOT NULL THEN seq END) AS f_value,
+         |  arg_max(f_flag, CASE WHEN f_flag IS NOT NULL THEN seq END) AS f_flag,
+         |  max(seq) AS last_seq
+         |FROM writes
          |GROUP BY user_id, event_type, minute
          |ORDER BY user_id, event_type, minute""".stripMargin,
     "ts_zorder_key" ->

@@ -900,4 +900,124 @@ class AdminSpec extends AnyFunSuite {
       assert(sql("SHOW DATABASES", tenant = "tenant_delay")._1 == 404)
     } finally srv.stop()
   }
+
+  // ---- COPY INTO (dml/copy_into/*.slt) --------------------------------
+
+  test("copy into: export/import round trip, append semantics, column list, parse error") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE copydb")
+    e.execute("--#DATABASE=copydb")
+    e.execute("CREATE TABLE inner_csv(bigint_c BIGINT, string_c STRING," +
+      " boolean_c BOOLEAN, double_c DOUBLE, TAGS(tag1, tag2))")
+    // the slt's fixture row (copy_into_table.slt:36) + one comma edge
+    e.execute("INSERT INTO inner_csv(TIME, tag1, tag2, bigint_c, string_c, boolean_c, double_c)" +
+      " VALUES (1671701216000000000, 'tt1', 'tt2', -512512, 'hello word', true, 1.11)," +
+      " (1671701217000000000, 'ta', 'tb', 7, 'x,y', false, 2.5)")
+    val out = java.nio.file.Files.createTempDirectory("graft_copy_out").toString
+    assert(rows(e, s"COPY INTO 'file://$out/' FROM inner_csv file_format = (type = 'csv')") ==
+      Seq(Seq(2L)))
+    // export AGAIN: append — the location doubles
+    // (copy_into_location__UNIX.slt:47-60)
+    rows(e, s"COPY INTO 'file://$out/' FROM inner_csv file_format = (type = 'csv')")
+    assert(spark.read.option("header", true).csv(s"file://$out").count() == 4)
+
+    // import back positionally (default column order = time, tags,
+    // fields by ordinal — the reference's arrow schema order)
+    e.execute("CREATE TABLE inner_csv2(bigint_c BIGINT, string_c STRING," +
+      " boolean_c BOOLEAN, double_c DOUBLE, TAGS(tag1, tag2))")
+    assert(rows(e, s"COPY INTO inner_csv2 FROM 'file://$out/' file_format = (type = 'csv')") ==
+      Seq(Seq(4L)))
+    assert(rows(e, "SELECT cast(time as string), tag1, tag2, bigint_c, string_c," +
+      " boolean_c, double_c FROM inner_csv2 WHERE tag1='tt1' ORDER BY time LIMIT 1") ==
+      Seq(Seq("2022-12-22 09:26:56", "tt1", "tt2", -512512L, "hello word", true, 1.11)))
+
+    // explicit column list remaps csv positions (copy_into_table.slt:58)
+    e.execute("CREATE TABLE remap(string_c STRING, bigint_c BIGINT," +
+      " boolean_c BOOLEAN, double_c DOUBLE, TAGS(tag1, tag2))")
+    assert(rows(e, s"COPY INTO remap(time, tag1, tag2, bigint_c, string_c, boolean_c, double_c)" +
+      s" FROM 'file://$out/' file_format = (type = 'csv')") == Seq(Seq(4L)))
+    assert(rows(e, "SELECT string_c, bigint_c FROM remap WHERE tag1='ta' LIMIT 1") ==
+      Seq(Seq("x,y", 7L)))
+
+    // positional type mismatch is the reference's csv parse error
+    // (copy_into_table.slt:66 — "Error while parsing value")
+    val bad = err(e, s"COPY INTO inner_csv2(time, bigint_c, string_c, boolean_c, double_c," +
+      s" tag1, tag2) FROM 'file://$out/' file_format = (type = 'csv')")
+    assert(bad.kind == "Semantic error" && bad.message.contains("Error while parsing value"))
+  }
+
+  test("copy into: json/parquet by name, auto_infer_schema, option errors, subquery export") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE copydb2")
+    e.execute("--#DATABASE=copydb2")
+    e.execute("CREATE TABLE m(v DOUBLE, ok BOOLEAN, TAGS(t1))")
+    e.execute("INSERT INTO m(TIME, t1, v, ok) VALUES (1000000000, 'a', 1.5, true)," +
+      " (2000000000, 'b', 2.5, false)")
+    val jout = java.nio.file.Files.createTempDirectory("graft_copy_json").toString
+    val pout = java.nio.file.Files.createTempDirectory("graft_copy_parq").toString
+    rows(e, s"COPY INTO 'file://$jout/' FROM m file_format = (type = 'json')")
+    rows(e, s"COPY INTO 'file://$pout/' FROM m file_format = (type = 'parquet')")
+
+    e.execute("CREATE TABLE m2(v DOUBLE, ok BOOLEAN, TAGS(t1))")
+    // json by name: time arrives as an ISO string, storage cast handles it
+    assert(rows(e, s"COPY INTO m2 FROM 'file://$jout/' file_format = (type = 'json')") ==
+      Seq(Seq(2L)))
+    assert(rows(e, "SELECT unix_micros(time), t1, v, ok FROM m2 ORDER BY time") ==
+      Seq(Seq(1000000L, "a", 1.5, true), Seq(2000000L, "b", 2.5, false)))
+    // auto_infer_schema: json loses the time type → the reference's
+    // mismatch error; parquet carries metadata → passes
+    // (copy_into_table.slt:128-151)
+    assert(err(e, s"COPY INTO m2 FROM 'file://$jout/' file_format = (type = 'json')" +
+      " copy_options = (auto_infer_schema = true)").message ==
+      "Insert columns and Source columns not match")
+    assert(rows(e, s"COPY INTO m2 FROM 'file://$pout/' file_format = (type = 'parquet')" +
+      " copy_options = (auto_infer_schema = true)") == Seq(Seq(2L)))
+
+    // option validation wording (spi logical_planner.rs:764-823)
+    assert(err(e, s"COPY INTO m2 FROM 'file://$pout/' file_format =" +
+      " (type = 'parquet', delimiter = ';')").message ==
+      "delimiter and with_header fields are specific to CSV")
+    assert(err(e, s"COPY INTO m2 FROM 'file://$pout/' file_format = (type = 'parquet')" +
+      " copy_options = (bogus = true)").message == "Unsupported option [bogus]")
+    assert(err(e, s"COPY INTO m2 FROM 'file://$pout/' file_format = (type = 'xlsx')").message ==
+      "Unsupported file format [xlsx]")
+
+    // subquery export (copy_into_location__UNIX.slt:41): the frame goes
+    // through the Catalyst passthrough; only the projected columns land
+    val sq = java.nio.file.Files.createTempDirectory("graft_copy_sq").toString
+    assert(rows(e, s"COPY INTO 'file://$sq/' FROM (SELECT time, t1 FROM m)" +
+      " file_format = (type = 'parquet')") == Seq(Seq(2L)))
+    assert(spark.read.parquet(s"file://$sq").columns.toSeq == Seq("time", "t1"))
+  }
+
+  // ---- EXPLAIN (dml/explain/*.slt) ------------------------------------
+
+  test("explain: select and copy into print (plan_type, plan); stream select is logical-only") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE exdb")
+    e.execute("--#DATABASE=exdb")
+    e.execute("CREATE TABLE test0(column1 BIGINT, TAGS(column6))")
+    val ex = rows(e, "EXPLAIN SELECT * FROM (VALUES (9, 'nine'), (2, 'two')) AS t(num, letter)" +
+      " ORDER BY num DESC LIMIT 2")
+    assert(ex.map(_.head) == Seq("logical_plan", "physical_plan"))
+    assert(ex.head(1).toString.contains("Sort") && ex(1)(1).toString.nonEmpty)
+
+    // EXPLAIN COPY INTO plans without executing (explain_copy_into.slt)
+    val out = java.nio.file.Files.createTempDirectory("graft_explain_out").toString
+    val exc = rows(e, s"EXPLAIN COPY INTO 'file://$out/'" +
+      " FROM (SELECT 1 AS col1, 'xx' AS col2) file_format = (type = 'parquet')")
+    assert(exc.map(_.head) == Seq("logical_plan", "physical_plan"))
+    assert(new java.io.File(out).list().isEmpty, "EXPLAIN must not execute the copy")
+
+    // a stream table EXPLAINs to its streaming logical plan — watermark
+    // visible, no physical row (explain_stream_query.slt:73-80); the
+    // same select WITHOUT explain stays the unsupported-op error
+    e.execute("INSERT INTO test0(TIME, column6, column1) VALUES (1, 'a', 2)")
+    e.execute("CREATE STREAM TABLE TskvTable (time TIMESTAMP, column1 BIGINT, column6 STRING)" +
+      " WITH (db = 'exdb', table = 'test0', event_time_column = 'time') engine = tskv")
+    val exs = rows(e, "EXPLAIN SELECT * FROM TskvTable")
+    assert(exs.map(_.head) == Seq("logical_plan"))
+    assert(exs.head(1).toString.contains("EventTimeWatermark"))
+    assert(err(e, "SELECT * FROM TskvTable").message.startsWith("Stream table can only"))
+  }
 }

@@ -566,4 +566,37 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
       .collect()
     assert(out2(0).getAs[Double]("quantile") == 10.0) // le=1000 cents
   }
+
+  // ---- per-field merge semantics (sqlancer/repeat_write.slt) ---------
+
+  test("max_by with a null ordering key skips null field writes (field-merge invariant)") {
+    // ts_upsert_field_merge rests on this: a LATER write that omits a
+    // field (null) must NOT beat an earlier value — both Spark's
+    // max_by and DuckDB's arg_max skip rows whose ordering is null
+    val w = Seq[(java.lang.Double, Long)]((1.0, 0L), (null, 3L), (2.0, 1L))
+      .toDF("f", "seq")
+    val got = w.agg(
+      expr("max_by(f, CASE WHEN f IS NOT NULL THEN seq END)")).head.getDouble(0)
+    assert(got == 2.0, s"later null write must lose: got $got")
+    // all writes null → the merged field is null
+    val allNull = Seq[(java.lang.Double, Long)]((null, 1L), (null, 2L)).toDF("f", "seq")
+    assert(allNull.agg(
+      expr("max_by(f, CASE WHEN f IS NOT NULL THEN seq END)")).head.isNullAt(0))
+  }
+
+  test("field merge reproduces repeat_write.slt's ts=2/ts=3 rows") {
+    // the slt's write log at one series: ts 2 gets (f0=1,f1=true) then
+    // (f0=2); ts 3 gets f0=1, f0=2, f1=false, f1=true — reads back
+    // (2.0,true) and (2.0,true) (repeat_write.slt:28-46)
+    val w = Seq[(Long, Long, java.lang.Double, java.lang.Boolean)](
+      (2L, 0L, 1.0, true), (2L, 1L, 2.0, null),
+      (3L, 2L, 1.0, null), (3L, 3L, 2.0, null),
+      (3L, 4L, null, false), (3L, 5L, null, true)
+    ).toDF("time", "seq", "f0", "f1")
+    val got = w.groupBy("time").agg(
+        expr("max_by(f0, CASE WHEN f0 IS NOT NULL THEN seq END)").as("f0"),
+        expr("max_by(f1, CASE WHEN f1 IS NOT NULL THEN seq END)").as("f1"))
+      .orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((2L, 2.0, true), (3L, 2.0, true)))
+  }
 }
