@@ -184,6 +184,9 @@ final class AdminEngine(
         case "SELECT"   => Some(select(stripped))
         case "COPY"     => p.next(); Some(copyInto(p, stripped, explainOnly = false))
         case "EXPLAIN"  => p.next(); Some(explain(p, stripped))
+        case "DELETE"   => p.next(); deleteStmt(p); None
+        case "UPDATE"   => p.next(); Some(updateStmt(p))
+        case "COMPACT"  => p.next(); compactStmt(p); None
         case other      => AdminError.parser(s"Expected statement, found: $other")
       }
       // trailing tokens after a fully parsed statement are an error,
@@ -722,8 +725,21 @@ final class AdminEngine(
     case "NS" => 1L; case "US" => 1000L; case "MS" => 1000000L
   }
 
+  /** A string TIME literal ('1999-12-31 00:00:00.005' or with 'T') as
+    * UTC epoch nanoseconds. */
+  private def tsLiteralNs(l: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(l.trim.replace(' ', 'T'),
+      java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+    Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000000L), inst.getNano.toLong)
+  }
+
   private def insert(p: AdminParser, raw: String): DataFrame = {
-    p.expectKw("INTO")
+    // the reference accepts INSERT with or without INTO (dml/setup.slt
+    // writes `INSERT dml_tbl(..)`), and `INSERT INTO TABLE x`
+    // (usage_schema_privilege.slt)
+    p.tryKw("INTO")
+    p.tryKw("TABLE")
     val (db, name) = p.qualifiedName(session.database)
     requireOnDb(session.tenant, db, "Write")
     val d = catalog.database(session.tenant, db)
@@ -761,7 +777,12 @@ final class AdminEngine(
         def bad(): Nothing =
           AdminError.semantic(s"invalid literal '$l' for ${c.colType} column ${c.name} (${c.dataType})")
         try c.colType match {
-          case "TIME"  => l.toLong * precisionToNs(d.precision)
+          // a numeric TIME literal scales by the db precision
+          // (db_precision.slt); a string literal is an absolute
+          // timestamp (dml/setup.slt: '1999-12-31 00:00:00.005')
+          case "TIME"  =>
+            try l.toLong * precisionToNs(d.precision)
+            catch { case _: NumberFormatException => tsLiteralNs(l) }
           case "TAG"   => l
           case "FIELD" => c.dataType match {
             case "DOUBLE" => l.toDouble
@@ -769,7 +790,10 @@ final class AdminEngine(
             case "BOOLEAN" => l.toBoolean
             case _ => l
           }
-        } catch { case _: IllegalArgumentException => bad() }
+        } catch {
+          case _: IllegalArgumentException => bad()
+          case _: java.time.format.DateTimeParseException => bad()
+        }
       }
       rows += Row(vals: _*)
       more = p.trySym(",")
@@ -782,8 +806,23 @@ final class AdminEngine(
     })
     val data = rows.result()
     val df = spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
-    df.write.mode("append").parquet(tablePath(db, name))
+    appendWrite(df, tablePath(db, name))
     mkDf(Seq("rows"), Seq(Row(data.size.toLong)), Seq(LongType))
+  }
+
+  /** Append a storage-projected frame to a table path, stamped with
+    * the write sequence merge-on-read orders duplicate keys by:
+    * `__seq_stmt` (one catalog-durable tick per write statement /
+    * micro-batch) and `__seq_row` (ascending within each partition of
+    * the write, so a single ordered input's later lines beat earlier
+    * ones — repeat_write.slt's within-batch rule). */
+  private def appendWrite(projected: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val stmt = catalog.nextWriteSeq()
+    projected
+      .withColumn(AdminEngine.SeqStmtCol, lit(stmt))
+      .withColumn(AdminEngine.SeqRowCol, monotonically_increasing_id())
+      .write.mode("append").parquet(path)
   }
 
   // ---- COPY INTO (dml/copy_into/*.slt) --------------------------------
@@ -978,7 +1017,7 @@ final class AdminEngine(
       // write — both surface as the reference's csv parse error
       val n = try {
         val c = projected.count()
-        projected.write.mode("append").parquet(tablePath(db, name))
+        appendWrite(projected, tablePath(db, name))
         c
       } catch {
         case e: AdminError => throw e
@@ -989,6 +1028,209 @@ final class AdminEngine(
             Option(root.getMessage).getOrElse("malformed record").linesIterator.next())
       }
       mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
+    }
+  }
+
+  // ---- DELETE / UPDATE / COMPACT (dml/delete.slt, dml/update_field
+  // .slt, dml/update_tag.slt, dql/file_query.slt) -----------------------
+
+  /** The merged raw frame with the table's LOGICAL names aliased in
+    * beside the physical columns, so statement text (WHERE clauses,
+    * SET expressions) resolves on current column names while time_ns
+    * and the physical ids ride along for storage rewrites. */
+  private def logicalOverRaw(db: String, t: TableDef): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = readTableRaw(db, t.name)
+    var out = raw.withColumn("time",
+      timestamp_micros(expr("time_ns div 1000")))
+    t.columns.filter(_.colType != "TIME").sortBy(_.ordinal).foreach { c =>
+      val src = if (raw.columns.contains(c.physical)) col(c.physical)
+                else lit(null).cast(if (c.colType == "TAG") StringType else sparkType(c.dataType))
+      out = out.withColumn(c.name, src)
+    }
+    out
+  }
+
+  /** time_ns + physical storage columns projected from a
+    * logical-over-raw frame, with optional per-column replacements
+    * (UPDATE assignments). */
+  private def storageColsFromLogical(t: TableDef,
+      replace: Map[String, org.apache.spark.sql.Column] = Map.empty): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    col("time_ns") +: t.columns.filter(_.colType != "TIME").sortBy(_.ordinal).map { c =>
+      val base = replace.getOrElse(c.name.toLowerCase, col(s"`${c.name}`"))
+      base.cast(if (c.colType == "TAG") StringType else sparkType(c.dataType)).as(c.physical)
+    }
+  }
+
+  /** Replace a table's storage with `projectedRaw` (time_ns +
+    * physical columns): write aside, then swap. The aside write is an
+    * action, so every read of the old directory completes before it is
+    * touched; the delete→rename window is the documented single-writer
+    * caveat the catalog save shares. The frame is already MERGED, so
+    * collapsing write history to one fresh epoch preserves every read
+    * (file_query.slt's stability-across-compaction contract). */
+  private def rewriteStorage(db: String, t: TableDef, projectedRaw: DataFrame): Unit = {
+    val path = new org.apache.hadoop.fs.Path(tablePath(db, t.name))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(path.toString + ".rewrite")
+    fs.delete(aside, true)
+    appendWrite(projectedRaw, aside.toString)
+    fs.delete(path, true)
+    require(fs.rename(aside, path), s"rewrite swap failed: $aside -> $path")
+  }
+
+  private def storageExists(db: String, name: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(tablePath(db, name))
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Column names a rendered condition references. */
+  private def condColumns(c: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(c).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }
+
+  /** DELETE FROM t [WHERE cond] — the WHERE may reference tags and
+    * time only (delete.slt:75 pins the field-filter reject). A lake
+    * has no in-place delete: the kept complement is rewritten
+    * (aside + swap), the same shape as the reference's tombstone +
+    * compaction collapsed into one step. Rows where the condition is
+    * NULL are NOT matched, so they survive. */
+  private def deleteStmt(p: AdminParser): Unit = {
+    import org.apache.spark.sql.functions._
+    p.expectKw("FROM")
+    val (db, name) = p.qualifiedName(session.database)
+    requireOnDb(session.tenant, db, "Write")
+    val t = catalog.table(session.tenant, db, name)
+    val cond = parseWhere(p)
+    cond.foreach { c =>
+      val fields = t.fields.map(_.name.toLowerCase).toSet
+      condColumns(c).find(n => fields.contains(n.toLowerCase)).foreach(f =>
+        AdminError.notImplemented(
+          s"Filtering on the field column on the tskv table in delete statement: $f"))
+    }
+    if (!storageExists(db, name)) return // nothing written yet
+    val lg = logicalOverRaw(db, t)
+    val kept = cond match {
+      case Some(c) => lg.filter(coalesce(!expr(c), lit(true)))
+      case None    => lg.limit(0) // DELETE FROM t: drop everything
+    }
+    rewriteStorage(db, t, kept.select(storageColsFromLogical(t): _*))
+  }
+
+  /** UPDATE t SET a = expr [, ...] [WHERE cond]. The reference splits
+    * by the assigned columns' kind (transform_update.rs):
+    *  - all FIELDs: the matched rows are re-INSERTed with the
+    *    assignments applied — merge-on-read resolves each field to the
+    *    new write, and SET f = NULL "is equivalent to no modification"
+    *    (update_field.slt) for free, because a null field write never
+    *    wins the per-field merge;
+    *  - all TAGs: tags are the series KEY, so this is a physical
+    *    rewrite (the reference's UpdateTagPlanNode rewrites series the
+    *    same way); the WHERE may reference tags only, and a tag may
+    *    not be set to NULL;
+    *  - TIME: not implemented; mixed kinds: the reference's error.
+    * Returns the matched row count. */
+  private def updateStmt(p: AdminParser): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (db, name) = p.qualifiedName(session.database)
+    requireOnDb(session.tenant, db, "Write")
+    val t = catalog.table(session.tenant, db, name)
+    p.expectKw("SET")
+    val assigns = Vector.newBuilder[(String, String)]
+    var more = true
+    while (more) {
+      val cn = p.name(); p.expectSym("=")
+      assigns += ((cn, renderAssignExpr(p)))
+      more = p.trySym(",")
+    }
+    val cond = parseWhere(p)
+    val byName = t.columns.map(c => c.name.toLowerCase -> c).toMap
+    val defs = assigns.result().map { case (cn, ex) =>
+      (byName.getOrElse(cn.toLowerCase, AdminError.meta(s"Column not found: \"$cn\"")), ex)
+    }
+    val kinds = defs.map(_._1.colType).toSet
+    if (kinds == Set("TIME")) AdminError.notImplemented("update_time")
+    if (kinds.size > 1) AdminError.semantic(
+      "Update the time/tag/field columns at the same statement is not supported")
+    val isTag = kinds == Set("TAG")
+    if (isTag) {
+      cond.foreach { c =>
+        val tags = t.tags.map(_.name.toLowerCase).toSet
+        condColumns(c).find(n => !tags.contains(n.toLowerCase)).foreach(cn =>
+          AdminError.semantic(
+            s"Where clause cannot contain field/time column, but found: $cn"))
+      }
+      // setting SOME tags to null is allowed (the tag leaves the
+      // series key — update_tag.slt:34 reads the row back with a NULL
+      // t0); setting ALL assigned tags to null is the slt's error row
+      if (defs.forall(_._2.trim.equalsIgnoreCase("NULL")))
+        AdminError.semantic("tag values cannot all be null")
+    }
+    if (!storageExists(db, name))
+      return mkDf(Seq("rows"), Seq(Row(0L)), Seq(LongType))
+    val lg = logicalOverRaw(db, t)
+    val condCol = cond.map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
+    val n = lg.filter(condCol).count()
+    if (n > 0) {
+      if (isTag) {
+        // conditional in-place tag replacement over the WHOLE table
+        val replace = defs.map { case (c, ex) =>
+          c.name.toLowerCase ->
+            when(condCol, expr(ex).cast(StringType)).otherwise(col(s"`${c.name}`"))
+        }.toMap
+        rewriteStorage(db, t, lg.select(storageColsFromLogical(t, replace): _*))
+      } else {
+        // field update = upsert append of the matched rows
+        val replace = defs.map { case (c, ex) => c.name.toLowerCase -> expr(ex) }.toMap
+        appendWrite(lg.filter(condCol).select(storageColsFromLogical(t, replace): _*),
+          tablePath(db, name))
+      }
+    }
+    mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
+  }
+
+  /** One SET assignment's expression text: rendered tokens up to a
+    * top-level ',' or WHERE. */
+  private def renderAssignExpr(p: AdminParser): String = {
+    val sb = new StringBuilder
+    var depth = 0
+    var done = false
+    while (!done) p.peekOpt match {
+      case None => done = true
+      case Some(AdminParser.Sym("(")) => depth += 1; sb.append(p.nextRendered()).append(' ')
+      case Some(AdminParser.Sym(")")) => depth -= 1; sb.append(p.nextRendered()).append(' ')
+      case Some(AdminParser.Sym(",")) if depth == 0 => done = true
+      case Some(AdminParser.Word(w)) if depth == 0 && w.equalsIgnoreCase("WHERE") => done = true
+      case Some(_) => sb.append(p.nextRendered()).append(' ')
+    }
+    val s = sb.toString.trim
+    if (s.isEmpty) AdminError.parser("Expected expression after '='")
+    s
+  }
+
+  /** COMPACT DATABASE db (dql/file_query.slt runs it around every LWW
+    * read): every table's storage is re-leveled to its merged rows —
+    * semantically invisible (merge-on-read already resolved
+    * duplicates) and physically smaller, sized at ~128 MB per output
+    * file like the lake compaction in [[graft.operators.Dml]]. */
+  private def compactStmt(p: AdminParser): Unit = {
+    if (!p.tryKw("DATABASE"))
+      AdminError.parser(s"Expected DATABASE, found: ${p.peekUpperOpt.getOrElse("<eof>")}")
+    val db = p.name()
+    requireOnDb(session.tenant, db, "Write")
+    val d = catalog.database(session.tenant, db)
+    d.tables.keys.toSeq.sorted.foreach { tn =>
+      if (storageExists(db, tn)) {
+        val t = catalog.table(session.tenant, db, tn)
+        val path = new org.apache.hadoop.fs.Path(tablePath(db, tn))
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes = fs.getContentSummary(path).getLength
+        val parts = math.max(1L, bytes / (128L << 20) + 1L).toInt
+        val lg = logicalOverRaw(db, t)
+        rewriteStorage(db, t, lg.select(storageColsFromLogical(t): _*).coalesce(parts))
+      }
     }
   }
 
@@ -1099,7 +1341,7 @@ final class AdminEngine(
     val byName = srcT.columns.map(c => c.name -> c).toMap
     val cols = st.columns.map { sc =>
       if (sc.name.equalsIgnoreCase("time"))
-        timestamp_micros((col("time_ns") / 1000L).cast(LongType)).as("time")
+        timestamp_micros(expr("time_ns div 1000")).as("time")
       else col(byName(sc.name).physical).as(sc.name)
     }
     raw.select(cols: _*).withWatermark(st.eventTimeColumn, "0 milliseconds")
@@ -1153,7 +1395,7 @@ final class AdminEngine(
       // batch-import path (the bulk path is the lake writer); the
       // reference returns the inserted row count
       val n = projected.count()
-      projected.write.mode("append").parquet(sinkPath)
+      appendWrite(projected, sinkPath)
       mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
     } else {
       val st = streamRefs.head
@@ -1176,7 +1418,7 @@ final class AdminEngine(
         val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_job").toString
         q.writeStream
           .foreachBatch((batch: DataFrame, _: Long) =>
-            projectForStorage(targets, batch).write.mode("append").parquet(sinkPath))
+            appendWrite(projectForStorage(targets, batch), sinkPath))
           .outputMode("append")
           .option("checkpointLocation", ckpt)
           .start()
@@ -1287,7 +1529,7 @@ final class AdminEngine(
           else typed(element_at(col("fields"), c.name), c.dataType).as(c.physical)
         }
       val frame = sub.select(proj: _*)
-      frame.write.mode("append").parquet(tablePath(db, m))
+      appendWrite(frame, tablePath(db, m))
       // one extra narrow count over this measurement's slice — an
       // ingest batch is wire-sized; the reference answers rows written
       (m, sub.count())
@@ -1304,19 +1546,49 @@ final class AdminEngine(
     * semantics. Catalog columns absent from storage (never inserted)
     * surface as typed nulls so the schema is total. */
   def readTable(db: String, name: String): DataFrame = {
-    requireOnDb(session.tenant, db, "Read")
-    val t = catalog.table(session.tenant, db, name)
-    // mergeSchema: appends made before an ADD COLUMN carry fewer
-    // physical columns than later ones; the union schema is the table
-    val raw = spark.read.option("mergeSchema", "true").parquet(tablePath(db, name))
     import org.apache.spark.sql.functions._
+    val t = catalog.table(session.tenant, db, name)
+    val raw = readTableRaw(db, name)
     val ordered = Seq(col("time")) ++
       t.columns.filter(_.colType != "TIME").sortBy(_.ordinal).map { c =>
         if (raw.columns.contains(c.physical)) col(c.physical).as(c.name)
         else lit(null).cast(if (c.colType == "TAG") StringType else sparkType(c.dataType)).as(c.name)
       }
-    raw.withColumn("time", timestamp_micros((col("time_ns") / 1000L).cast("long")))
+    raw.withColumn("time", timestamp_micros(expr("time_ns div 1000")))
       .select(ordered: _*)
+  }
+
+  /** The merged PHYSICAL frame of a tskv table: one row per
+    * (tags, time) key, each field independently resolved to its LAST
+    * NON-NULL write — tskv's upsert semantics (dql/file_query.slt:
+    * re-INSERTing a key reads the new fields; sqlancer/repeat_write
+    * .slt: partial writes merge field-by-field; copy_into_table.slt:
+    * re-importing the same file leaves the count unchanged). Write
+    * order is the (__seq_stmt, __seq_row) stamp [[appendWrite]] puts
+    * on every append; rows written before the stamp existed sort
+    * first (-1). Keyed on RAW time_ns so ns precision survives the
+    * merge. One partial-aggregable hash aggregate — the same merge
+    * tskv pays in its LSM read path, and the shape of ts_upsert_lww.
+    */
+  private def readTableRaw(db: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    requireOnDb(session.tenant, db, "Read")
+    val t = catalog.table(session.tenant, db, name)
+    // mergeSchema: appends made before an ADD COLUMN carry fewer
+    // physical columns than later ones; the union schema is the table
+    var raw = spark.read.option("mergeSchema", "true").parquet(tablePath(db, name))
+    for (c <- Seq(AdminEngine.SeqStmtCol, AdminEngine.SeqRowCol))
+      if (!raw.columns.contains(c)) raw = raw.withColumn(c, lit(-1L))
+    val ord = struct(
+      coalesce(col(AdminEngine.SeqStmtCol), lit(-1L)),
+      coalesce(col(AdminEngine.SeqRowCol), lit(-1L)))
+    val tagPhys = t.tags.sortBy(_.ordinal).map(_.physical).filter(raw.columns.contains)
+    val keys = col("time_ns") +: tagPhys.map(col)
+    val fieldPhys = t.fields.sortBy(_.ordinal).map(_.physical).filter(raw.columns.contains)
+    val aggs = fieldPhys.map(f =>
+      max_by(col(f), when(col(f).isNotNull, ord)).as(f)) :+
+      max(ord).as(AdminEngine.SeqOrdCol)
+    raw.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** SELECT passthrough: resolves table names in the session tenant's
@@ -1656,6 +1928,14 @@ final class AdminEngine(
 }
 
 object AdminEngine {
+  /** Physical stamp columns every storage append carries; merge-on-
+    * read ([[AdminEngine.readTable]]) orders duplicate (tags, time)
+    * keys by them — the engine's stand-in for tskv's per-point WAL
+    * sequence. */
+  val SeqStmtCol = "__seq_stmt"
+  val SeqRowCol = "__seq_row"
+  val SeqOrdCol = "__seq_ord"
+
   /** information_schema.queries / SHOW QUERIES column list — shared
     * with the spark.sql front's fixed output schema so the two cannot
     * drift. */

@@ -125,7 +125,8 @@ final case class ResourceStatusEntry(name: String, action: String,
 /** Snapshot shape used for JSON persistence. */
 final case class CatalogSnapshot(tenants: Vector[TenantDef],
                                  users: Vector[UserDef],
-                                 resources: Vector[ResourceStatusEntry])
+                                 resources: Vector[ResourceStatusEntry],
+                                 writeSeq: Long = 0L)
 
 /** The cluster metadata catalog: tenants → (databases, roles,
   * members, grants), global users, and the deferred-drop resource
@@ -158,6 +159,15 @@ final class MetaCatalog {
       mustChangePassword = true))
   val resources: mutable.LinkedHashMap[String, ResourceStatusEntry] =
     mutable.LinkedHashMap.empty
+
+  // the monotonically increasing write sequence merge-on-read orders
+  // by — the engine's stand-in for tskv's per-point WAL sequence. It
+  // rides the catalog document, so it survives restarts whenever a
+  // meta path is configured (the same durability the rest of the
+  // catalog has); synchronized because streaming foreachBatch sinks
+  // consume sequences concurrently with statements.
+  private var _writeSeq: Long = 0L
+  def nextWriteSeq(): Long = synchronized { _writeSeq += 1; _writeSeq }
 
   // ---- validation ----------------------------------------------------
 
@@ -482,10 +492,12 @@ final class MetaCatalog {
   // ---- persistence ---------------------------------------------------
 
   def snapshot: CatalogSnapshot =
-    CatalogSnapshot(tenants.values.toVector, users.values.toVector, resources.values.toVector)
+    CatalogSnapshot(tenants.values.toVector, users.values.toVector,
+      resources.values.toVector, synchronized(_writeSeq))
 
   def restore(s: CatalogSnapshot): Unit = {
     tenants.clear(); users.clear(); resources.clear()
+    synchronized { _writeSeq = s.writeSeq }
     s.tenants.foreach(t => tenants(t.name) = t)
     s.users.foreach(u => users(u.name) = u)
     // re-derive the composite map key — every mutation path keys by

@@ -409,11 +409,73 @@ object AdminQueries {
       require(n2 == n1, s"copy into: csv export copied $n2 of $n1")
       val n3 = one(s"COPY INTO metrics FROM 'file://$csvOut/' file_format = (type = 'csv')")
       require(n3 == n1, s"copy into: csv re-import copied $n3 of $n1")
+      // the re-import hit only EXISTING (series, time) keys, so the
+      // upsert merge leaves the table at the lake's row count — the
+      // reference's copy_into_table.slt contract (re-importing the
+      // same file keeps count(time) at 8192)
+      val merged = one("SELECT count(*) AS n FROM metrics")
+      require(merged == n0, s"copy into: upsert merge read $merged rows, lake has $n0")
       // root stays on disk — the returned frame reads the table lazily
       e.execute("SELECT event_type, count(*) AS n," +
         " cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_q," +
         " min(unix_micros(time)) AS min_us, max(unix_micros(time)) AS max_us" +
         " FROM metrics GROUP BY event_type ORDER BY event_type").get
+    }),
+
+    // The DML statement front over tskv storage, mirroring
+    // dml/delete.slt + update_field.slt + update_tag.slt +
+    // file_query.slt statement-for-statement on the slt's own fixture
+    // rows: DELETE by time and by tag (complement rewrite), UPDATE of
+    // fields (upsert re-insert; SET NULL = no modification; expression
+    // values), UPDATE of tags (series-key rewrite), then COMPACT
+    // DATABASE — after which the reads must still be exact. Every
+    // UPDATE's matched-row count is require()d in-lane against the
+    // slt's counts; the final table is row-pinned by the oracle.
+    "q_admin_dml" -> ((s, _) => {
+      val (e, root) = freshEngine(s)
+      try {
+        Seq(
+          "CREATE DATABASE dmldb",
+          "--#DATABASE=dmldb",
+          "CREATE TABLE dml_tbl(f0 BIGINT, f1 BIGINT, TAGS(t0, t1, t2))",
+          "INSERT dml_tbl(TIME, f0, f1, t0, t1) VALUES" +
+            " ('1999-12-31 00:00:00.000', 111, 444, 'tag11', 'tag21')," +
+            " ('1999-12-31 00:00:00.005', 222, 444, 'tag12', 'tag22')," +
+            " ('1999-12-31 00:00:10.015', 444, 111, 'tag14', 'tag24')," +
+            " ('1999-12-31 00:00:10.020', 222, 555, 'tag14', 'tag21')," +
+            " ('1999-12-31 00:10:00.025', 333, 555, 'tag11', 'tag22')," +
+            " ('1999-12-31 00:10:00.030', 444, 333, 'tag11', 'tag23')," +
+            " ('1999-12-31 01:00:00.035', 555, 222, 'tag14', 'tag24')"
+        ).foreach(e.execute)
+        // the slt's null-field row arrives as a second partial write —
+        // the f1-only INSERT must merge into the same (tags, time) key
+        e.execute("INSERT dml_tbl(TIME, f1, t0, t1) VALUES" +
+          " ('1999-12-31 00:00:00.010', 222, 'tag12', 'tag23')")
+        def count(sql: String): Long = e.execute(sql).get.head().getLong(0)
+        require(count("SELECT count(*) AS n FROM dml_tbl") == 8L, "dml: fixture must merge to 8 rows")
+        e.execute("DELETE FROM dml_tbl WHERE time = '1999-12-31T00:00:00'")
+        e.execute("DELETE FROM dml_tbl WHERE t0 = 'tag11'")
+        val u1 = count("UPDATE dml_tbl SET f0 = 333 WHERE t0 = 'tag12' AND t1 = 'tag23'")
+        require(u1 == 1L, s"dml: update#1 matched $u1, slt says 1")
+        val u2 = count("UPDATE dml_tbl SET f1 = length(t0) + 1" +
+          " WHERE t0 = 'tag14' AND time < '1999-12-31T00:00:10.020'")
+        require(u2 == 1L, s"dml: update#2 matched $u2, slt says 1")
+        // SET NULL is equivalent to no modification (update_field.slt)
+        val u3 = count("UPDATE dml_tbl SET f1 = null WHERE t0 = 'tag12' AND t1 = 'tag22'")
+        require(u3 == 1L, s"dml: update#3 matched $u3, slt says 1")
+        val u4 = count("UPDATE dml_tbl SET t0 = 'tag_new14', t1 = 'tag_new24'" +
+          " WHERE t0 = 'tag14' AND t1 = 'tag24'")
+        require(u4 == 2L, s"dml: update#4 matched $u4, slt says 2")
+        e.execute("COMPACT DATABASE dmldb")
+        val out = e.execute("SELECT cast(time AS string) AS t," +
+          " coalesce(t0, 'NULL') AS t0, coalesce(t1, 'NULL') AS t1," +
+          " coalesce(t2, 'NULL') AS t2, f0, f1" +
+          " FROM dml_tbl ORDER BY t, t0, t1").get
+        val rows = out.collect().toSeq.map(r => // bounded: 5 fixture rows
+          Seq(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+            r.getLong(4).toString, r.getLong(5).toString))
+        strDf(s, Seq("t", "t0", "t1", "t2", "f0", "f1"), rows)
+      } finally deleteTree(root)
     }),
 
     // INSERT/SELECT through the engine under a µs-precision database:
@@ -443,15 +505,29 @@ object AdminQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
-    // the table holds the lake TWICE (parquet import + csv re-import),
-    // so every group doubles; integer-quantized sums keep the compare
-    // exact across the csv round trip
+    // the table was written TWICE (parquet import + csv re-import) at
+    // the same (event_type, time) keys, so the upsert merge reads it
+    // back as exactly the lake; integer-quantized sums keep the
+    // compare exact across the csv round trip
     "q_admin_copy_into" ->
-      """SELECT event_type, cast(2 * count(*) AS BIGINT) AS n,
-        |  cast(2 * sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_q,
+      """SELECT event_type, cast(count(*) AS BIGINT) AS n,
+        |  cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_q,
         |  min(epoch_us(cast(ts AS TIMESTAMP))) AS min_us,
         |  max(epoch_us(cast(ts AS TIMESTAMP))) AS max_us
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the slt's fixture after the delete/update/compact script —
+    // update#2 wrote f1 = length('tag14') + 1 = 6; update#3's SET NULL
+    // left row 2's f1 at 444; update#4 moved rows 4 and 8 to the
+    // tag_new14/tag_new24 series
+    "q_admin_dml" ->
+      """SELECT * FROM (VALUES
+        |  ('1999-12-31 00:00:00.005','tag12','tag22','NULL','222','444'),
+        |  ('1999-12-31 00:00:00.01','tag12','tag23','NULL','333','222'),
+        |  ('1999-12-31 00:00:10.015','tag_new14','tag_new24','NULL','444','6'),
+        |  ('1999-12-31 00:00:10.02','tag14','tag21','NULL','222','555'),
+        |  ('1999-12-31 01:00:00.035','tag_new14','tag_new24','NULL','555','222')
+        |) AS x(t, t0, t1, t2, f0, f1)
+        |ORDER BY t, t0, t1""".stripMargin,
     "q_admin_sys_catalog" ->
       """SELECT * FROM (VALUES
         |  ('db','cnosdb','public','INF','NS'),

@@ -456,7 +456,13 @@ class AdminSpec extends AnyFunSuite {
     assert(err(e, "SHOW DATABASES junk").kind == "sql parser error")
     e.execute("CREATE DATABASE pl"); e.execute("--#DATABASE=pl")
     e.execute("CREATE TABLE m(v DOUBLE, TAGS(h))")
-    val lit = err(e, "INSERT INTO m (TIME, h, v) VALUES ('2022-10-19T07:40:00', 'x', 1.0)")
+    // a STRING time literal is a valid absolute timestamp
+    // (dml/setup.slt writes '1999-12-31 00:00:00.005'); a non-parsing
+    // one is the statement error
+    e.execute("INSERT INTO m (TIME, h, v) VALUES ('2022-10-19T07:40:00', 'x', 1.0)")
+    assert(rows(e, "SELECT cast(time AS string) AS t, v FROM m") ==
+      Seq(Seq("2022-10-19 07:40:00", 1.0)))
+    val lit = err(e, "INSERT INTO m (TIME, h, v) VALUES ('not-a-time', 'x', 1.0)")
     assert(lit.kind == "Semantic error" && lit.message.contains("invalid literal"))
     assert(err(e, "CREATE DATABASE f WITH SHARD 99999999999999999999").kind == "sql parser error")
   }
@@ -988,6 +994,66 @@ class AdminSpec extends AnyFunSuite {
     assert(rows(e, s"COPY INTO 'file://$sq/' FROM (SELECT time, t1 FROM m)" +
       " file_format = (type = 'parquet')") == Seq(Seq(2L)))
     assert(spark.read.parquet(s"file://$sq").columns.toSeq == Seq("time", "t1"))
+  }
+
+  // ---- upsert merge + DELETE/UPDATE/COMPACT (dml/*.slt) ---------------
+
+  test("tskv upsert: re-INSERT at a key merges per field, last non-null write wins") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE updb")
+    e.execute("--#DATABASE=updb")
+    e.execute("CREATE TABLE m(f0 BIGINT, f1 BIGINT, TAGS(t0))")
+    // file_query.slt: INSERT 1,1 then 2,2 at one key reads back 2,2
+    e.execute("INSERT INTO m(TIME, t0, f0, f1) VALUES (1, 'a', 1, 1)")
+    e.execute("INSERT INTO m(TIME, t0, f0, f1) VALUES (1, 'a', 2, 2)")
+    assert(rows(e, "SELECT f0, f1 FROM m") == Seq(Seq(2L, 2L)))
+    // repeat_write.slt: a partial write merges field-by-field
+    e.execute("INSERT INTO m(TIME, t0, f1) VALUES (1, 'a', 9)")
+    assert(rows(e, "SELECT f0, f1 FROM m") == Seq(Seq(2L, 9L)))
+    // a different tag value is a different series — no merge
+    e.execute("INSERT INTO m(TIME, t0, f0, f1) VALUES (1, 'b', 7, 7)")
+    assert(rows(e, "SELECT count(*) AS n FROM m") == Seq(Seq(2L)))
+    // compaction collapses history without changing any read
+    e.execute("COMPACT DATABASE updb")
+    assert(rows(e, "SELECT f0, f1 FROM m WHERE t0 = 'a'") == Seq(Seq(2L, 9L)))
+  }
+
+  test("delete: complement rewrite; field filters are the reference's reject") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE deldb")
+    e.execute("--#DATABASE=deldb")
+    e.execute("CREATE TABLE m(f0 BIGINT, TAGS(t0))")
+    e.execute("INSERT INTO m(TIME, t0, f0) VALUES" +
+      " (1000000,'a',1), (2000000,'a',2), (3000000,'b',3)")
+    e.execute("DELETE FROM m WHERE t0 = 'a' AND time = '1970-01-01T00:00:00.001'")
+    assert(rows(e, "SELECT count(*) AS n FROM m") == Seq(Seq(2L)))
+    val bad = err(e, "DELETE FROM m WHERE f0 = 2")
+    assert(bad.message.contains("Filtering on the field column on the tskv table in delete statement"))
+    e.execute("DELETE FROM m WHERE t0 = 'b'")
+    assert(rows(e, "SELECT count(*) AS n FROM m") == Seq(Seq(1L)))
+    e.execute("DELETE FROM m") // no WHERE: drop everything
+    assert(rows(e, "SELECT count(*) AS n FROM m") == Seq(Seq(0L)))
+  }
+
+  test("update: kind split errors (time / mixed / tag where / all-null tags)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE upddb")
+    e.execute("--#DATABASE=upddb")
+    e.execute("CREATE TABLE m(f0 BIGINT, TAGS(t0, t1))")
+    e.execute("INSERT INTO m(TIME, t0, t1, f0) VALUES (1,'a','x',1)")
+    assert(err(e, "UPDATE m SET time = 2 WHERE t0 = 'a'").message.contains("update_time"))
+    assert(err(e, "UPDATE m SET t0 = 'b', f0 = 2 WHERE t0 = 'a'").message ==
+      "Update the time/tag/field columns at the same statement is not supported")
+    assert(err(e, "UPDATE m SET t0 = 'b' WHERE f0 = 1").message ==
+      "Where clause cannot contain field/time column, but found: f0")
+    assert(err(e, "UPDATE m SET t0 = null, t1 = null WHERE t0 = 'a'").message ==
+      "tag values cannot all be null")
+    // a SINGLE null tag assignment is allowed — the tag leaves the key
+    // (update_tag.slt:34)
+    val n = rows(e, "UPDATE m SET t0 = null, t1 = 'y' WHERE t0 = 'a'")
+    assert(n == Seq(Seq(1L)))
+    assert(rows(e, "SELECT coalesce(t0,'NULL') AS t0, t1, f0 FROM m") ==
+      Seq(Seq("NULL", "y", 1L)))
   }
 
   // ---- EXPLAIN (dml/explain/*.slt) ------------------------------------
