@@ -1016,6 +1016,15 @@ class AdminSpec extends AnyFunSuite {
     // compaction collapses history without changing any read
     e.execute("COMPACT DATABASE updb")
     assert(rows(e, "SELECT f0, f1 FROM m WHERE t0 = 'a'") == Seq(Seq(2L, 9L)))
+    // tagless table: the merge key is time alone — the exact
+    // ddl/delete_table_with_precision.slt flow (upsert then delete)
+    e.execute("CREATE TABLE t1(v BIGINT)")
+    e.execute("INSERT INTO t1(TIME, v) VALUES ('2022-11-19 05:42:00', 13)," +
+      " ('2022-10-19 05:42:00', 19)")
+    e.execute("INSERT INTO t1(TIME, v) VALUES ('2022-10-19 05:42:00', 21)")
+    e.execute("DELETE FROM t1 WHERE time = '2022-11-19 05:42:00'")
+    assert(rows(e, "SELECT cast(time AS string) AS t, v FROM t1") ==
+      Seq(Seq("2022-10-19 05:42:00", 21L)))
   }
 
   test("delete: complement rewrite; field filters are the reference's reject") {
