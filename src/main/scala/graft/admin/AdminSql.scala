@@ -787,7 +787,14 @@ final class AdminEngine(
           case "FIELD" => c.dataType match {
             case "DOUBLE" => l.toDouble
             case "BIGINT" | "BIGINT UNSIGNED" => l.toLong
-            case "BOOLEAN" => l.toBoolean
+            // the coercions DataFusion's bool cast accepts
+            // (data_type/type_conversion/boolean.slt: 1/0, 'T'/'F',
+            // 'yes'/'no' all land as booleans)
+            case "BOOLEAN" => l.trim.toLowerCase match {
+              case "t" | "true" | "y" | "yes" | "on" | "1"  => true
+              case "f" | "false" | "n" | "no" | "off" | "0" => false
+              case _ => bad()
+            }
             case _ => l
           }
         } catch {
@@ -1112,7 +1119,9 @@ final class AdminEngine(
     }
     if (!storageExists(db, name)) return // nothing written yet
     val lg = logicalOverRaw(db, t)
-    val kept = cond match {
+    // integer time literals are ns epochs; time_ns is in scope here,
+    // so the comparison is EXACT (no µs grain)
+    val kept = cond.map(rewriteIntTimeLiteralsNsExact) match {
       case Some(c) => lg.filter(coalesce(!expr(c), lit(true)))
       case None    => lg.limit(0) // DELETE FROM t: drop everything
     }
@@ -1171,7 +1180,8 @@ final class AdminEngine(
     if (!storageExists(db, name))
       return mkDf(Seq("rows"), Seq(Row(0L)), Seq(LongType))
     val lg = logicalOverRaw(db, t)
-    val condCol = cond.map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
+    val condCol = cond.map(c => coalesce(expr(rewriteIntTimeLiteralsNsExact(c)), lit(false)))
+      .getOrElse(lit(true))
     val n = lg.filter(condCol).count()
     if (n > 0) {
       if (isTag) {
@@ -1598,9 +1608,23 @@ final class AdminEngine(
     * @@variables, then delegates to spark.sql — the full Catalyst
     * surface applies.
     */
+  /** Integer literals compared against `time` are NANOSECOND epochs in
+    * the reference (type_conversion/timestamp.slt: `where time =
+    * 12345678865` plans TimestampNanosecond) — rewrite them to the
+    * engine's µs timestamp grain. Sub-µs exactness is only expressible
+    * where time_ns itself is in scope (the DML paths use it raw). */
+  private def rewriteIntTimeLiterals(q: String): String =
+    "(?i)\\btime\\s*(=|!=|<>|<=|>=|<|>)\\s*(\\d+)\\b".r.replaceAllIn(q,
+      m => s"time ${m.group(1)} timestamp_micros(${m.group(2)} div 1000)")
+
+  /** The exact (ns) form for frames that carry raw time_ns. */
+  private def rewriteIntTimeLiteralsNsExact(c: String): String =
+    "(?i)\\btime\\s*(=|!=|<>|<=|>=|<|>)\\s*(\\d+)\\b".r.replaceAllIn(c,
+      m => s"time_ns ${m.group(1)} ${m.group(2)}L")
+
   private def select(sql: String, allowStream: Boolean = false): DataFrame = {
     requireMember(session.tenant)
-    var q = sql
+    var q = rewriteIntTimeLiterals(sql)
     // @@variables (variable/system.slt)
     val varPat = "@@([A-Za-z_]*)".r
     q = varPat.replaceAllIn(q, m => m.group(1).toLowerCase match {

@@ -464,6 +464,13 @@ class AdminSpec extends AnyFunSuite {
       Seq(Seq("2022-10-19 07:40:00", 1.0)))
     val lit = err(e, "INSERT INTO m (TIME, h, v) VALUES ('not-a-time', 'x', 1.0)")
     assert(lit.kind == "Semantic error" && lit.message.contains("invalid literal"))
+    // boolean coercion zoo (data_type/type_conversion/boolean.slt)
+    e.execute("CREATE TABLE bools(v1 BOOLEAN)")
+    e.execute("INSERT INTO bools(TIME, v1) VALUES (1,1),(2,0),(3,'T'),(4,'F'),(5,'yes'),(6,'no')")
+    assert(rows(e, "SELECT v1 FROM bools ORDER BY time") ==
+      Seq(Seq(true), Seq(false), Seq(true), Seq(false), Seq(true), Seq(false)))
+    assert(err(e, "INSERT INTO bools(TIME, v1) VALUES (7,'maybe')").message
+      .contains("invalid literal"))
     assert(err(e, "CREATE DATABASE f WITH SHARD 99999999999999999999").kind == "sql parser error")
   }
 
@@ -1042,6 +1049,12 @@ class AdminSpec extends AnyFunSuite {
     assert(rows(e, "SELECT count(*) AS n FROM m") == Seq(Seq(1L)))
     e.execute("DELETE FROM m") // no WHERE: drop everything
     assert(rows(e, "SELECT count(*) AS n FROM m") == Seq(Seq(0L)))
+    // integer time literals are NANOSECOND epochs
+    // (type_conversion/timestamp.slt plans TimestampNanosecond)
+    e.execute("INSERT INTO m(TIME, t0, f0) VALUES (5000000,'c',5), (6000000,'c',6)")
+    assert(rows(e, "SELECT count(*) AS n FROM m WHERE time > 5000000") == Seq(Seq(1L)))
+    e.execute("DELETE FROM m WHERE time = 5000000")
+    assert(rows(e, "SELECT f0 FROM m") == Seq(Seq(6L)))
   }
 
   test("update: kind split errors (time / mixed / tag where / all-null tags)") {
