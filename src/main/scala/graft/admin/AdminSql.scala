@@ -763,7 +763,9 @@ final class AdminEngine(
     val defs = colNames.map { cn =>
       byName.getOrElse(cn.toLowerCase, AdminError.meta(s"Column not found: \"$cn\""))
     }
+    val mark = p.mark()
     val rows = Vector.newBuilder[Row]
+    try {
     var more = true
     while (more) {
       p.expectSym("(")
@@ -805,6 +807,17 @@ final class AdminEngine(
       rows += Row(vals: _*)
       more = p.trySym(",")
     }
+    } catch {
+      // a non-literal token inside a tuple means the tuple holds
+      // EXPRESSIONS (http_stream_select.slt INSERTs `CAST(..)||..
+      // NOT IN (..)`; the sqlancer suite leans on casts) — re-parse
+      // the whole VALUES clause through Catalyst instead. Semantic
+      // errors (arity, invalid literals) stay statement errors.
+      case e: AdminError if e.kind == "sql parser error" =>
+        p.reset(mark)
+        p.consumeRest()
+        return insertValuesExprs(db, d, name, defs, raw)
+    }
     val schema = StructType(defs.map { c =>
       if (c.colType == "TIME") StructField("time_ns", LongType)
       // storage is keyed by the PHYSICAL id, so a later RENAME is
@@ -815,6 +828,70 @@ final class AdminEngine(
     val df = spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
     appendWrite(df, tablePath(db, name))
     mkDf(Seq("rows"), Seq(Row(data.size.toLong)), Seq(LongType))
+  }
+
+  /** INSERT ... VALUES whose tuples hold EXPRESSIONS, not just
+    * literals: the whole VALUES clause is evaluated by Catalyst as a
+    * VALUES relation, then projected onto the storage schema with
+    * STRICT casts — a value a cast nulls out (where the source was
+    * non-null) is the same invalid-literal statement error the
+    * literal path raises, because Spark's non-ansi cast would
+    * otherwise silently null what the reference rejects. Numeric TIME
+    * values scale by the db precision exactly like literals;
+    * string/timestamp TIME values are absolute. */
+  private def insertValuesExprs(db: String, d: DatabaseDef, name: String,
+                                defs: Vector[ColumnDef], raw: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = "(?i)\\bVALUES\\b".r.findFirstMatchIn(raw)
+      .getOrElse(AdminError.parser("Expected VALUES"))
+    val df = spark.sql(s"SELECT * FROM VALUES ${raw.substring(m.end)}")
+    if (df.columns.length != defs.size)
+      AdminError.semantic(
+        s"INSERT column/value arity mismatch: ${defs.size} vs ${df.columns.length}")
+    def storageType(c: ColumnDef): DataType =
+      if (c.colType == "TAG") StringType else sparkType(c.dataType)
+    val numericTime = Set[DataType](ByteType, ShortType, IntegerType, LongType,
+      FloatType, DoubleType)
+    def numericTimeSrc(s: String): Boolean = {
+      val dt = df.schema(s).dataType
+      numericTime.contains(dt) || dt.isInstanceOf[DecimalType]
+    }
+    // strict coercion, ansi-mode-agnostic: try_cast probes null out
+    // exactly the values a projection cast would either throw on
+    // (ansi) or silently null (lax) — both wrong shapes for the
+    // reference's statement-error contract
+    val checks = defs.zip(df.columns).flatMap { case (c, s) =>
+      val probe = c.colType match {
+        case "TAG" => None
+        case "TIME" if numericTimeSrc(s) => None
+        case "TIME" => Some(expr(s"try_cast(`$s` AS TIMESTAMP)"))
+        case _ => Some(expr(s"try_cast(`$s` AS ${storageType(c).sql})"))
+      }
+      probe.map(pr => (c,
+        sum(when(col(s"`$s`").isNotNull && pr.isNull, 1L).otherwise(0L)).as(s)))
+    }
+    if (checks.nonEmpty) {
+      val bad = df.agg(checks.head._2, checks.tail.map(_._2): _*).head() // bounded: one row
+      checks.indices.find(i => !bad.isNullAt(i) && bad.getLong(i) > 0).foreach { i =>
+        AdminError.semantic(
+          s"invalid value for ${checks(i)._1.dataType} column ${checks(i)._1.name}")
+      }
+    }
+    val cols = defs.zip(df.columns).map { case (c, s) =>
+      val src = col(s"`$s`")
+      c.colType match {
+        case "TIME" =>
+          if (numericTimeSrc(s))
+            (src.cast(LongType) * lit(precisionToNs(d.precision))).as("time_ns")
+          else (unix_micros(expr(s"try_cast(`$s` AS TIMESTAMP)")) * 1000L).as("time_ns")
+        case "TAG" => src.cast(StringType).as(c.physical)
+        case _     => expr(s"try_cast(`$s` AS ${storageType(c).sql})").as(c.physical)
+      }
+    }
+    val out = df.select(cols: _*)
+    val n = out.count()
+    appendWrite(out, tablePath(db, name))
+    mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
   }
 
   /** Append a storage-projected frame to a table path, stamped with
@@ -2040,6 +2117,12 @@ final class AdminParser(sql: String) {
 
   /** True when the statement has no more tokens. */
   def consumeRest(): Unit = pos = toks.size
+
+  /** Cursor save/restore, for speculative parses that fall back to a
+    * whole-clause Catalyst evaluation (INSERT ... VALUES with
+    * expressions). */
+  def mark(): Int = pos
+  def reset(m: Int): Unit = pos = m
   def nextUpper(): String = next().toUpperCase
 
   def tryKw(kw: String): Boolean = peekOpt match {

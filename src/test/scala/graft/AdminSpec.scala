@@ -1078,6 +1078,33 @@ class AdminSpec extends AnyFunSuite {
       Seq(Seq("NULL", "y", 1L)))
   }
 
+  test("insert values with expressions evaluates through Catalyst (http_stream_select.slt)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE exprdb")
+    e.execute("--#DATABASE=exprdb")
+    e.execute("CREATE TABLE m0(f0 BOOLEAN, f1 DOUBLE, TAGS(t0))")
+    // the slt's tuples: a `CAST || CAST NOT IN (..)` boolean expression
+    // and a literal NULL tag — both beyond the literal fast-path
+    e.execute("INSERT m0(TIME, f0, f1) VALUES" +
+      "(366012624080382889, FALSE, 0.6326195071473769)," +
+      "(5635692422062413216, (((CAST(0.7382978061623816 AS STRING))||(CAST(FALSE AS STRING))))" +
+      " NOT IN ('9sPzqeoM', 'k*G'), 0.5469987105166848)," +
+      "(7533102572643168002, TRUE, 0.9622249970170084)")
+    e.execute("INSERT m0(TIME, f1, t0) VALUES(1041670293467254361, 0.507623643211476, '916053861')," +
+      " (3174128646074400477, 0.47166914414715877, NULL)")
+    assert(rows(e, "SELECT coalesce(cast(f0 AS string),'NULL') AS f0," +
+      " coalesce(t0,'NULL') AS t0, f1 FROM m0 ORDER BY time") == Seq(
+      Seq("false", "NULL", 0.6326195071473769),
+      Seq("NULL", "916053861", 0.507623643211476),
+      Seq("NULL", "NULL", 0.47166914414715877),
+      Seq("true", "NULL", 0.5469987105166848),
+      Seq("true", "NULL", 0.9622249970170084)))
+    // strict coercion: what Spark's lax cast would silently null is
+    // the reference's statement error
+    val bad = err(e, "INSERT m0(TIME, f1) VALUES (1, 'abc' || 'x')")
+    assert(bad.kind == "Semantic error" && bad.message.contains("invalid value for DOUBLE column f1"))
+  }
+
   // ---- EXPLAIN (dml/explain/*.slt) ------------------------------------
 
   test("explain: select and copy into print (plan_type, plan); stream select is logical-only") {
