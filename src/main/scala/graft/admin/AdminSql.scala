@@ -1796,11 +1796,22 @@ final class AdminEngine(
   private def jsonStr(s: Option[String]): String =
     s.map(v => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
 
+  /** drop_after renders as the reference's serde'd CnosDuration —
+    * `{"duration":{"secs":..,"nanos":..},"is_inf":false}` — so the
+    * slt's LIKE '%after":{"duration%' probe matches
+    * (ddl/alter_drop_after.slt; common/utils/src/duration.rs). */
+  private def durationJson(s: Option[String]): String = s match {
+    case None => "null"
+    case Some(v) =>
+      val ns = MetaCatalog.parseDuration(v)
+      s"""{"duration":{"secs":${ns / 1000000000L},"nanos":${ns % 1000000000L}},"is_inf":false}"""
+  }
+
   def sysTable(schema: String, name: String): DataFrame = (schema, name) match {
     case ("cluster_schema", "tenants") =>
       val rows = visibleTenants.map { t =>
         val opts = s"""{"comment":${jsonStr(t.comment)},"limiter_config":null,""" +
-          s""""drop_after":${jsonStr(t.dropAfter)},"tenant_is_hidden":${t.hidden}}"""
+          s""""drop_after":${durationJson(t.dropAfter)},"tenant_is_hidden":${t.hidden}}"""
         Row(t.name, opts)
       }
       mkDf(Seq("tenant_name", "tenant_options"), rows, Seq(StringType, StringType))

@@ -46,7 +46,14 @@ class AdminSpec extends AnyFunSuite {
     assert(err(e, "DROP TENANT t1").message.contains("Tenant not found"))
 
     e.execute("CREATE TENANT t2 WITH drop_after='1d'")
+    // the set option renders as the reference's serde'd CnosDuration
+    // (ddl/alter_drop_after.slt probes LIKE '%after":{"duration%')
+    assert(rows(e, "select tenant_name from cluster_schema.tenants" +
+      " where tenant_options like '%after\":{\"duration%' and tenant_name = 't2'") ==
+      Seq(Seq("t2")))
     e.execute("ALTER TENANT t2 SET drop_after='1h'")
+    assert(rows(e, "select tenant_options from cluster_schema.tenants where tenant_name = 't2'")
+      .head.head.toString.contains("\"drop_after\":{\"duration\":{\"secs\":3600,\"nanos\":0},\"is_inf\":false}"))
     e.execute("DROP TENANT t2 AFTER '1h'")
     // hidden while scheduled — not visible, creatable name? reference
     // recovers it:
