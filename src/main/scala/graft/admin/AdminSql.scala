@@ -1253,6 +1253,14 @@ final class AdminEngine(
       // t0); setting ALL assigned tags to null is the slt's error row
       if (defs.forall(_._2.trim.equalsIgnoreCase("NULL")))
         AdminError.semantic("tag values cannot all be null")
+      // a TAG assignment's value may not reference table columns —
+      // the reference evaluates tag assignments without the row in
+      // scope (update_tag.slt:86 `set t0 = t0 || 'xxx'` is "No field
+      // named t0."); FIELD assignments keep full row scope
+      defs.foreach { case (_, ex) =>
+        condColumns(ex).headOption.foreach(n =>
+          AdminError.schema(s"No field named $n."))
+      }
     }
     if (!storageExists(db, name))
       return mkDf(Seq("rows"), Seq(Row(0L)), Seq(LongType))
@@ -2276,11 +2284,13 @@ object AdminParser {
         out += Word(sql.substring(i, j))
         i = j
       } else {
-        // two-char comparison operators stay ONE token so WHERE-clause
-        // reconstruction (SHOW SERIES/TAG VALUES) round-trips `!=`,
-        // `<=`, `>=`, `<>` instead of emitting "! =" Spark can't parse
-        if (i + 1 < n && "!<>".indexOf(c) >= 0 &&
-            (sql.charAt(i + 1) == '=' || (c == '<' && sql.charAt(i + 1) == '>'))) {
+        // two-char operators stay ONE token so expression
+        // reconstruction (WHERE clauses, SET values) round-trips `!=`,
+        // `<=`, `>=`, `<>`, `||` instead of emitting "! =" / "| |"
+        // Spark can't parse
+        if (i + 1 < n && (("!<>".indexOf(c) >= 0 &&
+            (sql.charAt(i + 1) == '=' || (c == '<' && sql.charAt(i + 1) == '>'))) ||
+            (c == '|' && sql.charAt(i + 1) == '|'))) {
           out += Sym(sql.substring(i, i + 2))
           i += 2
         } else {

@@ -1077,6 +1077,11 @@ class AdminSpec extends AnyFunSuite {
       "Where clause cannot contain field/time column, but found: f0")
     assert(err(e, "UPDATE m SET t0 = null, t1 = null WHERE t0 = 'a'").message ==
       "tag values cannot all be null")
+    // a tag assignment may not reference table columns
+    // (update_tag.slt:86 — the reference evaluates tag assignments
+    // without the row in scope)
+    assert(err(e, "UPDATE m SET t0 = t0 || 'xxx' WHERE t0 = 'a'").message ==
+      "No field named t0.")
     // a SINGLE null tag assignment is allowed — the tag leaves the key
     // (update_tag.slt:34)
     val n = rows(e, "UPDATE m SET t0 = null, t1 = 'y' WHERE t0 = 'a'")
