@@ -695,9 +695,9 @@ final class AdminEngine(
   /** readTable when storage exists; the table's empty typed frame
     * otherwise (a created-but-never-written table has no series). */
   private def readTableOrEmpty(db: String, name: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(tablePath(db, name))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) readTable(db, name)
+    // storageExists heals an interrupted rewrite swap first — a table
+    // stranded mid-swap must read as its content, not as empty
+    if (storageExists(db, name)) readTable(db, name)
     else {
       val t = catalog.table(session.tenant, db, name)
       val schema = StructType(t.columns.sortBy(_.ordinal).map { c =>
@@ -1164,7 +1164,24 @@ final class AdminEngine(
     require(fs.rename(aside, path), s"rewrite swap failed: $aside -> $path")
   }
 
+  /** Heal a [[rewriteStorage]] swap a prior process died inside (the
+    * same discipline as Dml.healInterruptedSwaps): table dir gone +
+    * aside present → the delete committed, roll the rename FORWARD;
+    * both present → the swap never started destroying the old dir, so
+    * the failed statement's aside is stale — drop it. */
+  private def healInterruptedRewrite(db: String, name: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(tablePath(db, name))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(path.toString + ".rewrite")
+    if (fs.exists(aside)) {
+      if (!fs.exists(path))
+        require(fs.rename(aside, path), s"rewrite heal failed: $aside -> $path")
+      else fs.delete(aside, true)
+    }
+  }
+
   private def storageExists(db: String, name: String): Boolean = {
+    healInterruptedRewrite(db, name)
     val path = new org.apache.hadoop.fs.Path(tablePath(db, name))
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
@@ -1668,6 +1685,7 @@ final class AdminEngine(
   private def readTableRaw(db: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions._
     requireOnDb(session.tenant, db, "Read")
+    healInterruptedRewrite(db, name)
     val t = catalog.table(session.tenant, db, name)
     // mergeSchema: appends made before an ADD COLUMN carry fewer
     // physical columns than later ones; the union schema is the table

@@ -1090,6 +1090,26 @@ class AdminSpec extends AnyFunSuite {
       Seq(Seq("NULL", "y", 1L)))
   }
 
+  test("an interrupted DML rewrite swap heals on the next read") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_admin_heal").toString
+    val e = new AdminEngine(spark, new MetaCatalog, root, () => 1700000000000000000L)
+    e.execute("CREATE DATABASE hd")
+    e.execute("--#DATABASE=hd")
+    e.execute("CREATE TABLE m(f0 BIGINT, TAGS(t0))")
+    e.execute("INSERT INTO m(TIME, t0, f0) VALUES (1,'a',1)")
+    // simulate the crash window between the swap's delete and rename:
+    // content stranded in the aside dir, table dir gone
+    val table = Paths.get(root, "cnosdb", "hd", "m")
+    Files.move(table, Paths.get(root, "cnosdb", "hd", "m.rewrite"))
+    assert(rows(e, "SELECT count(*) AS n FROM m") == Seq(Seq(1L)))
+    // the other crash window: aside written, old dir never deleted —
+    // the statement FAILED, so the old content wins and the aside drops
+    Files.createDirectories(Paths.get(root, "cnosdb", "hd", "m.rewrite"))
+    assert(rows(e, "SELECT count(*) AS n FROM m") == Seq(Seq(1L)))
+    assert(!Files.exists(Paths.get(root, "cnosdb", "hd", "m.rewrite")))
+  }
+
   test("insert values with expressions evaluates through Catalyst (http_stream_select.slt)") {
     val e = freshEngine()
     e.execute("CREATE DATABASE exprdb")
