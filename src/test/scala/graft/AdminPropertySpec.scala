@@ -36,7 +36,9 @@ class AdminPropertySpec extends AnyFunSuite {
       2 -> Gen.oneOf(' ', '-', '_', '.', ',', '=', '\'', '"', '#', '@'),
       1 -> Gen.oneOf('ü', '食', 'λ'))
     Gen.choose(1, 24).flatMap(n => Gen.stringOfN(n, ch))
-      .suchThat(s => s.trim.nonEmpty && !s.contains("/"))
+      // mirror validateName exactly: "." / ".." are rejected as path
+      // traversal since names become lake directories
+      .suchThat(s => s.trim.nonEmpty && !s.contains("/") && s != "." && s != "..")
   }
 
   test("any legal name round-trips CREATE TENANT 'n' → cluster_schema.tenants → DROP") {
