@@ -889,8 +889,7 @@ final class AdminEngine(
       }
     }
     val out = df.select(cols: _*)
-    val n = out.count()
-    appendWrite(out, tablePath(db, name))
+    val n = appendWriteCounted(out, tablePath(db, name))
     mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
   }
 
@@ -907,6 +906,24 @@ final class AdminEngine(
       .withColumn(AdminEngine.SeqStmtCol, lit(stmt))
       .withColumn(AdminEngine.SeqRowCol, monotonically_increasing_id())
       .write.mode("append").parquet(path)
+  }
+
+  /** [[appendWrite]] that also returns the written row count, measured
+    * DURING the write with an `observe` metric instead of a separate
+    * `count()` action — the reference answers "rows written" on every
+    * write statement, and the prior count-then-write shape scanned the
+    * source twice (a full extra csv/parquet parse for COPY INTO; guide
+    * §1.2 "don't compute things twice"). One action, one pass. */
+  private def appendWriteCounted(projected: DataFrame, path: String): Long = {
+    import org.apache.spark.sql.functions._
+    val stmt = catalog.nextWriteSeq()
+    val obs = new org.apache.spark.sql.Observation()
+    projected
+      .observe(obs, count(lit(1)).as("n"))
+      .withColumn(AdminEngine.SeqStmtCol, lit(stmt))
+      .withColumn(AdminEngine.SeqRowCol, monotonically_increasing_id())
+      .write.mode("append").parquet(path)
+    obs.get("n").asInstanceOf[Long]
   }
 
   // ---- COPY INTO (dml/copy_into/*.slt) --------------------------------
@@ -1033,8 +1050,12 @@ final class AdminEngine(
         }
       val spec = parseCopyTail(p)
       if (explainOnly) return planFrame(src)
-      val n = src.count()
-      val w = src.write.mode("append")
+      // row count measured during the export write (observe metric) —
+      // the count-then-write shape scanned the source table twice
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = src.observe(obs,
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      val w = observed.write.mode("append")
       spec.fileType match {
         case "csv" =>
           w.option("header", spec.withHeader)
@@ -1045,7 +1066,7 @@ final class AdminEngine(
         case "json"    => w.json(path)
         case "parquet" => w.parquet(path)
       }
-      mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
+      mkDf(Seq("rows"), Seq(Row(obs.get("n").asInstanceOf[Long])), Seq(LongType))
     } else {
       // ---- import: COPY INTO tbl[(cols)] FROM '<path>' ----
       val (db, name) = p.qualifiedName(session.database)
@@ -1096,13 +1117,12 @@ final class AdminEngine(
       }
       val projected = projectForStorage(targets, src)
       if (explainOnly) return planFrame(projected)
-      // count AND write sit under one catch: a count() over csv prunes
-      // every column (no parse happens), so FAILFAST only fires at the
-      // write — both surface as the reference's csv parse error
+      // ONE pass: the row count is an observe metric on the write
+      // itself (the count-then-write shape parsed the source file
+      // twice); FAILFAST csv errors fire during this same action and
+      // surface as the reference's csv parse error
       val n = try {
-        val c = projected.count()
-        appendWrite(projected, tablePath(db, name))
-        c
+        appendWriteCounted(projected, tablePath(db, name))
       } catch {
         case e: AdminError => throw e
         case e: Throwable if spec.fileType == "csv" =>
@@ -1391,7 +1411,7 @@ final class AdminEngine(
     * so callers can drain (`awaitStreams`) or stop them — the
     * reference's continuous stream jobs behind `insert into sink
     * select .. from stream_table`. */
-  private val streamJobs =
+  private[graft] val streamJobs =
     scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
 
   /** Block until every stream job has consumed all currently-available
@@ -1503,11 +1523,9 @@ final class AdminEngine(
     if (streamRefs.isEmpty) {
       val out = select(rewriteTimeWindow(selectSql))
       val projected = projectForStorage(targets, out)
-      // count() then write: two passes, but this is the admin surface's
-      // batch-import path (the bulk path is the lake writer); the
-      // reference returns the inserted row count
-      val n = projected.count()
-      appendWrite(projected, sinkPath)
+      // one pass: the inserted row count the reference answers is an
+      // observe metric on the write action itself
+      val n = appendWriteCounted(projected, sinkPath)
       mkDf(Seq("rows"), Seq(Row(n)), Seq(LongType))
     } else {
       val st = streamRefs.head
@@ -1528,12 +1546,28 @@ final class AdminEngine(
         val q = spark.sql(rewriteTimeWindow(selectSql))
         checkStreamingPlan(q)
         val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_job").toString
-        q.writeStream
-          .foreachBatch((batch: DataFrame, _: Long) =>
-            appendWrite(projectForStorage(targets, batch), sinkPath))
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .start()
+        // Size the stream's shuffle/state partition count to MICRO-BATCH
+        // volume, not the session's batch width (guide §2.2): a trigger
+        // carries one landed file's worth of rows, and every state
+        // partition costs a store open/commit plus a sink file PER
+        // BATCH whatever it holds. The conf read at query start pins
+        // the stateful operators' partitioning for the checkpoint's
+        // lifetime, so this is a per-job capacity knob — same rule and
+        // default as the replay harness's SPARK_GRAFT_STREAM_PARTS; a
+        // production job sizes it to rows/trigger ÷ target partition
+        // rows via the spark.graft.stream.shufflePartitions conf.
+        val streamParts = spark.conf.getOption("spark.graft.stream.shufflePartitions")
+          .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTS")).getOrElse("8")
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+          q.writeStream
+            .foreachBatch((batch: DataFrame, _: Long) =>
+              appendWrite(projectForStorage(targets, batch), sinkPath))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       } finally registered.foreach(v => spark.catalog.dropTempView(v))
       streamJobs += job
       mkDf(Seq("job"), Seq(Row(job.id.toString)), Seq(StringType))
@@ -1641,10 +1675,9 @@ final class AdminEngine(
           else typed(element_at(col("fields"), c.name), c.dataType).as(c.physical)
         }
       val frame = sub.select(proj: _*)
-      appendWrite(frame, tablePath(db, m))
-      // one extra narrow count over this measurement's slice — an
-      // ingest batch is wire-sized; the reference answers rows written
-      (m, sub.count())
+      // rows written measured during the write (observe metric) — the
+      // reference answers rows written; no second pass over the slice
+      (m, appendWriteCounted(frame, tablePath(db, m)))
     }
     mkDf(Seq("measurement", "rows"),
       counts.map { case (m, n) => Row(m, n) }, Seq(StringType, LongType))
@@ -1687,11 +1720,24 @@ final class AdminEngine(
     requireOnDb(session.tenant, db, "Read")
     healInterruptedRewrite(db, name)
     val t = catalog.table(session.tenant, db, name)
-    // mergeSchema: appends made before an ADD COLUMN carry fewer
-    // physical columns than later ones; the union schema is the table
-    var raw = spark.read.option("mergeSchema", "true").parquet(tablePath(db, name))
-    for (c <- Seq(AdminEngine.SeqStmtCol, AdminEngine.SeqRowCol))
-      if (!raw.columns.contains(c)) raw = raw.withColumn(c, lit(-1L))
+    // EXPLICIT catalog-derived schema instead of mergeSchema: the
+    // catalog already knows every live physical column and its storage
+    // type (appendWrite casts to exactly these), so handing the reader
+    // the schema skips the distributed footer-union job mergeSchema
+    // spawns on EVERY table read (guide §6 — at sf0.1 this was one
+    // extra Spark job per statement in the DML lanes). Files written
+    // before an ADD COLUMN simply read the newer columns as null —
+    // the same semantics the footer union produced; dropped columns'
+    // stale physical ids are invisible either way (the aggregate below
+    // only touches catalog columns).
+    val physSchema = StructType(
+      StructField("time_ns", LongType) +:
+        (t.columns.filter(_.colType != "TIME").sortBy(_.ordinal).map(c =>
+          StructField(c.physical,
+            if (c.colType == "TAG") StringType else sparkType(c.dataType))) ++
+          Seq(StructField(AdminEngine.SeqStmtCol, LongType),
+            StructField(AdminEngine.SeqRowCol, LongType))))
+    val raw = spark.read.schema(physSchema).parquet(tablePath(db, name))
     val ord = struct(
       coalesce(col(AdminEngine.SeqStmtCol), lit(-1L)),
       coalesce(col(AdminEngine.SeqRowCol), lit(-1L)))

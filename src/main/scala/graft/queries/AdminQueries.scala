@@ -40,6 +40,40 @@ object AdminQueries {
     (new AdminEngine(s, new MetaCatalog, root.toString, () => FixedNowNs), root)
   }
 
+  /** The events lake rendered ONCE per lake content as evts tskv
+    * storage — (time_ns, event_type, value) in `StageFiles` ts-ranged
+    * part files — via the Lake.staged one-time-layout-job convention
+    * every stream/prune lane uses, then COPIED file-for-file into the
+    * calling lane's per-invocation engine root (a local FS copy of a
+    * ~17 MB layout, not a Spark job). Before this, each of the three
+    * evts-backed admin lanes re-ran the render+range-shuffle+write per
+    * bench run (guide §1.2: don't recompute what a layout job owns).
+    */
+  private def stageEvtsInto(s: SparkSession, dir: String,
+                            dst: java.nio.file.Path): Unit = {
+    import org.apache.spark.sql.functions._
+    val staged = graft.Lake.staged(
+      s"admin_evts|$dir|${StreamQueries.StageFiles}", Seq(s"$dir/events.parquet")) { d =>
+      Tables.eventsNanos(s, dir)
+        .select(col("ts").as("time_ns"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .repartitionByRange(StreamQueries.StageFiles, col("time_ns"))
+        .write.mode("overwrite").parquet(d.toString)
+    }
+    java.nio.file.Files.createDirectories(dst)
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+    try {
+      val it = ls.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("part-") || n == "_SUCCESS")
+          java.nio.file.Files.copy(p, dst.resolve(n),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally ls.close()
+  }
+
   private def deleteTree(p: java.nio.file.Path): Unit = {
     import java.nio.file._
     if (Files.exists(p)) {
@@ -246,11 +280,7 @@ object AdminQueries {
         "CREATE TABLE winagg(n BIGINT, sum_value DOUBLE, TAGS(event_type))"
       ).foreach(e.execute)
       val srcPath = root.resolve("cnosdb").resolve("sdb").resolve("evts")
-      Tables.eventsNanos(s, dir)
-        .select(col("ts").as("time_ns"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .repartitionByRange(StreamQueries.StageFiles, col("ts"))
-        .write.mode("overwrite").parquet(srcPath.toString)
+      stageEvtsInto(s, dir, srcPath)
       StreamQueries.pinMtimes(srcPath)
       e.execute("CREATE STREAM TABLE evstream (time TIMESTAMP, event_type STRING, value DOUBLE)" +
         " WITH (db='sdb', table='evts', event_time_column='time') engine = tskv")
@@ -282,10 +312,7 @@ object AdminQueries {
       Seq("CREATE DATABASE sdb", "--#DATABASE=sdb",
         "CREATE TABLE evts(value DOUBLE, TAGS(event_type))").foreach(e.execute)
       val srcPath = root.resolve("cnosdb").resolve("sdb").resolve("evts")
-      Tables.eventsNanos(s, dir)
-        .select(col("ts").as("time_ns"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .write.mode("overwrite").parquet(srcPath.toString)
+      stageEvtsInto(s, dir, srcPath)
       e.execute("SHOW SERIES FROM evts ORDER BY key").get
     }),
 
@@ -298,10 +325,7 @@ object AdminQueries {
       Seq("CREATE DATABASE sdb", "--#DATABASE=sdb",
         "CREATE TABLE evts(value DOUBLE, TAGS(event_type))").foreach(e.execute)
       val srcPath = root.resolve("cnosdb").resolve("sdb").resolve("evts")
-      Tables.eventsNanos(s, dir)
-        .select(col("ts").as("time_ns"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .write.mode("overwrite").parquet(srcPath.toString)
+      stageEvtsInto(s, dir, srcPath)
       e.execute("SHOW TAG VALUES FROM evts WITH KEY IN (event_type) ORDER BY key, value").get
     }),
 
@@ -387,10 +411,16 @@ object AdminQueries {
         "--#DATABASE=copydb",
         "CREATE TABLE metrics(value DOUBLE, TAGS(event_type))"
       ).foreach(e.execute)
-      val srcDir = root.resolve("copy_src").toString
-      Tables.events(s, dir)
-        .select(col("ts").as("time"), col("event_type"), col("value"))
-        .write.parquet(srcDir)
+      // the import SOURCE is read-only for COPY INTO — stage the
+      // rendered parquet once per lake content (Lake.staged layout-job
+      // convention) and point the statement straight at it, instead of
+      // re-rendering + rewriting it under the engine root every run
+      val srcDir = graft.Lake.staged(
+        s"admin_copy_src|$dir", Seq(s"$dir/events.parquet")) { d =>
+        Tables.events(s, dir)
+          .select(col("ts").as("time"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(d.toString)
+      }
       val n0 = s.read.parquet(srcDir).count()
       def one(sql: String): Long = e.execute(sql).get.head().getLong(0)
       val n1 = one(s"COPY INTO metrics FROM 'file://$srcDir/' file_format = (type = 'parquet')")

@@ -126,7 +126,7 @@ object StreamQueries {
   // (ADVICE r10): a writer emitting >99999 files or a different naming
   // scheme would silently scramble the replay order.
   private val PartIdx = "part-(\\d+)".r.unanchored
-  private[queries] def pinMtimes(dir: java.nio.file.Path): Unit = {
+  private[graft] def pinMtimes(dir: java.nio.file.Path): Unit = {
     val parts = Files.list(dir).iterator()
     val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     while (parts.hasNext) { val p = parts.next(); if (p.getFileName.toString.startsWith("part-")) sorted += p }
