@@ -151,12 +151,18 @@ object Dedup {
     // output-proportional; the md5/signature work drops by the corpus
     // dup factor (the dominant term on real web corpora).
     val withH = df.withColumn("__h", md5(col(textCol)))
+    // materialized stage boundaries (lazy localCheckpoint) — the
+    // hash→rep manifest and member map feed four downstream branches
+    // each; see [[dupGroupsOf]] for the rationale (guide §3.3/§8)
     val repTbl = withH.select(col("__h"), col(idCol))
       .groupBy("__h").agg(min(col(idCol)).as("__rep"))
+      .localCheckpoint(false)
     val members = withH.select(col("__h"), col(idCol)).join(repTbl, "__h")
+      .localCheckpoint(false)
     val repRows = withH.join(repTbl, "__h")
       .filter(col(idCol) === col("__rep"))
       .select(col(idCol), col(textCol))
+      .localCheckpoint(false)
     val repPairs = minHashNearDupsRaw(repRows, idCol, textCol, numHashes,
       bands, threshold, maxBucketSize)
     val m = members.select(col("__rep"), col(idCol).as("__mid"))
@@ -374,14 +380,20 @@ object Dedup {
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
 
-    val allVerts = pairs.select(explode(array(
-        col(aCol).cast("long"), col(bCol).cast("long"))).as("vid"))
+    // ONE materialization of the (often expensive — e.g. a full MinHash
+    // confirm pipeline) pair subplan: allVerts previously re-executed
+    // `pairs` from scratch for the final join ([[dupGroups]] caches its
+    // edge list; the star backend must too — measured at sf0.1 the
+    // whole LSH+confirm ran twice per lane without this).
+    val canon = truncate(pairs.select(
+      col(aCol).cast("long").as("pa"), col(bCol).cast("long").as("pb")))
+    val allVerts = canon.select(explode(array(col("pa"), col("pb"))).as("vid"))
       .distinct()
     // canonical big→small directed edges; self-pairs drop here and are
     // restored as singleton groups by the final left join
-    var edges = truncate(pairs.select(
-        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
-        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+    var edges = truncate(canon.select(
+        greatest(col("pa"), col("pb")).as("u"),
+        least(col("pa"), col("pb")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
 
@@ -461,10 +473,17 @@ object Dedup {
                     threshold: Double = 0.5,
                     maxBucketSize: Int = 1000): DataFrame = {
     val withH = df.withColumn("__h", md5(col(textCol)))
+    // materialized stage boundaries, same discipline as [[dupGroupsOf]]:
+    // the hash→rep manifest and the rep corpus are each referenced by
+    // several downstream branches (signature pass, shingle pass, keep
+    // filter), and Catalyst clones the whole upstream subplan per
+    // branch without a materialization point (guide §3.3/§8)
     val repTbl = withH.select(col("__h"), col(idCol))
       .groupBy("__h").agg(min(col(idCol)).as("__rep"))
+      .localCheckpoint(false)
     val labeled = withH.join(repTbl, "__h")
     val reps = labeled.filter(col(idCol) === col("__rep")).drop("__h", "__rep")
+      .localCheckpoint(false)
     val pairs = minHashNearDupsRaw(reps, idCol, textCol, numHashes, bands,
       threshold, maxBucketSize)
     val dropReps = pairs.select(col("id_b").as("__drop")).distinct()
@@ -526,12 +545,24 @@ object Dedup {
                   checkpointDir: Option[String] = None,
                   useStar: Boolean = false): DataFrame = {
     val withH = df.withColumn("__h", md5(col(textCol)))
+    // MATERIALIZED stage boundaries (lazy localCheckpoint — computed in
+    // the first downstream action, reused by every later one): Catalyst
+    // shares no common subtrees, so without these every branch below —
+    // the minhash signature pass, the shingle-set pass, the rep-state
+    // join, the member mapping — re-executed the corpus union + md5 +
+    // collapse aggregate from scratch (guide §3.3: materialise an
+    // intermediate to truncate the plan; §8: these are exactly the
+    // manifests a production dedup pipeline persists — the content-hash
+    // keep table and the exact-deduped rep corpus).
     val repTbl = withH.select(col("__h"), col(idCol))
       .groupBy("__h").agg(min(col(idCol)).as("__rep"),
         count(lit(1)).as("__nclass"))
+      .localCheckpoint(false)
     val reps = withH.join(repTbl, "__h")
       .filter(col(idCol) === col("__rep"))
       .withColumn("__sig", size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol), col(textCol), col("__nclass"), col("__sig"))
+      .localCheckpoint(false)
     val repPairs = minHashNearDupsRaw(
       reps.select(col(idCol), col(textCol)), idCol, textCol,
       numHashes, bands, threshold, maxBucketSize)

@@ -302,18 +302,22 @@ object CoreSql {
     // standard two-level rewrite — each branch one clean
     // partial-aggregable pass, 9.7 s → ~7 s at sf1 and memory-flat.
     val li = t(spark, dir, "lineitem")
+    // sketches AND exact percentiles share ONE pass: none of these five
+    // is a DISTINCT aggregate, so folding them costs no Expand rewrite
+    // (the hazard the split avoids is countDistinct specifically) — one
+    // lineitem scan + one ObjectHashAggregate instead of two (guide
+    // §1.2: the r14 profile showed three full-table aggregate passes
+    // where two suffice; 3 scans → 2)
     val approx = li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"))
-    val exactCd = li.groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    val exactPct = li.groupBy("l_returnflag")
-      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"),
         expr("percentile(l_extendedprice, 0.5)").as("em"),
         expr("percentile(l_extendedprice, 0.9)").as("e90"))
-    approx.join(exactCd, "l_returnflag").join(exactPct, "l_returnflag")
+    val exactCd = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    approx.join(exactCd, "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05).as("parts_ok"),
         (abs(col("am") - col("em")) <= col("em") * 0.05).as("median_ok"),
