@@ -502,12 +502,13 @@ object TextAnalysis {
       .select(col(idCol), posexplode(split(col(textCol), delim))
         .as(Seq("__ln", "__line")))
       .withColumn("__h", md5(col("__line")))
-    val first = lines.groupBy("__h")
-      .agg(min(struct(col(idCol), col("__ln"))).as("__f"))
-      .select(col("__h"), col("__f")(idCol).as("__fid"),
-        col("__f")("__ln").as("__fln"))
-    val kept = lines.join(first, "__h")
-      .filter(col(idCol) === col("__fid") && col("__ln") === col("__fln"))
+    // first-claimant via a hash-partitioned window min — one exchange
+    // of the line rows instead of groupBy + join-back re-executing and
+    // re-shuffling them (same rewrite as [[substringDedup]])
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val kept = lines
+      .withColumn("__f", min(struct(col(idCol), col("__ln"))).over(wh))
+      .filter(col(idCol) === col("__f")(idCol) && col("__ln") === col("__f")("__ln"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("kept_lines"),
         concat_ws(delim, transform(
@@ -550,8 +551,16 @@ object TextAnalysis {
            |    p -> md5(concat_ws(' ', slice(__toks, p + 1, $k))))
            |ELSE array() END""".stripMargin)).as(Seq("__p", "__h")))
       .withColumn("__packed", col(idCol) * lit(10000000L) + col("__p"))
-    val claim = wins.groupBy("__h").agg(min(col("__packed")).as("__fmin"))
-    val covered = wins.join(claim, "__h")
+    // claimant via a hash-partitioned window min instead of
+    // groupBy + join-back: the join shape executed the window-hash
+    // mapper (one md5 per token position — the lane's dominant CPU)
+    // TWICE and exchanged its output twice; the window computes the
+    // per-hash min in the same single exchange that the filter then
+    // consumes (guide §2.4 "two operations keyed the same way can
+    // share one exchange"). Same (doc, pos) claimant semantics.
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val covered = wins
+      .withColumn("__fmin", min(col("__packed")).over(wh))
       .filter(col("__packed") =!= col("__fmin"))
       .select(col(idCol), explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__q"))
       .distinct()
