@@ -283,6 +283,11 @@ object DataQuality {
     val n1 = base
       .withColumn("__p", last(fin, ignoreNulls = true).over(wPrev))
       .withColumn("__x", first(fin, ignoreNulls = true).over(wNext))
+      // materialized: both the per-group endpoint aggregate and the
+      // repair join below consume this windowed frame, and without a
+      // materialization point each re-ran the scan + sort + window
+      // pass (guide §3.3)
+      .localCheckpoint(false)
     // first two / last two finite samples as per-group scalars
     val firsts = n1.filter(col("__v").isNotNull)
       .withColumn("__r", row_number().over(w))

@@ -870,7 +870,12 @@ object PipelineQueries {
         Tables(s, dir, "documents").select("doc_id"), "doc_id")
       val hashes = Multimodal.aHash8Batch(
         Multimodal.resizeBmpBatch(imgs, "doc_id", 8, 8), "doc_id")
+      // materialized (ahash, keep-id) manifest: both the Hamming pair
+      // pass and the final keep filter reference reps, and without a
+      // materialization point each re-ran the whole BMP synth + decode
+      // + resize + hash pipeline (guide §3.3)
       val reps = hashes.groupBy("ahash").agg(min("doc_id").as("doc_id"))
+        .localCheckpoint(false)
       val pairs = Dedup.sigHammingPairs(reps, "doc_id", "ahash", 64, 3)
       val groups = Dedup.dupGroups(pairs, "id_a", "id_b")
       reps.select("doc_id").join(groups, Seq("doc_id"), "left")
