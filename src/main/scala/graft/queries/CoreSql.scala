@@ -308,13 +308,19 @@ object CoreSql {
     // lineitem scan + one ObjectHashAggregate instead of two (guide
     // §1.2: the r14 profile showed three full-table aggregate passes
     // where two suffice; 3 scans → 2)
+    // array-form percentiles: ONE sketch / ONE value-count buffer per
+    // group serving both quantiles, instead of two identical buffers
+    // built side by side — the read-off against a shared state is
+    // value-identical to two copies of that state
     val approx = li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"),
-        expr("percentile(l_extendedprice, 0.5)").as("em"),
-        expr("percentile(l_extendedprice, 0.9)").as("e90"))
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("apx"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ex"))
+      .select(col("l_returnflag"), col("ap"),
+        element_at(col("apx"), 1).as("am"), element_at(col("apx"), 2).as("a90"),
+        element_at(col("ex"), 1).as("em"), element_at(col("ex"), 2).as("e90"))
     val exactCd = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_parts"))
     approx.join(exactCd, "l_returnflag")
