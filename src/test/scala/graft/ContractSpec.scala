@@ -121,13 +121,25 @@ class ContractSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
-  test("lineDedup claimant aggregate is partial (map-side combined) on the line hash") {
+  test("lineDedup claimant is a single hash-partitioned pass: one mapper, no global sort") {
     val docs = Tables(spark, sf, "documents")
     val plan = executedPlan(operators.TextAnalysis.lineDedup(docs, "doc_id", "text", " "))
-    // the min(struct) claimant must partial-aggregate before its exchange
-    // (one narrow row per distinct line per mapper enters the shuffle)
-    assert("partial_min".r.findAllIn(plan).nonEmpty,
-      s"claimant min(struct) should map-side combine\n$plan")
+    // r14: the claimant moved from groupBy + join-back (which executed
+    // the line-hash mapper twice and exchanged its rows twice) to a
+    // min(struct) window over the hash partitioning — the narrow
+    // (id, ln, hash) rows are exchanged ONCE and the per-hash sort is
+    // partition-local, never corpus-global. Pin all three properties.
+    assert("Window".r.findAllIn(plan).nonEmpty,
+      s"claimant should be a hash-partitioned window min\n$plan")
+    // every Sort in the plan must be partition-local ("], false, 0"),
+    // never a corpus-global sort — the hazard class the old pin guarded
+    assert(!plan.contains("], true, 0"),
+      s"a global sort crept into the claimant pass\n$plan")
+    // the line explode + md5 mapper feeds exactly one claimant pass: it
+    // appears once, not once per branch
+    val explodes = "Generate posexplode".r.findAllIn(plan).length
+    assert(explodes <= 2, // one for the claimant pass, one for the n_lines side
+      s"line-hash mapper duplicated across branches ($explodes explodes)\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
