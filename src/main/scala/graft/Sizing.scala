@@ -44,6 +44,14 @@ object Sizing {
     walk(new java.io.File(dir))
   }
 
+  def parquetFileCount(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1
+      else 0
+    walk(new java.io.File(dir))
+  }
+
   def shufflePartitions(sfDir: String, cores: Int,
                         bytesPerPartition: Long = 8L << 20,
                         cap: Int = 8192): Int = {
@@ -70,6 +78,26 @@ object Sizing {
     val raw = math.max(1, math.ceil(bytesPerPartition / targetFileBytes).toInt)
     val p2 = Integer.highestOneBit(raw) * (if (Integer.bitCount(raw) == 1) 1 else 2)
     math.min(cap, math.max(floor, p2))
+  }
+
+  /** State/shuffle width for ONE stream-replay micro-batch — the
+    * [[shufflePartitions]] 8 MB/partition rule applied to the bytes a
+    * single trigger carries (lake bytes ÷ staged files), because a
+    * stateful micro-batch pays a state-store open/commit plus one sink
+    * file per partition per TRIGGER: r14 measured the K=4 sf0.1 replay
+    * (≈4 MB/trigger) at 5.3 s with 8 partitions vs 3.2 s with the
+    * derived 1 — the fixed per-partition costs dwarfed the rows. Floor
+    * 1 (a micro-batch is per-definition small; no core-count floor —
+    * that would re-introduce the constant this replaces), cap shared
+    * with the batch rule. At sf10 the same rule derives ~54, and on a
+    * real cluster maxOffsetsPerTrigger fixes bytes/trigger, so the
+    * width tracks ration size, not corpus size.
+    */
+  def streamReplayParts(lakeDir: String, stageFiles: Int,
+                        bytesPerPartition: Long = 8L << 20,
+                        cap: Int = 8192): Int = {
+    val perTrigger = parquetBytes(lakeDir).toDouble / math.max(1, stageFiles)
+    math.min(cap, math.max(1, math.ceil(perTrigger / bytesPerPartition).toInt))
   }
 
   // NOTE (r11, negative result worth keeping): scaling

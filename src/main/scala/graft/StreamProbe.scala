@@ -17,33 +17,50 @@ object StreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
 
-    // how many rounds does the star CC take on the doc corpus pairs?
-    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000))
-      .unionByName(d.filter(col("doc_id") % 17 === 0)
-        .withColumn("doc_id", col("doc_id") + 2000000)
-        .withColumn("text", concat(col("text"), lit(" extra trailing words appended"))))
-    graft.functions.TextExpressions.register(spark)
-    val withH = corpus.withColumn("__h", md5(col("text")))
-    val repTbl = withH.select(col("__h"), col("doc_id"))
-      .groupBy("__h").agg(min(col("doc_id")).as("__rep"))
-    val reps = withH.join(repTbl, "__h")
-      .filter(col("doc_id") === col("__rep"))
-      .select(col("doc_id"), col("text")).localCheckpoint(false)
-    val pairs = graft.operators.Dedup.minHashNearDups(reps, "doc_id", "text")
-      .localCheckpoint(false)
-    println(s"[probe] pair count: ${pairs.count()}")
-    val t0 = System.nanoTime()
-    val (lbl, rounds) = graft.operators.Dedup.dupGroupsStarWithRounds(
-      pairs, "id_a", "id_b")
-    lbl.write.format("noop").mode("overwrite").save()
-    println(f"[probe] star rounds=$rounds in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    val t1 = System.nanoTime()
-    graft.operators.Dedup.dupGroups(pairs, "id_a", "id_b")
-      .write.format("noop").mode("overwrite").save()
-    println(f"[probe] min-label in ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    // where does a stream replay's wall time go? run the candlestick
+    // lane's stream by hand and dump per-batch durationMs phases
+    val fn = SparkEntry.queries("stream_candlestick")
+    // warm up
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // manual replay of the same shape with progress dump
+    // reuse the staged dir the warm-up call above already created
+    // (same key + fingerprint => cached, the write thunk never runs)
+    val srcs = Seq(s"$sfDir/events.parquet", s"$sfDir/documents.parquet")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    val stagedDir = graft.Lake.staged(s"stream|$sfDir/events_by_ts_ns|4", srcs)(
+      _ => sys.error("expected the staged dir to exist already"))
+    println(s"[probe] staged dir: $stagedDir")
+    val src = spark.readStream
+      .schema(spark.read.parquet(stagedDir).schema)
+      .option("pathGlobFilter", "part-*")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+    val wm = src.withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.StreamIngest.candlestickStats(
+      wm, "tstamp", "event_type", "event_id", "value", "1 hour", "0 seconds")
+    Seq(8, 8, 4, 4, 2, 2, 1, 1).zipWithIndex.foreach { case (parts, round) =>
+      val root = java.nio.file.Files.createTempDirectory("probe_replay").toString
+      val t0 = System.nanoTime()
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      println(s"[probe] === parts=$parts")
+      val frame = agg
+      val q = frame.writeStream.format("parquet")
+        .option("path", s"$root/data")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] round $round replay wall: $wall%.2f s, batches=${q.recentProgress.length}")
+      q.recentProgress.foreach { p =>
+        println(s"[probe]   batch ${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${p.durationMs}")
+      }
+    }
     spark.stop()
   }
 }

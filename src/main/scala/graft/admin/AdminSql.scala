@@ -1552,12 +1552,18 @@ final class AdminEngine(
         // partition costs a store open/commit plus a sink file PER
         // BATCH whatever it holds. The conf read at query start pins
         // the stateful operators' partitioning for the checkpoint's
-        // lifetime, so this is a per-job capacity knob — same rule and
-        // default as the replay harness's SPARK_GRAFT_STREAM_PARTS; a
-        // production job sizes it to rows/trigger ÷ target partition
-        // rows via the spark.graft.stream.shufflePartitions conf.
+        // lifetime, so this is a per-job capacity knob — same rule as
+        // the replay harness: DERIVED from the bytes one trigger
+        // carries (source-table bytes ÷ part files, each trigger reads
+        // one file, through Sizing's 8 MB/partition rule), replacing
+        // the r13 constant 8. spark.graft.stream.shufflePartitions /
+        // SPARK_GRAFT_STREAM_PARTS stay as explicit overrides.
         val streamParts = spark.conf.getOption("spark.graft.stream.shufflePartitions")
-          .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTS")).getOrElse("8")
+          .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTS")).getOrElse {
+            val src = tablePath(st.db, st.table)
+            graft.Sizing.streamReplayParts(src,
+              math.max(1, graft.Sizing.parquetFileCount(src))).toString
+          }
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         try {
           spark.conf.set("spark.sql.shuffle.partitions", streamParts)

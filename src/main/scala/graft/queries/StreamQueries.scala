@@ -82,18 +82,25 @@ object StreamQueries {
     * open/commit + one tiny sink file per partition than on rows
     * (measured at sf0.1: 32 partitions ≈ 1.0 s/batch vs 8 ≈ 0.45 s for
     * the same 26k rows — the suite's 75 s stream subtotal was mostly
-    * this). On a real cluster you size this to micro-batch volume
-    * (rows/trigger ÷ target-partition-size), which is exactly what the
-    * env override is for.
+    * this). r14: the width is now DERIVED from the bytes one trigger
+    * carries ([[graft.Sizing.streamReplayParts]] — lake bytes ÷ staged
+    * files through the suite's 8 MB/partition rule, floor 1), replacing
+    * the r13 constant 8 that was still a local-bench tuning: sf0.1's
+    * ~4 MB trigger derives 1 partition (5.3 → 3.2 s/replay measured),
+    * sf10's ~425 MB trigger derives ~54. Every stateful operator here
+    * is key-deterministic, so the partition count cannot change any
+    * result. SPARK_GRAFT_STREAM_PARTS stays as the explicit override.
     */
-  private val ReplayParts =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
+  private def replayParts(lakeDir: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt)
+      .getOrElse(graft.Sizing.streamReplayParts(lakeDir, StageFiles))
 
-  private def replay(s: SparkSession, out: DataFrame, name: String): DataFrame = {
+  private def replay(s: SparkSession, out: DataFrame, name: String,
+                     lakeDir: String): DataFrame = {
     val root = Files.createTempDirectory(s"graft_replay_$name").toString
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", ReplayParts.toString)
+      s.conf.set("spark.sql.shuffle.partitions", replayParts(lakeDir).toString)
       val q0 = out.writeStream
         .format("parquet")
         .option("path", s"$root/data")
@@ -244,7 +251,7 @@ object StreamQueries {
         .select(xxhash64(col("event_type")).as("series"),
           expr("ts div 1000").as("ts_us"), col("value"))
         .as[StreamIngest.CounterPoint]
-      val sink = replay(s, StreamIngest.streamingIncrease(pts).toDF(), "stream_increase_sink")
+      val sink = replay(s, StreamIngest.streamingIncrease(pts).toDF(), "stream_increase_sink", dir)
       sink.groupBy("series")
         .agg(max(struct(col("ts_us"), col("increase"))).getField("increase").as("inc"))
         .join(typeDict(s, dir), "series")
@@ -265,7 +272,7 @@ object StreamQueries {
           expr("ts div 1000").as("ts_us"), col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         .as[StreamIngest.EwmaPoint]
-      val sink = replay(s, StreamIngest.streamingEwma(pts).toDF(), "stream_ewma_sink")
+      val sink = replay(s, StreamIngest.streamingEwma(pts).toDF(), "stream_ewma_sink", dir)
       sink.join(typeDict(s, dir), "series")
         .select(col("event_id"), col("event_type"), col("ewma_q"))
         .orderBy("event_id").limit(10000)
@@ -282,7 +289,7 @@ object StreamQueries {
       val scored = StreamIngest.streamingAnomalyFlags(
         eventsStream(s, dir).select("event_id", "event_type", "value"),
         base, "event_type", "value")
-      replay(s, scored, "stream_anomaly_sink")
+      replay(s, scored, "stream_anomaly_sink", dir)
         .select("event_id", "event_type", "value", "is_outlier")
         .orderBy("event_id").limit(10000)
     }),
@@ -305,7 +312,7 @@ object StreamQueries {
       val src = eventsStream(s, dir)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val agg = StreamIngest.windowedStats(src, "tstamp", "event_type", "1 hour", "0 seconds")
-      val sink = replay(s, agg, "stream_windowed_sink")
+      val sink = replay(s, agg, "stream_windowed_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       sink.select(col("event_type"), unix_micros(col("w_start")).as("w_start_us"),
           col("n"), col("sum_value"))
@@ -345,7 +352,7 @@ object StreamQueries {
           col("fields")("value").cast("double").as("value"))
       val agg = StreamIngest.windowedStats(evs, "tstamp", "event_type",
         "1 hour", "0 seconds")
-      val sink = replay(s, agg, "stream_ingest_lp_sink")
+      val sink = replay(s, agg, "stream_ingest_lp_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       sink.select(col("event_type"), unix_micros(col("w_start")).as("w_start_us"),
           col("n"), col("sum_value"))
@@ -410,7 +417,7 @@ object StreamQueries {
           col("metric").as("event_type"), col("value"))
       val agg = StreamIngest.windowedStats(evs, "tstamp", "event_type",
         "1 hour", "0 seconds")
-      val sink = replay(s, agg, "stream_wire_prom_sink")
+      val sink = replay(s, agg, "stream_wire_prom_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       sink.select(col("event_type"), unix_micros(col("w_start")).as("w_start_us"),
           col("n"), col("sum_value"))
@@ -463,7 +470,7 @@ object StreamQueries {
             col("measurement").as("event_type"), col("value"))
         val agg = StreamIngest.windowedStats(evs, "tstamp", "event_type",
           "1 hour", "0 seconds")
-        val sink = replay(s, agg, "stream_kafka_ingest_sink")
+        val sink = replay(s, agg, "stream_kafka_ingest_sink", dir)
         val maxUs = globalMaxUs(s, dir)
         sink.select(col("event_type"),
             unix_micros(col("w_start")).as("w_start_us"),
@@ -489,7 +496,7 @@ object StreamQueries {
         .withColumn("tstamp", timestamp_seconds(pmod(xxhash64(col("text")), lit(86400L))))
       val src = staged(s, srcB, "tstamp", dir, "dedup_by_tstamp")
       val out = StreamIngest.streamingExactDedup(src, "tstamp", "text", "10 minutes")
-      replay(s, out, "stream_dedup_sink").select("text").orderBy("text")
+      replay(s, out, "stream_dedup_sink", dir).select("text").orderBy("text")
     }),
 
     // Session windows, streamed: Spark's native session_window merges
@@ -504,7 +511,7 @@ object StreamQueries {
       val src = eventsStream(s, dir)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val agg = StreamIngest.sessionStats(src, "tstamp", "user_id", "30 minutes", "0 seconds")
-      val sink = replay(s, agg, "stream_session_sink")
+      val sink = replay(s, agg, "stream_session_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       sink.filter(unix_micros(col("w_end")) < maxUs)
         .select(col("user_id"), unix_micros(col("w_start")).as("session_start_us"),
@@ -525,7 +532,7 @@ object StreamQueries {
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val agg = StreamIngest.candlestickStats(src, "tstamp", "event_type",
         "event_id", "value", "1 hour", "0 seconds")
-      val sink = replay(s, agg, "stream_candlestick_sink")
+      val sink = replay(s, agg, "stream_candlestick_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       sink.select(col("event_type"), unix_micros(col("w_start")).as("bucket_us"),
           col("n"), col("open"), col("high"), col("low"), col("close"), col("volume"))
@@ -544,7 +551,7 @@ object StreamQueries {
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val partials = StreamIngest.rollupPartials(src, "tstamp", "event_type",
         "value", "10 minutes", "0 seconds")
-      val sink = replay(s, partials, "stream_rollup_sink")
+      val sink = replay(s, partials, "stream_rollup_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       sink.withColumn("day_us", unix_micros(date_trunc("day", col("w_start"))))
         .filter(col("day_us") + lit(86400000000L) < maxUs)
@@ -568,7 +575,7 @@ object StreamQueries {
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val sk = StreamIngest.quantileSketch(src, "tstamp", "event_type", "value",
         "1 hour", "0 seconds")
-      val sink = replay(s, sk, "stream_quantile_sink")
+      val sink = replay(s, sk, "stream_quantile_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       val clipped = sink.withColumn("bucket_us", unix_micros(col("w_start")))
         .filter(col("bucket_us") + lit(BucketUs) < maxUs)
@@ -596,7 +603,7 @@ object StreamQueries {
         .withColumn("hv", (col("user_id") % 50).cast("string"))
       val hh = StreamIngest.windowedHeavyHitters(src, "tstamp", "event_type",
         "hv", k = 64, window = "1 hour", watermark = "0 seconds")
-      val sink = replay(s, hh, "stream_heavy_hitters_sink")
+      val sink = replay(s, hh, "stream_heavy_hitters_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       sink.select(col("event_type"), unix_micros(col("w_start")).as("bucket_us"),
           col("value"), col("est_n"))
@@ -625,7 +632,7 @@ object StreamQueries {
         .withColumn("hv", (col("user_id") % 10).cast("string"))
       val hh = StreamIngest.windowedHeavyHitters(src, "tstamp", "event_type",
         "hv", k = k, window = "1 day", watermark = "0 seconds")
-      val sink = replay(s, hh, "stream_heavy_hitters_lossy_sink")
+      val sink = replay(s, hh, "stream_heavy_hitters_lossy_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       val sketch = sink
         .select(col("event_type"), unix_micros(col("w_start")).as("bucket_us"),
@@ -667,7 +674,7 @@ object StreamQueries {
             .otherwise(2).cast("int").as("step"))
         .as[StreamIngest.FunnelPoint]
       val sink = replay(s, StreamIngest.streamingFunnel(pts, 3).toDF(),
-        "stream_funnel_sink")
+        "stream_funnel_sink", dir)
       sink.groupBy("user_id").agg(max("level").as("lvl"))
         .filter(col("lvl") >= 1)
         .select(explode(expr("sequence(1, lvl)")).as("step"))
@@ -689,7 +696,7 @@ object StreamQueries {
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
       val agg = StreamIngest.windowedTopK(src, "tstamp", "event_type",
         "event_id", "value", "1 hour", "0 seconds", 3)
-      val sink = replay(s, agg, "stream_topk_sink")
+      val sink = replay(s, agg, "stream_topk_sink", dir)
       val maxUs = globalMaxUs(s, dir)
       sink.select(col("event_type"), unix_micros(col("w_start")).as("bucket_us"),
           col("rank"), col("event_id"), col("value"))
@@ -711,7 +718,7 @@ object StreamQueries {
         .select(col("doc_id"), col("text"))
       val docs = staged(s, docsB, "doc_id", dir, "docs_by_id")
       val out = StreamIngest.streamingNearDupFlags(docs, "doc_id", "text")
-      replay(s, out.toDF(), "stream_neardup_sink")
+      replay(s, out.toDF(), "stream_neardup_sink", dir)
         .select(col("doc_id"), col("band").cast("long").as("band"),
           col("first_id"), col("is_dup"))
         .orderBy("doc_id", "band")
@@ -745,7 +752,7 @@ object StreamQueries {
           expr("ts div 1000").as("ts_us"), col("value"))
         .as[StreamIngest.GaugePoint]
       val sink = replay(s,
-        StreamIngest.streamingGapfillLocf(pts, BucketUs).toDF(), "stream_gapfill_sink")
+        StreamIngest.streamingGapfillLocf(pts, BucketUs).toDF(), "stream_gapfill_sink", dir)
       sink.join(typeDict(s, dir), "series")
         .select(col("event_type"), col("bucket_us"), col("value"), col("filled"))
         .orderBy("event_type", "bucket_us")
@@ -770,7 +777,7 @@ object StreamQueries {
         .as[StreamIngest.GaugePoint]
       val sink = replay(s,
         StreamIngest.streamingGapfillInterpolate(pts, BucketUs).toDF(),
-        "stream_gapfill_interp_sink")
+        "stream_gapfill_interp_sink", dir)
       sink.join(typeDict(s, dir), "series")
         .select(col("event_type"), col("bucket_us"), col("value"), col("filled"))
         .orderBy("event_type", "bucket_us")
@@ -791,7 +798,7 @@ object StreamQueries {
       val root = Files.createTempDirectory("graft_stream_daylake").toString
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", ReplayParts.toString)
+        s.conf.set("spark.sql.shuffle.partitions", replayParts(dir).toString)
         // floor-day arithmetic shared with the batch lake writer, so the
         // pruning rule's Math.floorDiv inverts BOTH layouts exactly —
         // including pre-epoch instants (ADVICE r11)
@@ -872,7 +879,7 @@ object StreamQueries {
       val dataCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", ReplayParts.toString)
+        s.conf.set("spark.sql.shuffle.partitions", replayParts(dir).toString)
         val q0 = eventsStream(s, dir).writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val v = s"graft_stream_uni_b${batchId}_${System.nanoTime()}"
