@@ -409,10 +409,18 @@ object Dedup {
     }
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy("u").agg(min("v").as("m"))
-      val j = e.join(mins, "u")
-      j.filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(j.select(col("u"), col("m").as("v")))
+      // ONE explode, not a self-union of the join: Catalyst clones a
+      // re-referenced subplan per reference (SURVEY §5 r9 rule), so the
+      // union form ran the e⋈mins join twice every round. Branch
+      // equivalences: (v,m) was filtered on v ≠ m ⇔ post-explode u ≠ v;
+      // (u,m) never trips that filter because edges are big→small
+      // (u > v ≥ m, so u ≠ m always).
+      e.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
+        .filter(col("u") =!= col("v"))
         .distinct()
     }
     // (count, Σu, Σv) as exact DECIMAL(38) — computed in the same action
