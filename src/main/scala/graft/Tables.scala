@@ -26,8 +26,18 @@ object Tables {
     if (name == "events") events(spark, dir) else read(spark, dir, name)
   }
 
+  // Memoized like eventsFrames below and for the same reason scaled
+  // down: a fresh spark.read.parquet re-reads footers for schema
+  // inference and rebuilds the FileIndex on every call, and the suite
+  // calls this hundreds of times per run for the same static paths. A
+  // catalog table would share the relation across queries; this is the
+  // path-based equivalent (the lake is immutable for a run's lifetime).
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    rawFrames.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
+
+  private val rawFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** events with BOTH time views every downstream operator keys on:
     * `ts` as a proper (micro-precision) timestamp and `ts_ns` as BIGINT
