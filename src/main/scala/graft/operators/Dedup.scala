@@ -66,9 +66,18 @@ object Dedup {
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int): DataFrame = {
     graft.functions.TextExpressions.register(df.sparkSession)
-    df.select(col(idCol),
+    // Pre-filter on the kernel's EXACT null condition (< 3 space-split
+    // tokens → no shingles) instead of filtering the kernel output for
+    // null: Catalyst pushes an output-null filter below the projection
+    // by substituting the expression, so every row paid the full
+    // MD5-per-shingle kernel TWICE — once in the pushed Filter, once in
+    // the Project (the guide §4.4 duplicate-evaluation shape, JVM
+    // edition; visible as `Filter isnotnull(minhash_sig(text))` in the
+    // r14 plan files). The token-count predicate costs one split.
+    df.filter(col(textCol).isNotNull &&
+        size(split(col(textCol), " ", -1)) >= 3)
+      .select(col(idCol),
         call_function("minhash_sig", col(textCol), lit(numHashes)).as("__sig"))
-      .filter(col("__sig").isNotNull) // < 3 tokens → no shingles, as before
       .select(col(idCol) +:
         (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
   }
@@ -245,14 +254,20 @@ object Dedup {
     val sig = minhashSignature(df, idCol, textCol, numHashes)
     val cands =
       lshCandidates(lshBandHashes(sig, idCol, numHashes, bands), idCol, maxBucketSize)
-    val sets = df.select(col(idCol).as("__sid"),
-      call_function("word_shingle_set", col(textCol)).as("__shs"))
-    // corpus ⋉ broadcast(id pairs): mapper-only scans; only candidate
-    // rows (with their shingle sets) reach the pair-keyed join below
-    val withA = sets.join(broadcast(cands), col("__sid") === col("id_a"))
-      .select(col("id_a"), col("id_b"), col("__shs").as("__sh_a"))
-    val withB = sets.join(broadcast(cands), col("__sid") === col("id_b"))
-      .select(col("id_a").as("__ja"), col("id_b").as("__jb"), col("__shs").as("__sh_b"))
+    // corpus ⋉ broadcast(id pairs), shingle kernel ABOVE the join: the
+    // r14 plan files showed the `word_shingle_set` projection sitting
+    // below the broadcast join (Catalyst never lifts a Project above a
+    // join), so the kernel ran over EVERY corpus row on BOTH sides —
+    // 2·|corpus| evaluations to confirm |candidates| pairs. Projecting
+    // after the join evaluates it per CANDIDATE row only (a doc in k
+    // pairs pays k times, still ≤ 2·|pairs| total — candidates are
+    // bucket-bounded and orders smaller than the corpus at scale).
+    val withA = df.join(broadcast(cands), col(idCol) === col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        call_function("word_shingle_set", col(textCol)).as("__sh_a"))
+    val withB = df.join(broadcast(cands), col(idCol) === col("id_b"))
+      .select(col("id_a").as("__ja"), col("id_b").as("__jb"),
+        call_function("word_shingle_set", col(textCol)).as("__sh_b"))
     val pairs = withA.join(withB,
         col("id_a") === col("__ja") && col("id_b") === col("__jb"))
       .withColumn("__inter",
