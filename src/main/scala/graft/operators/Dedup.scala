@@ -732,9 +732,13 @@ object Dedup {
                       maxHamming: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
     graft.functions.TextExpressions.register(df.sparkSession)
-    val sigs = df.select(col(idCol),
+    // pre-filter on the only null source (null text): an output-null
+    // filter is pushed below the projection by substitution and would
+    // evaluate the simhash kernel twice per row (the minhashSignature
+    // lesson); simhash60 never returns null for non-null input
+    val sigs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
         conv(call_function("simhash60", col(textCol)), 16, 10).cast("long").as("__sig"))
-      .filter(col("__sig").isNotNull)
     sigHammingPairs(sigs, idCol, "__sig", 60, maxHamming, maxBucketSize)
   }
 

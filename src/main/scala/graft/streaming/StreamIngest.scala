@@ -513,8 +513,12 @@ object StreamIngest {
       .select(col(idCol).cast("long").as("doc_id"),
         col(tsCol).cast("timestamp").as("__ts"), col(textCol).as("__text"))
       .withWatermark("__ts", watermark)
+      // pre-filter on the kernel's exact null condition (< 3 tokens)
+      // instead of its output: the pushed output-null filter evaluated
+      // the kernel twice per row (the minhashSignature lesson)
+      .filter(col("__text").isNotNull &&
+        size(split(col("__text"), " ", -1)) >= 3)
       .withColumn("__sig", call_function("minhash_sig", col("__text"), lit(numHashes)))
-      .filter(col("__sig").isNotNull)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
