@@ -157,8 +157,15 @@ object TextAnalysis {
     val nShingles = math.max(1L, bsh.count())
     val bloom = bsh.stat.bloomFilter("sh", nShingles, fpp)
     val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
+    // asNondeterministic: the probe itself is pure, but a deterministic
+    // filter on a derived column is pushed below the projection by
+    // substitution, making the shingle KERNEL evaluate twice per corpus
+    // row (once in the pushed filter, once in the projection the
+    // explode below still needs) — the guide §4.4 duplicate-evaluation
+    // fix, applied to the one Scala UDF in the repo
     val mightHit = udf((shs: Seq[String]) =>
       shs != null && shs.exists(bloomB.value.mightContainString))
+      .asNondeterministic()
     val cand = corpus
       .select(col(idCol), call_function("word_shingle_set", col(textCol)).as("__shs"))
       .filter(mightHit(col("__shs")))
