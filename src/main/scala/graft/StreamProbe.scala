@@ -41,11 +41,14 @@ object StreamProbe {
     val wm = src.withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
     val agg = graft.streaming.StreamIngest.candlestickStats(
       wm, "tstamp", "event_type", "event_id", "value", "1 hour", "0 seconds")
-    Seq(8, 8, 4, 4, 2, 2, 1, 1).zipWithIndex.foreach { case (parts, round) =>
-      val root = java.nio.file.Files.createTempDirectory("probe_replay").toString
+    val roots = Seq("/tmp", "/dev/shm", "/tmp", "/dev/shm", "/tmp", "/dev/shm")
+    roots.zipWithIndex.foreach { case (base, round) =>
+      val parts = 1
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(base), "probe_replay").toString
       val t0 = System.nanoTime()
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      println(s"[probe] === parts=$parts")
+      println(s"[probe] === parts=$parts root=$base")
       val frame = agg
       val q = frame.writeStream.format("parquet")
         .option("path", s"$root/data")

@@ -494,7 +494,24 @@ object Dedup {
   def nearDedupKeep(df: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 8, bands: Int = 2,
                     threshold: Double = 0.5,
-                    maxBucketSize: Int = 1000): DataFrame = {
+                    maxBucketSize: Int = 1000,
+                    collapseExact: Boolean = true): DataFrame = {
+    // `collapseExact = false` is the caller-guaranteed-distinct-texts
+    // fast path (e.g. input already exact-deduped): with every text
+    // unique, each doc is its own representative, so the collapse
+    // manifest maps id → id and the rep filter keeps every row — the
+    // md5 aggregate, both collapse joins and their checkpoints are
+    // provably identity work (PipelineSpec pins the equivalence). The
+    // raw rule then runs directly on `df`.
+    if (!collapseExact) {
+      val pairs = minHashNearDupsRaw(df, idCol, textCol, numHashes, bands,
+        threshold, maxBucketSize)
+      val dropReps = pairs.select(col("id_b").as("__drop")).distinct()
+      return df
+        .join(dropReps, col(idCol) === col("__drop"), "left")
+        .filter(col("__drop").isNull)
+        .drop("__drop")
+    }
     val withH = df.withColumn("__h", md5(col(textCol)))
     // materialized stage boundaries, same discipline as [[dupGroupsOf]]:
     // the hash→rep manifest and the rep corpus are each referenced by
@@ -528,17 +545,21 @@ object Dedup {
 
   /** Exact-dedup materialization: the kept corpus — one canonical row
     * (minimum id) per distinct text, i.e. what actually ships to
-    * training after exact dedup. ONE content-hash aggregate producing
-    * (hash → keep_id), then a keep-side equijoin on (hash, id) — both
-    * shuffles keyed on the content hash, no window sort, partial-
-    * aggregable. At 100 TB the keep table is |distinct texts| rows of
-    * (md5, id) — orders smaller than the corpus it filters.
+    * training after exact dedup. ONE content-hash exchange: the per-hash
+    * minimum id is a window aggregate computed in the same shuffle the
+    * keep filter consumes (guide §2.4 — operations keyed the same way
+    * share one exchange; the r14 doc_substring_dedup claimant respell).
+    * The r14 form (groupBy(md5) + join-back) paid the md5 mapper and an
+    * exchange TWICE — once per subplan reference, since Catalyst shares
+    * no common subtrees — and at 100 TB the join-back shuffled the full
+    * corpus rows anyway once the keep table outgrew broadcast. Here the
+    * corpus is scanned once, full rows cross the wire once, keyed on
+    * the 16-byte hash, never the text.
     */
   def dedupedCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = df.select(md5(col(textCol)).as("__h"), col(idCol))
-      .groupBy("__h").agg(min(col(idCol)).as("__keep"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     df.withColumn("__h", md5(col(textCol)))
-      .join(keep, Seq("__h"))
+      .withColumn("__keep", min(col(idCol)).over(w))
       .filter(col(idCol) === col("__keep"))
       .drop("__h", "__keep")
   }

@@ -497,8 +497,18 @@ object PipelineQueries {
         .filter(col("hit") * 2 >= col("nsh"))
         .select("doc_id")
       val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+      // exact-dedup manifest, materialized ONCE (lazy localCheckpoint —
+      // the stage boundary a production pipeline persists): the near-dup
+      // stage references it four times (signature pass, both confirm
+      // sides, keep filter), and without the truncation each reference
+      // re-executed the whole corpus→quality→decontaminate→exact chain
+      // (r15 measured 37 Spark jobs / 4.9 s warm for this lane).
+      // Texts are unique after the exact collapse, so the near stage
+      // skips its own (now identity) exact-collapse wrapper.
       val exact = Dedup.dedupedCorpus(clean, "doc_id", "text")
-      val near = Dedup.nearDedupKeep(exact, "doc_id", "text")
+        .localCheckpoint(false)
+      val near = Dedup.nearDedupKeep(exact, "doc_id", "text",
+        collapseExact = false)
       val meta = Tables(s, dir, "documents")
         .select(col("doc_id").as("base_id"), col("source"))
       val survivors = near.withColumn("base_id", col("doc_id") % 1000000)
@@ -528,10 +538,14 @@ object PipelineQueries {
       // "near-dropped" is simply "absent from the keep-set".
       val kept = Dedup.nearDedupKeep(c, "doc_id", "text")
         .select(col("doc_id"), lit(1L).as("kept"))
-      // md5 shuffle key, not the full text — the dedupedCorpus discipline
-      val hashed = c.select(md5(col("text")).as("__h"), col("doc_id"))
-      val canon = hashed.groupBy("__h").agg(min("doc_id").as("canon"))
-      val exactDrop = hashed.join(canon, Seq("__h"))
+      // md5 shuffle key, not the full text — the dedupedCorpus
+      // discipline; per-hash min as a window aggregate in the ONE
+      // exchange the drop filter consumes (the groupBy + join-back form
+      // executed the corpus-union + md5 subplan twice, once per
+      // reference)
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+      val exactDrop = c.select(md5(col("text")).as("__h"), col("doc_id"))
+        .withColumn("canon", min("doc_id").over(wh))
         .filter(col("doc_id") > col("canon")).select("doc_id")
         .withColumn("exact", lit(1L))
       c.select("doc_id")

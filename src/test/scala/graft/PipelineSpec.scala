@@ -924,6 +924,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(fast == Set(1L, 4L, 5L, 6L))
   }
 
+  test("nearDedupKeep collapseExact=false equals the default on distinct texts") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    // all texts DISTINCT (the fast path's contract): a near-dup pair,
+    // a sub-shingle short text, and an unrelated doc
+    val docs = Seq(
+      (1L, base), (3L, base + " tail"),
+      (4L, "hi there"),
+      (6L, (50 to 69).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaCollapse = ids(graft.operators.Dedup.nearDedupKeep(docs, "doc_id", "text"))
+    val direct = ids(graft.operators.Dedup.nearDedupKeep(docs, "doc_id", "text",
+      collapseExact = false))
+    assert(direct == viaCollapse, s"direct $direct vs collapse $viaCollapse")
+    assert(direct == Set(1L, 4L, 6L))
+    // identical output COLUMNS too (the helper column must not leak)
+    assert(graft.operators.Dedup.nearDedupKeep(docs, "doc_id", "text",
+      collapseExact = false).columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("dupGroupsOf rep-space fast path equals raw connected components") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => c}
