@@ -25,8 +25,15 @@ object EventAnalytics {
   def retention(df: DataFrame, userCol: String, tsCol: String,
                 offsets: Seq[Int]): DataFrame = {
     val days = df.select(col(userCol), to_date(col(tsCol)).as("__day")).distinct()
-    val first = days.groupBy(col(userCol)).agg(min(col("__day")).as("cohort_day"))
-    val offs = days.join(first, userCol)
+    // first-seen as a window min in the user-keyed exchange the offset
+    // computation consumes, instead of groupBy(user) + join-back: the
+    // join form executed the (user, day) distinct aggregate twice (once
+    // per subplan reference — Catalyst shares no common subtrees) and
+    // paid an extra exchange for the join (guide §2.4: operations keyed
+    // the same way share one exchange).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
+    val offs = days
+      .withColumn("cohort_day", min(col("__day")).over(w))
       .withColumn("__off", datediff(col("__day"), col("cohort_day")))
     val offCounts = offsets.map(o =>
       count_distinct(when(col("__off") === o, col(userCol))).as(s"d$o"))
@@ -48,14 +55,24 @@ object EventAnalytics {
   def funnel(df: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty)
-    // reached(i) = users whose earliest chain through steps 0..i exists
+    // reached(i) = users whose earliest chain through steps 0..i exists.
+    // Each step manifest is materialized ONCE (lazy localCheckpoint):
+    // step i's frame is referenced both by step i+1's join AND by its
+    // own count branch below, and the count branches nest — without the
+    // truncation the union re-executed step 0's scan+aggregate K times
+    // and step i's join chain K-i times (triangular re-execution, r15
+    // measured 10 Spark jobs for a 3-step funnel). The manifests are
+    // one (user, ts) row per reaching user — exactly what a production
+    // funnel pipeline persists per stage.
     val reached = steps.tail.scanLeft(
       df.filter(col(typeCol) === steps.head)
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))) { (prev, step) =>
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint(false)) { (prev, step) =>
       df.filter(col(typeCol) === step)
         .join(prev.select(col(userCol), col("__t").as("__prev")), userCol)
         .filter(col(tsCol) > col("__prev"))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint(false)
     }
     // one lazy plan: a counts branch per step, unioned — no driver-side
     // actions; each branch is a 1-row aggregate

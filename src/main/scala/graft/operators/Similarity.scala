@@ -94,7 +94,12 @@ object Similarity {
     val tables = (0 until numTables).map { t =>
       val bucket = (0 until numPlanes).map { p =>
         val plane = t * numPlanes + p
-        val comps = array((0 until dims).map(d => lit(planeComponent(plane, d))): _*)
+        // ONE Literal node per plane (typedLit of the whole array), not
+        // dims CreateArray children: the analyzer/optimizer walks every
+        // expression node once per run, and the per-element form charged
+        // numPlanes x dims nodes of plan time to each run (r15: the emb
+        // lanes' wall was ~2x their Spark-job time, all plan-side).
+        val comps = typedLit((0 until dims).map(d => planeComponent(plane, d)))
         when(dot(vec, comps) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
@@ -327,7 +332,7 @@ object Similarity {
     // least() needs >= 2 args — a single cell is always cell 0
     if (centroids.length == 1) lit(0)
     else least(centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit): _*)
+      val cLit = typedLit(c.toSeq) // one Literal node, not dims children
       struct((dot(vec, cLit) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
         lit(i).as("i"))
     }: _*).getField("i")
@@ -409,7 +414,7 @@ object Similarity {
     // query → nprobe nearest cells: centroid count is tiny, so explode
     // + per-query rank happens on |queries| × k rows, all broadcast.
     val centDists = cents.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit): _*)
+      val cLit = typedLit(c.toSeq) // one Literal node, not dims children
       struct((dot(col("q_vec"), cLit) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
         lit(i).as("cell"))
     }
@@ -561,7 +566,7 @@ object Similarity {
     * exact integer in double form (vec_dot keeps it codegen'd).
     */
   private def intDist(selfDot: Column, vq: Column, cq: Array[Long]): Column = {
-    val cLit = array(cq.map(x => lit(x.toDouble)): _*)
+    val cLit = typedLit(cq.toSeq.map(_.toDouble)) // one Literal node
     (selfDot - dot(vq, cLit) * 2.0 + lit(cq.map(x => x.toDouble * x).sum)).cast("long")
   }
 
