@@ -89,9 +89,14 @@ object Sizing {
     * derived 1 — the fixed per-partition costs dwarfed the rows. Floor
     * 1 (a micro-batch is per-definition small; no core-count floor —
     * that would re-introduce the constant this replaces), cap shared
-    * with the batch rule. At sf10 the same rule derives ~54, and on a
-    * real cluster maxOffsetsPerTrigger fixes bytes/trigger, so the
-    * width tracks ration size, not corpus size.
+    * with the batch rule. At sf10 the events stage (~170 MB) derives 6
+    * — BENCH_SCALING's measured derivation — and on a real cluster
+    * maxOffsetsPerTrigger fixes bytes/trigger, so the width tracks
+    * ration size, not corpus size. r15 (ADVICE r14): this lake-dir
+    * form is now only the FALLBACK for lanes that never stage a dir
+    * (kafka reads the broker log); staged lanes derive from their own
+    * staged bytes in StreamQueries.stageDir, since a lane stages one —
+    * often projected — table, not the whole lake.
     */
   def streamReplayParts(lakeDir: String, stageFiles: Int,
                         bytesPerPartition: Long = 8L << 20,

@@ -31,13 +31,18 @@ object Tables {
   // inference and rebuilds the FileIndex on every call, and the suite
   // calls this hundreds of times per run for the same static paths. A
   // catalog table would share the relation across queries; this is the
-  // path-based equivalent (the lake is immutable for a run's lifetime).
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    rawFrames.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  // path-based equivalent. The key rides the same source fingerprint
+  // (bytes:files:mtime) as Lake.staged (ADVICE r14): a lake regenerated
+  // at the same path within one JVM rebuilds the relation instead of
+  // serving a stale FileIndex (FileNotFoundException / stale rows).
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    rawFrames.getOrElseUpdate((spark, path, graft.Lake.fingerprint(path)),
+      spark.read.parquet(path))
+  }
 
   private val rawFrames =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   /** events with BOTH time views every downstream operator keys on:
     * `ts` as a proper (micro-precision) timestamp and `ts_ns` as BIGINT

@@ -1554,15 +1554,26 @@ final class AdminEngine(
         // the stateful operators' partitioning for the checkpoint's
         // lifetime, so this is a per-job capacity knob — same rule as
         // the replay harness: DERIVED from the bytes one trigger
-        // carries (source-table bytes ÷ part files, each trigger reads
-        // one file, through Sizing's 8 MB/partition rule), replacing
-        // the r13 constant 8. spark.graft.stream.shufflePartitions /
-        // SPARK_GRAFT_STREAM_PARTS stay as explicit overrides.
+        // carries (source-table bytes ÷ part files × the configured
+        // maxFilesPerTrigger — a trigger reads that many files — through
+        // Sizing's 8 MB/partition rule), replacing the r13 constant 8.
+        // Caveat (ADVICE r14): the width is derived ONCE here from the
+        // source's CURRENT bytes and pinned for the checkpoint's
+        // lifetime — a job created against an empty/young table keeps
+        // the floor width even if the table grows; recreate the job (or
+        // set spark.graft.stream.shufflePartitions) after bulk growth.
+        // spark.graft.stream.shufflePartitions / SPARK_GRAFT_STREAM_PARTS
+        // stay as explicit overrides.
         val streamParts = spark.conf.getOption("spark.graft.stream.shufflePartitions")
           .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTS")).getOrElse {
             val src = tablePath(st.db, st.table)
+            val filesPerTrigger = spark.conf
+              .get("spark.graft.stream.maxFilesPerTrigger", "1").toInt
+            val srcFiles = math.max(1, graft.Sizing.parquetFileCount(src))
+            // bytes/trigger = (bytes/file) × files/trigger; expressed
+            // through the shared rule by shrinking the divisor.
             graft.Sizing.streamReplayParts(src,
-              math.max(1, graft.Sizing.parquetFileCount(src))).toString
+              math.max(1, srcFiles / math.max(1, filesPerTrigger))).toString
           }
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         try {

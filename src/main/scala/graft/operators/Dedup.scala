@@ -262,10 +262,15 @@ object Dedup {
     // after the join evaluates it per CANDIDATE row only (a doc in k
     // pairs pays k times, still ≤ 2·|pairs| total — candidates are
     // bucket-bounded and orders smaller than the corpus at scale).
-    val withA = df.join(broadcast(cands), col(idCol) === col("id_a"))
+    // Project to (id, text) BEFORE the join (ADVICE r14): a caller
+    // frame carrying its own id_a/id_b column would make col("id_a")
+    // ambiguous post-join, and df's other columns would otherwise flow
+    // through the probe side of both joins.
+    val slim = df.select(col(idCol), col(textCol))
+    val withA = slim.join(broadcast(cands), col(idCol) === col("id_a"))
       .select(col("id_a"), col("id_b"),
         call_function("word_shingle_set", col(textCol)).as("__sh_a"))
-    val withB = df.join(broadcast(cands), col(idCol) === col("id_b"))
+    val withB = slim.join(broadcast(cands), col(idCol) === col("id_b"))
       .select(col("id_a").as("__ja"), col("id_b").as("__jb"),
         call_function("word_shingle_set", col(textCol)).as("__sh_b"))
     val pairs = withA.join(withB,

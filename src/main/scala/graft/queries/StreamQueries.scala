@@ -83,24 +83,41 @@ object StreamQueries {
     * (measured at sf0.1: 32 partitions ≈ 1.0 s/batch vs 8 ≈ 0.45 s for
     * the same 26k rows — the suite's 75 s stream subtotal was mostly
     * this). r14: the width is now DERIVED from the bytes one trigger
-    * carries ([[graft.Sizing.streamReplayParts]] — lake bytes ÷ staged
-    * files through the suite's 8 MB/partition rule, floor 1), replacing
-    * the r13 constant 8 that was still a local-bench tuning: sf0.1's
-    * ~4 MB trigger derives 1 partition (5.3 → 3.2 s/replay measured),
-    * sf10's ~425 MB trigger derives ~54. Every stateful operator here
-    * is key-deterministic, so the partition count cannot change any
-    * result. SPARK_GRAFT_STREAM_PARTS stays as the explicit override.
+    * carries, through the suite's 8 MB/partition rule, floor 1,
+    * replacing the r13 constant 8 that was still a local-bench tuning
+    * (5.3 → 3.2 s/replay measured at sf0.1). r15 (ADVICE r14): the
+    * bytes come from the lane's OWN staged dir (recorded by [[stageDir]]
+    * below — total staged bytes ÷ StageFiles; sf10's events stage is
+    * ~170 MB → ~6 partitions, matching BENCH_SCALING's measured
+    * derivation), not from the whole lake dir — a lane staging one
+    * projected table was over-widened by the lake-to-table ratio.
+    * Lanes that never stage (the kafka source reads the broker log)
+    * fall back to the lake-dir derivation. Every stateful operator
+    * here is key-deterministic, so the partition count cannot change
+    * any result. SPARK_GRAFT_STREAM_PARTS stays as the explicit
+    * override.
     */
+  private val stagedTriggerBytes = new ThreadLocal[Long] {
+    override def initialValue(): Long = -1L
+  }
   private def replayParts(lakeDir: String): Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt)
-      .getOrElse(graft.Sizing.streamReplayParts(lakeDir, StageFiles))
+      .getOrElse {
+        val staged = stagedTriggerBytes.get()
+        if (staged >= 0L)
+          math.min(8192, math.max(1,
+            math.ceil(staged.toDouble / (8L << 20)).toInt))
+        else graft.Sizing.streamReplayParts(lakeDir, StageFiles)
+      }
 
   private def replay(s: SparkSession, out: DataFrame, name: String,
                      lakeDir: String): DataFrame = {
     val root = Files.createTempDirectory(s"graft_replay_$name").toString
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val parts = replayParts(lakeDir)
+    stagedTriggerBytes.remove() // one replay consumes one lane's staging
     val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", replayParts(lakeDir).toString)
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
       val q0 = out.writeStream
         .format("parquet")
         .option("path", s"$root/data")
@@ -161,9 +178,18 @@ object StreamQueries {
       .filter(p => Files.exists(Paths.get(p)))
     require(srcs.nonEmpty,
       s"stream staging found neither events.parquet nor documents.parquet under $lakeDir")
-    graft.Lake.staged(s"stream|$lakeDir/$lane|$StageFiles", srcs) { dir =>
+    val root = graft.Lake.staged(s"stream|$lakeDir/$lane|$StageFiles", srcs) { dir =>
       write(dir); pinMtimes(dir)
     }
+    // Record this lane's actual per-trigger payload (staged bytes ÷
+    // files staged) for replayParts — any format (parquet/text/binary),
+    // so walk raw file sizes, not just *.parquet.
+    def rawBytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(rawBytes).sum).getOrElse(0L)
+      else f.length()
+    val perTrigger = rawBytes(new java.io.File(root)) / math.max(1, StageFiles)
+    stagedTriggerBytes.set(math.max(stagedTriggerBytes.get(), perTrigger))
+    root
   }
   private def staged(s: SparkSession, df: DataFrame, orderCol: String,
                      lakeDir: String, lane: String): DataFrame = {
