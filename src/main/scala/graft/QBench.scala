@@ -16,13 +16,16 @@ object QBench {
     // same input-derived shuffle width as Bench (SURVEY §5 rule)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       Sizing.shufflePartitions(sfDir, cpus.toInt).toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hook for config probes (guide §1): "k=v;k=v" extra confs.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val wantJobs = args.contains("jobs")
     val runs = args.collectFirst { case a if a.startsWith("runs=") => a.drop(5).toInt }

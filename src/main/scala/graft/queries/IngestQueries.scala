@@ -31,6 +31,11 @@ object IngestQueries {
           col("fields")("value").cast("double").as("value"),
           expr("cast(substring(fields['n'], 1, length(fields['n']) - 1) AS BIGINT)").as("n"),
           col("ts").as("ts_us"))
+        // one parse per action: the global sort's range-boundary sample
+        // otherwise re-executes the whole render+parse chain (same fix
+        // as ts_otlp_traces below, applied to every wire round-trip
+        // lane whose sort sits directly on the decode — guide §2.4)
+        .localCheckpoint(false)
         .orderBy("event_id")
     }),
 
@@ -48,6 +53,7 @@ object IngestQueries {
         .select(col("tags")("event_id").cast("long").as("event_id"),
           col("metric"), col("ts").as("ts_us"), col("value"),
           col("tags")("user_id").cast("long").as("user_id"))
+        .localCheckpoint(false) // one parse per action (see ts_ingest_lp)
         .orderBy("event_id")
     }),
 
@@ -64,6 +70,7 @@ object IngestQueries {
         .select(col("tags")("event_id").cast("long").as("event_id"),
           col("metric"), col("ts").as("ts_us"), col("value"),
           col("tags")("user_id").cast("long").as("user_id"))
+        .localCheckpoint(false) // one parse per action (see ts_ingest_lp)
         .orderBy("event_id")
     }),
 
@@ -94,6 +101,7 @@ object IngestQueries {
           col("numFields")("value").as("value"),
           col("numFields")("u.id").as("user_id_f"),
           col("boolFields")("ok").as("ok"))
+        .localCheckpoint(false) // one parse per action (see ts_ingest_lp)
         .orderBy("event_id")
     }),
 
@@ -118,6 +126,7 @@ object IngestQueries {
           col("numFields")("value").as("value"),
           col("numFields")("n.chars").as("chars_f"),
           col("strFields")("lvl").as("lvl"))
+        .localCheckpoint(false) // one parse per action (see ts_ingest_lp)
         .orderBy("event_id")
     }),
 
@@ -196,6 +205,7 @@ object IngestQueries {
           col("labels"), col("ts_ns"),
           regexp_extract(col("msg"), "value=(.+)$", 1).cast("double")
             .as("value"))
+        .localCheckpoint(false) // one decode per action (see ts_ingest_lp)
         .orderBy("event_id")
     }),
 
@@ -239,6 +249,12 @@ object IngestQueries {
           col("kind"), col("start_ns"), col("end_ns"),
           regexp_extract(col("attrs"), "user_id=(\\d+)", 1).cast("long")
             .as("user_id"))
+        // materialize the decoded spans before the global sort: the
+        // range exchange's boundary-sampling pass otherwise re-executes
+        // the whole encode+decode chain (no exchange below it to reuse)
+        // — wire codec ran twice per action (guide §2.4 / r14 manifest
+        // discipline; QBench showed two equal ~0.42 s jobs).
+        .localCheckpoint(false)
         .orderBy("event_id")
     }),
 

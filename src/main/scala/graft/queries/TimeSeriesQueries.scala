@@ -690,15 +690,24 @@ object TimeSeriesQueries {
       val minute = expr("ts_us div 60000000").as("minute")
       // write 1 (seq 2k): f_value only; write 2 (seq 2k+1, every 3rd
       // event): OVERRIDES f_value and FILLS f_flag — merged keys must
-      // read w2's f_value where present and w1's elsewhere
-      val w1 = e.select(col("user_id"), col("event_type"), minute,
-        (col("event_id") * 2).as("seq"), col("value").as("f_value"),
-        lit(null).cast("long").as("f_flag"))
-      val w2 = e.filter(col("event_id") % 3 === 0)
-        .select(col("user_id"), col("event_type"), minute,
-          (col("event_id") * 2 + 1).as("seq"),
-          (col("value") * 2).as("f_value"), col("event_id").as("f_flag"))
-      w1.unionByName(w2)
+      // read w2's f_value where present and w1's elsewhere. Both writes
+      // are emitted from ONE events scan via posexplode (guide §1.2 —
+      // the r14 self-union form scanned the fact table twice); pos=1
+      // survives the filter only for every 3rd event, reproducing the
+      // old w2 branch's predicate exactly.
+      e.select(col("user_id"), col("event_type"), minute,
+          col("event_id"),
+          posexplode(array(
+            struct((col("event_id") * 2).as("seq"),
+              col("value").as("f_value"),
+              lit(null).cast("long").as("f_flag")),
+            struct((col("event_id") * 2 + 1).as("seq"),
+              (col("value") * 2).as("f_value"),
+              col("event_id").as("f_flag")))))
+        .filter(col("pos") === 0 || col("event_id") % 3 === 0)
+        .select(col("user_id"), col("event_type"), col("minute"),
+          col("col.seq").as("seq"), col("col.f_value").as("f_value"),
+          col("col.f_flag").as("f_flag"))
         .groupBy("user_id", "event_type", "minute")
         .agg(
           expr("max_by(f_value, CASE WHEN f_value IS NOT NULL THEN seq END)").as("f_value"),
