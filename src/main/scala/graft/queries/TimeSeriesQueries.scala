@@ -164,6 +164,12 @@ object TimeSeriesQueries {
         .groupBy("user_id", "ts").agg(max("value").as("view_value"))
       TimeSeries.asofJoin(clicks, views, "ts", Seq("user_id"),
         Seq("event_id", "click_value"), Seq("view_value"))
+        // NOT checkpointed before the sort: the range sample does
+        // re-execute the asof window segment (two equal 0.31 s jobs),
+        // but a position-controlled A/B measured materializing the
+        // window's WIDE output a wash vs recomputing it — the wire-lane
+        // checkpoint fix pays only when the re-executed segment is an
+        // expensive codec, not a sort+last() pass (r15 negative result).
         .orderBy("user_id", "event_id")
     }),
 
@@ -395,6 +401,9 @@ object TimeSeriesQueries {
         .agg(min(col("__pack")).as("__p"))
         .select(col("user_id"), col("event_type"), col("minute"),
           (col("__p") % 10000000).cast("long").as("event_id"))
+        // sort sample would re-run the decimal final-agg segment (see
+        // ts_asof_join)
+        .localCheckpoint(false)
         .orderBy("user_id", "event_type", "minute")),
 
     // M4 downsampling: first/last/min/max POINTS per (series, hour) —
