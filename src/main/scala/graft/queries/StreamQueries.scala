@@ -100,22 +100,26 @@ object StreamQueries {
   private val stagedTriggerBytes = new ThreadLocal[Long] {
     override def initialValue(): Long = -1L
   }
-  private def replayParts(lakeDir: String): Int =
+  private def replayParts(lakeDir: String): Int = {
+    // consume the recorded staging on EVERY derivation (the sink lanes
+    // derive width without going through replay) so one lane's staged
+    // bytes can never leak into the next lane's width
+    val staged = stagedTriggerBytes.get()
+    stagedTriggerBytes.remove()
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt)
       .getOrElse {
-        val staged = stagedTriggerBytes.get()
         if (staged >= 0L)
           math.min(8192, math.max(1,
             math.ceil(staged.toDouble / (8L << 20)).toInt))
         else graft.Sizing.streamReplayParts(lakeDir, StageFiles)
       }
+  }
 
   private def replay(s: SparkSession, out: DataFrame, name: String,
                      lakeDir: String): DataFrame = {
     val root = Files.createTempDirectory(s"graft_replay_$name").toString
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val parts = replayParts(lakeDir)
-    stagedTriggerBytes.remove() // one replay consumes one lane's staging
+    val parts = replayParts(lakeDir) // consumes this lane's staging record
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
       val q0 = out.writeStream
@@ -822,14 +826,15 @@ object StreamQueries {
     // the batch writer laid out.
     "stream_sink_partitioned" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft_stream_daylake").toString
+      // floor-day arithmetic shared with the batch lake writer, so the
+      // pruning rule's Math.floorDiv inverts BOTH layouts exactly —
+      // including pre-epoch instants (ADVICE r11). Built BEFORE the
+      // width derivation so replayParts sees THIS lane's staged bytes.
+      val src = eventsStream(s, dir)
+        .withColumn("day", expr(graft.Tables.dayOfNsSql("ts")))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", replayParts(dir).toString)
-        // floor-day arithmetic shared with the batch lake writer, so the
-        // pruning rule's Math.floorDiv inverts BOTH layouts exactly —
-        // including pre-epoch instants (ADVICE r11)
-        val src = eventsStream(s, dir)
-          .withColumn("day", expr(graft.Tables.dayOfNsSql("ts")))
         val q0 = src.writeStream.format("parquet")
           .option("path", s"$root/data")
           .option("checkpointLocation", s"$root/ckpt")
@@ -903,10 +908,12 @@ object StreamQueries {
            |CLUSTERED BY (event_type) SORTED BY (event_type, ts) INTO $buckets BUCKETS
            |LOCATION '$root'""".stripMargin)
       val dataCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      // staged before the width derivation (see stream_sink_partitioned)
+      val srcStream = eventsStream(s, dir)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", replayParts(dir).toString)
-        val q0 = eventsStream(s, dir).writeStream
+        val q0 = srcStream.writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val v = s"graft_stream_uni_b${batchId}_${System.nanoTime()}"
             batch.withColumn("day", expr(graft.Tables.dayOfNsSql("ts")))
