@@ -599,4 +599,33 @@ class TimeSeriesEdgeSpec extends AnyFunSuite {
       .orderBy("time").collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
     assert(got.toSeq == Seq((2L, 2.0, true), (3L, 2.0, true)))
   }
+
+  test("ts_upsert_field_merge single-scan posexplode equals the two-scan union form (r15)") {
+    // the r15 rewrite emits both write generations from ONE events scan;
+    // this pins it against the original self-union spelling on the real
+    // sf0.001 lake (same rows, same merge, same order)
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val minute = expr("ts_us div 60000000").as("minute")
+    val w1 = e.select(col("user_id"), col("event_type"), minute,
+      (col("event_id") * 2).as("seq"), col("value").as("f_value"),
+      lit(null).cast("long").as("f_flag"))
+    val w2 = e.filter(col("event_id") % 3 === 0)
+      .select(col("user_id"), col("event_type"), minute,
+        (col("event_id") * 2 + 1).as("seq"),
+        (col("value") * 2).as("f_value"), col("event_id").as("f_flag"))
+    val unionForm = w1.unionByName(w2)
+      .groupBy("user_id", "event_type", "minute")
+      .agg(
+        expr("max_by(f_value, CASE WHEN f_value IS NOT NULL THEN seq END)").as("f_value"),
+        expr("max_by(f_flag, CASE WHEN f_flag IS NOT NULL THEN seq END)").as("f_flag"),
+        max(col("seq")).as("last_seq"))
+      .orderBy("user_id", "event_type", "minute")
+    val laneForm = SparkEntry.queries("ts_upsert_field_merge")(spark, dir)
+    assert(laneForm.schema == unionForm.schema,
+      s"schema drift: ${laneForm.schema} vs ${unionForm.schema}")
+    assert(laneForm.exceptAll(unionForm).isEmpty &&
+      unionForm.exceptAll(laneForm).isEmpty,
+      "posexplode form diverges from the union form")
+  }
 }
