@@ -108,4 +108,37 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(out.getAs[Double]("p50") == 30.0)
     assert(out.getAs[Double]("p90") == 40.0)
   }
+
+  test("weightedPercentile sharded prefix sum is shard-count invariant and equals the window form (r15)") {
+    import spark.implicits._
+    // deterministic pseudo-random fixture with duplicate values, ties,
+    // negative values, and integer-valued weights across 3 groups —
+    // the regime where the distributed prefix sum must be BIT-identical
+    // to the r14 single-window spelling
+    val df = (1 to 500).map { i =>
+      (i.toLong, i % 3, ((i * 2654435761L) % 97 - 20).toDouble,
+        ((i * 40503L) % 7 + 1).toDouble)
+    }.toDF("id", "g", "v", "w")
+    val qs = Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99)
+    // the r14 single-window reference, inlined
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totW = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val ref = df.withColumn("__cum", sum(col("w")).over(cumW))
+      .withColumn("__tot", sum(col("w")).over(totW))
+      .groupBy("g")
+      .agg(qs.map { case (l, q) =>
+        min(when(col("__cum") >= lit(q) * col("__tot"), col("v"))).as(l)
+      }.head, qs.map { case (l, q) =>
+        min(when(col("__cum") >= lit(q) * col("__tot"), col("v"))).as(l)
+      }.tail: _*)
+      .orderBy("g").collect().toSeq
+    for (shards <- Seq(1, 7, 256)) {
+      val got = graft.functions.Percentiles.weightedPercentile(
+        df, Seq("g"), col("v"), col("w"), col("id"), qs, shards = shards)
+        .orderBy("g").collect().toSeq
+      assert(got == ref, s"shards=$shards diverged:\n got $got\n ref $ref")
+    }
+  }
 }
