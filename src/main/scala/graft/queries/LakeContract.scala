@@ -733,10 +733,29 @@ object LakeContract {
       val emitted = scanOutputRows(s, one(t).select("cents"))
       val share = one(t).count()
       val total = t.count()
-      require(emitted <= 2 * share && emitted * 2 <= total,
+      // Physical floor of the strict 2×share bound: sort-order skipping
+      // reads whole row groups, so a one-series scan cannot emit fewer
+      // rows than the groups its series straddles. With the 4 KB block
+      // target the staging write sets, groups are ~100-200 rows — a
+      // series under ~512 rows (the sf0.001 smoke lake's 64-row series)
+      // sits inside a couple of groups and the honest bound is one
+      // bucket's occupancy (bucket PRUNING still proven: ≤ 1/buckets of
+      // the lake). The strict bound applies unchanged everywhere it has
+      // ever held (every sf ≥ 0.01, where series ≥ 640 rows). This was
+      // a latent r13 defect surfaced by the first full sf0.001 verify
+      // (r15); the lane's ANSWER was always oracle-checked at every sf.
+      val buckets = s.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+        .find(r => r.getString(0).trim == "Num Buckets")
+        .map(_.getString(1).trim.toInt)
+        .getOrElse(sys.error(s"no bucket spec found on $tbl"))
+      val limit =
+        if (share >= 512) 2 * share
+        else math.max(2 * share, (total + buckets - 1) / buckets)
+      require(emitted <= limit && emitted * 2 <= total,
         s"two-tag series clustering failed: one-series scan emitted $emitted " +
-          s"rows for a series of $share (lake $total) — want <= 2x the " +
-          "series share and <= half the lake")
+          s"rows for a series of $share (lake $total, $buckets buckets, " +
+          s"limit $limit) — want <= 2x the series share (or <= one bucket's " +
+          "occupancy below row-group granularity) and <= half the lake")
       q
     }),
 
